@@ -1,0 +1,58 @@
+"""Parquet (and optionally JDBC/S3) table sources.
+
+Replaces the reference's storage engine — an in-memory SQLite load of a
+mysqldump (reference model.py:181-188, fetch.py:11-124). Spark reads
+columnar parquet (or JDBC for a live Nova DB) directly:
+
+- S3 download + gunzip (reference fetch.py:83-93) disappear — Spark
+  reads ``s3a://`` URIs and compressed formats natively.
+- mysqldump→sqlite dialect conversion (reference fetch.py:98-124)
+  disappears — no dialect shim is needed for parquet/JDBC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from openstack_billing_from_db_spark.schemas import TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Parquet gives predicate pushdown + column pruning."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def nova_jdbc_reader(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+):
+    """JDBC source for a live Nova MySQL DB (replaces the dump pipeline).
+
+    ``partition_column`` bounds split the scan into parallel range reads —
+    essential at scale; a single-connection JDBC read is a driver bottleneck.
+    Gated: requires the MySQL JDBC jar on the classpath.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1 << 31))
+        )
+    return reader.load()
