@@ -31,6 +31,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata parquet carries TIMESTAMP(NANOS) (unsupported by the
+        # vectorized reader); read as long and canonicalize in the source
+        # layer (sources/tables.py) — floor(ns/1000) matches DuckDB's
+        # ns→us truncation bit-for-bit.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")

@@ -13,13 +13,28 @@ columnar parquet (or JDBC for a live Nova DB) directly:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from openstack_billing_from_db_spark.schemas import TESTDATA_TABLES
 
 
+# parquet TIMESTAMP(NANOS) columns read as long nanos (see session.py);
+# canonicalized to TimestampType by flooring to micros — identical to
+# DuckDB's ns→us truncation, so oracle comparisons stay exact.
+NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Parquet gives predicate pushdown + column pruning."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in NANO_TS_COLUMNS:
+        # runtime-settable; required for TIMESTAMP(NANOS) parquet even when
+        # the caller (e.g. the driver harness) built the session without it
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in NANO_TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
