@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered headline query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full computation, no driver
+transfer) so timings measure the plan, not collect() serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from openstack_billing_from_db_spark.registry import QUERIES
+    from openstack_billing_from_db_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # Warm up JVM + whole-stage-codegen compilation on the tiny sf so the
+    # timed pass measures steady-state plan execution, not first-run JIT
+    # (cold q01 is ~12s of codegen, ~1.7s warm at sf0.1).
+    warm_dir = "/root/testdata/sf0.001"
+    for fn in QUERIES.values():
+        try:
+            fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sum_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
