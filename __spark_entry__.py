@@ -30,12 +30,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from openstack_billing_from_db_spark.registry import QUERIES
+    from openstack_billing_from_db_spark.registry import all_queries
 
-    return dict(QUERIES)
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    from openstack_billing_from_db_spark.registry import ORACLE
+    from openstack_billing_from_db_spark.registry import all_oracle_sql
 
-    return dict(ORACLE)
+    return all_oracle_sql()

@@ -1,0 +1,430 @@
+"""Analytics operator coverage (SURVEY.md §2.2-2.4, §2.6-2.9 plus the
+"available for free in Spark" rows the reference lacks: semi/anti joins,
+set operations, ranking windows, rollup, pivot/unpivot).
+
+Cross-engine numeric rules (see registry.py): decimal-cast before any
+double aggregation; averages as decimal-sum / count in one double
+division; never round() a double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.registry import register
+from openstack_billing_from_db_spark.sources.tables import load_table
+
+
+def _dec(col, prec: int = 18, scale: int = 4):
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def _disc_price_dec():
+    """extendedprice × (1 − discount) computed entirely in decimal.
+
+    Raw columns are short-decimal-valued doubles (2-dp prices, 2-dp
+    discounts), so casting the RAW columns is cross-engine exact, while
+    casting a double PRODUCT is not (Spark casts via the shortest decimal
+    repr; DuckDB rounds the exact binary value — they disagree in the
+    last digit for long mantissas)."""
+    return _dec(F.col("l_extendedprice"), 18, 2) * (1 - _dec(F.col("l_discount"), 8, 2))
+
+
+_DISC_PRICE_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))"
+
+
+# --- q10: grouped aggregation (TPC-H Q1 shape; A2 at scale) ----------------
+
+_Q10_CUTOFF = "1998-09-02 00:00:00"
+
+
+@register(
+    "q10_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS sum_disc_price,
+       CAST(sum({_DISC_PRICE_SQL} * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q10_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q10_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _disc_price_dec()
+    charge = disc_price * (1 + _dec(F.col("l_tax"), 8, 2))
+    sum_qty = F.sum(_dec(F.col("l_quantity"), 18, 2))
+    sum_price = F.sum(_dec(F.col("l_extendedprice"), 18, 2))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q10_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.cast("double").alias("sum_qty"),
+            sum_price.cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (sum_qty.cast("double") / n).alias("avg_qty"),
+            (sum_price.cast("double") / n).alias("avg_price"),
+            (F.sum(_dec(F.col("l_discount"), 18, 6)).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+# --- q11: multi-way join with broadcast dims (TPC-H Q5 shape; J1) ----------
+
+
+@register(
+    "q11_regional_revenue",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q11_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join on orderkey plus three broadcast dimension joins.
+    At 100 TB: lineitem⋈orders shuffles on orderkey once; nation/region/
+    supplier are explicit broadcasts (no shuffle)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_disc_price_dec()).cast("double").alias("revenue"))
+    )
+
+
+# --- q12: join + group + global sort + limit (TPC-H Q3 shape; O1, top-k) ---
+
+_Q12_DATE = "1998-01-01 00:00:00"
+
+
+@register(
+    "q12_top_unshipped_orders",
+    oracle=f"""
+SELECT l.l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_Q12_DATE}'
+  AND l.l_shipdate > TIMESTAMP '{_Q12_DATE}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q12_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q12_DATE).cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q12_DATE).cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price_dec()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- q13: semi join / EXISTS (TPC-H Q4 shape) -------------------------------
+
+
+@register(
+    "q13_late_shipment_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+""",
+)
+def q13_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cond = (l.l_orderkey == o.o_orderkey) & (
+        l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --- q14: anti join / NOT EXISTS --------------------------------------------
+
+
+@register(
+    "q14_customers_without_orders",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+""",
+)
+def q14_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --- q15: distinct (A1) ------------------------------------------------------
+
+
+@register(
+    "q15_distinct_brand_sizes",
+    oracle="SELECT DISTINCT p_brand, p_size FROM part",
+)
+def q15_distinct_brand_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select("p_brand", "p_size").distinct()
+
+
+# --- q16: set operations (§2.7 — absent in reference, native in Spark) ------
+
+
+@register(
+    "q16_set_operations",
+    oracle="""
+SELECT 'union' AS op, id FROM (SELECT user_id AS id FROM events UNION SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'intersect' AS op, id FROM (SELECT user_id AS id FROM events INTERSECT SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'except' AS op, id FROM (SELECT c_custkey AS id FROM customer EXCEPT SELECT user_id FROM events)
+""",
+)
+def q16_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    cu = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "id")  # noqa: E731
+    return (
+        tag(ev.union(cu).distinct(), "union")
+        .unionByName(tag(ev.intersect(cu), "intersect"))
+        .unionByName(tag(cu.exceptAll(ev).distinct(), "except"))
+    )
+
+
+# --- q17: ranking window (top-k per group) -----------------------------------
+
+
+@register(
+    "q17_top_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def q17_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- q18: rollup (grouping sets) ---------------------------------------------
+
+
+@register(
+    "q18_order_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+)
+def q18_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("o_totalprice"), 18, 2)).cast("double").alias("total"),
+    )
+
+
+# --- q19/q20: pivot and unpivot (U1) -----------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
+
+_PIVOT_ORACLE = """
+SELECT o_orderstatus,
+""" + ",\n".join(
+    f"       CAST(sum(CASE WHEN o_orderpriority = '{p}' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS {a}"
+    for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+) + """
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("q19_priority_pivot", oracle=_PIVOT_ORACLE)
+def q19_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    df = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.sum(_dec(F.col("o_totalprice"), 18, 2)).cast("double"))
+    )
+    for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES):
+        df = df.withColumnRenamed(p, a)
+    return df
+
+
+_UNPIVOT_ORACLE = f"WITH wide AS ({_PIVOT_ORACLE})\n" + "\nUNION ALL\n".join(
+    f"SELECT o_orderstatus, '{a}' AS priority, {a} AS total FROM wide"
+    for a in _PRIORITY_ALIASES
+)
+
+
+@register("q20_priority_unpivot", oracle=_UNPIVOT_ORACLE)
+def q20_priority_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (reference billing.py:188-224 writes six SU-type
+    rows per invoice from six wide accumulators; U1)."""
+    wide = q19_priority_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ["o_orderstatus"], _PRIORITY_ALIASES, "priority", "total"
+    )
+
+
+# --- q21: JSON extraction + grouped stats (F1, F6) ---------------------------
+
+
+@register(
+    "q21_event_props_stats",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q21_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(k).alias("sum_k"),
+        F.sum(_dec(F.col("value"), 18, 2)).cast("double").alias("sum_value"),
+    )
+
+
+# --- q22: scalar string/date function coverage (F3, F5, F8-F10, F14) --------
+
+
+@register(
+    "q22_scalar_functions",
+    oracle="""
+SELECT c_custkey,
+       lower(c_name) AS name_lower,
+       upper(c_mktsegment) AS seg_upper,
+       substr(c_name, 1, 8) AS name_prefix,
+       replace(c_name, 'Customer#', 'C-') AS name_short,
+       regexp_replace(c_name, '[0-9]', '', 'g') AS name_nodigits,
+       length(c_name) AS name_len,
+       concat('seg:', c_mktsegment) AS seg_tag,
+       CAST(c_custkey % 97 AS BIGINT) AS key_mod
+FROM customer
+""",
+)
+def q22_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.regexp_replace(F.col("c_name"), "Customer#", "C-").alias("name_short"),
+        F.regexp_replace(F.col("c_name"), "[0-9]", "").alias("name_nodigits"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat(F.lit("seg:"), F.col("c_mktsegment")).alias("seg_tag"),
+        (F.col("c_custkey") % 97).alias("key_mod"),
+    )
+
+
+# --- q23: date/time function coverage (F8-F10, F14) --------------------------
+
+
+@register(
+    "q23_date_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(day(o_orderdate) AS INTEGER) AS order_day,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       o_orderdate + INTERVAL 90 DAY AS due_date,
+       o_orderdate - INTERVAL 1 SECOND AS just_before,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
+FROM orders
+""",
+)
+def q23_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic parity, incl. the reference's end−1s daily-key
+    trick (billing.py:277-278) and ISO formatting (F9/F14)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 1 SECONDS")).alias("just_before"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+    )

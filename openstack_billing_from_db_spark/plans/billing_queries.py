@@ -1,0 +1,168 @@
+"""Billing-domain registry entries (SURVEY.md §2.3-2.5, §2.8-2.9).
+
+Oracle SQL strings are f-string-generated from the same constants the
+Spark plans use — one source of truth for windows, rates, and mappings.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from openstack_billing_from_db_spark.operators.intervals import TS_MAX_US, to_micros
+from openstack_billing_from_db_spark.plans.billing import (
+    TESTDATA_TRIGGERS,
+    TESTDATA_WINDOW,
+    instance_runtime,
+    testdata_billing_tables,
+    testdata_invoice,
+)
+from openstack_billing_from_db_spark.registry import register
+from openstack_billing_from_db_spark.sources.rates import DEFAULT_RATE_CARD
+
+W0 = to_micros(TESTDATA_WINDOW[0])
+W1 = to_micros(TESTDATA_WINDOW[1])
+HOUR_US = 3_600_000_000
+
+TESTDATA_OUTAGES = [
+    (datetime(2024, 1, 5, 6), datetime(2024, 1, 5, 18)),
+    (datetime(2024, 1, 10), datetime(2024, 1, 12)),
+]
+
+_STATE_CASE = "CASE event_type " + " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in TESTDATA_TRIGGERS.items()
+) + " END"
+
+# dim derivation (plans/billing.py testdata_billing_tables) in SQL
+_DIM_SQL = """
+  SELECT uuid,
+         'proj_' || CAST(uuid % 5 AS VARCHAR) AS project_id,
+         CASE WHEN uuid % 7 = 0 THEN
+            CASE CAST((uuid // 7) % 4 AS INTEGER)
+              WHEN 0 THEN 'gpu_v100' WHEN 1 THEN 'gpu_a100'
+              WHEN 2 THEN 'gpu_a100sxm4' ELSE 'gpu_k80' END
+          ELSE 'cpu' END AS su_type,
+         CAST(CASE WHEN uuid % 7 = 0 THEN (uuid % 3) + 1
+              ELSE greatest((uuid % 8) + 1, (uuid % 4) + 1) END AS INTEGER)
+           AS service_units
+  FROM (SELECT DISTINCT user_id AS uuid FROM events)
+"""
+
+_RATES_SQL = "(VALUES " + ", ".join(
+    f"('{t}', CAST({r} AS DECIMAL(10,4)))" for t, _, r in DEFAULT_RATE_CARD
+) + ")"
+
+
+def _iv_sql() -> str:
+    """Interval CTE: trigger events → state intervals (lead over id,ts)."""
+    return f"""
+  SELECT instance_uuid, state, epoch_us(ts) AS start_us,
+         coalesce(lead(epoch_us(ts)) OVER (PARTITION BY instance_uuid ORDER BY ts),
+                  {TS_MAX_US}) AS end_us
+  FROM (
+    SELECT user_id AS instance_uuid, ts, {_STATE_CASE} AS state FROM events
+  ) WHERE state IS NOT NULL
+"""
+
+
+def _rt_sql(outages: list[tuple[datetime, datetime]] = ()) -> str:
+    """Runtime CTE: Σ clamped overlaps (− outage overlaps) per state."""
+    net = f"greatest(0, least(end_us, {W1}) - greatest(start_us, {W0}))"
+    for o_start, o_end in outages:
+        o0, o1 = to_micros(o_start), to_micros(o_end)
+        net += f" - greatest(0, least(end_us, {o1}) - greatest(start_us, {o0}))"
+    return f"""
+  SELECT instance_uuid,
+         CAST(sum(CASE WHEN state = 'Running' THEN {net} ELSE 0 END) AS BIGINT) AS running_us,
+         CAST(sum(CASE WHEN state = 'Stopped' THEN {net} ELSE 0 END) AS BIGINT) AS stopped_us
+  FROM iv GROUP BY instance_uuid
+"""
+
+
+@register(
+    "q01_billing_invoice",
+    oracle=f"""
+WITH iv AS ({_iv_sql()}),
+rt AS ({_rt_sql()}),
+hrs AS (
+  SELECT instance_uuid,
+         (running_us + stopped_us + {HOUR_US - 1}) // {HOUR_US} AS runtime_hours
+  FROM rt
+),
+dim AS ({_DIM_SQL}),
+grouped AS (
+  SELECT d.project_id, d.su_type,
+         CAST(sum(h.runtime_hours * d.service_units) AS BIGINT) AS su_hours
+  FROM hrs h JOIN dim d ON h.instance_uuid = d.uuid
+  WHERE h.runtime_hours > 0
+  GROUP BY d.project_id, d.su_type
+  HAVING sum(h.runtime_hours * d.service_units) > 0
+)
+SELECT g.project_id, g.su_type, g.su_hours,
+       CAST(r.rate AS DOUBLE) AS rate,
+       CAST(round(r.rate * g.su_hours, 2) AS DOUBLE) AS cost
+FROM grouped g JOIN {_RATES_SQL} AS r(service_unit_type, rate)
+  ON g.su_type = r.service_unit_type
+""",
+)
+def q01_billing_invoice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: events → sessionize → ceil SU-hours → priced invoice.
+    Exercises S1, E1-E6, A2-A3, F7, F11-F13, J4, P4 in one DAG."""
+    return testdata_invoice(spark, sf_dir)
+
+
+@register(
+    "q02_instance_runtime",
+    oracle=f"WITH iv AS ({_iv_sql()}) SELECT * FROM ({_rt_sql()})",
+)
+def q02_instance_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-instance Running/Stopped time in the window (E1-E6, A3)."""
+    actions, _ = testdata_billing_tables(spark, sf_dir)
+    return instance_runtime(
+        actions,
+        *TESTDATA_WINDOW,
+        trigger_states=TESTDATA_TRIGGERS,
+        message_col=None,
+    )
+
+
+@register(
+    "q03_runtime_outage_excluded",
+    oracle=f"WITH iv AS ({_iv_sql()}) SELECT * FROM ({_rt_sql(TESTDATA_OUTAGES)})",
+)
+def q03_runtime_outage_excluded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime minus two outage intervals (J5, A4) — interval-overlap
+    subtraction as inline column math, no join."""
+    actions, _ = testdata_billing_tables(spark, sf_dir)
+    return instance_runtime(
+        actions,
+        *TESTDATA_WINDOW,
+        outages=TESTDATA_OUTAGES,
+        trigger_states=TESTDATA_TRIGGERS,
+        message_col=None,
+    )
+
+
+@register("q04_state_intervals", oracle=f"SELECT * FROM ({_iv_sql()})")
+def q04_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-independent state intervals themselves (E1-E4) —
+    computed once, reusable for any billing window."""
+    from openstack_billing_from_db_spark.operators.sessionize import (
+        build_state_intervals,
+        map_event_states,
+    )
+
+    actions, _ = testdata_billing_tables(spark, sf_dir)
+    states = map_event_states(
+        actions, trigger_states=TESTDATA_TRIGGERS, message_col=None
+    )
+    return build_state_intervals(states)
+
+
+@register("q05_su_catalog", oracle=f"SELECT * FROM ({_DIM_SQL})")
+def q05_su_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance dimension: distinct ids (A1), JSON pci parse (F1-F6),
+    SU formula (F7)."""
+    _, dim = testdata_billing_tables(spark, sf_dir)
+    return dim.select("uuid", "project_id", "su_type", "service_units")

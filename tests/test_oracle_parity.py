@@ -12,8 +12,11 @@ import math
 import duckdb
 import pytest
 
-from openstack_billing_from_db_spark.registry import ORACLE, QUERIES
+from openstack_billing_from_db_spark.registry import all_oracle_sql, all_queries
 from openstack_billing_from_db_spark.schemas import TESTDATA_TABLES
+
+QUERIES = all_queries()
+ORACLE = all_oracle_sql()
 
 
 @pytest.fixture(scope="module")
