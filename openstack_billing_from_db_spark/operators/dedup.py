@@ -1,0 +1,209 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH near-dup, SimHash near-dup — each designed so the heavy
+signature computation is a pure map-side projection (array expressions,
+no explode, no shuffle) and the only shuffles are the final
+bucket-equality self-joins on LSH keys.
+
+Scale notes (100 TB):
+- signatures: embarrassingly parallel, whole-stage-codegen'd; no Python.
+- candidate generation: shuffle keyed on (band, signature) — cardinality
+  ≈ n_docs × n_bands with near-uniform buckets; skew only from giant
+  exact-duplicate clusters, which AQE skew-join splits.
+- verification (exact Jaccard) happens only on candidates, carrying the
+  shingle arrays through the join; at extreme scale switch to the
+  exploded (doc, shingle) count formulation to bound row width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
+from openstack_billing_from_db_spark.operators.text import words, word_shingles
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    canonical (minimum) id and the copy count."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int) -> list[Column]:
+    """num_hashes independent min-hashes of a shingle array, computed as
+    array_min over a transform — per-row expressions, no explode."""
+    return [
+        F.array_min(F.transform(shingle_arr, lambda s: seeded_hash64(s, str(j))))
+        .alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+
+
+def minhash_bands(num_hashes: int, rows_per_band: int) -> list[Column]:
+    """Band signatures: md5 over the concatenated minhashes of each band."""
+    assert num_hashes % rows_per_band == 0
+    n_bands = num_hashes // rows_per_band
+    return [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs with exact n-gram Jaccard verification.
+
+    shingle → minhash → band → bucket-join; then Jaccard on the distinct
+    shingle sets of each candidate pair. Output: (doc_a, doc_b, jaccard).
+    """
+    n_bands = num_hashes // rows_per_band
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(words(F.col(text_col)), shingle_n).alias("shingles"),
+    ).filter(F.size("shingles") >= 1)
+
+    sigs = base.select(
+        "doc_id", "shingles", *minhash_signature(F.col("shingles"), num_hashes)
+    )
+    with_bands = sigs.select(
+        "doc_id", "shingles", *minhash_bands(num_hashes, rows_per_band)
+    )
+    melted = with_bands.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band{b}").alias("sig")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "shingles", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    a = melted.select(
+        F.col("band"), F.col("sig"), F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    b = melted.select(
+        F.col("band"), F.col("sig"), F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = F.array_distinct("sh_a")
+    sb = F.array_distinct("sh_b")
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(sa) + F.size(sb) - inter
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        (inter.cast("double") / union).alias("jaccard"),
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprint: per token-hash bit, vote +1/−1 weighted by
+    term frequency; fingerprint bit = sign of the vote sum.
+
+    One explode + one groupBy(doc) — the aggregation is 32 conditional
+    sums, all codegen'd. Output: (doc_id, simhash)."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.col(text_col))).alias("w"),
+    ).select("doc_id", seeded_hash64(F.col("w"), "sim").alias("h"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    fp: Column = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    fingerprints: DataFrame,
+    *,
+    bits: int = 32,
+    band_bits: int = 8,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Banded hamming join over simhash fingerprints: candidates share at
+    least one exact band (probabilistic recall, standard LSH trade-off),
+    verified with bit_count(xor) ≤ max_hamming.
+
+    Output: (doc_a, doc_b, hamming)."""
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    melted = fingerprints.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.expr(f"shiftright(simhash, {k * band_bits})")
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = melted.select("band", "bucket", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    b = melted.select("band", "bucket", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

@@ -1,0 +1,99 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north star): tokenization, quality scoring, language ID, fingerprinting.
+
+All operators are native Column expressions — no Python UDFs — so they
+run inside whole-stage codegen and scale linearly with input splits (no
+shuffle at all; these are pure map-side projections).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lexica for the n-gram/stopword language-ID
+# heuristic; ordering of LANGS is the argmax tiebreak order
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+LANGS = tuple(LANG_STOPWORDS)
+
+ALPHA_TOKEN_RE = "[a-zA-Z]+"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens, empty strings dropped (portable across engines
+    that keep empties on split)."""
+    return F.filter(F.split(F.trim(text), " "), lambda w: w != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text)).cast("long")
+
+
+def alpha_token_count(text: Column) -> Column:
+    """Regex token count — a BPE-ish approximation: alphabetic runs."""
+    return F.size(F.regexp_extract_all(text, F.lit(ALPHA_TOKEN_RE), 0)).cast("long")
+
+
+def stopword_hits(word_arr: Column, stopwords: tuple[str, ...]) -> Column:
+    return F.size(F.filter(word_arr, lambda w: w.isin(*stopwords))).cast("long")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length, stopword density,
+    alphabetic density — the classic cheap pre-filter for LLM corpora."""
+    w = words(text)
+    n_words = F.greatest(F.size(w).cast("long"), F.lit(1).cast("long"))
+    stop_ratio = stopword_hits(w, LANG_STOPWORDS["en"]) / n_words
+    alpha_chars = F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("long")
+    alpha_ratio = alpha_chars / F.greatest(F.length(text).cast("long"), F.lit(1).cast("long"))
+    length_term = F.least(F.lit(1.0), F.size(w).cast("double") / F.lit(100.0))
+    return length_term * 0.4 + stop_ratio * 0.4 + alpha_ratio * 0.2
+
+
+def langid(text: Column) -> Column:
+    """Stopword-vote language ID with deterministic tiebreak (LANGS order);
+    'unknown' when no lexicon hits."""
+    w = words(text)
+    hits = {lang: stopword_hits(w, sw) for lang, sw in LANG_STOPWORDS.items()}
+    total = None
+    for h in hits.values():
+        total = h if total is None else total + h
+    expr = F.when(total == 0, F.lit("unknown"))
+    remaining = list(LANGS)
+    while len(remaining) > 1:
+        lang = remaining[0]
+        cond = None
+        for other in remaining[1:]:
+            c = hits[lang] >= hits[other]
+            cond = c if cond is None else (cond & c)
+        expr = expr.when(cond, F.lit(lang))
+        remaining = remaining[1:]
+    return expr.otherwise(F.lit(remaining[0]))
+
+
+def normalize(text: Column) -> Column:
+    """lower → strip non-alphanumerics → collapse runs of spaces → trim."""
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    collapsed = F.regexp_replace(stripped, " +", " ")
+    return F.trim(collapsed)
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text."""
+    return F.md5(normalize(text))
+
+
+def word_shingles(word_arr: Column, n: int = 3) -> Column:
+    """Overlapping n-word shingles; empty array for docs shorter than n."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(word_arr) - (n - 1), F.lit(0)))
+    return F.when(
+        F.size(word_arr) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(word_arr, i, n))),
+    ).otherwise(F.array().cast("array<string>"))

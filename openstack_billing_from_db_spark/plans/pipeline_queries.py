@@ -1,8 +1,353 @@
 """Training-data pipeline registry entries (dedup, similarity search,
-text analysis, multimodal) — BASELINE.json north-star operators.
-
-Populated by the operators/ modules; see operators/dedup.py,
-operators/similarity.py, operators/text.py, operators/multimodal.py.
+text analysis, multimodal) — BASELINE.json north-star operators, each
+with a DuckDB oracle twin built from the same constants.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.functions.hashing import portable_hash64_sql
+from openstack_billing_from_db_spark.operators import dedup, multimodal, similarity, text
+from openstack_billing_from_db_spark.registry import register
+from openstack_billing_from_db_spark.sources.tables import load_table
+
+# DuckDB twin of operators/text.py words()
+_W = "list_filter(string_split(trim(text), ' '), w -> w != '')"
+
+_STOP = {lang: ", ".join(f"'{s}'" for s in sw) for lang, sw in text.LANG_STOPWORDS.items()}
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+@register(
+    "q30_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_W}) AS BIGINT) AS n_words,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '{text.ALPHA_TOKEN_RE}')) AS BIGINT) AS n_alpha_tokens,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace_chars
+FROM documents
+""",
+)
+def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(t).alias("n_words"),
+        F.length(t).cast("long").alias("n_chars"),
+        text.alpha_token_count(t).alias("n_alpha_tokens"),
+        F.length(F.regexp_replace(t, " ", "")).cast("long").alias("n_nonspace_chars"),
+    )
+
+
+@register(
+    "q31_quality_score",
+    oracle=f"""
+SELECT doc_id,
+       least(1.0, len({_W}) / 100.0) * 0.4
+       + len(list_filter({_W}, w -> w IN ({_STOP['en']}))) / greatest(len({_W}), 1) * 0.4
+       + length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(length(text), 1) * 0.2
+         AS quality_score
+FROM documents
+""",
+)
+def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score(F.col("text")).alias("quality_score"))
+
+
+@register(
+    "q32_langid",
+    oracle=f"""
+WITH hits AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter({_W}, w -> w IN ({_STOP['en']}))) AS BIGINT) AS en_hits,
+         CAST(len(list_filter({_W}, w -> w IN ({_STOP['de']}))) AS BIGINT) AS de_hits,
+         CAST(len(list_filter({_W}, w -> w IN ({_STOP['es']}))) AS BIGINT) AS es_hits,
+         CAST(len(list_filter({_W}, w -> w IN ({_STOP['fr']}))) AS BIGINT) AS fr_hits
+  FROM documents
+)
+SELECT doc_id, lang AS declared_lang,
+       CASE WHEN en_hits + de_hits + es_hits + fr_hits = 0 THEN 'unknown'
+            WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+            WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+            WHEN es_hits >= fr_hits THEN 'es'
+            ELSE 'fr' END AS predicted_lang,
+       en_hits, de_hits, es_hits, fr_hits
+FROM hits
+""",
+)
+def q32_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    w = text.words(t)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        text.langid(t).alias("predicted_lang"),
+        *[
+            text.stopword_hits(w, sw).alias(f"{lang}_hits")
+            for lang, sw in text.LANG_STOPWORDS.items()
+        ],
+    )
+
+
+@register(
+    "q33_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+)
+def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# --- deduplication -----------------------------------------------------------
+
+
+@register(
+    "q34_dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+_NUM_HASHES = 12
+_ROWS_PER_BAND = 2
+_SHINGLE_N = 3
+
+_MINHASH_CTES = f"""
+wrd AS (SELECT doc_id, {_W} AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - {_SHINGLE_N - 2}),
+                               i -> array_to_string(w[i:i+{_SHINGLE_N - 1}], ' '))) AS shingle
+  FROM wrd WHERE len(w) >= {_SHINGLE_N}
+),
+mh AS (
+  SELECT doc_id, j, min({portable_hash64_sql("concat(j, '|', shingle)")}) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {_NUM_HASHES})) AS j) js
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // {_ROWS_PER_BAND} AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS sig
+  FROM mh GROUP BY doc_id, j // {_ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+"""
+
+
+@register(
+    "q35_minhash_near_dups",
+    oracle=f"""
+WITH {_MINHASH_CTES},
+ps AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM ps GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN ps pa ON pa.doc_id = c.doc_a
+  JOIN ps pb ON pb.doc_id = c.doc_b AND pb.shingle = pa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.i, 0)) AS jaccard
+FROM cand c
+JOIN sz sa ON sa.doc_id = c.doc_a
+JOIN sz sb ON sb.doc_id = c.doc_b
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+""",
+)
+def q35_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH: shingle→minhash→band→bucket-join, then exact n-gram
+    Jaccard verification on candidates (covers the n-gram-Jaccard method
+    too — the verify stage IS the exact Jaccard)."""
+    return dedup.minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=_NUM_HASHES,
+        rows_per_band=_ROWS_PER_BAND,
+        shingle_n=_SHINGLE_N,
+    )
+
+
+_SIMHASH_BITS = 32
+
+_SIMHASH_CTES = f"""
+tok AS (SELECT doc_id, unnest({_W}) AS w FROM documents),
+th AS (SELECT doc_id, {portable_hash64_sql("concat('sim|', w)")} AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+         {', '.join(f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS s{j}" for j in range(_SIMHASH_BITS))}
+  FROM th GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+         {' + '.join(f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)" for j in range(_SIMHASH_BITS))}
+           AS simhash
+  FROM votes
+)
+"""
+
+
+@register(
+    "q36_simhash",
+    oracle=f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM fp",
+)
+def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+
+
+@register(
+    "q37_simhash_near_dups",
+    oracle=f"""
+WITH {_SIMHASH_CTES},
+m AS (
+  SELECT doc_id, simhash, k AS band, (simhash >> (k * 8)) & 255 AS bucket
+  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM m a JOIN m b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+""",
+)
+def q37_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = dedup.simhash(load_table(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+    return dedup.simhash_near_duplicates(fp, bits=_SIMHASH_BITS, band_bits=8, max_hamming=4)
+
+
+# --- similarity search -------------------------------------------------------
+
+_DIMS = 64
+_N_PLANES = 8
+_SIGNS = similarity.hyperplane_signs(_N_PLANES, _DIMS)
+
+
+def _plane_sql(j: int) -> str:
+    return "[" + ", ".join(str(v) for v in _SIGNS[j]) + "]::DOUBLE[]"
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {_plane_sql(j)}) > 0 "
+    f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+    for j in range(_N_PLANES)
+)
+
+
+@register(
+    "q38_ann_topk_bruteforce",
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS e,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS e_norm
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS q_norm
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_inner_product(e, q) / (e_norm * q_norm) AS cos
+  FROM corpus, queries WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id, rn FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def q38_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q39_ann_topk_lsh",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         ({_BUCKET_SQL}) AS bucket
+  FROM embeddings
+),
+queries AS (SELECT vec_id AS query_id, e AS q, nrm AS q_norm, bucket AS qbucket
+            FROM base WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_inner_product(b.e, q.q) / (b.nrm * q.q_norm) AS cos
+  FROM base b JOIN queries q ON b.bucket = q.qbucket AND b.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, rn FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def q39_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), n_planes=_N_PLANES, dims=_DIMS
+    )
+
+
+@register(
+    "q40_embedding_near_dups",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         ({_BUCKET_SQL}) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.35
+""",
+)
+def q40_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_duplicates(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        n_planes=_N_PLANES,
+        dims=_DIMS,
+    )
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+@register(
+    "q41_multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents
+""",
+)
+def q41_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: attach a binary payload, then
+    extract metadata via an Arrow-batched mapInPandas pass (the real
+    multimodal decode path; codecs themselves are stubbed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_payload_meta(multimodal.attach_payload(docs))
