@@ -25,8 +25,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from openstack_billing_from_db_spark.registry import QUERIES
+    from openstack_billing_from_db_spark.registry import all_queries
     from openstack_billing_from_db_spark.session import get_spark
+
+    QUERIES = all_queries()
 
     spark = get_spark(app_name="bench")
 

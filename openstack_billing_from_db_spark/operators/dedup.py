@@ -19,8 +19,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
+from openstack_billing_from_db_spark.functions.hashing import (
+    portable_hash64,
+    py_hash64,
+    seeded_hash64,
+)
 from openstack_billing_from_db_spark.operators.text import words, word_shingles
+
+# Mersenne prime modulus for the affine minhash family: base hashes and
+# coefficients stay < 2^31, so a*h+b < 2^62 never overflows BIGINT in
+# either engine.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine hash family — derived
+    from md5 so the oracle SQL embeds the same literals."""
+    return [
+        (py_hash64(f"mh_a{j}") % (MINHASH_P - 1) + 1, py_hash64(f"mh_b{j}") % MINHASH_P)
+        for j in range(num_hashes)
+    ]
 
 
 def exact_duplicates(
@@ -38,13 +56,23 @@ def exact_duplicates(
     )
 
 
-def minhash_signature(shingle_arr: Column, num_hashes: int) -> list[Column]:
-    """num_hashes independent min-hashes of a shingle array, computed as
-    array_min over a transform — per-row expressions, no explode."""
+def shingle_hashes(shingle_arr: Column) -> Column:
+    """One md5-derived base hash per shingle (mod MINHASH_P). Materialized
+    once per row; the per-permutation minhashes are cheap affine
+    transforms of this array (1 md5 per shingle instead of num_hashes)."""
+    return F.transform(shingle_arr, lambda s: portable_hash64(s) % MINHASH_P)
+
+
+def minhash_signature(hash_arr: Column, num_hashes: int) -> list[Column]:
+    """num_hashes min-hashes via the affine family (a_j·h + b_j) mod p,
+    computed as array_min over a transform — per-row expressions, no
+    explode, no additional cryptographic hashing."""
+    coeffs = minhash_coefficients(num_hashes)
     return [
-        F.array_min(F.transform(shingle_arr, lambda s: seeded_hash64(s, str(j))))
-        .alias(f"mh{j}")
-        for j in range(num_hashes)
+        F.array_min(
+            F.transform(hash_arr, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(coeffs)
     ]
 
 
@@ -86,15 +114,21 @@ def minhash_near_duplicates(
         word_shingles(words(F.col(text_col)), shingle_n).alias("shingles"),
     ).filter(F.size("shingles") >= 1)
 
-    sigs = base.select(
-        "doc_id", "shingles", *minhash_signature(F.col("shingles"), num_hashes)
-    )
-    with_bands = sigs.select(
-        "doc_id", "shingles", *minhash_bands(num_hashes, rows_per_band)
-    )
-    melted = with_bands.select(
+    # distinct shingle sets, persisted: reused by both sides of the
+    # candidate verify join (at production scale this is the signature
+    # table you would materialize to parquet once per corpus snapshot)
+    shingle_sets = base.select(
+        "doc_id", F.array_distinct("shingles").alias("sh")
+    ).withColumn("n_sh", F.size("sh")).persist()
+
+    hashed = base.withColumn("sh_h", shingle_hashes(F.col("shingles")))
+    sigs = hashed.select(
+        "doc_id", *minhash_signature(F.col("sh_h"), num_hashes)
+    ).select("doc_id", *minhash_bands(num_hashes, rows_per_band))
+    # slim band table — (doc_id, band, sig) only, so the LSH self-join
+    # shuffles ~n_docs×n_bands narrow rows, never the shingle arrays
+    melted = sigs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -105,28 +139,31 @@ def minhash_near_duplicates(
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", "shingles", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")).persist()
 
-    a = melted.select(
-        F.col("band"), F.col("sig"), F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    b = melted.select(
-        F.col("band"), F.col("sig"), F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
+    a = melted.select("band", "sig", F.col("doc_id").alias("doc_a"))
+    b = melted.select("band", "sig", F.col("doc_id").alias("doc_b"))
     cand = (
         a.join(b, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = F.array_distinct("sh_a")
-    sb = F.array_distinct("sh_b")
-    inter = F.size(F.array_intersect(sa, sb))
-    union = F.size(sa) + F.size(sb) - inter
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        (inter.cast("double") / union).alias("jaccard"),
+    sh_a = shingle_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
+    )
+    sh_b = shingle_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)).alias("jaccard"),
+        )
     )
 
 

@@ -129,6 +129,11 @@ _NUM_HASHES = 12
 _ROWS_PER_BAND = 2
 _SHINGLE_N = 3
 
+_MH_PARAMS = "(VALUES " + ", ".join(
+    f"({j}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+    for j, (a, b) in enumerate(dedup.minhash_coefficients(_NUM_HASHES))
+) + ")"
+
 _MINHASH_CTES = f"""
 wrd AS (SELECT doc_id, {_W} AS w FROM documents),
 sh AS (
@@ -137,10 +142,14 @@ sh AS (
                                i -> array_to_string(w[i:i+{_SHINGLE_N - 1}], ' '))) AS shingle
   FROM wrd WHERE len(w) >= {_SHINGLE_N}
 ),
+shh AS (
+  SELECT doc_id, shingle, {portable_hash64_sql("shingle")} % {dedup.MINHASH_P} AS hh
+  FROM sh
+),
 mh AS (
-  SELECT doc_id, j, min({portable_hash64_sql("concat(j, '|', shingle)")}) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(range(0, {_NUM_HASHES})) AS j) js
-  GROUP BY doc_id, j
+  SELECT doc_id, p.j, min((p.a * hh + p.b) % {dedup.MINHASH_P}) AS mh
+  FROM shh CROSS JOIN {_MH_PARAMS} AS p(j, a, b)
+  GROUP BY doc_id, p.j
 ),
 bands AS (
   SELECT doc_id, j // {_ROWS_PER_BAND} AS band,
