@@ -1,0 +1,133 @@
+"""Unit tests for the training-data pipeline operators on constructed
+inputs (the oracle suite covers them on real testdata; these pin the
+semantics on hand-built edge cases)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.operators import dedup, multimodal, similarity
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_duplicates(spark):
+    docs = _docs(spark, ["a b c", "a b c", "x y z", "a b c"])
+    out = {r.content_hash: r for r in dedup.exact_duplicates(docs).collect()}
+    assert len(out) == 2
+    dup = [r for r in out.values() if r.n_copies == 3][0]
+    assert dup.canonical_id == 0
+
+
+def test_minhash_finds_planted_near_duplicate(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words in this other document about spark engines"
+    docs = _docs(spark, [base, near, far])
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.minhash_near_duplicates(docs).collect()}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] > 0.5
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_minhash_short_docs_excluded(spark):
+    docs = _docs(spark, ["one two", "one two", "x"])
+    assert dedup.minhash_near_duplicates(docs).collect() == []
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    docs = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta", "unrelated totally different thing"])
+    fp = dedup.simhash(docs)
+    pairs = dedup.simhash_near_duplicates(fp).collect()
+    assert {(r.doc_a, r.doc_b, r.hamming) for r in pairs} >= {(0, 1, 0)}
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.brute_force_topk(emb, n_queries=2, k=3).collect()
+    got = {(r.query_id, r.rn): r.neighbor_id for r in out}
+
+    v = vecs.astype("float64")
+    norms = np.sqrt((v * v).sum(axis=1))
+    for q in range(2):
+        cos = (v @ v[q]) / (norms * norms[q])
+        order = sorted(
+            (i for i in range(30) if i != q), key=lambda i: (-cos[i], i)
+        )[:3]
+        for rank, nb in enumerate(order, start=1):
+            assert got[(q, rank)] == nb
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(50, 64).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.lsh_topk(emb, n_queries=3, k=5).collect()
+    # ranks are dense per query and neighbors never include the query
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.rn)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_multimodal_meta_matches_hashlib(spark):
+    docs = _docs(spark, ["hello", "héllo wörld"])
+    out = {
+        r.doc_id: r
+        for r in multimodal.extract_payload_meta(
+            multimodal.attach_payload(docs)
+        ).collect()
+    }
+    for i, t in enumerate(["hello", "héllo wörld"]):
+        assert out[i].n_bytes == len(t.encode("utf-8"))
+        assert out[i].content_hash == hashlib.md5(t.encode("utf-8")).hexdigest()
+
+
+def test_decode_images_stub_raises(spark):
+    docs = multimodal.attach_payload(_docs(spark, ["not an image"]))
+    plan = multimodal.decode_images(docs)
+    if multimodal._pil_available():
+        pytest.skip("PIL present; stub path not active")
+    with pytest.raises(Exception) as excinfo:
+        plan.collect()
+    assert "NotImplementedError" in str(excinfo.value) or isinstance(
+        excinfo.value, NotImplementedError
+    )
+
+
+def test_frame_offsets(spark):
+    df = spark.createDataFrame([(1, 8000)], "doc_id long, duration_ms long")
+    row = multimodal.sample_frame_offsets(df, n_frames=4).collect()[0]
+    assert row.frame_offsets_ms == [0, 2000, 4000, 6000]
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    from openstack_billing_from_db_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bad = docs.select(quality_score(F.col("text")).alias("q")).filter(
+        (F.col("q") < 0) | (F.col("q") > 1) | F.col("q").isNull()
+    )
+    assert bad.count() == 0

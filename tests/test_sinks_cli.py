@@ -1,0 +1,105 @@
+"""CSV sink dialect parity (reference billing.py:159-224) and CLI."""
+
+from __future__ import annotations
+
+import csv
+import os
+from datetime import datetime
+
+from openstack_billing_from_db_spark.sinks.csv import invoice_s3_keys, write_single_csv
+
+EXPECTED_HEADER = [
+    "Invoice Month",
+    "Report Start Time",
+    "Report End Time",
+    "Project - Allocation",
+    "Project - Allocation ID",
+    "Manager (PI)",
+    "Cluster Name",
+    "Invoice Email",
+    "Invoice Address",
+    "Institution",
+    "Institution - Specific Code",
+    "SU Hours (GBhr or SUhr)",
+    "SU Type",
+    "Rate",
+    "Cost",
+    "Generated At",
+]
+
+
+def test_invoice_csv_header_and_dialect(spark, sf_dir, tmp_path):
+    from openstack_billing_from_db_spark.plans.billing import (
+        TESTDATA_WINDOW,
+        invoice_csv_rows,
+        testdata_invoice,
+    )
+    from openstack_billing_from_db_spark.sources.rates import rates_df
+
+    inv = testdata_invoice(spark, sf_dir)
+    rows_df = invoice_csv_rows(
+        inv,
+        rates_df(spark),
+        invoice_month="2024-01",
+        window_start=TESTDATA_WINDOW[0],
+        window_end=TESTDATA_WINDOW[1],
+        generated_at="2024-02-01T00:00:00+00:00",
+    )
+    out = str(tmp_path / "invoice.csv")
+    write_single_csv(rows_df, out)
+
+    with open(out, newline="") as f:
+        reader = csv.reader(f, delimiter=",", quotechar="|")
+        rows = list(reader)
+    assert rows[0] == EXPECTED_HEADER
+    assert len(rows) > 1
+    # window bounds are UTC-stamped ISO strings (reference billing.py:133-134)
+    assert rows[1][1] == "2024-01-01T00:00:00+00:00"
+    assert rows[1][2] == "2024-02-01T00:00:00+00:00"
+    assert rows[1][6] == "stack"
+    assert rows[1][10] == "N/A"
+
+
+def test_s3_key_templates():
+    keys = invoice_s3_keys(
+        "2024-01",
+        datetime(2024, 2, 1),
+        now=datetime(2024, 2, 1, 7, 30, 9),
+    )
+    # daily key uses end−1s inclusive date (reference billing.py:277-278)
+    assert keys["primary"] == "Invoices/2024-01/Service Invoices/NERC OpenStack 2024-01.csv"
+    assert keys["daily"] == "Invoices/2024-01/Service Invoices/NERC OpenStack 2024-01-31.csv"
+    assert keys["archive"] == "Invoices/2024-01/Archive/NERC OpenStack 2024-01 20240201T073009Z.csv"
+
+
+def test_cli_end_to_end(sf_dir, tmp_path, spark):
+    from openstack_billing_from_db_spark.cli import main
+
+    out = str(tmp_path / "cli_invoice.csv")
+    result = main(
+        [
+            "--start",
+            "2024-01-01T00:00:00",
+            "--end",
+            "2024-02-01T00:00:00",
+            "--data-dir",
+            sf_dir,
+            "--output",
+            out,
+            "--include-stopped-runtime",
+        ]
+    )
+    assert result == out and os.path.exists(out)
+    with open(out, newline="") as f:
+        rows = list(csv.reader(f, delimiter=",", quotechar="|"))
+    assert rows[0] == EXPECTED_HEADER and len(rows) > 1
+
+
+def test_cli_window_defaults():
+    from openstack_billing_from_db_spark.cli import (
+        default_end_argument,
+        default_start_argument,
+    )
+
+    start, end = default_start_argument(), default_end_argument()
+    assert start.day == 1 and start.hour == 0 and start <= end
