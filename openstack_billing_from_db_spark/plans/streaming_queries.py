@@ -1,0 +1,68 @@
+"""Streaming registry entries. Each callable drives a Structured
+Streaming query to completion into a memory sink (processAllAvailable)
+and returns the result table — deterministic, so the windowed aggregation
+gets a full DuckDB oracle; the stateful sessionization is rows-only (the
+driver records the weaker check; batch-equivalence is pinned in
+tests/test_streaming.py instead)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.registry import register
+
+
+@register(
+    "q50_streaming_windowed_counts",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q50_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows with a 30-minute watermark, run as a real
+    streaming query (complete mode emits every window, making the result
+    batch-equivalent and oracle-checkable)."""
+    from openstack_billing_from_db_spark.streaming.sessions import (
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    name = f"q50_{uuid.uuid4().hex[:8]}"
+    stream = stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    run_stream_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
+@register("q51_streaming_state_intervals")
+def q51_streaming_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The E2 state machine as a stateful streaming operator
+    (applyInPandasWithState). No SQL oracle — custom streaming state is
+    outside DuckDB's vocabulary; batch equivalence is the test oracle."""
+    from openstack_billing_from_db_spark.plans.billing import TESTDATA_TRIGGERS
+    from openstack_billing_from_db_spark.streaming.sessions import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_state_intervals,
+    )
+
+    name = f"q51_{uuid.uuid4().hex[:8]}"
+    stream = stream_events(spark, sf_dir)
+    run_stream_to_memory(streaming_state_intervals(stream, dict(TESTDATA_TRIGGERS)), name)
+    return spark.table(name)

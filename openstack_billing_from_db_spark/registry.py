@@ -30,6 +30,7 @@ _QUERY_MODULES = (
     "openstack_billing_from_db_spark.plans.billing_queries",
     "openstack_billing_from_db_spark.plans.analytics_queries",
     "openstack_billing_from_db_spark.plans.pipeline_queries",
+    "openstack_billing_from_db_spark.plans.streaming_queries",
 )
 
 _loaded = False

@@ -1,0 +1,144 @@
+"""Structured Streaming variants of the engine's event operators.
+
+The reference is a daily batch CronJob (k8s/base/cronjob.yaml:6) — no
+streaming exists there (SURVEY.md §2.10). These operators extend the same
+event-log semantics to a live stream:
+
+- ``windowed_event_counts``: tumbling-window counts with a watermark for
+  late data — the standard streaming aggregation shape.
+- ``streaming_state_intervals``: the E2 state machine as a STATEFUL
+  streaming operator via applyInPandasWithState — per instance, the open
+  interval lives in state and closes when the next trigger event arrives.
+  Batch-equivalence is pinned by tests/test_streaming.py (same intervals
+  as operators/sessionize.build_state_intervals on the same data).
+
+Local tests drive streams from the static parquet dirs (one file = one
+micro-batch) with a memory sink and processAllAvailable() — the public
+pattern for deterministic streaming tests.
+
+Scale notes: state is partitioned by instance id across executors; with
+RocksDB state store and watermark-based state eviction this is the
+standard unbounded-stream sessionization deployment. Event-time ordering
+within a micro-batch is handled by sorting the batch; events older than
+an already-closed interval are late data — a real deployment sets
+``withWatermark`` and accepts the same drop semantics the watermark
+defines.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from openstack_billing_from_db_spark.schemas import EVENTS
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet-directory stream of the events table (schema must be
+    declared for readStream). Handles the testdata's TIMESTAMP(NANOS)
+    via the same nanos→micros canonicalization as the batch source."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nano_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # the file-stream source requires a directory basePath; select just the
+    # events table out of the sf dir with a glob filter
+    raw = (
+        spark.readStream.schema(nano_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window counts per event_type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_INTERVAL_SCHEMA = "instance_uuid long, state string, start_us long, end_us long"
+_STATE_SCHEMA = "last_ts_us long, last_state string"
+
+
+def _sessionize_group(
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Close one interval per arriving trigger event; the open interval is
+    carried in state across micro-batches."""
+    instance_uuid = key[0]
+    batch = pd.concat(list(pdfs)).sort_values("ts_us")
+    if state.exists:
+        last_ts, last_state = state.get
+    else:
+        last_ts, last_state = None, None
+
+    out = []
+    for ts_us, st in zip(batch["ts_us"], batch["state"]):
+        if last_state is not None:
+            out.append((instance_uuid, last_state, last_ts, int(ts_us)))
+        last_ts, last_state = int(ts_us), st
+    state.update((last_ts, last_state))
+    yield pd.DataFrame(out, columns=["instance_uuid", "state", "start_us", "end_us"])
+
+
+def streaming_state_intervals(
+    events: DataFrame,
+    trigger_states: dict[str, str],
+) -> DataFrame:
+    """E2 sessionization as a stateful stream: map event_type→state, then
+    applyInPandasWithState keyed by instance. Emits each CLOSED interval
+    exactly once; the open tail interval remains in state (a batch close
+    at window end is the caller's final step, as in the batch plan)."""
+    mapping = F.create_map(*[F.lit(x) for kv in trigger_states.items() for x in kv])
+    states = (
+        events.select(
+            F.col("user_id").alias("instance_uuid"),
+            F.unix_micros("ts").alias("ts_us"),
+            mapping[F.col("event_type")].alias("state"),
+        )
+        .filter(F.col("state").isNotNull())
+    )
+    return states.groupBy("instance_uuid").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_INTERVAL_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, *, output_mode: str = "append"
+) -> None:
+    """Drive a streaming DataFrame to completion into a memory-sink table
+    (deterministic: processAllAvailable then stop)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,71 @@
+"""Streaming operator tests: memory sink + processAllAvailable, with
+batch equivalence as the correctness oracle."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.plans.billing import TESTDATA_TRIGGERS
+from openstack_billing_from_db_spark.streaming.sessions import (
+    run_stream_to_memory,
+    stream_events,
+    streaming_state_intervals,
+    windowed_event_counts,
+)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir):
+    name = f"wc_{uuid.uuid4().hex[:8]}"
+    stream = stream_events(spark, sf_dir)
+    run_stream_to_memory(
+        windowed_event_counts(stream), name, output_mode="complete"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in spark.table(name).collect()
+    }
+
+    from openstack_billing_from_db_spark.sources.tables import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_streaming_intervals_match_batch(spark, sf_dir):
+    from openstack_billing_from_db_spark.operators.sessionize import (
+        build_state_intervals,
+        map_event_states,
+    )
+    from openstack_billing_from_db_spark.operators.intervals import TS_MAX_US
+    from openstack_billing_from_db_spark.plans.billing import testdata_billing_tables
+
+    name = f"iv_{uuid.uuid4().hex[:8]}"
+    stream = stream_events(spark, sf_dir)
+    run_stream_to_memory(
+        streaming_state_intervals(stream, dict(TESTDATA_TRIGGERS)), name
+    )
+    got = {
+        (r.instance_uuid, r.state, r.start_us, r.end_us)
+        for r in spark.table(name).collect()
+    }
+
+    actions, _ = testdata_billing_tables(spark, sf_dir)
+    batch = build_state_intervals(
+        map_event_states(actions, trigger_states=TESTDATA_TRIGGERS, message_col=None)
+    )
+    closed = {
+        (r.instance_uuid, r.state, r.start_us, r.end_us)
+        for r in batch.collect()
+        if r.end_us != TS_MAX_US  # stream holds the open tail in state
+    }
+    assert got == closed
