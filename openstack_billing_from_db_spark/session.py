@@ -36,6 +36,9 @@ def get_spark(
         # layer (sources/tables.py) — floor(ns/1000) matches DuckDB's
         # ns→us truncation bit-for-bit.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # short-lived test/bench streams: don't let the state-store
+        # maintenance thread fire mid-workload
+        .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
