@@ -166,3 +166,120 @@ def q05_su_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     SU formula (F7)."""
     _, dim = testdata_billing_tables(spark, sf_dir)
     return dim.select("uuid", "project_id", "su_type", "service_units")
+
+
+# --- q06: synthetic deleted_at (E3) + liveness filter (P2) ------------------
+
+# deterministic deleted_at assignment mirroring the Nova deleted lifecycle:
+# every 13th instance was deleted before the window (liveness-filtered
+# out), every 11th mid-window (synthetic Deleted transition, E3)
+_DELETED_MID = datetime(2024, 1, 20)
+_DELETED_BEFORE = datetime(2023, 12, 15)
+
+
+@register(
+    "q06_runtime_with_deletes",
+    oracle=f"""
+WITH live AS (
+  -- liveness predicate (reference model.py:240-244): deleted_at > window
+  -- start OR not deleted
+  SELECT uuid, deleted_at FROM (
+    SELECT uuid,
+           CASE WHEN uuid % 13 = 0 THEN TIMESTAMP '{_DELETED_BEFORE}'
+                WHEN uuid % 11 = 0 THEN TIMESTAMP '{_DELETED_MID}' END AS deleted_at
+    FROM (SELECT DISTINCT user_id AS uuid FROM events)
+  ) WHERE deleted_at > TIMESTAMP '{TESTDATA_WINDOW[0]}' OR deleted_at IS NULL
+),
+ev AS (
+  SELECT e.user_id AS instance_uuid, e.ts, {_STATE_CASE} AS state, 0 AS ord
+  FROM events e JOIN live l ON e.user_id = l.uuid
+),
+aug AS (
+  SELECT * FROM ev WHERE state IS NOT NULL
+  UNION ALL
+  SELECT uuid, deleted_at, 'Deleted', 1 FROM live WHERE deleted_at IS NOT NULL
+),
+iv AS (
+  SELECT instance_uuid, state, epoch_us(ts) AS start_us,
+         coalesce(lead(epoch_us(ts)) OVER (PARTITION BY instance_uuid ORDER BY ts, ord),
+                  {TS_MAX_US}) AS end_us
+  FROM aug
+)
+SELECT * FROM ({_rt_sql()})
+""",
+)
+def q06_runtime_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-deleted_at path (E3) + liveness filter (P2): every 11th
+    instance is deleted mid-window; its post-delete time is not billed."""
+    from pyspark.sql import functions as F
+
+    actions, dim = testdata_billing_tables(spark, sf_dir)
+    instances = dim.withColumn(
+        "deleted_at",
+        F.when(F.col("uuid") % 13 == 0, F.lit(_DELETED_BEFORE))
+        .when(F.col("uuid") % 11 == 0, F.lit(_DELETED_MID))
+        .otherwise(F.lit(None).cast("timestamp")),
+    )
+    live = instances.filter(
+        (F.col("deleted_at") > F.lit(TESTDATA_WINDOW[0]))
+        | F.col("deleted_at").isNull()
+    ).select("uuid", "deleted_at")
+    live_actions = actions.join(
+        live.select(F.col("uuid").alias("instance_uuid")), "instance_uuid"
+    )
+    return instance_runtime(
+        live_actions,
+        *TESTDATA_WINDOW,
+        instances=live,
+        trigger_states=TESTDATA_TRIGGERS,
+        message_col=None,
+    )
+
+
+@register(
+    "q07_invoice_running_only",
+    oracle=f"""
+WITH iv AS ({_iv_sql()}),
+rt AS ({_rt_sql()}),
+hrs AS (
+  SELECT instance_uuid, (running_us + {HOUR_US - 1}) // {HOUR_US} AS runtime_hours
+  FROM rt
+),
+dim AS ({_DIM_SQL})
+SELECT d.project_id, d.su_type,
+       CAST(sum(h.runtime_hours * d.service_units) AS BIGINT) AS su_hours
+FROM hrs h JOIN dim d ON h.instance_uuid = d.uuid
+WHERE h.runtime_hours > 0
+GROUP BY d.project_id, d.su_type
+HAVING sum(h.runtime_hours * d.service_units) > 0
+""",
+)
+def q07_invoice_running_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 conditional accumulation: include_stopped_runtime=False — only
+    Running time is billed (reference billing.py:143-144)."""
+    from pyspark.sql import functions as F
+
+    inv = testdata_invoice(spark, sf_dir, include_stopped_runtime=False)
+    return inv.select("project_id", "su_type", "su_hours")
+
+
+@register(
+    "q08_runtime_sanity_violations",
+    oracle=f"""
+WITH iv AS ({_iv_sql()}), rt AS ({_rt_sql()})
+SELECT instance_uuid, running_us, stopped_us FROM rt
+WHERE running_us + stopped_us > {W1 - W0}
+""",
+)
+def q08_runtime_sanity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 sanity predicate as a data-quality query (reference
+    billing.py:146 asserts runtime ≤ window length): returns violating
+    rows — empty on healthy data, and the job fails on non-empty."""
+    from pyspark.sql import functions as F
+
+    actions, _ = testdata_billing_tables(spark, sf_dir)
+    rt = instance_runtime(
+        actions, *TESTDATA_WINDOW, trigger_states=TESTDATA_TRIGGERS, message_col=None
+    )
+    window_us = W1 - W0
+    return rt.filter(F.col("running_us") + F.col("stopped_us") > window_us)
