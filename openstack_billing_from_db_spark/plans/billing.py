@@ -169,6 +169,56 @@ def invoice_csv_rows(
     )
 
 
+def nova_instance_dim(
+    instances: DataFrame,
+    instance_extra: DataFrame | None,
+    window_start: datetime,
+    *,
+    fail_on_quarantine: bool = False,
+) -> DataFrame:
+    """Ingest parity for real Nova-shaped tables (reference model.py:224-293):
+
+    - liveness filter ``deleted_at > start OR deleted = 0`` (model.py:240-244,
+      P2) on proper timestamps instead of SQLite ISO-string comparison;
+    - ``instances ⟕ instance_extra`` left equi-join (model.py:238-239, J1);
+    - pci_requests JSON parse + SU-type derivation (F1-F7), with the
+      reference's raise-paths (multi-entry pci, unsupported alias incl. the
+      'a2' quirk, SURVEY.md §2.11 #2) surfaced as a ``quarantine`` column —
+      a bad row must not kill a 100 TB job unless the caller asks it to.
+    """
+    live = instances.filter(
+        (F.col("deleted_at") > F.lit(window_start)) | (F.col("deleted") == 0)
+    )
+    if instance_extra is not None:
+        joined = live.join(
+            instance_extra,
+            live.uuid == instance_extra.instance_uuid,
+            "left",
+        ).drop("instance_uuid")
+    else:
+        joined = live.withColumn("pci_requests", F.lit(None).cast("string"))
+    su_type, gpu_count, service_units, quarantine = service_unit_columns(
+        "pci_requests", "vcpus", "memory_mb"
+    )
+    dim = joined.select(
+        "uuid",
+        "project_id",
+        su_type.alias("su_type"),
+        gpu_count.alias("gpu_count"),
+        service_units.alias("service_units"),
+        quarantine.alias("quarantine"),
+        "deleted_at",
+    )
+    if fail_on_quarantine:
+        bad = dim.filter(F.col("quarantine").isNotNull())
+        first = bad.select("uuid", "quarantine").take(1)
+        if first:
+            raise ValueError(
+                f"quarantined instance {first[0].uuid}: {first[0].quarantine}"
+            )
+    return dim
+
+
 # --- driver-testdata adapter ------------------------------------------------
 
 # FIXTURES.md §1.6 mapping of /root/testdata events.parquet onto the Nova
