@@ -263,6 +263,53 @@ def q07_invoice_running_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inv.select("project_id", "su_type", "su_hours")
 
 
+_SU_TYPES = [t for t, _, _ in DEFAULT_RATE_CARD]
+
+
+@register(
+    "q09_invoice_wide",
+    oracle=f"""
+WITH iv AS ({_iv_sql()}),
+rt AS ({_rt_sql()}),
+hrs AS (
+  SELECT instance_uuid,
+         (running_us + stopped_us + {HOUR_US - 1}) // {HOUR_US} AS runtime_hours
+  FROM rt
+),
+dim AS ({_DIM_SQL}),
+grouped AS (
+  SELECT d.project_id, d.su_type,
+         CAST(sum(h.runtime_hours * d.service_units) AS BIGINT) AS su_hours
+  FROM hrs h JOIN dim d ON h.instance_uuid = d.uuid
+  WHERE h.runtime_hours > 0
+  GROUP BY d.project_id, d.su_type
+)
+SELECT project_id,
+{",".join(f"       coalesce(CAST(sum(CASE WHEN su_type = '{t}' THEN su_hours END) AS BIGINT), 0) AS {t}_su_hours"
+          for t in _SU_TYPES)}
+FROM grouped GROUP BY project_id
+""",
+)
+def q09_invoice_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's wide invoice shape — six ``*_su_hours`` accumulator
+    columns per project (billing.py:67-80) — produced by pivoting the
+    long-format invoice (U1 inverse; the engine is long-format internally
+    and widens only at this edge)."""
+    from pyspark.sql import functions as F
+
+    inv = testdata_invoice(spark, sf_dir)
+    wide = (
+        inv.groupBy("project_id")
+        .pivot("su_type", _SU_TYPES)
+        .sum("su_hours")
+    )
+    for t in _SU_TYPES:
+        wide = wide.withColumn(
+            f"{t}_su_hours", F.coalesce(F.col(t).cast("long"), F.lit(0).cast("long"))
+        ).drop(t)
+    return wide
+
+
 @register(
     "q08_runtime_sanity_violations",
     oracle=f"""

@@ -42,6 +42,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # keep managed-table data out of the repo working directory
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

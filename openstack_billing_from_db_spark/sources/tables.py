@@ -26,6 +26,9 @@ NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Parquet gives predicate pushdown + column pruning."""
+    # oracle parity requires UTC timestamp semantics even when the caller
+    # (e.g. the driver harness) built the session with another timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name in NANO_TS_COLUMNS:
         # runtime-settable; required for TIMESTAMP(NANOS) parquet even when
         # the caller (e.g. the driver harness) built the session without it
