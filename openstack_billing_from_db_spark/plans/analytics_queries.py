@@ -397,6 +397,122 @@ def q22_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q24: exact distribution statistics (beyond-reference aggregates) --------
+
+
+@register(
+    "q24_distribution_stats",
+    oracle="""
+SELECT l_returnflag,
+       median(l_extendedprice) AS med_price,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q24_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / interpolated percentile (both engines use linear
+    interpolation on the sorted values — verified bit-identical)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("med_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+# --- q25: as-of join (custom operator — composed, not pandas) ---------------
+
+
+@register(
+    "q25_asof_join",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, c.click_id,
+       epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+""",
+)
+def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the most recent preceding click by the same
+    user (point-in-time attribution). Spark side: the union+window as-of
+    composition (operators/asof.py); oracle: DuckDB native ASOF JOIN."""
+    from openstack_billing_from_db_spark.operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    out = as_of_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_value_cols=["click_id", "click_ts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_click_id").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("asof_click_ts")).alias("gap_us"),
+    )
+
+
+# --- q26: range (interval-overlap) join --------------------------------------
+
+
+@register(
+    "q26_range_join",
+    oracle="""
+SELECT o.outage_id, count(e.event_id) AS n_events,
+       count(DISTINCT e.user_id) AS n_users
+FROM (VALUES (0, TIMESTAMP '2024-01-05 06:00:00', TIMESTAMP '2024-01-05 18:00:00'),
+             (1, TIMESTAMP '2024-01-10 00:00:00', TIMESTAMP '2024-01-12 00:00:00'),
+             (2, TIMESTAMP '2024-01-20 12:00:00', TIMESTAMP '2024-01-21 00:00:00'))
+     AS o(outage_id, o_start, o_end)
+LEFT JOIN events e ON e.ts >= o.o_start AND e.ts < o.o_end
+GROUP BY o.outage_id
+""",
+)
+def q26_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: events falling inside each outage window
+    (the J5 shape as a standalone operator). The tiny interval side is
+    broadcast, so the fact table never shuffles for the join."""
+    from datetime import datetime
+
+    ev = load_table(spark, sf_dir, "events")
+    outages = spark.createDataFrame(
+        [
+            (0, datetime(2024, 1, 5, 6), datetime(2024, 1, 5, 18)),
+            (1, datetime(2024, 1, 10), datetime(2024, 1, 12)),
+            (2, datetime(2024, 1, 20, 12), datetime(2024, 1, 21)),
+        ],
+        "outage_id int, o_start timestamp, o_end timestamp",
+    )
+    joined = F.broadcast(outages).join(
+        ev, (ev.ts >= outages.o_start) & (ev.ts < outages.o_end), "left"
+    )
+    return joined.groupBy("outage_id").agg(
+        F.count("event_id").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 # --- q23: date/time function coverage (F8-F10, F14) --------------------------
 
 

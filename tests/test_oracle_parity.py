@@ -38,9 +38,10 @@ def _canon(value):
 
 def _rowset(columns, rows):
     idx = sorted(range(len(columns)), key=lambda i: columns[i])
-    return sorted(
-        tuple(_canon(r[i]) for i in idx) for r in rows
-    ), [columns[i] for i in idx]
+    canon = [tuple(_canon(r[i]) for i in idx) for r in rows]
+    # None-safe, type-stable total order
+    key = lambda row: [(v is None, str(type(v)), str(v)) for v in row]  # noqa: E731
+    return sorted(canon, key=key), [columns[i] for i in idx]
 
 
 ORACLE_QUERIES = sorted(ORACLE)

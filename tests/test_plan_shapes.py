@@ -1,0 +1,72 @@
+"""Plan-shape regression guards: the physical plans that make these
+queries scale must not silently regress (PLANS.md documents why each
+shape matters at 100 TB)."""
+
+from __future__ import annotations
+
+import pytest
+
+from openstack_billing_from_db_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """q02: exactly one shuffle — the window partitioning; the groupBy
+    reuses it (no second Exchange)."""
+    plan = _plan(QUERIES["q02_instance_runtime"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pricing_summary_pushdown(spark, sf_dir):
+    """q10: the shipdate filter reaches the parquet scan."""
+    plan = _plan(QUERIES["q10_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_invoice_rates_join_broadcasts(spark, sf_dir):
+    """q01: the 6-row rates dim must broadcast, never shuffle."""
+    plan = _plan(QUERIES["q01_billing_invoice"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_regional_revenue_broadcast_dims(spark, sf_dir):
+    """q11: nation/region/supplier dims broadcast."""
+    plan = _plan(QUERIES["q11_regional_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_top_k_uses_take_ordered(spark, sf_dir):
+    """q12: global sort+limit compiles to TakeOrderedAndProject, not a
+    full sort materialization."""
+    plan = _plan(QUERIES["q12_top_unshipped_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    plan13 = _plan(QUERIES["q13_late_shipment_priority"](spark, sf_dir))
+    plan14 = _plan(QUERIES["q14_customers_without_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan13, plan13
+    assert "LeftAnti" in plan14, plan14
+
+
+def test_no_python_udfs_on_relational_paths(spark, sf_dir):
+    """Everything except the multimodal mapInPandas path and the
+    streaming stateful operator stays JVM-side (whole-stage codegen)."""
+    python_ok = {"q41_multimodal_meta", "q50_streaming_windowed_counts", "q51_streaming_state_intervals"}
+    for name, fn in QUERIES.items():
+        if name in python_ok:
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert marker not in plan, f"{name} uses {marker}"
+
+
+def test_column_pruning_on_events_scan(spark, sf_dir):
+    """q02 reads only the 3 columns it needs from the 6-column table."""
+    plan = _plan(QUERIES["q02_instance_runtime"](spark, sf_dir))
+    assert "ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>" in plan, plan
