@@ -76,7 +76,7 @@ def brute_force_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rn"))
+        scored.select("query_id", "neighbor_id", F.row_number().over(w).cast("long").alias("rn"))
         .filter(F.col("rn") <= k)
     )
 
@@ -129,7 +129,7 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rn"))
+        scored.select("query_id", "neighbor_id", F.row_number().over(w).cast("long").alias("rn"))
         .filter(F.col("rn") <= k)
     )
 
