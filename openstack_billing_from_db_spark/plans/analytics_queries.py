@@ -513,6 +513,81 @@ def q26_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q27: cube (multi-dimensional grouping sets) -----------------------------
+
+
+@register(
+    "q27_status_priority_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def q27_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("o_totalprice"), 18, 2)).cast("double").alias("total"),
+    )
+
+
+# --- q28: gap-based sessionization (session_window vs SQL gap-and-islands) ---
+
+_GAP = "30 minutes"
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "q28_gap_sessions",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > {_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts_us,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) + {_GAP_US} AS session_end_us,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+""",
+)
+def q28_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with Spark's native session_window
+    (30-minute inactivity gap). The oracle derives identical sessions via
+    the classic gap-and-islands SQL — pinning that ``session_window``'s
+    semantics (close = last event + gap) match the textbook formulation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sw = ev.groupBy(
+        F.session_window("ts", _GAP).alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    flat = sw.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).alias("session_end_us"),
+        "n_events",
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start_us")
+    return flat.select(
+        "user_id",
+        (F.row_number().over(w).cast("long") - 1).alias("session_id"),
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+    )
+
+
 # --- q23: date/time function coverage (F8-F10, F14) --------------------------
 
 
