@@ -1,0 +1,82 @@
+"""End-to-end training-corpus preparation: the composed pipeline the
+individual operators exist for.
+
+    documents
+      → quality filter            (operators/text.quality_score)
+      → exact dedup               (keep canonical doc per content hash)
+      → MinHash near-dedup        (drop the higher-id doc of any pair with
+                                   Jaccard ≥ threshold)
+      → language ID               (operators/text.langid)
+      → token accounting
+      → write parquet partitioned by predicted language
+
+Every stage is a DataFrame transform; the result is also returned as a
+DataFrame so callers can extend the DAG instead of re-reading the sink.
+At 100 TB: quality filter and langid are map-side; exact dedup is one
+hash aggregation; near-dedup cost tracks duplicate density (PLANS.md);
+the partitioned write gives downstream consumers partition pruning on
+language.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.operators import dedup, text
+from openstack_billing_from_db_spark.sources.tables import load_table
+
+
+def prepare_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    *,
+    min_quality: float = 0.3,
+    near_dup_jaccard: float = 0.8,
+) -> DataFrame:
+    """Returns the cleaned corpus DataFrame (and writes it partitioned by
+    predicted language when ``out_dir`` is given)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    scored = docs.withColumn("quality_score", text.quality_score(F.col("text")))
+    kept = scored.filter(F.col("quality_score") >= min_quality)
+
+    # exact dedup: keep the canonical (min doc_id) copy of each content hash
+    canon = (
+        kept.withColumn("content_hash", F.md5("text"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("content_hash").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "content_hash")
+    )
+
+    # near-dedup: drop the higher-id member of each confirmed near-dup pair
+    pairs = dedup.minhash_near_duplicates(canon).filter(
+        F.col("jaccard") >= near_dup_jaccard
+    )
+    to_drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    deduped = canon.join(to_drop, "doc_id", "left_anti")
+
+    enriched = deduped.select(
+        "*",
+        text.langid(F.col("text")).alias("predicted_lang"),
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+    if out_dir:
+        enriched.write.mode("overwrite").partitionBy("predicted_lang").parquet(out_dir)
+    return enriched
+
+
+def corpus_stats(corpus: DataFrame) -> DataFrame:
+    return corpus.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.avg("quality_score").alias("avg_quality"),
+    )
