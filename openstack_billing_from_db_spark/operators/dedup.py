@@ -213,6 +213,9 @@ def simhash_near_duplicates(
     Output: (doc_a, doc_b, hamming)."""
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
+    # persisted: both sides of the self-join read the same fingerprints
+    # instead of recomputing the simhash lineage twice
+    fingerprints = fingerprints.persist()
     melted = fingerprints.select(
         "doc_id",
         "simhash",

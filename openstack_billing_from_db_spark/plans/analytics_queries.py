@@ -416,12 +416,24 @@ def q24_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median / interpolated percentile (both engines use linear
     interpolation on the sorted values — verified bit-identical)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.median("l_extendedprice").alias("med_price"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    # one percentile aggregate (one sort) serving both quantiles
+    pct = F.expr("percentile(l_extendedprice, array(0.5, 0.9))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pct.alias("pcts"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("pcts")[0].alias("med_price"),
+            F.col("pcts")[1].alias("p90_price"),
+            "min_price",
+            "max_price",
+            "n_suppliers",
+        )
     )
 
 
