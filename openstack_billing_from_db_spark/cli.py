@@ -42,12 +42,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--end", type=parse_time_argument, default=default_end_argument())
     p.add_argument("--invoice-month", default=None, help="e.g. 2024-01")
     p.add_argument("--data-dir", default="/root/testdata/sf0.001")
-    p.add_argument("--output", default="invoices.csv")
-    p.add_argument("--coldfront-data-file", default=None, help="accepted for parity; unused")
+    p.add_argument("--output", "--output-file", dest="output", default="invoices.csv")
     p.add_argument("--include-stopped-runtime", action="store_true", default=False)
     for su in ("cpu", "gpu-a100", "gpu-a100sxm4", "gpu-v100", "gpu-k80", "gpu-a2"):
         p.add_argument(f"--rate-{su}-su", type=Decimal, default=None)
     p.add_argument("--upload-to-s3", action="store_true", default=False)
+    p.add_argument("--upload-to-primary-location", action="store_true", default=True)
+    # accepted for flag parity with the reference (main.py:66-95); these
+    # describe the mysqldump→SQLite ingest path the Spark engine replaces
+    # with direct parquet/JDBC scans (SURVEY.md S1/S4), and the NERC
+    # rate-card HTTP fetch (environment-specific; gated)
+    p.add_argument("--sql-dump-file", default=None)
+    p.add_argument("--convert-sql-dump-file-to-sqlite", action="store_true", default=False)
+    p.add_argument("--download-sql-dump-from-s3", action="store_true", default=False)
+    p.add_argument("--use-nerc-rates", action="store_true", default=False)
     return p
 
 
@@ -67,6 +75,18 @@ def main(argv: list[str] | None = None) -> str:
 
     args = build_parser().parse_args(argv)
     invoice_month = args.invoice_month or args.start.strftime("%Y-%m")
+
+    for flag, name in (
+        (args.sql_dump_file, "--sql-dump-file"),
+        (args.convert_sql_dump_file_to_sqlite, "--convert-sql-dump-file-to-sqlite"),
+        (args.download_sql_dump_from_s3, "--download-sql-dump-from-s3"),
+        (args.use_nerc_rates, "--use-nerc-rates"),
+    ):
+        if flag:
+            raise NotImplementedError(
+                f"{name}: the Spark engine reads parquet/JDBC directly and takes "
+                "rates from flags; see SURVEY.md S1/S4/S5 for the mapping"
+            )
 
     card = []
     for su_type, su_name, default_rate in DEFAULT_RATE_CARD:

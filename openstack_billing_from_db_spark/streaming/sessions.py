@@ -42,6 +42,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared for readStream). Handles the testdata's TIMESTAMP(NANOS)
     via the same nanos→micros canonicalization as the batch source."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # window alignment and collected timestamps are session-TZ dependent
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     nano_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
     # the file-stream source requires a directory basePath; select just the
     # events table out of the sf dir with a glob filter
