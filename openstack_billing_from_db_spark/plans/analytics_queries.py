@@ -600,6 +600,71 @@ def q28_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q29: analytic frames + ordered string aggregation -----------------------
+
+
+@register(
+    "q29_running_totals",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS seq
+FROM orders
+""",
+)
+def q29_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: running total (unbounded preceding) and 3-row moving
+    average per customer — in decimal so every prefix sum is exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    price = _dec(F.col("o_totalprice"), 18, 2)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price).over(run).cast("double").alias("running_total"),
+        # decimal-sum ÷ count, not avg(decimal): Spark's decimal avg
+        # truncates to scale+4 while DuckDB promotes to double
+        (F.sum(price).over(mov).cast("double") / F.count(F.lit(1)).over(mov)).alias(
+            "moving_avg3"
+        ),
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+@register(
+    "q29b_order_digest",
+    oracle="""
+SELECT o_custkey,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+""",
+)
+def q29b_order_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation: collect_list → array_sort → concat_ws
+    (the portable twin of SQL string_agg ... ORDER BY)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("order_keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 # --- q23: date/time function coverage (F8-F10, F14) --------------------------
 
 
