@@ -34,8 +34,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from openstack_billing_from_db_spark.schemas import EVENTS
-
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet-directory stream of the events table (schema must be

@@ -5,7 +5,6 @@ semantics on hand-built edge cases)."""
 from __future__ import annotations
 
 import hashlib
-import math
 
 import pytest
 from pyspark.sql import functions as F

@@ -4,8 +4,6 @@ shape matters at 100 TB)."""
 
 from __future__ import annotations
 
-import pytest
-
 from openstack_billing_from_db_spark.registry import all_queries
 
 QUERIES = all_queries()

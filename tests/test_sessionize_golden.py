@@ -11,9 +11,6 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
-import pytest
-from pyspark.sql import functions as F
-
 from openstack_billing_from_db_spark.operators.sessionize import runtime_micros
 
 WINDOW_START = datetime(2000, 1, 1)
