@@ -38,9 +38,9 @@ sees hashpartitioning(id) already satisfies the groupBy distribution), so
 the whole operator is a single exchange. Outage exclusion is literal
 column arithmetic — zero joins. Skewed ids (an instance with millions of
 events) are the one hazard; AQE skew handling does not apply to window
-functions, so extremely hot ids would need a two-level (salted prefix-agg)
-variant — not needed for Nova-shaped data where events-per-instance is
-bounded.
+functions, so extremely hot ids use ``build_state_intervals_bucketed``:
+two passes with bounded per-(id, time-bucket) sorts, boundaries stitched
+via tiny per-bucket summaries — identical output, test-pinned.
 
 Known deviations from the reference (documented, SURVEY.md §2.11 #4):
 - zero-event instances and deleted_at-without-events yield zero runtime
@@ -154,6 +154,61 @@ def build_state_intervals(states: DataFrame) -> DataFrame:
         F.coalesce(
             F.unix_micros(F.lead("event_ts").over(w)), F.lit(TS_MAX_US)
         ).alias("end_us"),
+    )
+
+
+def build_state_intervals_bucketed(
+    states: DataFrame, *, bucket: str = "month"
+) -> DataFrame:
+    """Skew-resistant variant of :func:`build_state_intervals` for hot
+    instances (an id with tens of millions of events would bottleneck the
+    single per-id window sort).
+
+    Two passes:
+    1. window over (id, time-bucket): intervals within each bucket — the
+       per-partition sort is bounded by bucket size, so a hot id spreads
+       across buckets instead of landing in one task;
+    2. window over per-(id, bucket) summary rows (tiny: one row per
+       non-empty bucket) to stitch bucket boundaries — each bucket's open
+       tail interval extends to the next non-empty bucket's first event.
+
+    Output is row-for-row identical to the single-pass operator (pinned by
+    tests/test_sessionize_bucketed.py on random and hot-key data).
+    """
+    order_cols = [F.col("event_ts")]
+    if "__order" in states.columns:
+        order_cols.append(F.col("__order"))
+    with_bucket = states.withColumn("__bucket", F.date_trunc(bucket, F.col("event_ts")))
+
+    w1 = Window.partitionBy("instance_uuid", "__bucket").orderBy(*order_cols)
+    local = with_bucket.select(
+        "instance_uuid",
+        "__bucket",
+        "state",
+        F.unix_micros(F.col("event_ts")).alias("start_us"),
+        F.unix_micros(F.lead("event_ts").over(w1)).alias("end_us"),  # null = bucket tail
+    )
+
+    # one summary row per (id, bucket): when does the NEXT bucket start?
+    summaries = (
+        with_bucket.groupBy("instance_uuid", "__bucket")
+        .agg(F.min(F.unix_micros("event_ts")).alias("first_us"))
+    )
+    w2 = Window.partitionBy("instance_uuid").orderBy("__bucket")
+    next_start = summaries.select(
+        "instance_uuid",
+        "__bucket",
+        F.lead("first_us").over(w2).alias("next_first_us"),
+    )
+
+    return (
+        local.join(next_start, ["instance_uuid", "__bucket"])
+        .select(
+            "instance_uuid",
+            "state",
+            "start_us",
+            F.coalesce("end_us", "next_first_us", F.lit(TS_MAX_US)).alias("end_us"),
+        )
     )
 
 

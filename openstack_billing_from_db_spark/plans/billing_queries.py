@@ -160,6 +160,23 @@ def q04_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_state_intervals(states)
 
 
+@register("q04b_state_intervals_bucketed", oracle=f"SELECT * FROM ({_iv_sql()})")
+def q04b_state_intervals_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-resistant two-pass sessionizer (bounded per-partition
+    sorts + boundary stitching) — verified against the SAME oracle as the
+    single-pass q04: identical intervals by construction."""
+    from openstack_billing_from_db_spark.operators.sessionize import (
+        build_state_intervals_bucketed,
+        map_event_states,
+    )
+
+    actions, _ = testdata_billing_tables(spark, sf_dir)
+    states = map_event_states(
+        actions, trigger_states=TESTDATA_TRIGGERS, message_col=None
+    )
+    return build_state_intervals_bucketed(states)
+
+
 @register("q05_su_catalog", oracle=f"SELECT * FROM ({_DIM_SQL})")
 def q05_su_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Instance dimension: distinct ids (A1), JSON pci parse (F1-F6),
