@@ -130,3 +130,27 @@ def test_quality_score_bounds(spark, sf_dir):
         (F.col("q") < 0) | (F.col("q") > 1) | F.col("q").isNull()
     )
     assert bad.count() == 0
+
+
+def test_asof_join_inner_drops_unmatched(spark):
+    from datetime import datetime
+
+    from openstack_billing_from_db_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10)), (2, datetime(2024, 1, 1, 9))],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9, 30), "a")], "k long, rts timestamp, v string"
+    )
+    inner = as_of_join(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        right_value_cols=["v"], how="inner",
+    ).collect()
+    assert [(r.k, r.asof_v) for r in inner] == [(1, "a")]
+    outer = as_of_join(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        right_value_cols=["v"],
+    ).collect()
+    assert {(r.k, r.asof_v) for r in outer} == {(1, "a"), (2, None)}

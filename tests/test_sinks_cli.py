@@ -103,3 +103,37 @@ def test_cli_window_defaults():
 
     start, end = default_start_argument(), default_end_argument()
     assert start.day == 1 and start.hour == 0 and start <= end
+
+
+def test_cli_rate_override(sf_dir, tmp_path, spark):
+    """--rate-*-su flags override the built-in card (reference
+    main.py:95-121)."""
+    from openstack_billing_from_db_spark.cli import main
+
+    out = str(tmp_path / "rate_override.csv")
+    main(
+        [
+            "--start", "2024-01-01T00:00:00",
+            "--end", "2024-02-01T00:00:00",
+            "--data-dir", sf_dir,
+            "--output", out,
+            "--rate-cpu-su", "1.000",
+            "--include-stopped-runtime",
+        ]
+    )
+    with open(out, newline="") as f:
+        rows = list(csv.reader(f, delimiter=",", quotechar="|"))
+    cpu_rows = [r for r in rows[1:] if r[12] == "OpenStack CPU"]
+    assert cpu_rows and all(r[13] == "1.0" for r in cpu_rows)
+    # cost = hours × 1.0
+    for r in cpu_rows:
+        assert float(r[14]) == float(r[11])
+
+
+def test_cli_gated_flags_raise(sf_dir):
+    import pytest as _pytest
+
+    from openstack_billing_from_db_spark.cli import main
+
+    with _pytest.raises(NotImplementedError, match="sql-dump-file"):
+        main(["--sql-dump-file", "/tmp/nova.sql", "--data-dir", sf_dir])
