@@ -47,9 +47,12 @@ def main() -> None:
                 pass
 
     # steady-state timing: one warm run at the target sf (file-scan and
-    # broadcast caches hot), then the timed run
+    # broadcast caches hot), then the timed run. Cache cleared per query:
+    # intra-query persist reuse (e.g. the minhash signature table) stays,
+    # but caches don't accumulate GC pressure across 45 queries.
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
+        spark.catalog.clearCache()
         try:
             run(fn)
         except Exception:
