@@ -280,6 +280,62 @@ def q07_invoice_running_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inv.select("project_id", "su_type", "su_hours")
 
 
+@register(
+    "q42_pci_quarantine",
+    oracle="""
+SELECT uuid,
+       CASE
+         WHEN uuid % 21 = 0 THEN 'multiple pci_requests entries'
+         WHEN uuid % 7 = 0 AND CAST((uuid // 7) % 5 AS INTEGER) = 4
+           THEN 'unsupported gpu alias: a2'
+       END AS quarantine,
+       CASE WHEN uuid % 21 = 0 OR (uuid % 7 = 0 AND CAST((uuid // 7) % 5 AS INTEGER) = 4)
+              OR uuid % 7 != 0
+            THEN 'cpu'
+            ELSE 'gpu_' || replace(lower(
+              CASE CAST((uuid // 7) % 5 AS INTEGER)
+                WHEN 0 THEN 'V100' WHEN 1 THEN 'A100'
+                WHEN 2 THEN 'A100-SXM4' WHEN 3 THEN 'K80' ELSE 'A2' END), '-', '')
+       END AS su_type
+FROM (SELECT DISTINCT user_id AS uuid FROM events)
+""",
+)
+def q42_pci_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's pci raise-paths as data (SURVEY.md §2.11 #2):
+    every 5th GPU alias in the cycle is 'A2' — priced by the rate card but
+    rejected by the parser (model.py:203-204) — and every 3rd GPU user has
+    a multi-entry pci list (model.py:199-202). Both quarantine instead of
+    crashing; quarantined instances bill as CPU."""
+    from pyspark.sql import functions as F
+
+    from openstack_billing_from_db_spark.functions.su import service_unit_columns
+    from openstack_billing_from_db_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    alias = F.element_at(
+        F.array(*[F.lit(a) for a in ("V100", "A100", "A100-SXM4", "K80", "A2")]),
+        (F.expr("user_id div 7") % 5).cast("int") + 1,
+    )
+    single = F.concat(F.lit('[{"count": "1", "alias_name": "'), alias, F.lit('"}]'))
+    multi = F.lit(
+        '[{"count": "1", "alias_name": "V100"}, {"count": "1", "alias_name": "K80"}]'
+    )
+    base = ev.select("user_id").distinct().select(
+        uid.alias("uuid"),
+        F.when(uid % 21 == 0, multi)
+        .when(uid % 7 == 0, single)
+        .otherwise(F.lit(None).cast("string"))
+        .alias("pci_requests"),
+        F.lit(1).alias("vcpus"),
+        F.lit(4096).alias("memory_mb"),
+    )
+    su_type, _gpu, _su, quarantine = service_unit_columns(
+        "pci_requests", "vcpus", "memory_mb"
+    )
+    return base.select("uuid", quarantine.alias("quarantine"), su_type.alias("su_type"))
+
+
 _SU_TYPES = [t for t, _, _ in DEFAULT_RATE_CARD]
 
 
