@@ -665,6 +665,31 @@ def q29b_order_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q43: correlated scalar subquery (Catalyst decorrelation; SQL API) -------
+
+_Q43_SQL = """
+SELECT l.l_partkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+       count(*) AS n_lines
+FROM lineitem l
+WHERE l.l_quantity < (
+  SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY l.l_partkey
+"""
+
+
+@register("q43_small_quantity_parts", oracle=_Q43_SQL)
+def q43_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL API — Catalyst
+    decorrelates it into an aggregate + join (the reference's N+1
+    correlated loops, §2.2 P3, expressed declaratively and planned as ONE
+    pass). avg(l_quantity) is exact: quantities are integral doubles."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q43_SQL)
+
+
 # --- q23: date/time function coverage (F8-F10, F14) --------------------------
 
 

@@ -342,6 +342,61 @@ def q40_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus term statistics (the exact-count half of TF-IDF) ----------------
+
+
+@register(
+    "q45_term_stats",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_W}) AS term FROM documents)
+SELECT term,
+       count(*) AS tf,
+       count(DISTINCT doc_id) AS df
+FROM tok GROUP BY term
+""",
+)
+def q45_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequencies (exact integer counts — the IDF
+    log stays out of the oracle because ln() differs across engines in
+    the last ulp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(text.words(F.col("text"))).alias("term")
+    )
+    return tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+
+
+@register(
+    "q46_top_bigrams",
+    oracle=f"""
+WITH wrd AS (SELECT doc_id, {_W} AS w FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                               i -> array_to_string(w[i:i+1], ' '))) AS bigram
+  FROM wrd WHERE len(w) >= 2
+)
+SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 20
+""",
+)
+def q46_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 word bigrams (deterministic: count desc, bigram asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = text.words(F.col("text"))
+    bigrams = docs.select(
+        F.explode(text.word_shingles(w, 2)).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
 # --- multimodal --------------------------------------------------------------
 
 

@@ -50,6 +50,36 @@ def q50_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name)
 
 
+@register(
+    "q52_streaming_dedup",
+    oracle="""
+SELECT event_type, count(*) AS n_distinct_events
+FROM (SELECT DISTINCT event_id, event_type FROM events)
+GROUP BY event_type
+""",
+)
+def q52_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once event dedup: dropDuplicates on the stream
+    (state keyed by event_id) then per-type counts — the streaming half
+    of the dedup story (batch half: q34)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from openstack_billing_from_db_spark.streaming.sessions import (
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    name = f"q52_{_uuid.uuid4().hex[:8]}"
+    stream = stream_events(spark, sf_dir).dropDuplicates(["event_id"])
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_distinct_events")
+    )
+    run_stream_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
 @register("q51_streaming_state_intervals")
 def q51_streaming_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The E2 state machine as a stateful streaming operator
