@@ -665,6 +665,119 @@ def q29b_order_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q47: data-quality report (P5 generalized) -------------------------------
+
+
+@register(
+    "q47_data_quality",
+    oracle="""
+SELECT 'not_null_o_custkey' AS rule,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'range_o_totalprice',
+       CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique_o_orderkey',
+       CAST(coalesce((SELECT count(*) FROM (
+         SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT)
+UNION ALL
+SELECT 'orders_customer_fk',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+""",
+)
+def q47_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over orders: null/range checks in one
+    aggregation pass, uniqueness, and referential integrity to customer —
+    the reference's assert (billing.py:146) as a reusable operator."""
+    from openstack_billing_from_db_spark.operators import quality
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    report = quality.violations(
+        o,
+        quality.not_null("o_custkey"),
+        quality.in_range("o_totalprice", 0, 1_000_000),
+    )
+    report = report.unionByName(
+        quality.unique_violations(o, ["o_orderkey"], "unique_o_orderkey")
+    ).unionByName(
+        quality.referential_violations(o, "o_custkey", c, "c_custkey", "orders_customer_fk")
+    )
+    return report
+
+
+# --- q48: analytic function coverage (ntile, percent_rank, lag/lead, firsts) -
+
+
+@register(
+    "q48_customer_order_analytics",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+       percent_rank() OVER w AS pr,
+       lag(o_orderkey) OVER w AS prev_order,
+       lead(o_orderkey) OVER w AS next_order,
+       first_value(o_orderkey) OVER w AS cheapest_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q48_customer_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+    )
+
+
+# --- q49: array function coverage over tokenized documents -------------------
+
+
+@register(
+    "q49_array_functions",
+    oracle="""
+WITH wrd AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w != '') AS w
+             FROM documents)
+SELECT doc_id,
+       CAST(len(w) AS INTEGER) AS n_words,
+       w[1] AS first_word,
+       w[len(w)] AS last_word,
+       array_to_string(w[1:3], ' ') AS first_three,
+       CAST(list_contains(w, 'the') AS BOOLEAN) AS has_the,
+       CAST(list_position(w, 'the') AS INTEGER) AS the_pos,
+       CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct_words
+FROM wrd
+""",
+)
+def q49_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array operator surface: size, indexing, slice, contains, position,
+    distinct — Spark array_* ≡ DuckDB list_* (1-based in both)."""
+    from openstack_billing_from_db_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    df = docs.select("doc_id", w.alias("w"))
+    return df.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.col("w")[0].alias("first_word"),
+        F.element_at("w", -1).alias("last_word"),
+        F.concat_ws(" ", F.slice("w", 1, 3)).alias("first_three"),
+        F.array_contains("w", "the").alias("has_the"),
+        F.array_position("w", "the").cast("int").alias("the_pos"),
+        F.size(F.array_distinct("w")).alias("n_distinct_words"),
+    )
+
+
 # --- q43: correlated scalar subquery (Catalyst decorrelation; SQL API) -------
 
 _Q43_SQL = """
