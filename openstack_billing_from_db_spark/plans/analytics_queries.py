@@ -244,6 +244,34 @@ def q16_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q16b_bag_set_operations",
+    oracle="""
+SELECT 'intersect_all' AS op, v FROM (
+  SELECT l_suppkey AS v FROM lineitem WHERE l_returnflag = 'R'
+  INTERSECT ALL
+  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+)
+UNION ALL
+SELECT 'except_all' AS op, v FROM (
+  SELECT l_suppkey AS v FROM lineitem WHERE l_returnflag = 'R'
+  EXCEPT ALL
+  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+)
+""",
+)
+def q16b_bag_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) semantics: intersectAll / exceptAll preserve
+    duplicate multiplicities — distinct from q16's set semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("v"))
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("v"))
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "v")  # noqa: E731
+    return tag(r.intersectAll(a), "intersect_all").unionByName(
+        tag(r.exceptAll(a), "except_all")
+    )
+
+
 # --- q17: ranking window (top-k per group) -----------------------------------
 
 
