@@ -242,6 +242,74 @@ def state_micros_in_window(
     return intervals.groupBy("instance_uuid").agg(*aggs)
 
 
+def state_micros_in_window_outages_df(
+    intervals: DataFrame,
+    window_start: datetime,
+    window_end: datetime,
+    outages_df: DataFrame,
+    *,
+    states: Sequence[str] = BILLED_STATES,
+) -> DataFrame:
+    """Outage exclusion via a broadcast join instead of inline literals —
+    the right formulation when the outage dimension is large (thousands
+    of intervals would bloat the literal expression tree; a broadcast
+    join scales to any dimension that fits an executor).
+
+    Σ over (interval × outage) overlap pairs equals the reference's
+    per-outage state-machine replay (billing.py:95-100) by distributivity
+    — identical to the literal path, test-pinned."""
+    base = state_micros_in_window(intervals, window_start, window_end, states=states)
+    o = outages_df.select(
+        F.unix_micros("outage_start").alias("o0"),
+        F.unix_micros("outage_end").alias("o1"),
+    )
+    ov = overlap_micros(F.col("start_us"), F.col("end_us"), F.col("o0"), F.col("o1"))
+    exc = (
+        intervals.join(F.broadcast(o))
+        .groupBy("instance_uuid")
+        .agg(
+            *[
+                F.sum(F.when(F.col("state") == st, ov).otherwise(F.lit(0).cast("long")))
+                .alias(f"exc_{st.lower()}_us")
+                for st in states
+            ]
+        )
+    )
+    joined = base.join(exc, "instance_uuid", "left")
+    return joined.select(
+        "instance_uuid",
+        *[
+            (
+                F.col(f"{st.lower()}_us")
+                - F.coalesce(F.col(f"exc_{st.lower()}_us"), F.lit(0).cast("long"))
+            ).alias(f"{st.lower()}_us")
+            for st in states
+        ],
+    )
+
+
+def outages_during(
+    outages_df: DataFrame,
+    window_start: datetime,
+    window_end: datetime,
+    cluster: str,
+) -> list[tuple[datetime, datetime]]:
+    """Reference ``get_outages_during`` (billing.py:121-124): the cluster's
+    outage intervals overlapping the billing window, as driver-side tuples
+    for the literal exclusion path. The dimension is tiny by construction;
+    collect is intentional."""
+    rows = (
+        outages_df.filter(F.col("cluster") == cluster)
+        .filter(
+            (F.col("outage_end") > F.lit(window_start))
+            & (F.col("outage_start") < F.lit(window_end))
+        )
+        .select("outage_start", "outage_end")
+        .collect()
+    )
+    return [(r.outage_start, r.outage_end) for r in rows]
+
+
 def runtime_micros(
     events: DataFrame,
     window_start: datetime,

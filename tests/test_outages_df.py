@@ -1,0 +1,63 @@
+"""The broadcast-join outage-exclusion path must equal the literal path,
+and the cluster-scoped outage selection must mirror the reference's
+get_outages_during filter."""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+from openstack_billing_from_db_spark.operators.sessionize import (
+    build_state_intervals,
+    map_event_states,
+    outages_during,
+    state_micros_in_window,
+    state_micros_in_window_outages_df,
+)
+from openstack_billing_from_db_spark.sources.outages import outages_df
+
+WINDOW = (datetime(2000, 1, 1), datetime(2000, 2, 1))
+OUTAGES = [
+    (datetime(2000, 1, 5), datetime(2000, 1, 6)),
+    (datetime(2000, 1, 10, 6), datetime(2000, 1, 10, 18)),
+    (datetime(2000, 1, 20), datetime(2000, 1, 22)),
+]
+
+
+def test_outages_df_path_equals_literal_path(spark):
+    rng = random.Random(7)
+    rows = []
+    for i in range(80):
+        t = datetime(2000, 1, 1) + timedelta(hours=rng.randint(-50, 200))
+        for _ in range(rng.randint(1, 10)):
+            t += timedelta(minutes=rng.randint(1, 3000))
+            rows.append(
+                (f"i{i}", t, rng.choice(["create", "stop", "start", "delete"]), "")
+            )
+    events = spark.createDataFrame(
+        rows, "instance_uuid string, created_at timestamp, action string, message string"
+    )
+    intervals = build_state_intervals(map_event_states(events))
+
+    literal = {
+        (r.instance_uuid, r.running_us, r.stopped_us)
+        for r in state_micros_in_window(intervals, *WINDOW, outages=OUTAGES).collect()
+    }
+    via_df = {
+        (r.instance_uuid, r.running_us, r.stopped_us)
+        for r in state_micros_in_window_outages_df(
+            intervals, *WINDOW, outages_df(spark, OUTAGES)
+        ).collect()
+    }
+    assert literal == via_df
+
+
+def test_outages_during_cluster_filter(spark):
+    df = outages_df(spark, OUTAGES, cluster="stack").unionByName(
+        outages_df(spark, [(datetime(2000, 1, 2), datetime(2000, 1, 3))], cluster="other")
+    ).unionByName(
+        # outside the window → excluded (billing.py:121-124 semantics)
+        outages_df(spark, [(datetime(1999, 1, 1), datetime(1999, 1, 2))], cluster="stack")
+    )
+    got = outages_during(df, *WINDOW, cluster="stack")
+    assert sorted(got) == sorted(OUTAGES)
