@@ -8,3 +8,4 @@ from openstack_billing_from_db_spark.operators.sessionize import (  # noqa: F401
     with_synthetic_deletes,
 )
 from openstack_billing_from_db_spark.operators.asof import as_of_join  # noqa: F401
+from openstack_billing_from_db_spark.operators.merge import merge_upsert, scd2_apply  # noqa: F401

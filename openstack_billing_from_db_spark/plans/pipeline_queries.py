@@ -397,6 +397,60 @@ def q46_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q53: cross-modal composition (embedding pairs × document metadata) -----
+
+
+@register(
+    "q53_crossmodal_near_dups",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         ({_BUCKET_SQL}) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.3
+)
+SELECT p.vec_a, p.vec_b, p.cos,
+       da.lang AS lang_a, db.lang AS lang_b,
+       CAST(da.source = db.source AS BOOLEAN) AS same_source
+FROM pairs p
+JOIN documents da ON da.doc_id = p.vec_a
+JOIN documents db ON db.doc_id = p.vec_b
+""",
+)
+def q53_crossmodal_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup candidates enriched with text metadata —
+    the cross-table composition a real dedup pipeline runs before
+    deciding which copy to keep (vec_id keys the documents table)."""
+    pairs = similarity.embedding_near_duplicates(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    da = docs.select(
+        F.col("doc_id").alias("vec_a"), F.col("lang").alias("lang_a"), F.col("source").alias("src_a")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("vec_b"), F.col("lang").alias("lang_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(da, "vec_a")
+        .join(db, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            "cos",
+            "lang_a",
+            "lang_b",
+            (F.col("src_a") == F.col("src_b")).alias("same_source"),
+        )
+    )
+
+
 # --- multimodal --------------------------------------------------------------
 
 
