@@ -38,7 +38,8 @@ def test_skewed_join_is_split_at_runtime(spark, skew_conf):
     dim = spark.range(50_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
     joined = fact.join(dim, "k")
     rows = joined.collect()  # executes this QueryExecution → final AQE plan attached
-    assert len(rows) == 380_001
+    # key 0: 380,000 hot rows + id=0 itself; plus multiples of 20 below 50k
+    assert len(rows) == 380_001 + 2_499
 
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
