@@ -107,11 +107,13 @@ def lsh_topk(
     at scale the bucket column is the shuffle/partition key, so each
     query touches 1/2^n_planes of the corpus."""
     signs = hyperplane_signs(n_planes, dims)
+    # persisted: the bucketed/normed corpus is the reusable index — the
+    # cache manager shares it across every LSH query in the session
     base = emb.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e")
     ).withColumn("bucket", lsh_bucket(F.col("e"), signs)).withColumn(
         "e_norm", norm(F.col("e"))
-    )
+    ).persist()
     queries = base.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"),
         F.col("e").alias("q"),
@@ -146,11 +148,13 @@ def embedding_near_duplicates(
     """Embedding-cosine near-dup pairs via LSH bucketing: only same-bucket
     pairs are scored. Output: (vec_a, vec_b, cos ≥ threshold)."""
     signs = hyperplane_signs(n_planes, dims)
+    # persisted: the bucketed/normed corpus is the reusable index — the
+    # cache manager shares it across every LSH query in the session
     base = emb.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e")
     ).withColumn("bucket", lsh_bucket(F.col("e"), signs)).withColumn(
         "e_norm", norm(F.col("e"))
-    )
+    ).persist()
     a = base.select(F.col("bucket"), F.col("vid").alias("vec_a"), F.col("e").alias("ea"), F.col("e_norm").alias("na"))
     b = base.select(F.col("bucket"), F.col("vid").alias("vec_b"), F.col("e").alias("eb"), F.col("e_norm").alias("nb"))
     return (
