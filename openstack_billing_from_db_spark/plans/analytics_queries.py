@@ -831,6 +831,99 @@ def q43_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q43_SQL)
 
 
+# --- q54: funnel analysis (ordered event sequences per user) -----------------
+
+
+@register(
+    "q54_signup_purchase_funnel",
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_signup,
+       CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_click > first_signup
+                THEN 1 ELSE 0 END) AS BIGINT) AS stage_click_after_signup,
+       CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_click > first_signup
+                     AND first_purchase > first_click
+                THEN 1 ELSE 0 END) AS BIGINT) AS stage_full_funnel
+FROM stages
+""",
+)
+def q54_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup → later click → later purchase, one
+    aggregation pass over first-occurrence times per user (no self-joins
+    — the scale-right funnel formulation)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = ev.groupBy("user_id").agg(
+        first("signup").alias("s"),
+        first("click").alias("c"),
+        first("purchase").alias("p"),
+    )
+    reached_signup = F.col("s").isNotNull()
+    reached_click = reached_signup & (F.col("c") > F.col("s"))
+    reached_full = reached_click & (F.col("p") > F.col("c"))
+    one = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        one(reached_signup).alias("stage_signup"),
+        one(reached_click).alias("stage_click_after_signup"),
+        one(reached_full).alias("stage_full_funnel"),
+    )
+
+
+# --- q55: cohort retention ----------------------------------------------------
+
+
+@register(
+    "q55_weekly_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS activity_week
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, activity_week) // 7 AS BIGINT) AS week_offset,
+       count(*) AS n_active_users
+FROM activity
+GROUP BY cohort_week, week_offset
+""",
+)
+def q55_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted in each subsequent active week (ISO-Monday week truncation is
+    cross-engine identical)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("activity_week"),
+        )
+        .distinct()
+    )
+    offset = F.floor(
+        F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return activity.groupBy("cohort_week", offset.alias("week_offset")).agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
+
+
 # --- q23: date/time function coverage (F8-F10, F14) --------------------------
 
 
