@@ -383,15 +383,26 @@ ORDER BY n DESC, bigram LIMIT 20
 """,
 )
 def q46_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-20 word bigrams (deterministic: count desc, bigram asc)."""
+    """Global top-20 word bigrams (deterministic: count desc, bigram asc).
+
+    Counts group on (word, next_word) column pairs; the bigram STRING is
+    built only for the ~vocab² surviving groups, not the corpus's millions
+    of occurrences."""
     docs = load_table(spark, sf_dir, "documents")
     w = text.words(F.col("text"))
-    bigrams = docs.select(
-        F.explode(text.word_shingles(w, 2)).alias("bigram")
-    )
+    n_w = F.size(w)
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(w, 1, n_w - 1).alias("w1"),
+                F.slice(w, 2, n_w - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).filter(F.col("p.w1").isNotNull() & F.col("p.w2").isNotNull())
     return (
-        bigrams.groupBy("bigram")
+        pairs.groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.concat_ws(" ", "w1", "w2").alias("bigram"), "n")
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(20)
     )
