@@ -924,6 +924,77 @@ def q55_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q56: hopping (sliding) window aggregation --------------------------------
+
+
+@register(
+    "q56_hopping_window_counts",
+    oracle="""
+WITH contrib AS (
+  SELECT event_type,
+         unnest([CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                 CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR]) AS window_start
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n
+FROM contrib GROUP BY window_start, event_type
+""",
+)
+def q56_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows hopping every hour via F.window — each event lands
+    in exactly two windows (oracle: explicit two-bucket contribution)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+# --- q58: ratio-to-report (percent of total via unpartitioned window) --------
+
+
+@register(
+    "q58_nation_revenue_share",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS r
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name,
+       CAST(r AS DOUBLE) AS revenue,
+       CAST(r AS DOUBLE) / CAST(sum(r) OVER () AS DOUBLE) AS revenue_share
+FROM rev
+""",
+)
+def q58_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: a global (unpartitioned) window over the grouped
+    decimal sums — one extra single-partition exchange over ~25 rows, not
+    over the fact table."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price_dec()).alias("r"))
+    )
+    total = F.sum("r").over(Window.partitionBy())
+    return rev.select(
+        "n_name",
+        F.col("r").cast("double").alias("revenue"),
+        (F.col("r").cast("double") / total.cast("double")).alias("revenue_share"),
+    )
+
+
 # --- q23: date/time function coverage (F8-F10, F14) --------------------------
 
 

@@ -111,6 +111,26 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+@register(
+    "q60_fingerprint_pandas_udf",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+)
+def q60_fingerprint_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME fingerprint as q33, computed through a vectorized
+    pandas_udf instead of native Columns — the sanctioned Arrow slow-path
+    demonstration (SURVEY.md §2.10), oracle-identical to the native
+    implementation. Native q33 remains the hot-path default."""
+    from openstack_billing_from_db_spark.functions.udfs import fingerprint_pandas
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_pandas(F.col("text")).alias("fingerprint"))
+
+
 # --- deduplication -----------------------------------------------------------
 
 

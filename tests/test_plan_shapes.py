@@ -55,7 +55,13 @@ def test_semi_anti_join_strategies(spark, sf_dir):
 def test_no_python_udfs_on_relational_paths(spark, sf_dir):
     """Everything except the multimodal mapInPandas path and the
     streaming stateful operator stays JVM-side (whole-stage codegen)."""
-    python_ok = {"q41_multimodal_meta", "q50_streaming_windowed_counts", "q51_streaming_state_intervals"}
+    python_ok = {
+        "q41_multimodal_meta",
+        "q50_streaming_windowed_counts",
+        "q51_streaming_state_intervals",
+        "q52_streaming_dedup",
+        "q60_fingerprint_pandas_udf",  # the sanctioned Arrow slow-path demo
+    }
     for name, fn in QUERIES.items():
         if name in python_ok:
             continue
