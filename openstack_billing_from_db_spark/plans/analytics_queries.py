@@ -995,6 +995,58 @@ def q58_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q61: NULL semantics (aggregation skip, null-safe equality, coalesce) ----
+
+
+@register(
+    "q61_null_semantics",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN value < 50 THEN NULL ELSE value END AS v,
+         CASE WHEN user_id % 3 = 0 THEN NULL ELSE user_id END AS maybe_user
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       count(v) AS n_nonnull,
+       CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(CASE WHEN maybe_user IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nullsafe_null,
+       CAST(sum(CAST(coalesce(v, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_coalesced,
+       CAST(sum(CASE WHEN nullif(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_error_via_nullif
+FROM e GROUP BY event_type
+""",
+)
+def q61_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL behavior pinned cross-engine: count(col) skips nulls, sum
+    ignores nulls, null-safe equality (eqNullSafe ≡ IS NOT DISTINCT FROM),
+    coalesce/nullif — the semantics the nullable deleted_at path relies on."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("value") < 50, F.lit(None)).otherwise(F.col("value"))
+    maybe_user = F.when(F.col("user_id") % 3 == 0, F.lit(None)).otherwise(
+        F.col("user_id")
+    )
+    e = ev.select("event_type", v.alias("v"), maybe_user.alias("maybe_user"))
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("sum_v"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+        F.sum(
+            F.when(F.col("maybe_user").eqNullSafe(F.lit(None)), 1).otherwise(0)
+        ).cast("long").alias("n_nullsafe_null"),
+        F.sum(F.coalesce(F.col("v"), F.lit(0.0)).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_coalesced"),
+        F.sum(
+            F.when(F.nullif(F.col("event_type"), F.lit("error")).isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_error_via_nullif"),
+    )
+
+
 # --- q23: date/time function coverage (F8-F10, F14) --------------------------
 
 
