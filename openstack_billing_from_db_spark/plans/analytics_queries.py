@@ -1047,6 +1047,32 @@ def q61_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q62: map-type round trip (collect → map → explode entries) --------------
+
+
+@register(
+    "q62_map_functions",
+    oracle="""
+SELECT user_id, event_type AS k, count(*) AS v
+FROM events GROUP BY user_id, event_type
+""",
+)
+def q62_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user event counts packed into a map column
+    (map_from_entries over collected structs) and exploded back to rows —
+    relational output is the oracle, the map round trip is the operator
+    under test (maps themselves don't hash portably across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("counts")
+    )
+    exploded = as_map.select("user_id", F.explode(F.col("counts")).alias("k", "v"))
+    return exploded.select("user_id", "k", F.col("v").alias("v"))
+
+
 # --- q23: date/time function coverage (F8-F10, F14) --------------------------
 
 

@@ -50,3 +50,17 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.05
     assert abs(row.p50_approx - row.p50_exact) / row.p50_exact < 0.05
+
+
+def test_output_file_count_control(spark, sf_dir, tmp_path):
+    """repartition(n) controls output file fan-out (the knob that sizes
+    files for downstream scans at scale)."""
+    import glob
+
+    inv = _invoice(spark, sf_dir)
+    p4 = str(tmp_path / "four")
+    inv.repartition(4).write.mode("overwrite").parquet(p4)
+    assert len(glob.glob(f"{p4}/part-*.parquet")) == 4
+    p1 = str(tmp_path / "one")
+    inv.coalesce(1).write.mode("overwrite").parquet(p1)
+    assert len(glob.glob(f"{p1}/part-*.parquet")) == 1
