@@ -47,7 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
     for su in ("cpu", "gpu-a100", "gpu-a100sxm4", "gpu-v100", "gpu-k80", "gpu-a2"):
         p.add_argument(f"--rate-{su}-su", type=Decimal, default=None)
     p.add_argument("--upload-to-s3", action="store_true", default=False)
-    p.add_argument("--upload-to-primary-location", action="store_true", default=True)
+    # BooleanOptionalAction adds --no-upload-to-primary-location; the
+    # reference's own `type=bool` flag (main.py:136-139) can never be
+    # turned off from the command line — fixed here, not reproduced
+    p.add_argument(
+        "--upload-to-primary-location",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+    )
     # accepted for flag parity with the reference (main.py:66-95); these
     # describe the mysqldump→SQLite ingest path the Spark engine replaces
     # with direct parquet/JDBC scans (SURVEY.md S1/S4), and the NERC
@@ -90,7 +97,7 @@ def main(argv: list[str] | None = None) -> str:
 
     card = []
     for su_type, su_name, default_rate in DEFAULT_RATE_CARD:
-        flag = f"rate_{su_type.replace('gpu_', 'gpu_')}_su".replace("-", "_")
+        flag = f"rate_{su_type}_su".replace("-", "_")
         override = getattr(args, flag, None)
         card.append((su_type, su_name, Decimal(override) if override else Decimal(default_rate)))
 
@@ -122,7 +129,12 @@ def main(argv: list[str] | None = None) -> str:
     if args.upload_to_s3:
         from openstack_billing_from_db_spark.sinks.csv import upload_invoice_to_s3
 
-        upload_invoice_to_s3(out, invoice_month, args.end)
+        upload_invoice_to_s3(
+            out,
+            invoice_month,
+            args.end,
+            upload_to_primary_location=args.upload_to_primary_location,
+        )
     return out
 
 

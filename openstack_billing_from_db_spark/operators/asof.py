@@ -36,19 +36,28 @@ def as_of_join(
     row precedes the left row and ``how='left'``; inner drops them).
     """
     lcols = left.columns
+    # __present is a constant non-null marker: match detection must not
+    # depend on a value column, which may be legitimately NULL in a
+    # matched right row (how='inner' would otherwise drop that left row)
+    r_struct = F.struct(
+        F.lit(1).alias("__present"), *[F.col(c) for c in right_value_cols]
+    )
+    r_struct_type = (
+        right.select(F.lit(1).alias("__present"), *right_value_cols).schema
+    )
     tagged_left = left.select(
         F.col(key).alias("__key"),
         F.col(left_ts).alias("__ts"),
         F.lit(0).alias("__is_right"),
         F.struct(*lcols).alias("__l"),
-        F.lit(None).cast(_struct_type(right, right_value_cols)).alias("__r"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     tagged_right = right.select(
         F.col(key).alias("__key"),
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__is_right"),
         F.lit(None).cast(_struct_type(left, lcols)).alias("__l"),
-        F.struct(*right_value_cols).alias("__r"),
+        r_struct.alias("__r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
 
@@ -62,13 +71,12 @@ def as_of_join(
         "__match", F.last("__r", ignorenulls=True).over(w)
     ).filter(F.col("__is_right") == 0)
 
-    out = carried.select(
+    if how == "inner":
+        carried = carried.filter(F.col("__match.__present").isNotNull())
+    return carried.select(
         *[F.col("__l")[c].alias(c) for c in lcols],
         *[F.col("__match")[c].alias(f"asof_{c}") for c in right_value_cols],
     )
-    if how == "inner":
-        out = out.filter(F.col(f"asof_{right_value_cols[0]}").isNotNull())
-    return out
 
 
 def _struct_type(df: DataFrame, cols: list[str]):

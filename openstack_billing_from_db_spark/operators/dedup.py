@@ -9,9 +9,12 @@ Scale notes (100 TB):
 - candidate generation: shuffle keyed on (band, signature) — cardinality
   ≈ n_docs × n_bands with near-uniform buckets; skew only from giant
   exact-duplicate clusters, which AQE skew-join splits.
-- verification (exact Jaccard) happens only on candidates, carrying the
-  shingle arrays through the join; at extreme scale switch to the
-  exploded (doc, shingle) count formulation to bound row width.
+- verification (exact Jaccard) happens only on candidates. The default
+  formulation is the exploded (doc, shingle)-count one: every joined row
+  is narrow (ids + one shingle string), so row width — and therefore
+  shuffle spill — is bounded regardless of document length. The
+  array-carrying variant (``verify_via='arrays'``) remains for small
+  corpora where a single map-side array_intersect beats two joins.
 """
 
 from __future__ import annotations
@@ -24,6 +27,7 @@ from openstack_billing_from_db_spark.functions.hashing import (
     py_hash64,
     seeded_hash64,
 )
+from openstack_billing_from_db_spark.operators.caching import tracked_persist
 from openstack_billing_from_db_spark.operators.text import words, word_shingles
 
 # Mersenne prime modulus for the affine minhash family: base hashes and
@@ -102,11 +106,19 @@ def minhash_near_duplicates(
     num_hashes: int = 12,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    verify_via: str = "exploded",
 ) -> DataFrame:
     """MinHash+LSH candidate pairs with exact n-gram Jaccard verification.
 
     shingle → minhash → band → bucket-join; then Jaccard on the distinct
     shingle sets of each candidate pair. Output: (doc_a, doc_b, jaccard).
+
+    ``verify_via='exploded'`` (default, the 100 TB path) computes the
+    intersection as a join of narrow (pair, shingle) rows — no shingle
+    array ever enters a shuffle. ``'arrays'`` carries both shingle arrays
+    through the candidate join and intersects map-side — fewer joins,
+    wide rows; fine for small corpora. Both are output-identical
+    (pinned by tests/test_dedup.py).
     """
     n_bands = num_hashes // rows_per_band
     base = docs.select(
@@ -117,9 +129,11 @@ def minhash_near_duplicates(
     # distinct shingle sets, persisted: reused by both sides of the
     # candidate verify join (at production scale this is the signature
     # table you would materialize to parquet once per corpus snapshot)
-    shingle_sets = base.select(
-        "doc_id", F.array_distinct("shingles").alias("sh")
-    ).withColumn("n_sh", F.size("sh")).persist()
+    shingle_sets = tracked_persist(
+        base.select("doc_id", F.array_distinct("shingles").alias("sh")).withColumn(
+            "n_sh", F.size("sh")
+        )
+    )
 
     hashed = base.withColumn("sh_h", shingle_hashes(F.col("shingles")))
     sigs = hashed.select(
@@ -127,19 +141,23 @@ def minhash_near_duplicates(
     ).select("doc_id", *minhash_bands(num_hashes, rows_per_band))
     # slim band table — (doc_id, band, sig) only, so the LSH self-join
     # shuffles ~n_docs×n_bands narrow rows, never the shingle arrays
-    melted = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), F.col(f"band{b}").alias("sig")
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")).persist()
+    melted = tracked_persist(
+        sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), F.col(f"band{b}").alias("sig")
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bs"),
+        ).select(
+            "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        )
+    )
 
     a = melted.select("band", "sig", F.col("doc_id").alias("doc_a"))
     b = melted.select("band", "sig", F.col("doc_id").alias("doc_b"))
@@ -149,21 +167,50 @@ def minhash_near_duplicates(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sh_a = shingle_sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
-    )
-    sh_b = shingle_sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)).alias("jaccard"),
+
+    counts = shingle_sets.select("doc_id", "n_sh")
+    n_a = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    n_b = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+
+    if verify_via == "arrays":
+        sh_a = shingle_sets.select(
+            F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
         )
+        sh_b = shingle_sets.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        pair_inter = (
+            cand.join(sh_a, "doc_a")
+            .join(sh_b, "doc_b")
+            .select("doc_a", "doc_b", inter.alias("n_inter"))
+        )
+    else:
+        # exploded (doc, shingle) tokens: every joined row is narrow, so
+        # document length never widens a shuffle row. cand → tokens of
+        # doc_a → match tokens of doc_b on (doc_b, shingle) → count.
+        tokens = shingle_sets.select("doc_id", F.explode("sh").alias("shingle"))
+        t_a = tokens.select(F.col("doc_id").alias("doc_a"), "shingle")
+        t_b = tokens.select(F.col("doc_id").alias("doc_b"), "shingle")
+        pair_inter = (
+            cand.join(t_a, "doc_a")
+            .join(t_b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+            # band-signature collisions can (theoretically) pair docs with
+            # zero shared shingles; the inner token join drops those, so
+            # restore them with jaccard 0 like the array path emits
+            .join(cand, ["doc_a", "doc_b"], "right")
+            .fillna({"n_inter": 0})
+        )
+
+    return pair_inter.join(n_a, "doc_a").join(n_b, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("jaccard"),
     )
 
 
@@ -215,7 +262,7 @@ def simhash_near_duplicates(
     mask = (1 << band_bits) - 1
     # persisted: both sides of the self-join read the same fingerprints
     # instead of recomputing the simhash lineage twice
-    fingerprints = fingerprints.persist()
+    fingerprints = tracked_persist(fingerprints)
     melted = fingerprints.select(
         "doc_id",
         "simhash",

@@ -20,10 +20,15 @@ TS_MAX_US = (1 << 62)
 
 def to_micros(t: datetime) -> int:
     """Naive datetimes are UTC (reference treats all times as UTC and
-    stamps tzinfo only on output, billing.py:133-134)."""
+    stamps tzinfo only on output, billing.py:133-134).
+
+    Derived from the calendar fields against the epoch (never
+    ``int(t.timestamp())``, which truncates toward zero and is off by one
+    second for pre-epoch fractional times)."""
     if t.tzinfo is None:
         t = t.replace(tzinfo=timezone.utc)
-    return int(t.timestamp()) * MICROS_PER_SECOND + t.microsecond
+    delta = t - datetime(1970, 1, 1, tzinfo=timezone.utc)
+    return (delta.days * 86_400 + delta.seconds) * MICROS_PER_SECOND + delta.microseconds
 
 
 def overlap_micros(

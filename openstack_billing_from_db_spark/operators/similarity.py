@@ -9,17 +9,59 @@ Two paths:
   (derived from md5, so the DuckDB oracle reproduces them exactly);
   candidates are same-bucket pairs only.
 
+Scale knobs (the 100 TB hazards a fixed bucket count creates):
+- ``n_planes=None`` (the default) derives the plane count from the corpus
+  size so expected bucket occupancy stays bounded — bucket count GROWS
+  with n instead of each bucket growing quadratically in pair count
+  (``adaptive_n_planes``).
+- ``n_tables`` is OR-amplification: each extra table is an independent
+  set of hyperplanes; a pair is a candidate if it collides in ANY table.
+  More tables → higher recall at proportional candidate cost (the
+  standard LSH amplification trade; same shape as minhash banding).
+
 All dot products fold left-to-right over array<double> (deterministic,
 matches DuckDB's list_inner_product bit-for-bit — verified empirically).
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from openstack_billing_from_db_spark.functions.hashing import py_hash64
+from openstack_billing_from_db_spark.operators.caching import tracked_persist
+
+# expected vectors per bucket the adaptive default aims for: small enough
+# that the within-bucket quadratic term stays negligible, large enough
+# that genuine neighbors still collide
+TARGET_BUCKET_OCCUPANCY = 128
+
+
+def adaptive_n_planes(
+    corpus_size: int,
+    target_bucket_occupancy: int = TARGET_BUCKET_OCCUPANCY,
+    lo: int = 2,
+    hi: int = 28,
+) -> int:
+    """Plane count giving ~target expected occupancy under uniform
+    hashing: 2^n_planes ≈ corpus_size / target. 500 vectors → 2 planes;
+    10^9 vectors → 23 planes (8M buckets) — bucket count scales with the
+    corpus instead of being a constant 256."""
+    if corpus_size <= target_bucket_occupancy:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(corpus_size / target_bucket_occupancy))))
+
+
+def _resolve_n_planes(
+    emb: DataFrame, n_planes: int | None, corpus_size: int | None
+) -> int:
+    if n_planes is not None:
+        return n_planes
+    n = corpus_size if corpus_size is not None else emb.count()
+    return adaptive_n_planes(n)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -38,11 +80,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def hyperplane_signs(n_planes: int, dims: int) -> list[list[float]]:
+def hyperplane_signs(
+    n_planes: int, dims: int, table: int = 0
+) -> list[list[float]]:
     """Deterministic ±1 hyperplanes from md5 — data-independent constants
-    shared verbatim with the oracle SQL."""
+    shared verbatim with the oracle SQL. ``table`` selects an independent
+    family for OR-amplification (table 0 keeps the original seeds, so
+    existing oracle literals are unchanged)."""
+    prefix = "hp" if table == 0 else f"hp[t{table}]"
     return [
-        [1.0 if py_hash64(f"hp{j}|{i}") % 2 == 0 else -1.0 for i in range(dims)]
+        [1.0 if py_hash64(f"{prefix}{j}|{i}") % 2 == 0 else -1.0 for i in range(dims)]
         for j in range(n_planes)
     ]
 
@@ -92,6 +139,40 @@ def lsh_bucket(vec: Column, signs: list[list[float]]) -> Column:
     return bucket
 
 
+def _bucketed_index(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    dims: int,
+    n_tables: int,
+) -> DataFrame:
+    """Persisted LSH index: (vid, e, e_norm, table, bucket) — one row per
+    vector per table. This is the reusable structure you'd materialize to
+    parquet (partitioned by (table, bucket)) for a production corpus."""
+    base = emb.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e")
+    )
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_bucket(F.col("e"), hyperplane_signs(n_planes, dims, t)).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(n_tables)
+            ]
+        )
+    )
+    return tracked_persist(
+        base.withColumn("e_norm", norm(F.col("e")))
+        .withColumn("tb", tb)
+        .select("vid", "e", "e_norm", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     *,
@@ -99,31 +180,37 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_queries: int = 10,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dims: int = 64,
+    n_tables: int = 1,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: rank by cosine only within the query's LSH
-    bucket. Recall is probabilistic (bucket misses are the ANN trade);
-    at scale the bucket column is the shuffle/partition key, so each
-    query touches 1/2^n_planes of the corpus."""
-    signs = hyperplane_signs(n_planes, dims)
-    # persisted: the bucketed/normed corpus is the reusable index — the
-    # cache manager shares it across every LSH query in the session
-    base = emb.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e")
-    ).withColumn("bucket", lsh_bucket(F.col("e"), signs)).withColumn(
-        "e_norm", norm(F.col("e"))
-    ).persist()
-    queries = base.filter(F.col("vid") < n_queries).select(
+    bucket(s). Recall is probabilistic (bucket misses are the ANN trade);
+    at scale (table, bucket) is the shuffle/partition key, so each query
+    touches ~n_tables/2^n_planes of the corpus.
+
+    ``n_planes=None`` derives the width from the corpus size (pass
+    ``corpus_size`` to avoid the count job); ``n_tables>1`` OR-amplifies
+    recall with independent hyperplane families."""
+    n_planes = _resolve_n_planes(emb, n_planes, corpus_size)
+    index = _bucketed_index(emb, id_col, vec_col, n_planes, dims, n_tables)
+    queries = index.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"),
         F.col("e").alias("q"),
+        F.col("table").alias("qtable"),
         F.col("bucket").alias("qbucket"),
         F.col("e_norm").alias("q_norm"),
     )
-    cand = base.join(
+    cand = index.join(
         F.broadcast(queries),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vid") != F.col("query_id")),
+        (F.col("table") == F.col("qtable"))
+        & (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vid") != F.col("query_id")),
     )
+    if n_tables > 1:
+        # a pair colliding in several tables must be scored once
+        cand = cand.dropDuplicates(["query_id", "vid"])
     scored = cand.select(
         "query_id",
         F.col("vid").alias("neighbor_id"),
@@ -142,25 +229,25 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dims: int = 64,
+    n_tables: int = 1,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucketing: only same-bucket
-    pairs are scored. Output: (vec_a, vec_b, cos ≥ threshold)."""
-    signs = hyperplane_signs(n_planes, dims)
-    # persisted: the bucketed/normed corpus is the reusable index — the
-    # cache manager shares it across every LSH query in the session
-    base = emb.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e")
-    ).withColumn("bucket", lsh_bucket(F.col("e"), signs)).withColumn(
-        "e_norm", norm(F.col("e"))
-    ).persist()
-    a = base.select(F.col("bucket"), F.col("vid").alias("vec_a"), F.col("e").alias("ea"), F.col("e_norm").alias("na"))
-    b = base.select(F.col("bucket"), F.col("vid").alias("vec_b"), F.col("e").alias("eb"), F.col("e_norm").alias("nb"))
+    pairs are scored. Output: (vec_a, vec_b, cos ≥ threshold).
+
+    Defaults are the scale-safe ones: adaptive bucket width (see
+    ``adaptive_n_planes``) and optional multi-table OR-amplification."""
+    n_planes = _resolve_n_planes(emb, n_planes, corpus_size)
+    index = _bucketed_index(emb, id_col, vec_col, n_planes, dims, n_tables)
+    a = index.select("table", "bucket", F.col("vid").alias("vec_a"), F.col("e").alias("ea"), F.col("e_norm").alias("na"))
+    b = index.select("table", "bucket", F.col("vid").alias("vec_b"), F.col("e").alias("eb"), F.col("e_norm").alias("nb"))
+    pairs = a.join(b, ["table", "bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+    if n_tables > 1:
+        pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
     return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
+        pairs.select(
             "vec_a",
             "vec_b",
             (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cos"),

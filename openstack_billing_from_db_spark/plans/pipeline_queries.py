@@ -459,7 +459,10 @@ def q53_crossmodal_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross-table composition a real dedup pipeline runs before
     deciding which copy to keep (vec_id keys the documents table)."""
     pairs = similarity.embedding_near_duplicates(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        n_planes=_N_PLANES,
+        dims=_DIMS,
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     da = docs.select(

@@ -10,7 +10,7 @@ verifies the PartitionFilters actually appear in the scan.
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,10 +37,17 @@ def read_events_window(
 ) -> DataFrame:
     """Scan only the partitions overlapping the billing window. The
     event_date predicate prunes directories; the ts predicate pushes into
-    the row groups of the surviving files."""
+    the row groups of the surviving files.
+
+    The last partition kept is the date of the final instant actually in
+    the half-open window, ``(window_end − 1µs).date()`` — so a window_end
+    with a time-of-day component (e.g. 2024-03-15T06:00) still reads the
+    final day's partition, while a midnight-aligned window_end prunes it.
+    """
+    last_date = (window_end - timedelta(microseconds=1)).date()
     return spark.read.parquet(events_dir).filter(
         (F.col("event_date") >= F.lit(window_start.date()))
-        & (F.col("event_date") < F.lit(window_end.date()))
+        & (F.col("event_date") <= F.lit(last_date))
         & (F.col(ts_col) >= F.lit(window_start))
         & (F.col(ts_col) < F.lit(window_end))
     )

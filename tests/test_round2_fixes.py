@@ -1,0 +1,200 @@
+"""Round-2 fixes pinned: ADVICE.md items (partition-pruning off-by-one,
+as-of inner NULL match, to_micros pre-epoch, cache lifecycle, CLI flag)
+and VERDICT.md scale-hardening (exploded MinHash verify, adaptive LSH)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.operators import dedup, similarity
+from openstack_billing_from_db_spark.operators.caching import (
+    release_operator_caches,
+)
+from openstack_billing_from_db_spark.operators.intervals import to_micros
+from openstack_billing_from_db_spark.sources.partitioning import (
+    read_events_window,
+    write_events_partitioned,
+)
+from openstack_billing_from_db_spark.sources.tables import load_table
+
+
+# --- ADVICE: partition pruning must not drop the final partial day ----------
+
+
+def test_window_with_time_of_day_keeps_final_day(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_by_date")
+    events = load_table(spark, sf_dir, "events")
+    write_events_partitioned(events, out)
+
+    window = (datetime(2024, 1, 10), datetime(2024, 1, 14, 6, 30))
+    scoped = read_events_window(spark, out, *window)
+    expected = events.filter(
+        (events.ts >= window[0]) & (events.ts < window[1])
+    ).count()
+    assert scoped.count() == expected
+    # the final day genuinely contributes rows (the bug silently dropped it)
+    on_final_day = events.filter(
+        (events.ts >= datetime(2024, 1, 14)) & (events.ts < window[1])
+    ).count()
+    assert on_final_day > 0
+
+
+def test_midnight_window_still_prunes_end_partition(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_by_date")
+    events = load_table(spark, sf_dir, "events")
+    write_events_partitioned(events, out)
+
+    scoped = read_events_window(
+        spark, out, datetime(2024, 1, 10), datetime(2024, 1, 12)
+    )
+    dates = {r.event_date.isoformat() for r in scoped.select("event_date").distinct().collect()}
+    assert dates <= {"2024-01-10", "2024-01-11"}
+
+
+# --- ADVICE: as-of inner join with a legitimately-NULL value column ---------
+
+
+def test_asof_inner_keeps_match_with_null_value(spark):
+    from openstack_billing_from_db_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 10), (2, 10)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 5, None), (3, 5, "x")], "k int, ts int, v string"
+    )
+    inner = as_of_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_value_cols=["v"], how="inner",
+    ).collect()
+    # k=1 matched a right row whose value is NULL — it must survive
+    assert [(r.k, r.asof_v) for r in inner] == [(1, None)]
+
+
+# --- ADVICE: to_micros pre-epoch fractional seconds -------------------------
+
+
+def test_to_micros_pre_epoch_fractional():
+    t = datetime(1969, 12, 31, 23, 59, 59, 500000, tzinfo=timezone.utc)
+    assert to_micros(t) == -500_000
+    assert to_micros(datetime(1970, 1, 1)) == 0
+    assert to_micros(datetime(1970, 1, 1, 0, 0, 1, 250000)) == 1_250_000
+
+
+# --- ADVICE: operator caches are releasable ---------------------------------
+
+
+def test_release_operator_caches(spark):
+    docs = spark.createDataFrame(
+        [(i, f"one two three four five six {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    dedup.minhash_near_duplicates(docs).count()
+    assert release_operator_caches() >= 2
+    assert release_operator_caches() == 0
+
+
+# --- ADVICE/VERDICT: CLI flag round-trip ------------------------------------
+
+
+def test_upload_primary_flag_round_trip():
+    from openstack_billing_from_db_spark.cli import build_parser
+
+    p = build_parser()
+    assert p.parse_args([]).upload_to_primary_location is True
+    assert (
+        p.parse_args(["--no-upload-to-primary-location"]).upload_to_primary_location
+        is False
+    )
+
+
+# --- VERDICT: exploded MinHash verify ---------------------------------------
+
+
+def _near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(0, base), (1, base + " tail"), (2, "completely different words here entirely now")]
+    rows += [(10 + i, f"filler document number {i} with some shared tokens") for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_exploded_matches_array_path(spark):
+    docs = _near_dup_docs(spark)
+    exploded = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 12)
+        for r in dedup.minhash_near_duplicates(docs).collect()
+    }
+    arrays = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 12)
+        for r in dedup.minhash_near_duplicates(docs, verify_via="arrays").collect()
+    }
+    assert exploded == arrays and (0, 1) in exploded
+
+
+def test_minhash_default_plan_carries_no_shingle_arrays(spark):
+    docs = _near_dup_docs(spark)
+    plan = (
+        dedup.minhash_near_duplicates(docs)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "array_intersect" not in plan
+    arr_plan = (
+        dedup.minhash_near_duplicates(docs, verify_via="arrays")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "array_intersect" in arr_plan
+
+
+# --- VERDICT: adaptive LSH width + OR-amplification -------------------------
+
+
+def test_adaptive_n_planes_tracks_corpus_size():
+    widths = [similarity.adaptive_n_planes(n) for n in (100, 10_000, 1_000_000, 10**9)]
+    assert widths == sorted(widths), widths
+    assert widths[0] == 2  # tiny corpora stay coarse
+    assert widths[-1] >= 20  # 1e9 vectors → millions of buckets
+    # expected occupancy stays bounded: n / 2^planes <= 2*target
+    for n in (10_000, 1_000_000, 10**9):
+        planes = similarity.adaptive_n_planes(n)
+        assert n / (1 << planes) <= 2 * similarity.TARGET_BUCKET_OCCUPANCY
+
+
+def _rand_emb(spark, n, seed=7):
+    import numpy as np
+
+    vecs = np.random.RandomState(seed).randn(n, 16).astype("float32")
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_bucket_count_grows_with_corpus(spark):
+    small = _rand_emb(spark, 200)
+    big = _rand_emb(spark, 2000)
+
+    def n_buckets(emb, n):
+        planes = similarity.adaptive_n_planes(n)
+        idx = similarity._bucketed_index(emb, "vec_id", "embedding", planes, 16, 1)
+        return idx.select("bucket").distinct().count()
+
+    assert n_buckets(big, 50_000) > n_buckets(small, 200)
+    release_operator_caches()
+
+
+def test_or_amplification_is_superset(spark):
+    emb = _rand_emb(spark, 120)
+    one = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_near_duplicates(
+            emb, threshold=-1.0, n_planes=4, dims=16, n_tables=1
+        ).collect()
+    }
+    two = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_near_duplicates(
+            emb, threshold=-1.0, n_planes=4, dims=16, n_tables=2
+        ).collect()
+    }
+    assert one <= two and len(two) > len(one)
+    release_operator_caches()
