@@ -43,6 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--invoice-month", default=None, help="e.g. 2024-01")
     p.add_argument("--data-dir", default="/root/testdata/sf0.001")
     p.add_argument("--output", "--output-file", dest="output", default="invoices.csv")
+    p.add_argument("--rates-url", default=None, help="override the nerc-rates repo URL")
     p.add_argument("--include-stopped-runtime", action="store_true", default=False)
     for su in ("cpu", "gpu-a100", "gpu-a100sxm4", "gpu-v100", "gpu-k80", "gpu-a2"):
         p.add_argument(f"--rate-{su}-su", type=Decimal, default=None)
@@ -55,10 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
         action=argparse.BooleanOptionalAction,
         default=True,
     )
-    # accepted for flag parity with the reference (main.py:66-95); these
-    # describe the mysqldump→SQLite ingest path the Spark engine replaces
-    # with direct parquet/JDBC scans (SURVEY.md S1/S4), and the NERC
-    # rate-card HTTP fetch (environment-specific; gated)
+    # the reference's dump ingest (main.py:66-95): our engine converts the
+    # dump to parquet instead of SQLite (sources/mysqldump.py), so
+    # --convert-sql-dump-file-to-sqlite is accepted and implied whenever a
+    # dump file is the source
     p.add_argument("--sql-dump-file", default=None)
     p.add_argument("--convert-sql-dump-file-to-sqlite", action="store_true", default=False)
     p.add_argument("--download-sql-dump-from-s3", action="store_true", default=False)
@@ -83,37 +84,74 @@ def main(argv: list[str] | None = None) -> str:
     args = build_parser().parse_args(argv)
     invoice_month = args.invoice_month or args.start.strftime("%Y-%m")
 
-    for flag, name in (
-        (args.sql_dump_file, "--sql-dump-file"),
-        (args.convert_sql_dump_file_to_sqlite, "--convert-sql-dump-file-to-sqlite"),
-        (args.download_sql_dump_from_s3, "--download-sql-dump-from-s3"),
-        (args.use_nerc_rates, "--use-nerc-rates"),
-    ):
-        if flag:
-            raise NotImplementedError(
-                f"{name}: the Spark engine reads parquet/JDBC directly and takes "
-                "rates from flags; see SURVEY.md S1/S4/S5 for the mapping"
+    include_stopped = args.include_stopped_runtime
+    if args.use_nerc_rates:
+        # reference main.py:174-192: rates AND the stopped-instances
+        # policy come from the nerc-rates repo, not CLI flags
+        from openstack_billing_from_db_spark.sources.rates import (
+            DEFAULT_RATES_URL,
+            fetch_rate_card,
+        )
+
+        card, include_stopped = fetch_rate_card(
+            invoice_month, url=args.rates_url or DEFAULT_RATES_URL
+        )
+    else:
+        card = []
+        for su_type, su_name, default_rate in DEFAULT_RATE_CARD:
+            flag = f"rate_{su_type}_su".replace("-", "_")
+            override = getattr(args, flag, None)
+            card.append(
+                (su_type, su_name, Decimal(override) if override else Decimal(default_rate))
             )
 
-    card = []
-    for su_type, su_name, default_rate in DEFAULT_RATE_CARD:
-        flag = f"rate_{su_type}_su".replace("-", "_")
-        override = getattr(args, flag, None)
-        card.append((su_type, su_name, Decimal(override) if override else Decimal(default_rate)))
+    dump_file = args.sql_dump_file
+    if args.download_sql_dump_from_s3:
+        from openstack_billing_from_db_spark.sources.fetch import (
+            download_latest_dump_from_s3,
+        )
+
+        dump_file = download_latest_dump_from_s3()
 
     spark = get_spark(app_name="invoicing-cli")
-    actions, dim = testdata_billing_tables(spark, args.data_dir)
     rates = rates_df(spark, card)
-    invoice = nova_invoice(
-        actions,
-        dim,
-        rates,
-        args.start,
-        args.end,
-        include_stopped_runtime=args.include_stopped_runtime,
-        trigger_states=TESTDATA_TRIGGERS,
-        message_col=None,
-    )
+    if dump_file:
+        # reference main.py:163-172 dump path; dump → parquet → Nova-shaped
+        # billing inputs (conversion replaces mysql2sqlite, fetch.py:98-124)
+        import tempfile
+
+        from openstack_billing_from_db_spark.plans.billing import nova_instance_dim
+        from openstack_billing_from_db_spark.sources.mysqldump import (
+            nova_tables_from_dump,
+        )
+
+        instances, instance_extra, instance_actions = nova_tables_from_dump(
+            spark, dump_file, tempfile.mkdtemp(prefix="nova_dump_pq_")
+        )
+        dim = nova_instance_dim(instances, instance_extra, args.start)
+        actions = instance_actions.select(
+            "instance_uuid", "created_at", "action", "message"
+        )
+        invoice = nova_invoice(
+            actions,
+            dim,
+            rates,
+            args.start,
+            args.end,
+            include_stopped_runtime=include_stopped,
+        )
+    else:
+        actions, dim = testdata_billing_tables(spark, args.data_dir)
+        invoice = nova_invoice(
+            actions,
+            dim,
+            rates,
+            args.start,
+            args.end,
+            include_stopped_runtime=include_stopped,
+            trigger_states=TESTDATA_TRIGGERS,
+            message_col=None,
+        )
     from datetime import timezone
 
     generated_at = datetime.now(timezone.utc).isoformat(timespec="seconds")
