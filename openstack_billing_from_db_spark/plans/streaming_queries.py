@@ -80,11 +80,26 @@ def q52_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("q51_streaming_state_intervals")
+def _q51_oracle() -> str:
+    # the stream emits exactly the SUCCESSOR-CLOSED intervals: every
+    # (state, ts, next_ts) pair — i.e. the batch interval set (q04's
+    # _iv_sql) minus each instance's open tail. Deterministic, so it
+    # gets a full value-hash oracle (VERDICT item 10).
+    from openstack_billing_from_db_spark.operators.intervals import TS_MAX_US
+    from openstack_billing_from_db_spark.plans.billing_queries import _iv_sql
+
+    return f"""
+SELECT instance_uuid, state, start_us, end_us
+FROM ({_iv_sql()})
+WHERE end_us <> {TS_MAX_US}
+"""
+
+
+@register("q51_streaming_state_intervals", oracle=_q51_oracle())
 def q51_streaming_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The E2 state machine as a stateful streaming operator
-    (applyInPandasWithState). No SQL oracle — custom streaming state is
-    outside DuckDB's vocabulary; batch equivalence is the test oracle."""
+    (applyInPandasWithState), value-hash-checked against the batch
+    interval SQL restricted to successor-closed intervals."""
     from openstack_billing_from_db_spark.plans.billing import TESTDATA_TRIGGERS
     from openstack_billing_from_db_spark.streaming.sessions import (
         run_stream_to_memory,
