@@ -60,6 +60,22 @@ def exact_duplicates(
     )
 
 
+# above this estimated input size the array-carrying verify join risks
+# shuffle spill from wide rows; the exploded narrow-row path takes over
+_ARRAY_VERIFY_MAX_BYTES = 256 << 20
+
+
+def _pick_verify_path(docs: DataFrame) -> str:
+    """Catalyst's logical-plan size estimate — available without running
+    the query (file sources report real bytes; in-memory relations an
+    analytic estimate)."""
+    try:
+        size = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return "exploded"  # unknown size: assume big
+    return "arrays" if size < _ARRAY_VERIFY_MAX_BYTES else "exploded"
+
+
 def shingle_hashes(shingle_arr: Column) -> Column:
     """One md5-derived base hash per shingle (mod MINHASH_P). Materialized
     once per row; the per-permutation minhashes are cheap affine
@@ -106,20 +122,25 @@ def minhash_near_duplicates(
     num_hashes: int = 12,
     rows_per_band: int = 2,
     shingle_n: int = 3,
-    verify_via: str = "exploded",
+    verify_via: str = "auto",
 ) -> DataFrame:
     """MinHash+LSH candidate pairs with exact n-gram Jaccard verification.
 
     shingle → minhash → band → bucket-join; then Jaccard on the distinct
     shingle sets of each candidate pair. Output: (doc_a, doc_b, jaccard).
 
-    ``verify_via='exploded'`` (default, the 100 TB path) computes the
-    intersection as a join of narrow (pair, shingle) rows — no shingle
-    array ever enters a shuffle. ``'arrays'`` carries both shingle arrays
-    through the candidate join and intersects map-side — fewer joins,
-    wide rows; fine for small corpora. Both are output-identical
-    (pinned by tests/test_dedup.py).
+    ``verify_via='exploded'`` (the 100 TB path) computes the intersection
+    as a join of narrow (pair, shingle) rows — no shingle array ever
+    enters a shuffle, so row width is bounded regardless of document
+    length. ``'arrays'`` carries both shingle arrays through the
+    candidate join and intersects map-side — fewer joins, wide rows;
+    faster while the corpus is small. ``'auto'`` (default) picks by
+    Catalyst's pre-execution size estimate: arrays below
+    ``_ARRAY_VERIFY_MAX_BYTES``, exploded above. Both paths are
+    output-identical (pinned by tests/test_round2_fixes.py).
     """
+    if verify_via == "auto":
+        verify_via = _pick_verify_path(docs)
     n_bands = num_hashes // rows_per_band
     base = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -1,0 +1,87 @@
+"""Two-point scaling curve for the headline queries: sf0.1 vs a 10×
+replica (≈ sf1). Prints one JSON line per scale with per-query seconds
+and the observed time ratio — the empirical check behind PLANS.md's
+"would this plan survive a scale-up" claims (VERDICT item 9).
+
+Usage: python scripts/scaling_bench.py [scaled_dir]
+(generate the scaled dir first: python scripts/make_scale_data.py 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from openstack_billing_from_db_spark.operators.caching import (
+    release_operator_caches,
+)
+from openstack_billing_from_db_spark.registry import all_queries
+from openstack_billing_from_db_spark.session import get_spark
+
+# batch-heavy queries spanning the engine's hot paths: windowed
+# sessionization, grouped billing agg, global percentile sort, session
+# windows, banded minhash/simhash joins, adaptive-LSH embedding dedup
+QUERIES = (
+    "q01_billing_invoice",
+    "q04_state_intervals",
+    "q24_distribution_stats",
+    "q28_gap_sessions",
+    "q35_minhash_near_dups",
+    "q37_simhash_near_dups",
+    "q40_embedding_near_dups",
+    "q40_adaptive",
+)
+
+
+def _q40_adaptive(spark, sf_dir):
+    """q40's operator with the adaptive-width default (n_planes=None)
+    instead of the oracle-pinned 8 planes — the scale-path contrast for
+    the fixed-width hazard VERDICT.md flagged."""
+    from openstack_billing_from_db_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+    from openstack_billing_from_db_spark.sources.tables import load_table
+
+    return embedding_near_duplicates(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35, dims=64
+    )
+
+
+def run_scale(spark, queries, sf_dir: str) -> dict[str, float]:
+    times = {}
+    for name in QUERIES:
+        fn = _q40_adaptive if name == "q40_adaptive" else queries[name]
+        fn(spark, sf_dir).count()  # warm: JIT + file listing + cache fill
+        release_operator_caches()
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        times[name] = round(time.monotonic() - t0, 3)
+        release_operator_caches()
+        spark.catalog.clearCache()
+    return times
+
+
+def main(scaled_dir: str) -> None:
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="scaling-bench")
+    queries = all_queries()
+    # first sweep is warmup only (whole-stage-codegen JIT dominates the
+    # first execution of each plan shape and would inflate the base
+    # numbers ~3-4x); timed sweeps run on a fully warmed JVM
+    run_scale(spark, queries, base_dir)
+    base = run_scale(spark, queries, base_dir)
+    scaled = run_scale(spark, queries, scaled_dir)
+    ratios = {k: round(scaled[k] / base[k], 2) for k in base}
+    print(json.dumps({"sf": "base(sf0.1)", "queries": base}))
+    print(json.dumps({"sf": "scaled(10x)", "queries": scaled}))
+    print(json.dumps({"time_ratio_at_10x_data": ratios}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else
+         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "x10"))

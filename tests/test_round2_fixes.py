@@ -131,10 +131,10 @@ def test_minhash_exploded_matches_array_path(spark):
     assert exploded == arrays and (0, 1) in exploded
 
 
-def test_minhash_default_plan_carries_no_shingle_arrays(spark):
+def test_minhash_exploded_plan_carries_no_shingle_arrays(spark):
     docs = _near_dup_docs(spark)
     plan = (
-        dedup.minhash_near_duplicates(docs)
+        dedup.minhash_near_duplicates(docs, verify_via="exploded")
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "array_intersect" not in plan
@@ -143,6 +143,28 @@ def test_minhash_default_plan_carries_no_shingle_arrays(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "array_intersect" in arr_plan
+
+
+def test_minhash_auto_picks_by_size(spark, tmp_path):
+    """auto → arrays for a small parquet-backed corpus (real file-size
+    stats), exploded when the Catalyst estimate crosses the threshold or
+    is unknown (in-memory relations report Long.MaxValue)."""
+    _near_dup_docs(spark).write.mode("overwrite").parquet(str(tmp_path / "d"))
+    small = spark.read.parquet(str(tmp_path / "d"))
+    small_plan = (
+        dedup.minhash_near_duplicates(small)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "array_intersect" in small_plan  # arrays path chosen
+
+    # unknown-size relation (createDataFrame → Long.MaxValue stats):
+    # assume big, take the narrow-row path
+    unknown = _near_dup_docs(spark)
+    unknown_plan = (
+        dedup.minhash_near_duplicates(unknown)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "array_intersect" not in unknown_plan
 
 
 # --- VERDICT: adaptive LSH width + OR-amplification -------------------------

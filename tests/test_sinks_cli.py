@@ -130,10 +130,13 @@ def test_cli_rate_override(sf_dir, tmp_path, spark):
         assert float(r[14]) == float(r[11])
 
 
-def test_cli_gated_flags_raise(sf_dir):
+def test_cli_missing_dump_file_raises(sf_dir):
+    """The dump path is implemented now (sources/mysqldump.py); a missing
+    file must fail fast with the OS error, not a silent fallback to the
+    parquet testdata path."""
     import pytest as _pytest
 
     from openstack_billing_from_db_spark.cli import main
 
-    with _pytest.raises(NotImplementedError, match="sql-dump-file"):
-        main(["--sql-dump-file", "/tmp/nova.sql", "--data-dir", sf_dir])
+    with _pytest.raises(FileNotFoundError):
+        main(["--sql-dump-file", "/nonexistent/nova.sql", "--data-dir", sf_dir])
