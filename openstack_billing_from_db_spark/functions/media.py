@@ -1,0 +1,154 @@
+"""Self-contained media codecs: uncompressed BMP and PPM(P6) images and
+PCM WAV audio, encode + decode, stdlib + numpy only.
+
+These are REAL codecs (byte-level format parsers), not stubs: the formats
+are chosen because they are fully specified, uncompressed, and decodable
+without external libraries — PIL/ffmpeg-class containers (JPEG/MP3/MP4)
+stay gated behind import-try in operators/multimodal.py. The Spark side
+wraps these in Arrow-batched mapInPandas passes (operators/multimodal.py),
+so the per-payload work here runs vectorized over numpy buffers, never
+row-at-a-time over Spark rows.
+
+Deterministic synthesizers (synth_* — payload content is a closed-form
+function of doc_id) let the encode→decode round-trip be verified by a
+SQL oracle computing the same closed form (pipeline_queries q63/q64).
+"""
+
+from __future__ import annotations
+
+import struct
+import wave
+from io import BytesIO
+
+import numpy as np
+
+# --- BMP (Windows BITMAPINFOHEADER, 24-bit BI_RGB) ---------------------------
+
+_BMP_HEADER_SIZE = 14 + 40  # BITMAPFILEHEADER + BITMAPINFOHEADER
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """RGB uint8 array (height, width, 3) → 24-bit uncompressed BMP.
+    Rows are stored bottom-up in BGR order, padded to 4-byte stride."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_bmp expects uint8 (h, w, 3) RGB")
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # flip rows, RGB→BGR
+    file_size = _BMP_HEADER_SIZE + body.size
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, _BMP_HEADER_SIZE)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, body.size, 2835, 2835, 0, 0)
+    return header + dib + body.tobytes()
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
+    """24-bit uncompressed BMP → (width, height, RGB uint8 array)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_offset,) = struct.unpack_from("<I", data, 10)
+    dib_size, w, h, _planes, bpp, compression = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, np.uint8, count=h * stride, offset=pixel_offset)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return w, h, rows[:, :, ::-1]  # BGR→RGB
+
+
+# --- PPM (P6 binary) ---------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_ppm expects uint8 (h, w, 3) RGB")
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Binary P6 PPM → (width, height, RGB uint8 array). Handles comment
+    lines and arbitrary whitespace between header tokens, per the spec."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    return w, h, np.frombuffer(data, np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
+
+
+# --- WAV (PCM, via the stdlib wave module) -----------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, channels: int = 1) -> bytes:
+    """int16 PCM samples (frames,) or (frames, channels) → RIFF/WAV."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 PCM")
+    buf = BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(channels)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAV → (channels, sample_rate, int16 array shaped (frames, channels))."""
+    with wave.open(BytesIO(data), "rb") as wv:
+        channels, sampwidth, rate = wv.getnchannels(), wv.getsampwidth(), wv.getframerate()
+        if sampwidth != 2:
+            raise ValueError("only 16-bit PCM supported")
+        frames = np.frombuffer(wv.readframes(wv.getnframes()), np.int16)
+    return channels, rate, frames.reshape(-1, channels)
+
+
+# --- resize (nearest neighbor, pure numpy) -----------------------------------
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resample: output pixel (i,j) reads the source pixel
+    at floor((i+.5)·h/out_h), floor((j+.5)·w/out_w) — the standard
+    center-aligned mapping."""
+    h, w = pixels.shape[:2]
+    rows = ((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64)
+    cols = ((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64)
+    return pixels[rows.clip(0, h - 1)[:, None], cols.clip(0, w - 1)[None, :]]
+
+
+# --- deterministic synthesizers (oracle-checkable payloads) ------------------
+
+WAV_SAMPLE_RATE = 8000
+
+
+def synth_image_pixels(doc_id: int) -> np.ndarray:
+    """Solid-color RGB image, every parameter a closed-form fn of doc_id.
+    Width varies mod 9 so BMP row padding (stride % 4) is exercised."""
+    w, h = 8 + doc_id % 9, 4 + doc_id % 5
+    rgb = (doc_id % 256, (doc_id // 3) % 256, (doc_id // 7) % 256)
+    return np.full((h, w, 3), rgb, dtype=np.uint8)
+
+
+def synth_wav_samples(doc_id: int) -> np.ndarray:
+    """Constant-amplitude PCM block: n divisible by the 8 kHz ms-rate so
+    duration_ms is an exact integer; amplitude exact under mean/peak."""
+    n = 800 + (doc_id % 32) * 8
+    amp = (doc_id % 1000) * 16  # ≤ 15984, inside int16
+    return np.full(n, amp, dtype=np.int16)

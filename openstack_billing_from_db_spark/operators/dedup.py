@@ -28,6 +28,7 @@ from openstack_billing_from_db_spark.functions.hashing import (
     seeded_hash64,
 )
 from openstack_billing_from_db_spark.operators.caching import tracked_persist
+from openstack_billing_from_db_spark.operators.parallelism import ensure_map_parallelism
 from openstack_billing_from_db_spark.operators.text import words, word_shingles
 
 # Mersenne prime modulus for the affine minhash family: base hashes and
@@ -142,9 +143,15 @@ def minhash_near_duplicates(
     if verify_via == "auto":
         verify_via = _pick_verify_path(docs)
     n_bands = num_hashes // rows_per_band
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(words(F.col(text_col)), shingle_n).alias("shingles"),
+    # rebalance BEFORE shingling: the guard shuffles narrow raw-text rows
+    # (no-op at scale), so the md5-per-shingle map work runs cluster-wide
+    # even when the input is one parquet row group
+    src = ensure_map_parallelism(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    )
+    base = src.select(
+        "doc_id",
+        word_shingles(words(F.col("__text")), shingle_n).alias("shingles"),
     ).filter(F.size("shingles") >= 1)
 
     # distinct shingle sets, persisted: reused by both sides of the
@@ -247,9 +254,11 @@ def simhash(
 
     One explode + one groupBy(doc) — the aggregation is 32 conditional
     sums, all codegen'd. Output: (doc_id, simhash)."""
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(words(F.col(text_col))).alias("w"),
+    tok = ensure_map_parallelism(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    ).select(
+        "doc_id",
+        F.explode(words(F.col("__text"))).alias("w"),
     ).select("doc_id", seeded_hash64(F.col("w"), "sim").alias("h"))
     votes = tok.groupBy("doc_id").agg(
         *[

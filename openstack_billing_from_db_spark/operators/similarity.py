@@ -31,8 +31,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from openstack_billing_from_db_spark.functions.hashing import py_hash64
+from openstack_billing_from_db_spark.functions.hashing import py_hash64, seeded_hash64
 from openstack_billing_from_db_spark.operators.caching import tracked_persist
+from openstack_billing_from_db_spark.operators.parallelism import ensure_map_parallelism
 
 # expected vectors per bucket the adaptive default aims for: small enough
 # that the within-bucket quadratic term stays negligible, large enough
@@ -108,8 +109,10 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of every corpus vector for the first n_queries
     ids. Output: (query_id, neighbor_id, rn)."""
-    corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("e")
+    corpus = ensure_map_parallelism(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("e")
+        )
     ).withColumn("e_norm", norm(F.col("e")))
     queries = emb.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q")
@@ -150,8 +153,10 @@ def _bucketed_index(
     """Persisted LSH index: (vid, e, e_norm, table, bucket) — one row per
     vector per table. This is the reusable structure you'd materialize to
     parquet (partitioned by (table, bucket)) for a production corpus."""
-    base = emb.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e")
+    # the n_tables × n_planes hyperplane dots are the CPU-heavy map stage;
+    # guard against a single-split scan serializing them (no-op at scale)
+    base = ensure_map_parallelism(
+        emb.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e"))
     )
     tb = F.explode(
         F.array(
@@ -254,3 +259,93 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into coarse cells by
+    nearest centroid, then search only the ``n_probe`` cells nearest each
+    query. The second classic ANN family next to sign-LSH (``lsh_topk``):
+    data-adaptive cells instead of data-independent hyperplanes.
+
+    Centroids here are a deterministic hash-ranked sample of the corpus
+    (TakeOrderedAndProject — per-partition top-k, no global sort), which
+    keeps the whole operator reproducible and SQL-expressible (q65's
+    DuckDB oracle re-derives cells and probes exactly). Production corpora
+    would train them with k-means (pyspark.ml) — the plumbing (assign →
+    probe → in-cell rank) is unchanged by centroid provenance.
+
+    Scale shape: centroids broadcast (n_centroids ≪ corpus); assignment is
+    one map-side scoring pass + a partial-agg argmax (one narrow shuffle
+    keyed on vid); candidate scoring joins the cell-keyed index against
+    the broadcast probe set — the per-query work is n_probe cells, not the
+    corpus. ``n_probe == n_centroids`` degrades to exact brute force
+    (pinned by tests).
+    """
+    corpus = ensure_map_parallelism(
+        emb.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e"))
+    ).withColumn("e_norm", norm(F.col("e")))
+
+    cents = F.broadcast(
+        corpus.orderBy(
+            seeded_hash64(F.col("vid").cast("string"), "ivf"), F.col("vid")
+        )
+        .limit(n_centroids)
+        .select(
+            F.col("vid").alias("cid"),
+            F.col("e").alias("c"),
+            F.col("e_norm").alias("c_norm"),
+        )
+    )
+
+    # nearest-centroid assignment: broadcast cross-score then argmax via
+    # min(struct(-cos, cid)) — partial-aggregates map-side, so the one
+    # shuffle carries n_centroids-fold reduced rows
+    cos_c = dot(F.col("e"), F.col("c")) / (F.col("e_norm") * F.col("c_norm"))
+    index = tracked_persist(
+        corpus.join(cents)
+        .select("vid", "e", "e_norm", F.col("cid"), (-cos_c).alias("negcos"))
+        .groupBy("vid")
+        .agg(
+            F.min(F.struct("negcos", "cid")).alias("m"),
+            F.first("e").alias("e"),
+            F.first("e_norm").alias("e_norm"),
+        )
+        .select("vid", "e", "e_norm", F.col("m.cid").alias("cid"))
+    )
+
+    queries = corpus.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"),
+        F.col("e").alias("q"),
+        F.col("e_norm").alias("q_norm"),
+    )
+    cos_qc = dot(F.col("q"), F.col("c")) / (F.col("q_norm") * F.col("c_norm"))
+    wp = Window.partitionBy("query_id").orderBy(F.col("qc_cos").desc(), F.col("cid"))
+    probed = (
+        queries.join(cents)
+        .select("query_id", "q", "q_norm", "cid", cos_qc.alias("qc_cos"))
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "q", "q_norm", "cid")
+    )
+
+    cand = index.join(F.broadcast(probed), "cid").filter(
+        F.col("vid") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        (dot(F.col("e"), F.col("q")) / (F.col("e_norm") * F.col("q_norm"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.select(
+        "query_id", "neighbor_id", F.row_number().over(w).cast("long").alias("rn")
+    ).filter(F.col("rn") <= k)

@@ -8,7 +8,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from openstack_billing_from_db_spark.functions.hashing import portable_hash64_sql
+from openstack_billing_from_db_spark.functions.hashing import (
+    portable_hash64_sql,
+    seeded_hash64_sql,
+)
 from openstack_billing_from_db_spark.operators import dedup, multimodal, similarity, text
 from openstack_billing_from_db_spark.registry import register
 from openstack_billing_from_db_spark.sources.tables import load_table
@@ -338,6 +341,61 @@ def q39_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_HASH = seeded_hash64_sql("CAST(vid AS VARCHAR)", "ivf")
+
+
+@register(
+    "q65_ivf_ann",
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS e,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS e_norm
+  FROM embeddings
+),
+cents AS (
+  SELECT vid AS cid, e AS c, e_norm AS c_norm
+  FROM corpus ORDER BY {_IVF_HASH}, vid LIMIT 16
+),
+assign AS (
+  SELECT vid, e, e_norm, cid,
+         row_number() OVER (
+           PARTITION BY vid
+           ORDER BY list_inner_product(e, c) / (e_norm * c_norm) DESC, cid
+         ) AS arn
+  FROM corpus CROSS JOIN cents
+),
+idx AS (SELECT vid, e, e_norm, cid FROM assign WHERE arn = 1),
+probed AS (
+  SELECT query_id, q, q_norm, cid FROM (
+    SELECT vid AS query_id, e AS q, e_norm AS q_norm, cid,
+           row_number() OVER (
+             PARTITION BY vid
+             ORDER BY list_inner_product(e, c) / (e_norm * c_norm) DESC, cid
+           ) AS prn
+    FROM corpus CROSS JOIN cents WHERE vid < 10
+  ) WHERE prn <= 4
+),
+cand AS (
+  SELECT query_id, vid AS neighbor_id,
+         list_inner_product(e, q) / (e_norm * q_norm) AS cos
+  FROM idx JOIN probed USING (cid) WHERE vid != query_id
+)
+SELECT query_id, neighbor_id, rn FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM cand
+) WHERE rn <= 5
+""",
+)
+def q65_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the data-adaptive ANN family next to q39's sign-LSH):
+    deterministic hash-sampled centroids, nearest-centroid cells, probe
+    the 4 nearest cells per query, exact rank within candidates. The
+    oracle re-derives centroid choice, cell assignment, probing, and
+    ranking from the same closed forms."""
+    return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 @register(
     "q40_embedding_near_dups",
     oracle=f"""
@@ -503,3 +561,49 @@ def q41_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal decode path; codecs themselves are stubbed)."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_payload_meta(multimodal.attach_payload(docs))
+
+
+@register(
+    "q63_image_decode",
+    oracle="""
+SELECT doc_id,
+       'image/bmp' AS mime,
+       CAST(8 + doc_id % 9 AS INTEGER) AS width,
+       CAST(4 + doc_id % 5 AS INTEGER) AS height,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+       CAST((doc_id // 3) % 256 AS DOUBLE) AS mean_g,
+       CAST((doc_id // 7) % 256 AS DOUBLE) AS mean_b
+FROM documents
+""",
+)
+def q63_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode round-trip (ref has no media path; this is the
+    beyond-reference multimodal brief): per doc a genuine 24-bit BMP file
+    is encoded (dimensions/color closed-form in doc_id, row padding
+    exercised by width % 4 variation), then byte-level parsed back by the
+    numpy BMP codec inside Arrow-batched mapInPandas. The oracle computes
+    the closed form — any header/stride/channel-order bug hash-fails."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_images(multimodal.synthesize_image_payloads(docs))
+
+
+@register(
+    "q64_audio_features",
+    oracle="""
+SELECT doc_id,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(100 + doc_id % 32 AS BIGINT) AS duration_ms,
+       CAST((doc_id % 1000) * 16 AS DOUBLE) AS mean_abs,
+       CAST((doc_id % 1000) * 16 AS INTEGER) AS peak
+FROM documents
+""",
+)
+def q64_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode round-trip: 16-bit PCM WAV payloads (stdlib wave
+    encoder, sample count/amplitude closed-form in doc_id) parsed back to
+    channels/rate/duration/amplitude stats via mapInPandas. Exact-integer
+    construction (frames divisible by the ms rate, constant amplitude)
+    keeps every output column hash-exact against the SQL closed form."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_audio(multimodal.synthesize_audio_payloads(docs))

@@ -57,6 +57,9 @@ DEFERRED: tuple[str, ...] = (
     "q58_nation_revenue_share",  # window share, overlaps q29/q11
     "q61_null_semantics",  # beyond-reference; r1-green
     "q62_map_functions",  # beyond-reference; r1-green
+    "q55_weekly_cohort_retention",  # r1-green; date/window/agg covered by q23/q29/q54
+    "q56_hopping_window_counts",  # r1-green; windowed counts covered by q28/q50/q54
+    "q60_fingerprint_pandas_udf",  # r1-green; oracle-identical twin of q33 (pytest-pinned)
 )
 
 

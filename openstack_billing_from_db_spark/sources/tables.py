@@ -29,6 +29,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # oracle parity requires UTC timestamp semantics even when the caller
     # (e.g. the driver harness) built the session with another timezone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # small single-file tables otherwise scan as ONE partition, serializing
+    # every map-side stage (shingling/hashing run 1-core while 31 idle).
+    # minPartitionNum splits files at planning time — parallelism without
+    # adding an exchange, and a no-op at scale where file count ≫ cores.
+    spark.conf.set(
+        "spark.sql.files.minPartitionNum", str(spark.sparkContext.defaultParallelism)
+    )
     if name in NANO_TS_COLUMNS:
         # runtime-settable; required for TIMESTAMP(NANOS) parquet even when
         # the caller (e.g. the driver harness) built the session without it

@@ -1,0 +1,159 @@
+"""Byte-level codec tests (functions/media.py) and the Spark decode
+operators built on them (operators/multimodal.py). No Spark needed for
+the codec half — they are pure numpy parsers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from openstack_billing_from_db_spark.functions import media
+from openstack_billing_from_db_spark.operators import multimodal
+
+
+def _gradient(h: int, w: int) -> np.ndarray:
+    """Non-uniform fixture: every pixel distinct, catches row-order and
+    channel-order bugs a solid fill can't."""
+    r = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    return np.stack([r, r[::-1], (r * 7) % 256], axis=-1).astype(np.uint8)
+
+
+# --- BMP ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("w", [1, 2, 3, 4, 5, 8, 13])  # all stride paddings
+def test_bmp_round_trip_all_paddings(w):
+    px = _gradient(5, w)
+    got_w, got_h, got = media.decode_bmp(media.encode_bmp(px))
+    assert (got_w, got_h) == (w, 5)
+    np.testing.assert_array_equal(got, px)
+
+
+def test_bmp_rejects_non_bmp():
+    with pytest.raises(ValueError, match="not a BMP"):
+        media.decode_bmp(b"GIF89a...")
+
+
+def test_bmp_header_fields():
+    data = media.encode_bmp(_gradient(4, 6))
+    assert data[:2] == b"BM"
+    assert int.from_bytes(data[2:6], "little") == len(data)  # declared size
+
+
+# --- PPM ---------------------------------------------------------------------
+
+
+def test_ppm_round_trip():
+    px = _gradient(7, 3)
+    got_w, got_h, got = media.decode_ppm(media.encode_ppm(px))
+    assert (got_w, got_h) == (3, 7)
+    np.testing.assert_array_equal(got, px)
+
+
+def test_ppm_decodes_comments_and_whitespace():
+    px = _gradient(2, 2)
+    raw = b"P6 # a comment\n# another\n 2\t2 \n255\n" + px.tobytes()
+    got_w, got_h, got = media.decode_ppm(raw)
+    assert (got_w, got_h) == (2, 2)
+    np.testing.assert_array_equal(got, px)
+
+
+# --- WAV ---------------------------------------------------------------------
+
+
+def test_wav_round_trip_mono_and_stereo():
+    mono = (np.arange(100, dtype=np.int16) * 31) % 20000 - 10000
+    ch, rate, frames = media.decode_wav(media.encode_wav(mono.astype(np.int16), 8000))
+    assert (ch, rate) == (1, 8000)
+    np.testing.assert_array_equal(frames[:, 0], mono)
+
+    stereo = np.stack([mono, -mono], axis=1).astype(np.int16)
+    ch, rate, frames = media.decode_wav(
+        media.encode_wav(stereo, 44100, channels=2)
+    )
+    assert (ch, rate, frames.shape) == (2, 44100, (100, 2))
+    np.testing.assert_array_equal(frames, stereo)
+
+
+# --- resize ------------------------------------------------------------------
+
+
+def test_resize_nearest_identity_and_downsample():
+    px = _gradient(8, 8)
+    np.testing.assert_array_equal(media.resize_nearest(px, 8, 8), px)
+    half = media.resize_nearest(px, 4, 4)
+    # center-aligned nearest: output (i,j) = source (2i+1, 2j+1)
+    np.testing.assert_array_equal(half, px[1::2, 1::2])
+
+
+def test_resize_upsample_replicates():
+    px = _gradient(2, 2)
+    up = media.resize_nearest(px, 4, 4)
+    np.testing.assert_array_equal(up[:2, :2], np.full((2, 2, 3), px[0, 0]))
+
+
+# --- Spark operators ---------------------------------------------------------
+
+
+def _ids(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+@pytest.mark.parametrize("fmt,mime", [("bmp", "image/bmp"), ("ppm", "image/x-portable-pixmap")])
+def test_decode_images_round_trip(spark, fmt, mime):
+    ids = [0, 5, 17, 123, 100_000_123]
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.decode_images(
+            multimodal.synthesize_image_payloads(_ids(spark, ids), fmt=fmt)
+        ).collect()
+    }
+    for i in ids:
+        r = rows[i]
+        assert r["mime"] == mime
+        assert (r["width"], r["height"]) == (8 + i % 9, 4 + i % 5)
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
+            i % 256,
+            (i // 3) % 256,
+            (i // 7) % 256,
+        )
+
+
+def test_decode_audio_round_trip(spark):
+    ids = [0, 7, 999, 1001]
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.decode_audio(
+            multimodal.synthesize_audio_payloads(_ids(spark, ids))
+        ).collect()
+    }
+    for i in ids:
+        r = rows[i]
+        amp = (i % 1000) * 16
+        assert (r["channels"], r["sample_rate"]) == (1, media.WAV_SAMPLE_RATE)
+        assert r["duration_ms"] == 100 + i % 32
+        assert r["mean_abs"] == float(amp) and r["peak"] == amp
+
+
+def test_resize_images_produces_valid_thumbnails(spark):
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.resize_images(
+            multimodal.synthesize_image_payloads(_ids(spark, [3, 44])), 2, 3
+        ).collect()
+    }
+    for i in (3, 44):
+        w, h, px = media.decode_bmp(bytes(out[i]["payload"]))
+        assert (w, h) == (3, 2)
+        # solid-color source → every thumbnail pixel keeps the color
+        assert (px == (i % 256, (i // 3) % 256, (i // 7) % 256)).all()
+
+
+def test_decode_images_unknown_format_raises(spark):
+    df = _ids(spark, [1]).selectExpr(
+        "doc_id", "encode('definitely not an image', 'UTF-8') AS payload"
+    )
+    if multimodal._pil_available():
+        pytest.skip("PIL present: fallback would engage")
+    with pytest.raises(Exception, match="neither BMP nor PPM"):
+        multimodal.decode_images(df).collect()

@@ -104,7 +104,9 @@ def test_multimodal_meta_matches_hashlib(spark):
         assert out[i].content_hash == hashlib.md5(t.encode("utf-8")).hexdigest()
 
 
-def test_decode_images_stub_raises(spark):
+def test_decode_images_compressed_format_gate_raises(spark):
+    """BMP/PPM decode is real (test_media_codecs.py); payloads in formats
+    only PIL could handle still raise when PIL is absent."""
     docs = multimodal.attach_payload(_docs(spark, ["not an image"]))
     plan = multimodal.decode_images(docs)
     if multimodal._pil_available():

@@ -61,6 +61,8 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         "q51_streaming_state_intervals",
         "q52_streaming_dedup",
         "q60_fingerprint_pandas_udf",  # the sanctioned Arrow slow-path demo
+        "q63_image_decode",  # media codecs are genuine Python work (Arrow-batched)
+        "q64_audio_features",
     }
     for name, fn in QUERIES.items():
         if name in python_ok:

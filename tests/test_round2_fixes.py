@@ -220,3 +220,66 @@ def test_or_amplification_is_superset(spark):
     }
     assert one <= two and len(two) > len(one)
     release_operator_caches()
+
+
+# --- small-input map parallelism (PLANS.md "Small-input parallelism") --------
+
+
+def test_ensure_map_parallelism_rebalances_single_split(spark, tmp_path):
+    from openstack_billing_from_db_spark.operators.parallelism import (
+        ensure_map_parallelism,
+    )
+
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "t"))
+    one = spark.read.parquet(str(tmp_path / "t"))
+    assert one.rdd.getNumPartitions() == 1
+    fixed = ensure_map_parallelism(one)
+    assert fixed.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # explicit-number repartition: AQE must not coalesce it back down
+    assert "REPARTITION_BY_NUM" in fixed._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ensure_map_parallelism_noop_on_wide_input(spark):
+    from openstack_billing_from_db_spark.operators.parallelism import (
+        ensure_map_parallelism,
+    )
+
+    wide = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism)
+    assert ensure_map_parallelism(wide) is wide  # untouched: no exchange added
+
+
+# --- IVF ANN (q65) -----------------------------------------------------------
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """Probing every cell scores every vector: IVF degrades to the exact
+    baseline, pinning assignment/probe plumbing against dropped rows."""
+    emb = _rand_emb(spark, 300)
+    ivf = {
+        (r.query_id, r.neighbor_id, r.rn)
+        for r in similarity.ivf_topk(
+            emb, n_centroids=8, n_probe=8, n_queries=5, k=4
+        ).collect()
+    }
+    brute = {
+        (r.query_id, r.neighbor_id, r.rn)
+        for r in similarity.brute_force_topk(emb, n_queries=5, k=4).collect()
+    }
+    assert ivf == brute
+    release_operator_caches()
+
+
+def test_ivf_partial_probe_recall(spark):
+    """4-of-16 probing on random vectors: results are a subset of valid
+    neighbors and every query still fills k slots from its probed cells."""
+    emb = _rand_emb(spark, 400)
+    rows = similarity.ivf_topk(
+        emb, n_centroids=16, n_probe=4, n_queries=6, k=3
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rn)
+    assert set(by_q) == set(range(6))
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3]
+    release_operator_caches()
