@@ -76,3 +76,14 @@ def test_column_pruning_on_events_scan(spark, sf_dir):
     """q02 reads only the 3 columns it needs from the 6-column table."""
     plan = _plan(QUERIES["q02_instance_runtime"](spark, sf_dir))
     assert "ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>" in plan, plan
+
+
+def test_ivf_plan_shape(spark, sf_dir):
+    """q65: centroids picked by per-partition top-k (no global sort),
+    broadcast to the corpus; candidate join broadcasts the probed query
+    set; the query filter reaches the parquet scan."""
+    plan = _plan(QUERIES["q65_ivf_ann"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # centroid sample, not a global sort
+    assert "BroadcastHashJoin" in plan  # probed queries broadcast into the index
+    assert "LessThan(vec_id,10)" in plan  # query predicate pushed to the scan
+    assert "SortMergeJoin" not in plan  # nothing shuffles a fact-fact join
