@@ -69,3 +69,40 @@ def test_streaming_intervals_match_batch(spark, sf_dir):
         if r.end_us != TS_MAX_US  # stream holds the open tail in state
     }
     assert got == closed
+
+
+def test_windowed_counts_rocksdb_state_store(spark, sf_dir):
+    """PLANS.md claims the scale deployment flips the state store to
+    RocksDB by config alone — prove the flip works and is result-identical
+    to the default HDFS-backed provider (compared via the batch oracle)."""
+    name = f"rdb_{uuid.uuid4().hex[:8]}"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = stream_events(spark, sf_dir)
+        run_stream_to_memory(
+            windowed_event_counts(stream), name, output_mode="complete"
+        )
+    finally:
+        spark.conf.unset(key)
+
+    from openstack_billing_from_db_spark.sources.tables import load_table
+
+    got = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in spark.table(name).collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in batch.collect()
+    }
+    assert got == want
