@@ -607,3 +607,52 @@ def q64_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps every output column hash-exact against the SQL closed form."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_audio(multimodal.synthesize_audio_payloads(docs))
+
+
+# --- corpus splitting --------------------------------------------------------
+
+_SPLIT_HASH = seeded_hash64_sql("CAST(doc_id AS VARCHAR)", "split")
+
+
+@register(
+    "q66_hash_split",
+    oracle=f"""
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_W})) AS BIGINT) AS total_tokens,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM (
+  SELECT doc_id, text,
+         CASE WHEN {_SPLIT_HASH} % 100 < 80 THEN 'train'
+              WHEN {_SPLIT_HASH} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY split
+""",
+)
+def q66_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test corpus split — the reproducible-holdout
+    primitive every training pipeline needs: membership is a pure function
+    of doc_id (seeded portable hash mod 100 → 80/10/10), so the split is
+    stable across runs, machines, and engines (the oracle re-derives it),
+    and assignment is a map-side projection with zero shuffle before the
+    final per-split rollup."""
+    from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = seeded_hash64(F.col("doc_id").cast("string"), "split") % 100
+    return (
+        docs.withColumn(
+            "split",
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text.token_count(F.col("text"))).alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

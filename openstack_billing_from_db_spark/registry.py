@@ -60,6 +60,7 @@ DEFERRED: tuple[str, ...] = (
     "q55_weekly_cohort_retention",  # r1-green; date/window/agg covered by q23/q29/q54
     "q56_hopping_window_counts",  # r1-green; windowed counts covered by q28/q50/q54
     "q60_fingerprint_pandas_udf",  # r1-green; oracle-identical twin of q33 (pytest-pinned)
+    "q49_array_functions",  # r1-green; array exprs exercised by q38-q40/q62 oracles
 )
 
 
