@@ -259,3 +259,41 @@ def test_cli_invoices_from_dump(tmp_path, spark):
     # cpu1 10h×2SU @0.013 → 0.26; gpu1 24h×2SU @1.803 → 86.54
     assert any(",20,OpenStack CPU,0.013,0.26," in ln for ln in body), body
     assert any(",48,OpenStack GPUA100,1.803,86.54," in ln for ln in body), body
+
+
+# --- tokenizer fuzz: render random rows as MySQL INSERT syntax, parse back ---
+
+from hypothesis import given, settings, strategies as st
+
+from openstack_billing_from_db_spark.sources.mysqldump import iter_value_tuples
+
+
+def _render_sql_value(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    out = v.replace("\\", "\\\\").replace("'", "\\'")
+    out = out.replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
+    return f"'{out}'"
+
+
+_cell = st.one_of(
+    st.none(),
+    st.integers(-(2**62), 2**62),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), min_codepoint=1),
+        max_size=24,
+    ),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=st.lists(st.lists(_cell, min_size=1, max_size=6), min_size=1, max_size=5))
+def test_iter_value_tuples_round_trip(rows):
+    width = len(rows[0])
+    rows = [r[:width] + [None] * (width - len(r)) for r in rows]
+    text = ",".join("(" + ",".join(_render_sql_value(v) for v in r) + ")" for r in rows)
+    got = list(iter_value_tuples(text + ";"))
+    assert got == rows

@@ -157,3 +157,57 @@ def test_decode_images_unknown_format_raises(spark):
         pytest.skip("PIL present: fallback would engage")
     with pytest.raises(Exception, match="neither BMP nor PPM"):
         multimodal.decode_images(df).collect()
+
+
+# --- property-based round-trips (hypothesis) ---------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_ppm_round_trip_random(h, w, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    for enc, dec in ((media.encode_bmp, media.decode_bmp), (media.encode_ppm, media.decode_ppm)):
+        got_w, got_h, got = dec(enc(px))
+        assert (got_w, got_h) == (w, h)
+        np.testing.assert_array_equal(got, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 500),
+    channels=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_round_trip_random(n, channels, rate, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=(n, channels), dtype=np.int16)
+    got_ch, got_rate, frames = media.decode_wav(
+        media.encode_wav(samples, rate, channels=channels)
+    )
+    assert (got_ch, got_rate) == (channels, rate)
+    np.testing.assert_array_equal(frames, samples)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    oh=st.integers(1, 10),
+    ow=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_resize_output_pixels_come_from_source(h, w, oh, ow, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = media.resize_nearest(px, oh, ow)
+    assert out.shape == (oh, ow, 3)
+    src = {tuple(p) for p in px.reshape(-1, 3)}
+    assert {tuple(p) for p in out.reshape(-1, 3)} <= src
