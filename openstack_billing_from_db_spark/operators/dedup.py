@@ -167,11 +167,16 @@ def minhash_near_duplicates(
     sigs = hashed.select(
         "doc_id", *minhash_signature(F.col("sh_h"), num_hashes)
     ).select("doc_id", *minhash_bands(num_hashes, rows_per_band))
-    # slim band table — (doc_id, band, sig) only, so the LSH self-join
+    # slim band table — (doc_id, band, sig, sigvec) where sigvec is the
+    # n_bands-long signature vector (a few bigints), so the LSH self-join
     # shuffles ~n_docs×n_bands narrow rows, never the shingle arrays
     melted = tracked_persist(
-        sigs.select(
+        sigs.withColumn(
+            "sigvec", F.array(*[F.col(f"band{b}") for b in range(n_bands)])
+        )
+        .select(
             "doc_id",
+            "sigvec",
             F.explode(
                 F.array(
                     *[
@@ -182,18 +187,36 @@ def minhash_near_duplicates(
                     ]
                 )
             ).alias("bs"),
-        ).select(
-            "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        )
+        .select(
+            "doc_id",
+            "sigvec",
+            F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
         )
     )
 
-    a = melted.select("band", "sig", F.col("doc_id").alias("doc_a"))
-    b = melted.select("band", "sig", F.col("doc_id").alias("doc_b"))
+    a = melted.select(
+        "band", "sig", F.col("doc_id").alias("doc_a"), F.col("sigvec").alias("sv_a")
+    )
+    b = melted.select(
+        "band", "sig", F.col("doc_id").alias("doc_b"), F.col("sigvec").alias("sv_b")
+    )
+    # canonical-band emission: keep a collision only when no EARLIER band
+    # also collides (both signature vectors ride on the joined row, so
+    # this is a map-side test) — each candidate pair appears exactly once
+    # and the pair-distinct exchange disappears
+    first_band_only = F.lit(True)
+    for j in range(n_bands):
+        first_band_only = first_band_only & (
+            (F.col("band") <= F.lit(j))
+            | (F.col("sv_a")[j] != F.col("sv_b")[j])
+        )
     cand = (
         a.join(b, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(first_band_only)
         .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
     counts = shingle_sets.select("doc_id", "n_sh")
@@ -313,14 +336,29 @@ def simhash_near_duplicates(
 
     a = melted.select("band", "bucket", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
     b = melted.select("band", "bucket", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+
+    # canonical-band dedup: a pair colliding in m bands would otherwise be
+    # emitted m times and need a full distinct SHUFFLE over the (huge)
+    # near-dup output. Instead keep a joined row only when NO EARLIER band
+    # also matches — both fingerprints are present, so this is a map-side
+    # bit test, each pair survives exactly once, and the distinct exchange
+    # disappears from the plan (pinned by test_round2_fixes).
+    first_band_only = F.lit(True)
+    for j in range(n_bands):
+        eq_j = (
+            F.expr(f"shiftright(fp_a, {j * band_bits})").bitwiseAND(F.lit(mask))
+            == F.expr(f"shiftright(fp_b, {j * band_bits})").bitwiseAND(F.lit(mask))
+        )
+        first_band_only = first_band_only & ((F.col("band") <= F.lit(j)) | ~eq_j)
+
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(first_band_only)
         .select(
             "doc_a",
             "doc_b",
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["doc_a", "doc_b"])
     )

@@ -283,3 +283,53 @@ def test_ivf_partial_probe_recall(spark):
     for ranks in by_q.values():
         assert sorted(ranks) == [1, 2, 3]
     release_operator_caches()
+
+
+# --- simhash canonical-band dedup (no distinct exchange) ---------------------
+
+
+def test_simhash_near_dup_plan_has_no_distinct_exchange(spark):
+    """Pairs are emitted from their first matching band only — the plan
+    must contain NO aggregate-based dedup over the output pairs."""
+    docs = _near_dup_docs(spark)
+    fp = dedup.simhash(docs)
+    plan = (
+        dedup.simhash_near_duplicates(fp)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Deduplicate" not in plan and "Aggregate [doc_a" not in plan
+    release_operator_caches()
+
+
+def test_simhash_near_dup_pairs_unique_and_complete(spark):
+    """Canonical-band filter emits each qualifying pair exactly once, and
+    exactly the pairs a full join+distinct would emit."""
+    import itertools
+
+    docs = _near_dup_docs(spark)
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    rows = dedup.simhash_near_duplicates(dedup.simhash(docs)).collect()
+    got = [(r.doc_a, r.doc_b) for r in rows]
+    assert len(got) == len(set(got))  # exactly-once
+
+    mask = (1 << 8) - 1
+    want = set()
+    for a, b in itertools.combinations(sorted(fp), 2):
+        shares_band = any(
+            (fp[a] >> (k * 8)) & mask == (fp[b] >> (k * 8)) & mask for k in range(4)
+        )
+        if shares_band and bin(fp[a] ^ fp[b]).count("1") <= 4:
+            want.add((a, b))
+    assert set(got) == want
+    release_operator_caches()
+
+
+def test_minhash_candidates_have_no_distinct_exchange(spark):
+    """Candidate pairs are emitted from their first matching band only —
+    no Deduplicate/Aggregate over (doc_a, doc_b) in the plan."""
+    plan = (
+        dedup.minhash_near_duplicates(_near_dup_docs(spark), verify_via="arrays")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Deduplicate" not in plan
+    release_operator_caches()
