@@ -150,32 +150,56 @@ def _bucketed_index(
     dims: int,
     n_tables: int,
 ) -> DataFrame:
-    """Persisted LSH index: (vid, e, e_norm, table, bucket) — one row per
-    vector per table. This is the reusable structure you'd materialize to
-    parquet (partitioned by (table, bucket)) for a production corpus."""
+    """Persisted LSH index: (vid, e, e_norm, table, bucket, bucketvec) —
+    one row per vector per table; ``bucketvec`` holds the vector's bucket
+    in EVERY table so multi-table joins can dedup map-side (first-matching
+    -table emission, no distinct exchange). This is the reusable structure
+    you'd materialize to parquet (partitioned by (table, bucket)) for a
+    production corpus."""
     # the n_tables × n_planes hyperplane dots are the CPU-heavy map stage;
     # guard against a single-split scan serializing them (no-op at scale)
     base = ensure_map_parallelism(
         emb.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e"))
     )
+    bucketvec = F.array(
+        *[
+            lsh_bucket(F.col("e"), hyperplane_signs(n_planes, dims, t))
+            for t in range(n_tables)
+        ]
+    )
     tb = F.explode(
         F.array(
             *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    lsh_bucket(F.col("e"), hyperplane_signs(n_planes, dims, t)).alias(
-                        "bucket"
-                    ),
-                )
+                F.struct(F.lit(t).alias("table"), F.col("bucketvec")[t].alias("bucket"))
                 for t in range(n_tables)
             ]
         )
     )
     return tracked_persist(
         base.withColumn("e_norm", norm(F.col("e")))
+        .withColumn("bucketvec", bucketvec)
         .withColumn("tb", tb)
-        .select("vid", "e", "e_norm", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+        .select(
+            "vid",
+            "e",
+            "e_norm",
+            "bucketvec",
+            F.col("tb.table").alias("table"),
+            F.col("tb.bucket").alias("bucket"),
+        )
     )
+
+
+def _first_table_only(n_tables: int, va: str, vb: str) -> Column:
+    """True iff no table EARLIER than the joined one also collides — the
+    map-side replacement for a pair-distinct exchange in OR-amplified
+    joins (both bucket vectors are present on the joined row)."""
+    cond = F.lit(True)
+    for t in range(n_tables):
+        cond = cond & (
+            (F.col("table") <= F.lit(t)) | (F.col(va)[t] != F.col(vb)[t])
+        )
+    return cond
 
 
 def lsh_topk(
@@ -205,6 +229,7 @@ def lsh_topk(
         F.col("e").alias("q"),
         F.col("table").alias("qtable"),
         F.col("bucket").alias("qbucket"),
+        F.col("bucketvec").alias("qbucketvec"),
         F.col("e_norm").alias("q_norm"),
     )
     cand = index.join(
@@ -214,8 +239,9 @@ def lsh_topk(
         & (F.col("vid") != F.col("query_id")),
     )
     if n_tables > 1:
-        # a pair colliding in several tables must be scored once
-        cand = cand.dropDuplicates(["query_id", "vid"])
+        # a pair colliding in several tables is scored once: emitted only
+        # from its first matching table (map-side, no distinct exchange)
+        cand = cand.filter(_first_table_only(n_tables, "bucketvec", "qbucketvec"))
     scored = cand.select(
         "query_id",
         F.col("vid").alias("neighbor_id"),
@@ -246,11 +272,12 @@ def embedding_near_duplicates(
     ``adaptive_n_planes``) and optional multi-table OR-amplification."""
     n_planes = _resolve_n_planes(emb, n_planes, corpus_size)
     index = _bucketed_index(emb, id_col, vec_col, n_planes, dims, n_tables)
-    a = index.select("table", "bucket", F.col("vid").alias("vec_a"), F.col("e").alias("ea"), F.col("e_norm").alias("na"))
-    b = index.select("table", "bucket", F.col("vid").alias("vec_b"), F.col("e").alias("eb"), F.col("e_norm").alias("nb"))
+    a = index.select("table", "bucket", F.col("vid").alias("vec_a"), F.col("e").alias("ea"), F.col("e_norm").alias("na"), F.col("bucketvec").alias("bv_a"))
+    b = index.select("table", "bucket", F.col("vid").alias("vec_b"), F.col("e").alias("eb"), F.col("e_norm").alias("nb"), F.col("bucketvec").alias("bv_b"))
     pairs = a.join(b, ["table", "bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
     if n_tables > 1:
-        pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
+        # scored once per pair: first-matching-table emission, map-side
+        pairs = pairs.filter(_first_table_only(n_tables, "bv_a", "bv_b"))
     return (
         pairs.select(
             "vec_a",

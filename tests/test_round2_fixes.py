@@ -333,3 +333,16 @@ def test_minhash_candidates_have_no_distinct_exchange(spark):
     )
     assert "Deduplicate" not in plan
     release_operator_caches()
+
+
+def test_or_amplified_plans_have_no_distinct_exchange(spark):
+    emb = _rand_emb(spark, 100)
+    for df in (
+        similarity.embedding_near_duplicates(
+            emb, threshold=-1.0, n_planes=4, dims=16, n_tables=2
+        ),
+        similarity.lsh_topk(emb, n_planes=4, dims=16, n_tables=2, n_queries=3, k=2),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Deduplicate" not in plan
+    release_operator_caches()
