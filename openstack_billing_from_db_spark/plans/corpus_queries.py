@@ -1,0 +1,359 @@
+"""Round-2 corpus-pipeline registry entries: eval-set decontamination,
+PII/noise scrubbing, stratified sampling, log-free BM25-style retrieval,
+and token-budget sequence packing — the remaining operations a
+large-scale training-data pipeline runs between raw corpus and training
+batches. Each is a (Spark plan, DuckDB oracle) pair like every other
+registry entry; all math is engine-portable (integer/hash/decimal or
+single-deterministic-double-op — see registry.py header).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.functions.hashing import (
+    seeded_hash64,
+    seeded_hash64_sql,
+)
+from openstack_billing_from_db_spark.operators import sampling, text
+from openstack_billing_from_db_spark.registry import register
+from openstack_billing_from_db_spark.sources.tables import load_table
+
+# DuckDB twin of operators/text.py words()
+_W = "list_filter(string_split(trim(text), ' '), w -> w != '')"
+
+
+# --- eval-set decontamination ------------------------------------------------
+
+_DECON_N = 4  # n-gram width
+_EVAL_HASH = seeded_hash64_sql("CAST(doc_id AS VARCHAR)", "eval")
+
+
+@register(
+    "q68_decontamination",
+    oracle=f"""
+WITH wrd AS (SELECT doc_id, {_W} AS w FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, {seeded_hash64_sql("ng", "ng")} AS gh
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - {_DECON_N - 2}),
+                                 i -> array_to_string(w[i:i+{_DECON_N - 1}], ' '))) AS ng
+    FROM wrd WHERE len(w) >= {_DECON_N}
+  )
+),
+ev AS (SELECT doc_id AS eval_id, gh FROM g WHERE {_EVAL_HASH} % 20 = 0),
+tr AS (SELECT doc_id AS train_id, gh FROM g WHERE {_EVAL_HASH} % 20 != 0)
+SELECT t.train_id, e.eval_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+FROM tr t JOIN ev e ON t.gh = e.gh
+GROUP BY t.train_id, e.eval_id
+""",
+)
+def q68_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: count distinct n-grams each training
+    document shares with each held-out eval document (eval membership is
+    the q66-style seeded hash, 5% of the corpus). The join key is a
+    64-bit portable hash of the n-gram, NOT the n-gram string — the
+    shuffle carries narrow (doc_id, int64) rows whatever the document
+    length, which is what survives at 100 TB. Both engines hash
+    identically, so the oracle is exact (md5 collisions aside, which
+    would have to collide identically in both engines anyway)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                text.word_shingles(text.words(F.col("text")), _DECON_N)
+            ).alias("ng"),
+        )
+        .select("doc_id", seeded_hash64(F.col("ng"), "ng").alias("gh"))
+        .distinct()
+    )
+    is_eval = seeded_hash64(F.col("doc_id").cast("string"), "eval") % 20 == 0
+    ev = grams.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "gh")
+    tr = grams.filter(~is_eval).select(F.col("doc_id").alias("train_id"), "gh")
+    return tr.join(ev, "gh").groupBy("train_id", "eval_id").agg(
+        F.count(F.lit(1)).alias("shared_ngrams")
+    )
+
+
+# --- PII / noise scrubbing ---------------------------------------------------
+
+# conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[A-Za-z0-9./?=&_-]+"
+_NUM_RE = r"[0-9]+"
+
+# deterministic noise injected from doc_id via identical concat in both
+# engines: the corpus text itself contains no emails/URLs/digits, so the
+# scrub is exercised on realistic planted PII rather than vacuous zeros.
+_NOISY_SQL = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+    "'@example.com or https://ex', CAST(doc_id AS VARCHAR), "
+    "'.org/a?b=1 ref ', CAST(doc_id * 7919 AS VARCHAR))"
+)
+
+
+@register(
+    "q69_text_scrub",
+    oracle=f"""
+WITH noisy AS (SELECT doc_id, {_NOISY_SQL} AS t FROM documents),
+c1 AS (SELECT doc_id, t, regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM noisy),
+c2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '{_URL_RE}', '<URL>', 'g') AS t2 FROM c1)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{_URL_RE}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(t2, '{_NUM_RE}')) AS BIGINT) AS n_nums,
+       CAST(length(regexp_replace(t2, '{_NUM_RE}', '<NUM>', 'g')) AS BIGINT) AS clean_len,
+       md5(regexp_replace(t2, '{_NUM_RE}', '<NUM>', 'g')) AS clean_md5
+FROM c2
+""",
+)
+def q69_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/noise scrubbing — the standard pre-training cleaning pass
+    (emails → <EMAIL>, URLs → <URL>, digit runs → <NUM>), applied in a
+    fixed order so counts are well-defined (emails are scrubbed before
+    the URL pass, URLs before the digit pass). Pure map-side
+    regexp_replace chain, whole-stage codegen, zero shuffle; the
+    cleaned-text md5 makes the oracle sensitive to any cross-engine
+    regex-semantics drift, not just the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://ex"),
+        F.col("doc_id").cast("string"),
+        F.lit(".org/a?b=1 ref "),
+        (F.col("doc_id") * 7919).cast("string"),
+    )
+    base = docs.select("doc_id", noisy.alias("t"))
+    t1 = F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>")
+    base = base.withColumn("t1", t1)
+    t2 = F.regexp_replace(F.col("t1"), _URL_RE, "<URL>")
+    base = base.withColumn("t2", t2)
+    clean = F.regexp_replace(F.col("t2"), _NUM_RE, "<NUM>")
+    return base.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t1"), F.lit(_URL_RE)).cast("long").alias("n_urls"),
+        F.regexp_count(F.col("t2"), F.lit(_NUM_RE)).cast("long").alias("n_nums"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+# --- stratified sampling -----------------------------------------------------
+
+# per-language corpus quotas (pct): upsample high-resource strata less
+_SAMPLE_RATES = {"en": 50, "de": 25, "es": 25, "fr": 10, "zh": 10}
+
+_SAMPLE_HASH = seeded_hash64_sql("CAST(doc_id AS VARCHAR)", "sample")
+_RATE_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{s}' THEN {p}" for s, p in sorted(_SAMPLE_RATES.items())
+) + " ELSE 0 END"
+
+
+@register(
+    "q70_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_SAMPLE_HASH} % 100 < {_RATE_CASE}
+""",
+)
+def q70_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample (en 50%, de/es 25%,
+    fr/zh 10%): membership is a seeded portable hash of doc_id against a
+    per-stratum quota — reproducible on any engine/cluster layout and
+    monotone across rate configs (operators/sampling.py). Map-side
+    filter, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_hash_sample(
+        docs,
+        id_col="doc_id",
+        strata_col="lang",
+        rates=_SAMPLE_RATES,
+        seed="sample",
+    ).select("doc_id", "lang")
+
+
+# --- BM25-style lexical retrieval --------------------------------------------
+
+_BM25_TERMS = ("spark", "window", "merge")
+# e0 notation: DuckDB types bare decimal-point literals as DECIMAL, whose
+# double conversion differs from an IEEE double literal in the last ulp;
+# scientific notation forces DOUBLE and restores bit-exact parity
+_BM25_K1 = "1.2e0"
+_BM25_B_DL = "0.25e0 + 0.75e0 * (dl / avgdl)"  # (1-b) + b*dl/avgdl, b=0.75
+_BM25_TOPK = 20
+
+
+def _bm25_term_sql(t: str) -> str:
+    # identical expression tree to the Spark side: every op is a single
+    # deterministic IEEE double op (no log, no multi-term double sums)
+    return (
+        f"(((n - df_{t}) + 0.5e0) / (df_{t} + 0.5e0))"
+        f" * ((tf_{t} * 2.2e0) / (tf_{t} + {_BM25_K1} * ({_BM25_B_DL})))"
+    )
+
+
+@register(
+    "q71_bm25_topk",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         {', '.join(f"len(list_filter({_W}, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS)},
+         len({_W}) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n,
+         CAST(CAST(sum(dl) AS DECIMAL(38,0)) AS DOUBLE) / count(*) AS avgdl,
+         {', '.join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+         ({_bm25_term_sql(_BM25_TERMS[0])} + {_bm25_term_sql(_BM25_TERMS[1])})
+           + {_bm25_term_sql(_BM25_TERMS[2])} AS score
+  FROM base CROSS JOIN stats
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_TOPK}
+""",
+)
+def q71_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-style lexical top-k for a fixed term set — the retrieval
+    primitive behind quality-targeted corpus selection. The idf uses the
+    rational core of BM25's idf, (N − df + ½)/(df + ½), WITHOUT the log:
+    ln is the one libm call whose last-ulp behaviour differs across
+    engines, and since log is monotone the top-k ranking is
+    log-invariant for single-term queries and near-identical for short
+    conjunctions (production would wrap ln around the same column).
+    Everything else is BM25 verbatim (k1=1.2, b=0.75, length
+    normalization by dl/avgdl). Plan shape: one map pass for tf/dl, a
+    1-row global aggregate broadcast back, and TakeOrderedAndProject for
+    the top-k — no shuffle proportional to the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = text.words(F.col("text"))
+
+    def tf(term: str):
+        # single-parameter lambda: a second parameter would make pyspark
+        # bind the array INDEX to it (higher-order-function arity rule)
+        return F.size(F.filter(w, lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        "doc_id",
+        *[tf(t).alias(f"tf_{t}") for t in _BM25_TERMS],
+        F.size(w).alias("dl"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("dl").cast("decimal(38,0)").cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+
+    def term_score(t: str):
+        idf = ((F.col("n") - F.col(f"df_{t}")) + F.lit(0.5)) / (
+            F.col(f"df_{t}") + F.lit(0.5)
+        )
+        norm = F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl"))
+        sat = (F.col(f"tf_{t}") * F.lit(2.2)) / (
+            F.col(f"tf_{t}") + F.lit(1.2) * norm
+        )
+        return idf * sat
+
+    scored = base.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        (
+            (term_score(_BM25_TERMS[0]) + term_score(_BM25_TERMS[1]))
+            + term_score(_BM25_TERMS[2])
+        ).alias("score"),
+    )
+    from pyspark.sql.window import Window
+
+    # limit FIRST (TakeOrderedAndProject — no global sort materializes),
+    # then rank within the k survivors; identical to ranking-then-limiting
+    # because row_number follows the same (score DESC, doc_id) order
+    topk = scored.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_TOPK)
+    return topk.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .cast("long"),
+    )
+
+
+# --- token-budget sequence packing -------------------------------------------
+
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 8
+_SHARD_HASH = seeded_hash64_sql("CAST(doc_id AS VARCHAR)", "shard")
+
+
+@register(
+    "q72_sequence_pack",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_SHARD_HASH} % {_PACK_SHARDS} AS shard, len({_W}) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM toks
+)
+SELECT shard, CAST((cum_tokens - 1) // {_PACK_BUDGET} AS BIGINT) AS chunk,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+       min(doc_id) AS first_doc_id
+FROM cum
+GROUP BY shard, CAST((cum_tokens - 1) // {_PACK_BUDGET} AS BIGINT)
+""",
+)
+def q72_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — exactly how GPT-style
+    pretraining consumes documents: within a shard, documents are laid
+    end-to-end in doc_id order and the token stream is cut every
+    ``budget`` (2048) tokens; a document belongs to the chunk its last
+    token lands in. Sharding bounds the window-sort partition (the 100 TB
+    layout: hundreds of shards, each a bounded cumulative sum) and the
+    deterministic hash shard assignment reproduces on any engine. One
+    hash exchange (by shard) total."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (seeded_hash64(F.col("doc_id").cast("string"), "shard") % _PACK_SHARDS).alias(
+            "shard"
+        ),
+        F.size(text.words(F.col("text"))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    chunk = F.expr(f"(cum_tokens - 1) div {_PACK_BUDGET}")
+    return (
+        cum.withColumn("chunk", chunk)
+        .groupBy("shard", "chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("chunk_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )

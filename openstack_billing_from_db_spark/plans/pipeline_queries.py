@@ -186,10 +186,9 @@ cand AS (
 """
 
 
-@register(
-    "q35_minhash_near_dups",
-    oracle=f"""
-WITH {_MINHASH_CTES},
+# _MINHASH_CTES extended with the exact-Jaccard verify stage; shared by
+# q35 (pair emission) and q67 (transitive-closure clustering).
+_MINHASH_JACCARD_CTES = f"""{_MINHASH_CTES},
 ps AS (SELECT DISTINCT doc_id, shingle FROM sh),
 sz AS (SELECT doc_id, count(*) AS n FROM ps GROUP BY doc_id),
 inter AS (
@@ -198,13 +197,23 @@ inter AS (
   JOIN ps pa ON pa.doc_id = c.doc_a
   JOIN ps pb ON pb.doc_id = c.doc_b AND pb.shingle = pa.shingle
   GROUP BY c.doc_a, c.doc_b
+),
+jc AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.i, 0)) AS jaccard
+  FROM cand c
+  JOIN sz sa ON sa.doc_id = c.doc_a
+  JOIN sz sb ON sb.doc_id = c.doc_b
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 )
-SELECT c.doc_a, c.doc_b,
-       CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.i, 0)) AS jaccard
-FROM cand c
-JOIN sz sa ON sa.doc_id = c.doc_a
-JOIN sz sb ON sb.doc_id = c.doc_b
-LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+"""
+
+
+@register(
+    "q35_minhash_near_dups",
+    oracle=f"""
+WITH {_MINHASH_JACCARD_CTES}
+SELECT doc_a, doc_b, jaccard FROM jc
 """,
 )
 def q35_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,6 +226,46 @@ def q35_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_per_band=_ROWS_PER_BAND,
         shingle_n=_SHINGLE_N,
     )
+
+
+_CLUSTER_JACCARD = 0.5
+
+
+@register(
+    "q67_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_JACCARD_CTES},
+pairs AS (SELECT doc_a, doc_b FROM jc WHERE jaccard >= {_CLUSTER_JACCARD}),
+e AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(v, r) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.v
+)
+SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+""",
+)
+def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: MinHash pairs (Jaccard ≥ 0.5) fed
+    through distributed connected components (iterative min-label
+    propagation, operators/graph.py) — the keep-one-per-cluster step a
+    production dedup pipeline runs after pair generation. cluster_id is
+    the minimum doc_id of each component, i.e. the canonical survivor.
+    The oracle re-derives the same fixpoint as a recursive-CTE
+    transitive closure, so an off-by-one-hop propagation bug hash-fails."""
+    from openstack_billing_from_db_spark.operators import graph
+
+    pairs = dedup.minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=_NUM_HASHES,
+        rows_per_band=_ROWS_PER_BAND,
+        shingle_n=_SHINGLE_N,
+    ).filter(F.col("jaccard") >= _CLUSTER_JACCARD)
+    return graph.dedup_clusters(pairs)
 
 
 _SIMHASH_BITS = 32

@@ -1,0 +1,139 @@
+"""Unit tests for the round-2 corpus operators: connected components
+(dedup clustering), stratified hash sampling, and sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+from openstack_billing_from_db_spark.operators.sampling import (
+    stratified_hash_sample,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    return {
+        (r.vertex, r.component) for r in connected_components(df).collect()
+    }
+
+
+def test_cc_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_cc_long_chain(spark):
+    # a 12-vertex path: min label must flood the full diameter, which
+    # takes multiple propagation rounds — exercises the fixpoint loop,
+    # not just one join
+    n = 12
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert got == {(i, 0) for i in range(n + 1)}
+
+
+def test_cc_duplicate_edges_self_loops_and_reversed(spark):
+    got = _cc(spark, [(2, 1), (1, 2), (2, 2), (3, 2), (3, 2)])
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_cc_empty_edges(spark):
+    df = spark.createDataFrame([], "src bigint, dst bigint")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_clusters_canonical_is_min(spark):
+    pairs = spark.createDataFrame(
+        [(7, 3), (3, 9), (20, 21)], "doc_a bigint, doc_b bigint"
+    )
+    got = {(r.doc_id, r.cluster_id) for r in dedup_clusters(pairs).collect()}
+    assert got == {(3, 3), (7, 3), (9, 3), (20, 20), (21, 20)}
+
+
+def _sample_ids(spark, rates, seed="sample"):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = stratified_hash_sample(
+        df, id_col="doc_id", strata_col="lang", rates=rates, seed=seed
+    )
+    return {r.doc_id for r in out.collect()}
+
+
+def test_sample_deterministic_and_stratified(spark):
+    a = _sample_ids(spark, {"en": 50, "de": 20, "fr": 0})
+    b = _sample_ids(spark, {"en": 50, "de": 20, "fr": 0})
+    assert a == b  # pure function of (id, stratum, rates, seed)
+    assert all(i % 3 != 2 for i in a)  # fr rate 0 → no fr docs
+    # rate roughly honoured per stratum (hash-uniform, 100 docs/stratum)
+    en = sum(1 for i in a if i % 3 == 0)
+    de = sum(1 for i in a if i % 3 == 1)
+    assert 30 <= en <= 70 and 8 <= de <= 35
+
+
+def test_sample_monotone_in_rate(spark):
+    # shared hash ⇒ a smaller-rate sample is a subset of a larger one
+    small = _sample_ids(spark, {"en": 10, "de": 10, "fr": 10})
+    large = _sample_ids(spark, {"en": 40, "de": 40, "fr": 40})
+    assert small <= large
+
+
+def test_sample_seed_changes_membership(spark):
+    a = _sample_ids(spark, {"en": 50, "de": 50, "fr": 50}, seed="s1")
+    b = _sample_ids(spark, {"en": 50, "de": 50, "fr": 50}, seed="s2")
+    assert a != b
+
+
+def test_sequence_pack_chunks_respect_budget(spark, sf_dir):
+    """Every chunk except a shard's last must END within one document of
+    the budget boundary: the cumulative token stream is cut every 2048
+    tokens, so chunk_tokens ≥ budget − (tokens of the doc straddling the
+    boundary) and consecutive chunks within a shard are contiguous."""
+    from openstack_billing_from_db_spark.plans.corpus_queries import (
+        _PACK_BUDGET,
+        q72_sequence_pack,
+    )
+
+    rows = q72_sequence_pack(spark, sf_dir).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert by_shard, "no chunks produced"
+    for shard, chunks in by_shard.items():
+        chunks.sort(key=lambda r: r.chunk)
+        # chunk indices are dense from 0
+        assert [c.chunk for c in chunks] == list(range(len(chunks)))
+        # exact invariant: the cumulative token count at each chunk's
+        # last document lies in (chunk·B, (chunk+1)·B]
+        cum = 0
+        for c in chunks:
+            cum += c.chunk_tokens
+            assert c.chunk * _PACK_BUDGET < cum <= (c.chunk + 1) * _PACK_BUDGET
+            assert c.n_docs >= 1
+
+
+def test_bm25_prefers_term_density(spark):
+    """A short doc that is mostly query terms must outrank a long doc
+    with one occurrence (tf saturation + length normalization)."""
+    from openstack_billing_from_db_spark.plans import corpus_queries as cq
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window merge spark window merge"),
+            (2, "the " * 80 + "spark"),
+            (3, "no relevant terms at all here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = cq.q71_bm25_topk(spark, d).collect()
+    ranks = {r.doc_id: r.rank for r in out}
+    assert ranks[1] == 1
+    assert ranks[1] < ranks.get(2, 99)
+    scores = {r.doc_id: r.score for r in out}
+    assert scores.get(3, 0.0) == min(scores.values())
