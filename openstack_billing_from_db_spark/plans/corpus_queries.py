@@ -59,9 +59,14 @@ def q68_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, which is what survives at 100 TB. Both engines hash
     identically, so the oracle is exact (md5 collisions aside, which
     would have to collide identically in both engines anyway)."""
+    from openstack_billing_from_db_spark.operators.parallelism import (
+        ensure_map_parallelism,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     grams = (
-        docs.select(
+        ensure_map_parallelism(docs.select("doc_id", "text"))
+        .select(
             "doc_id",
             F.explode(
                 text.word_shingles(text.words(F.col("text")), _DECON_N)
