@@ -24,6 +24,35 @@ from openstack_billing_from_db_spark.schemas import TESTDATA_TABLES
 NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def canonical_timestamps(df: DataFrame, nano_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Canonicalize every timestamp flavor the testdata has shipped in to
+    plain TimestampType UTC instants:
+
+    - TIMESTAMP(NANOS) read as long nanos (``nano_cols``) → floor to micros
+      (identical to DuckDB's ns→us truncation);
+    - naive TIMESTAMP(MICROS), which Spark 4 reads as TIMESTAMP_NTZ → cast
+      to TIMESTAMP (wall-clock-preserving under the UTC session timezone
+      forced in ``load_table``, matching DuckDB's naive-as-UTC semantics);
+    - already-instant TIMESTAMP → unchanged.
+
+    Downstream interval math (``unix_micros``) requires TimestampType, so
+    this keeps every plan format-independent across data regenerations.
+    """
+    dtypes = dict(df.dtypes)
+    exprs = []
+    changed = False
+    for name in df.columns:
+        if name in nano_cols and dtypes[name] == "bigint":
+            exprs.append(F.timestamp_micros(F.expr(f"`{name}` div 1000")).alias(name))
+            changed = True
+        elif dtypes[name] == "timestamp_ntz":
+            exprs.append(F.col(name).cast("timestamp").alias(name))
+            changed = True
+        else:
+            exprs.append(F.col(name))
+    return df.select(*exprs) if changed else df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Parquet gives predicate pushdown + column pruning."""
     # oracle parity requires UTC timestamp semantics even when the caller
@@ -41,10 +70,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the caller (e.g. the driver harness) built the session without it
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in NANO_TS_COLUMNS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-    return df
+    return canonical_timestamps(df, NANO_TS_COLUMNS.get(name, ()))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

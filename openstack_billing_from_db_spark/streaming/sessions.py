@@ -37,21 +37,28 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet-directory stream of the events table (schema must be
-    declared for readStream). Handles the testdata's TIMESTAMP(NANOS)
-    via the same nanos→micros canonicalization as the batch source."""
+    declared for readStream). The declared schema is taken from a batch
+    scan of the same file, so whichever timestamp flavor the data ships
+    in (TIMESTAMP(NANOS)-as-long, naive micros/NTZ, or instant) streams
+    through the same canonicalization as the batch source."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # window alignment and collected timestamps are session-TZ dependent
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    nano_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    from openstack_billing_from_db_spark.sources.tables import (
+        NANO_TS_COLUMNS,
+        canonical_timestamps,
+    )
+
+    file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file-stream source requires a directory basePath; select just the
     # events table out of the sf dir with a glob filter
     raw = (
-        spark.readStream.schema(nano_schema)
+        spark.readStream.schema(file_schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return canonical_timestamps(raw, NANO_TS_COLUMNS.get("events", ()))
 
 
 def windowed_event_counts(

@@ -4,6 +4,8 @@ shape matters at 100 TB)."""
 
 from __future__ import annotations
 
+import re
+
 from openstack_billing_from_db_spark.registry import all_queries
 
 QUERIES = all_queries()
@@ -75,7 +77,11 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
 def test_column_pruning_on_events_scan(spark, sf_dir):
     """q02 reads only the 3 columns it needs from the 6-column table."""
     plan = _plan(QUERIES["q02_instance_runtime"](spark, sf_dir))
-    assert "ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>" in plan, plan
+    # ts dtype varies with how the driver regenerated the parquet
+    # (TIMESTAMP(NANOS)→bigint vs naive micros→timestamp_ntz); pruning to
+    # exactly 3 of 6 columns is the invariant.
+    m = re.search(r"ReadSchema: struct<ts:\w+,user_id:bigint,event_type:string>", plan)
+    assert m, plan
 
 
 def test_ivf_plan_shape(spark, sf_dir):
