@@ -46,10 +46,20 @@ def connected_components(
     both are harmless (self-loops propagate nothing new, duplicate
     edges only repeat a message).
     """
-    # symmetrize once: propagation below reads neighbours one-directionally
+    # symmetrize once: propagation below reads neighbours one-directionally.
+    # explode(array(fwd, rev)) reads the (possibly expensive — e.g. a full
+    # MinHash pipeline) edge input ONCE; union(sel, sel) would evaluate the
+    # upstream DAG twice inside this one materialization job.
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
     ).localCheckpoint()
 

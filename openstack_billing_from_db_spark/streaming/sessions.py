@@ -44,6 +44,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # window alignment and collected timestamps are session-TZ dependent
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # stateful operators allocate one state-store instance PER shuffle
+    # partition, fixed at stream start (no AQE coalescing in streaming) —
+    # a bare session's default 200 means 200 store setups/commits per
+    # micro-batch. Pin to actual parallelism; on a real cluster this conf
+    # is sized to executor count by the deployment, not left at default.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
     from openstack_billing_from_db_spark.sources.tables import (
         NANO_TS_COLUMNS,
         canonical_timestamps,
