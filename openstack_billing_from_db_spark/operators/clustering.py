@@ -1,0 +1,131 @@
+"""Distributed Lloyd's k-means over an embedding column — the corpus
+clustering step of a training-data pipeline (domain balancing, cluster-
+based sampling, semantic dedup cohorts).
+
+The reference has no clustering (it has no vector data at all); this is
+a beyond-reference pipeline component in the same family as the IVF
+index (operators/similarity.py), which already uses a one-shot variant
+of the assignment step.
+
+Spark shape — the MLlib pattern, expressed in DataFrame ops:
+
+- centroids live on the DRIVER (k × dims doubles — a few KB); each
+  iteration embeds them as literal arrays, so ASSIGNMENT IS A PURE MAP
+  STAGE: zero shuffle, whole-stage-codegen'd fold per centroid, corpus
+  never moves.
+- the UPDATE step is one ``groupBy(cluster)`` over k groups aggregating
+  per-dimension sums — partial (map-side) aggregation reduces each
+  partition to ≤k rows of dims doubles before the (k-row) shuffle.
+- per-iteration driver traffic is k×(dims+1) doubles, independent of
+  corpus size — the same scaling shape MLlib's KMeans uses, minus its
+  per-row black box: this plan is visible to Catalyst end to end.
+
+Determinism/oracle notes: argmin score is ``|c|² − 2⟨e,c⟩`` (the
+``|e|²`` term is constant per vector and cannot flip an argmin); dots
+fold left-to-right (bit-identical to DuckDB ``list_inner_product`` —
+see operators/similarity.py). Updated centroids are rounded half-up to
+``round_dp`` decimals on BOTH sides, absorbing the ~1e-13 float-sum
+ordering drift between Spark's partial aggregation and DuckDB's scan
+order, so every later-iteration argmin sees bit-identical centroids.
+
+Scale notes (100 TB): assignment is embarrassingly parallel and scales
+with executors; the update shuffle is k rows regardless of data size.
+The driver round-trip per iteration is the classic Lloyd's barrier —
+fine at any corpus size since the payload is k×dims. Skew is
+structurally impossible (groups are exactly k).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.operators.caching import tracked_persist
+from openstack_billing_from_db_spark.operators.parallelism import ensure_map_parallelism
+
+
+def _round_half_up(x: float, dp: int) -> float:
+    """floor(x·10^dp + 0.5)/10^dp — matches the oracle SQL formula
+    operation-for-operation (Python's ``round`` is banker's; SQL ROUND
+    dialects vary — both sides use this explicit form instead)."""
+    p = 10.0**dp
+    return math.floor(x * p + 0.5) / p
+
+
+def _dot_lit(e, c: list[float]):
+    """⟨e, c⟩ with c a literal array — left-to-right fold, map-side."""
+    arr = F.array(*[F.lit(v) for v in c])
+    return F.aggregate(
+        F.zip_with(e, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def _assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vid, cluster): nearest centroid by squared L2, ties → lowest cid.
+    array_min over (score, cid) structs — no window, no shuffle."""
+    scored = F.array(
+        *[
+            F.struct(
+                (F.lit(sum(v * v for v in c)) - 2.0 * _dot_lit(F.col("e"), c)).alias(
+                    "score"
+                ),
+                F.lit(j).cast("long").alias("cid"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return base.withColumn("cluster", F.array_min(scored)["cid"])
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Run ``n_iter`` Lloyd iterations from a deterministic seed (the k
+    lowest-id vectors) and return the final ``(vec_id, cluster_id)``
+    assignment. Empty clusters keep their previous centroid."""
+    base = tracked_persist(
+        ensure_map_parallelism(
+            emb.select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).cast("array<double>").alias("e"),
+            )
+        )
+    )
+    seed_rows = (
+        base.filter(F.col("vid") < k).orderBy("vid").select("vid", "e").collect()
+    )
+    centroids = [list(r.e) for r in seed_rows]
+    dims = len(centroids[0])
+
+    for _ in range(n_iter):
+        assigned = _assign(base, centroids)
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("e")[i]).alias(f"s{i}") for i in range(dims)],
+            )
+            .collect()
+        )
+        by_cid = {int(r.cluster): r for r in stats}
+        centroids = [
+            [
+                _round_half_up(by_cid[j][f"s{i}"] / by_cid[j]["n"], round_dp)
+                for i in range(dims)
+            ]
+            if j in by_cid
+            else centroids[j]  # empty cluster: keep previous centroid
+            for j in range(len(centroids))
+        ]
+
+    return _assign(base, centroids).select(
+        F.col("vid").alias("vec_id"), F.col("cluster").alias("cluster_id")
+    )

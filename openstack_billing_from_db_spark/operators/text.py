@@ -109,3 +109,78 @@ def word_shingles(word_arr: Column, n: int = 3) -> Column:
     return F.when(F.size(word_arr) >= n, acc).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def repetition_stats(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document n-gram repetition counters — the Gopher-style
+    repetition quality filters (Rae et al. 2021, "Scaling Language
+    Models", Table A1: top-n-gram fraction, duplicate-n-gram fraction)
+    a corpus pipeline thresholds on before training.
+
+    Integer counters per document (fractions are a trivial client-side
+    divide; integers keep the oracle hash exact):
+
+    - ``n_{bi,tri}grams``: total overlapping word 2-/3-grams;
+    - ``top_{bi,tri}gram_n``: occurrences of the most frequent one;
+    - ``dup_{bi,tri}gram_tokens``: occurrences in grams appearing >1×.
+
+    Plan shape: both gram sizes are tagged structs in ONE explode (one
+    scan, one shuffle keyed (doc, n, gram) with map-side partial
+    aggregation, then a per-doc rollup whose input is already one row
+    per distinct gram). At 100 TB the exploded stream is ≈ token count —
+    the same order as any tokenization pass — and never materializes
+    (pipelined into the partial agg)."""
+    from pyspark.sql import functions as F
+
+    w = words(F.col(text_col))
+    tagged = F.concat(
+        F.transform(
+            word_shingles(w, 2),
+            lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
+        ),
+        F.transform(
+            word_shingles(w, 3),
+            lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram")),
+        ),
+    )
+    counts = (
+        docs.select(F.col(id_col), F.explode(tagged).alias("t"))
+        .select(id_col, "t.n", "t.gram")
+        .groupBy(id_col, "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def _agg(n: int, expr, name: str):
+        return F.coalesce(
+            expr(F.when(F.col("n") == n, F.col("c"))), F.lit(0)
+        ).cast("long").alias(name)
+
+    per_doc = counts.groupBy(id_col).agg(
+        _agg(2, F.sum, "n_bigrams"),
+        _agg(2, F.max, "top_bigram_n"),
+        F.coalesce(
+            F.sum(F.when((F.col("n") == 2) & (F.col("c") > 1), F.col("c"))), F.lit(0)
+        ).cast("long").alias("dup_bigram_tokens"),
+        _agg(3, F.sum, "n_trigrams"),
+        _agg(3, F.max, "top_trigram_n"),
+        F.coalesce(
+            F.sum(F.when((F.col("n") == 3) & (F.col("c") > 1), F.col("c"))), F.lit(0)
+        ).cast("long").alias("dup_trigram_tokens"),
+    )
+    zeros = [
+        F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+        for c in (
+            "n_bigrams",
+            "top_bigram_n",
+            "dup_bigram_tokens",
+            "n_trigrams",
+            "top_trigram_n",
+            "dup_trigram_tokens",
+        )
+    ]
+    return docs.select(id_col).join(per_doc, id_col, "left").select(id_col, *zeros)

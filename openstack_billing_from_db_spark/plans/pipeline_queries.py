@@ -705,3 +705,126 @@ def q66_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# --- k-means corpus clustering ---------------------------------------------
+
+_KM_K = 8
+_KM_ITER = 2
+_KM_DP = 6
+
+
+def _kmeans_oracle(k: int = _KM_K, n_iter: int = _KM_ITER, dp: int = _KM_DP) -> str:
+    """CTE chain mirroring operators/clustering.kmeans_assign iteration
+    for iteration: assignment = argmin(|c|²−2⟨e,c⟩, tie→lowest cid) via
+    left-to-right list_inner_product folds (bit-identical to the Spark
+    fold), update = per-dimension mean rounded half-up to ``dp`` with the
+    same floor(x·10^dp+0.5)/10^dp formula the operator uses."""
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vid, cid AS cluster FROM (
+    SELECT co.vid, ce.cid, row_number() OVER (
+      PARTITION BY co.vid
+      ORDER BY list_inner_product(ce.c, ce.c) - 2 * list_inner_product(co.e, ce.c), ce.cid
+    ) AS rn
+    FROM corpus co CROSS JOIN {cents} ce
+  ) WHERE rn = 1
+)"""
+
+    blocks = [
+        "corpus AS (SELECT vid, e FROM (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings))",
+        f"c0 AS (SELECT vid AS cid, e AS c FROM corpus WHERE vid < {k})",
+    ]
+    cur = "c0"
+    for it in range(1, n_iter + 1):
+        blocks.append(assign(f"a{it}", cur))
+        blocks.append(
+            f"""u{it} AS (
+  SELECT cluster AS cid, list(v ORDER BY pos) AS c FROM (
+    SELECT cluster, pos, floor(avg(val) * 1e{dp} + 0.5) / 1e{dp} AS v
+    FROM (
+      SELECT a.cluster, unnest(co.e) AS val, generate_subscripts(co.e, 1) AS pos
+      FROM a{it} a JOIN corpus co USING (vid)
+    ) GROUP BY cluster, pos
+  ) GROUP BY cluster
+)"""
+        )
+        blocks.append(
+            f"c{it} AS (SELECT p.cid, coalesce(u.c, p.c) AS c "
+            f"FROM {cur} p LEFT JOIN u{it} u USING (cid))"
+        )
+        cur = f"c{it}"
+    blocks.append(assign("afinal", cur))
+    ctes = ",\n".join(blocks)
+    return f"""
+WITH {ctes}
+SELECT vid AS vec_id, CAST(cluster AS BIGINT) AS cluster_id FROM afinal
+"""
+
+
+@register("q73_kmeans_clusters", oracle=_kmeans_oracle())
+def q73_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 2 iterations, deterministic lowest-id seed)
+    over the embeddings table: the corpus-clustering step of a training
+    pipeline (domain balancing / cluster sampling). Assignment is a pure
+    map stage against driver-broadcast centroid literals; the update
+    shuffle is k rows of per-dimension sums (operators/clustering.py)."""
+    from openstack_billing_from_db_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"),
+        k=_KM_K,
+        n_iter=_KM_ITER,
+        round_dp=_KM_DP,
+    )
+
+
+# --- Gopher-style repetition quality counters ------------------------------
+
+
+def _gram_sql(n: int) -> str:
+    # DuckDB twin of operators/text.word_shingles(w, n): overlapping
+    # n-word grams (same pattern as the MinHash shingle CTE above)
+    return (
+        f"list_transform(range(1, len(ws) - {n - 2}), "
+        f"i -> array_to_string(ws[i:i+{n - 1}], ' '))"
+    )
+
+
+@register(
+    "q74_repetition_stats",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+g AS (
+  SELECT doc_id, 2 AS n, unnest({_gram_sql(2)}) AS gram FROM w WHERE len(ws) >= 2
+  UNION ALL
+  SELECT doc_id, 3 AS n, unnest({_gram_sql(3)}) AS gram FROM w WHERE len(ws) >= 3
+),
+c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+s AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(c) FILTER (n = 2), 0) AS BIGINT) AS n_bigrams,
+         CAST(coalesce(max(c) FILTER (n = 2), 0) AS BIGINT) AS top_bigram_n,
+         CAST(coalesce(sum(c) FILTER (n = 2 AND c > 1), 0) AS BIGINT) AS dup_bigram_tokens,
+         CAST(coalesce(sum(c) FILTER (n = 3), 0) AS BIGINT) AS n_trigrams,
+         CAST(coalesce(max(c) FILTER (n = 3), 0) AS BIGINT) AS top_trigram_n,
+         CAST(coalesce(sum(c) FILTER (n = 3 AND c > 1), 0) AS BIGINT) AS dup_trigram_tokens
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.top_bigram_n, 0) AS top_bigram_n,
+       coalesce(s.dup_bigram_tokens, 0) AS dup_bigram_tokens,
+       coalesce(s.n_trigrams, 0) AS n_trigrams,
+       coalesce(s.top_trigram_n, 0) AS top_trigram_n,
+       coalesce(s.dup_trigram_tokens, 0) AS dup_trigram_tokens
+FROM documents d LEFT JOIN s USING (doc_id)
+""",
+)
+def q74_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition counters (top-/duplicate-n-gram
+    occurrence counts for word 2- and 3-grams) per document — the
+    repetition quality filters of a pretraining corpus pipeline
+    (operators/text.repetition_stats)."""
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))

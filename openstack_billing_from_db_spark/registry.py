@@ -68,6 +68,8 @@ DEFERRED: tuple[str, ...] = (
     "q56_hopping_window_counts",  # r1-green; windowed counts covered by q28/q50/q54
     "q60_fingerprint_pandas_udf",  # r1-green; oracle-identical twin of q33 (pytest-pinned)
     "q49_array_functions",  # r1-green; array exprs exercised by q38-q40/q62 oracles
+    "q53_crossmodal_near_dups",  # r2-green; composition of in-gate q37+q40
+    "q64_audio_features",  # r2-green; media-codec twin of in-gate q63
 )
 
 

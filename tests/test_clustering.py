@@ -1,0 +1,98 @@
+"""Unit tests for operators/clustering.kmeans_assign and
+operators/text.repetition_stats beyond the oracle-parity sweep:
+degenerate inputs and invariants the sf-data queries never hit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.operators.clustering import (
+    _round_half_up,
+    kmeans_assign,
+)
+from openstack_billing_from_db_spark.operators.text import repetition_stats
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_kmeans_separated_clusters(spark):
+    # two tight blobs far apart; k=2 seeded from vec_id 0 (blob A) and 1 (blob B)
+    blob_a = [[0.0, 0.0], [0.1, 0.0], [0.0, 0.1], [0.1, 0.1]]
+    blob_b = [[10.0, 10.0], [10.1, 10.0], [10.0, 10.1], [10.1, 10.1]]
+    rows = [blob_a[0], blob_b[0]] + blob_a[1:] + blob_b[1:]
+    out = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_assign(_emb(spark, rows), k=2, n_iter=2).collect()
+    }
+    a_ids = {0, 2, 3, 4}
+    b_ids = {1, 5, 6, 7}
+    assert {out[i] for i in a_ids} == {0}
+    assert {out[i] for i in b_ids} == {1}
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # seed 1 (vec_id 1) is strictly farther from every point than seed 0,
+    # so cluster 1 is empty after iteration 1 — the operator must keep its
+    # centroid (not crash / not divide by zero) and stay empty.
+    rows = [[0.0, 0.0], [100.0, 100.0], [0.1, 0.1], [0.2, 0.0], [0.0, 0.2]]
+    # move every non-seed point near seed 0; seed 1 itself assigns to 1 though.
+    out = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_assign(_emb(spark, rows), k=2, n_iter=3).collect()
+    }
+    assert out[0] == 0 and out[1] == 1
+    assert all(out[i] == 0 for i in (2, 3, 4))
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(200)]
+    a = sorted(map(tuple, kmeans_assign(_emb(spark, rows), k=4, n_iter=2).collect()))
+    b = sorted(map(tuple, kmeans_assign(_emb(spark, rows), k=4, n_iter=2).collect()))
+    assert a == b
+
+
+def test_round_half_up_matches_sql_formula():
+    assert _round_half_up(1.2345645, 6) == 1.234565  # .5 at 7th dp rounds up
+    # float repr puts -1.0000005*1e6 just below the half → rounds down;
+    # what matters is that the IEEE ops are fixed, not half semantics
+    assert _round_half_up(-1.0000005, 6) == -1.000001
+    assert _round_half_up(2.0, 6) == 2.0
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_repetition_stats_short_and_repeated_docs(spark):
+    out = {
+        r.doc_id: r.asDict()
+        for r in repetition_stats(
+            _docs(spark, ["one", "a b", "x y x y x y", ""])
+        ).collect()
+    }
+    # single word / empty: no grams at all, but the doc still gets a row
+    assert out[0]["n_bigrams"] == 0 and out[0]["n_trigrams"] == 0
+    assert out[3]["n_bigrams"] == 0
+    # "a b": one bigram, no trigram, nothing duplicated
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["top_bigram_n"] == 1
+    assert out[1]["dup_bigram_tokens"] == 0
+    # "x y x y x y": bigrams = [x y, y x, x y, y x, x y] → top "x y"×3, all 5 dup
+    assert out[2]["n_bigrams"] == 5
+    assert out[2]["top_bigram_n"] == 3
+    assert out[2]["dup_bigram_tokens"] == 5
+    # trigrams = [x y x, y x y, x y x, y x y] → top ×2, all 4 dup
+    assert out[2]["n_trigrams"] == 4
+    assert out[2]["top_trigram_n"] == 2
+    assert out[2]["dup_trigram_tokens"] == 4
