@@ -184,3 +184,71 @@ def repetition_stats(
         )
     ]
     return docs.select(id_col).join(per_doc, id_col, "left").select(id_col, *zeros)
+
+
+def lm_quality_score(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+):
+    """Corpus-trained bigram language-model quality score — the CCNet-
+    style perplexity filter (Wenzek et al. 2020): documents whose token
+    transitions are unlikely under a model trained on the corpus itself
+    score low and get filtered/bucketed before training.
+
+    Model: add-α bigram LM. P(w₂|w₁) = (C(w₁w₂)+α) / (C(w₁·)+α·V) with
+    V = unigram vocabulary size. Emitted per document (BIGINTs for exact
+    value-hashing): ``n_bigrams`` and ``avg_logp_micro`` = the mean
+    bigram log-probability in micro-nats, rounded half-up.
+
+    Plan shape: the TRAIN pass is one explode + gram-keyed partial-agg
+    groupBy (context counts derive from the bigram counts — no second
+    pass over the text); the SCORE pass re-explodes and shuffle-joins
+    the counts back on gram key. At 100 TB the count tables are
+    themselves large — they stay distributed (hash joins on gram), and
+    Catalyst broadcasts them automatically when a small corpus makes
+    them tiny. Nothing touches Python; log/sum run in codegen."""
+    from pyspark.sql import functions as F
+
+    w = words(F.col(text_col))
+    grams = docs.select(
+        F.col(id_col), F.explode(word_shingles(w, 2)).alias("g")
+    ).withColumn("ctx", F.split(F.col("g"), " ")[0])
+
+    bg_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx_counts = grams.groupBy("ctx").agg(F.count(F.lit(1)).alias("c_ctx"))
+    vocab = docs.select(F.explode(words(F.col(text_col))).alias("u")).agg(
+        F.countDistinct("u").alias("v")
+    )
+
+    scored = (
+        grams.join(bg_counts, "g")
+        .join(ctx_counts, "ctx")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("c_bg") + F.lit(alpha))
+                / (F.col("c_ctx") + F.lit(alpha) * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.floor((F.sum("logp") / F.count(F.lit(1))) * 1e6 + F.lit(0.5))).alias(
+            "avg_logp_micro"
+        ),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("avg_logp_micro"), F.lit(0))
+            .cast("long")
+            .alias("avg_logp_micro"),
+        )
+    )

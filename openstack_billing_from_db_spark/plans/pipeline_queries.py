@@ -828,3 +828,42 @@ def q74_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition quality filters of a pretraining corpus pipeline
     (operators/text.repetition_stats)."""
     return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+# --- CCNet-style LM quality score ------------------------------------------
+
+
+@register(
+    "q76_lm_quality",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+g AS (
+  SELECT doc_id, unnest({_gram_sql(2)}) AS g FROM w WHERE len(ws) >= 2
+),
+gc AS (SELECT g, ctx, c_bg FROM (
+  SELECT g, string_split(g, ' ')[1] AS ctx, count(*) AS c_bg FROM g GROUP BY g
+  )),
+cc AS (SELECT ctx, sum(c_bg) AS c_ctx FROM gc GROUP BY ctx),
+vv AS (SELECT count(DISTINCT u) AS v FROM (SELECT unnest(ws) AS u FROM w)),
+sc AS (
+  SELECT g.doc_id,
+         ln((gc.c_bg + 1.0) / (cc.c_ctx + 1.0 * vv.v)) AS logp
+  FROM g JOIN gc USING (g) JOIN cc ON cc.ctx = gc.ctx CROSS JOIN vv
+),
+p AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(floor(sum(logp) / count(*) * 1e6 + 0.5) AS BIGINT) AS avg_logp_micro
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       coalesce(p.avg_logp_micro, 0) AS avg_logp_micro
+FROM documents d LEFT JOIN p USING (doc_id)
+""",
+)
+def q76_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-trained bigram-LM quality score (add-1
+    smoothing, mean log-prob in micro-nats) — the perplexity filter of a
+    pretraining pipeline (operators/text.lm_quality_score)."""
+    return text.lm_quality_score(load_table(spark, sf_dir, "documents"))

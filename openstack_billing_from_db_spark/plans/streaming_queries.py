@@ -111,3 +111,40 @@ def q51_streaming_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = stream_events(spark, sf_dir)
     run_stream_to_memory(streaming_state_intervals(stream, dict(TESTDATA_TRIGGERS)), name)
     return spark.table(name)
+
+
+@register(
+    "q75_stream_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 15 MINUTE
+ AND c.ts <= p.ts
+""",
+)
+def q75_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (click→purchase attribution
+    within 15 minutes) — the remaining Structured Streaming join shape:
+    two-sided event-time bounds let Spark evict join state at the
+    watermark (streaming/sessions.stream_stream_attribution). Fully
+    processed streams make the result batch-equivalent, so it carries a
+    complete value-hash oracle."""
+    from openstack_billing_from_db_spark.streaming.sessions import (
+        run_stream_to_memory,
+        stream_events,
+        stream_stream_attribution,
+    )
+
+    name = f"q75_{uuid.uuid4().hex[:8]}"
+    events = stream_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click")
+    run_stream_to_memory(stream_stream_attribution(purchases, clicks), name)
+    return spark.table(name)

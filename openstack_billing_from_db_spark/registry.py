@@ -70,6 +70,8 @@ DEFERRED: tuple[str, ...] = (
     "q49_array_functions",  # r1-green; array exprs exercised by q38-q40/q62 oracles
     "q53_crossmodal_near_dups",  # r2-green; composition of in-gate q37+q40
     "q64_audio_features",  # r2-green; media-codec twin of in-gate q63
+    "q46_top_bigrams",  # r2-green; n-gram counting in-gate via q45 + q74
+    "q36_simhash",  # r2-green; fingerprint stage consumed by in-gate q37
 )
 
 

@@ -157,3 +157,51 @@ def run_stream_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_stream_attribution(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    *,
+    attribution_window: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER JOIN with event-time bounds — the attribution
+    shape (every click within ``attribution_window`` BEFORE a same-user
+    purchase). Both sides carry watermarks and the join has a two-sided
+    time-range condition, so Spark can evict join state once the
+    watermark passes — the condition that makes an unbounded stream-
+    stream join runnable forever (state is O(window), not O(stream)).
+
+    Output columns are all BIGINT (ids + gap micros): deterministic and
+    value-hashable against the equivalent batch SQL once both streams
+    are fully processed."""
+    p = (
+        purchases.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    c = (
+        clicks.select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )

@@ -96,3 +96,17 @@ def test_repetition_stats_short_and_repeated_docs(spark):
     assert out[2]["n_trigrams"] == 4
     assert out[2]["top_trigram_n"] == 2
     assert out[2]["dup_trigram_tokens"] == 4
+
+
+def test_lm_quality_degenerate_docs(spark):
+    from openstack_billing_from_db_spark.operators.text import lm_quality_score
+
+    out = {
+        r.doc_id: r.asDict()
+        for r in lm_quality_score(_docs(spark, ["", "solo", "a b a b"])).collect()
+    }
+    assert out[0]["n_bigrams"] == 0 and out[0]["avg_logp_micro"] == 0
+    assert out[1]["n_bigrams"] == 0
+    assert out[2]["n_bigrams"] == 3
+    # probabilities are < 1 → mean log-prob strictly negative
+    assert out[2]["avg_logp_micro"] < 0

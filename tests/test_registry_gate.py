@@ -11,27 +11,22 @@ from openstack_billing_from_db_spark.registry import (
 
 GATE_SIZE = 50
 
-# no CORRECTNESS_r01 row — must be driver-checked in round 2
-ROUND1_UNCHECKED = {
-    "q36_simhash",
-    "q37_simhash_near_dups",
-    "q38_ann_topk_bruteforce",
-    "q39_ann_topk_lsh",
-    "q40_embedding_near_dups",
-    "q41_multimodal_meta",
-    "q45_term_stats",
-    "q46_top_bigrams",
-    "q50_streaming_windowed_counts",
-    "q52_streaming_dedup",
-    "q53_crossmodal_near_dups",
-    "q51_streaming_state_intervals",
+# never driver-checked yet (added round 3) — must sit inside the gate.
+# The round-1-unchecked set is retired: all 11 got green CORRECTNESS_r02
+# rows, so redundant members of it (q36/q46/q53) may now defer to make
+# room for NEW components, which always take gate priority.
+NEVER_DRIVER_CHECKED = {
+    "q73_kmeans_clusters",
+    "q74_repetition_stats",
+    "q75_stream_stream_join",
+    "q76_lm_quality",
 }
 
 
 def test_unchecked_queries_inside_gate():
     names = list(all_queries())
     gate = set(names[: GATE_SIZE])
-    missing = ROUND1_UNCHECKED - gate
+    missing = NEVER_DRIVER_CHECKED - gate
     assert not missing, f"outside the 50-entry driver gate: {sorted(missing)}"
 
 
