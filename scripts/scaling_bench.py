@@ -34,6 +34,11 @@ QUERIES = (
     "q37_simhash_near_dups",
     "q40_embedding_near_dups",
     "q40_adaptive",
+    # round-3 operators: map-side k-means assignment, gram-explode
+    # repetition counters, count-join LM scoring
+    "q73_kmeans_clusters",
+    "q74_repetition_stats",
+    "q76_lm_quality",
 )
 
 
