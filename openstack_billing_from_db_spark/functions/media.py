@@ -152,3 +152,60 @@ def synth_wav_samples(doc_id: int) -> np.ndarray:
     n = 800 + (doc_id % 32) * 8
     amp = (doc_id % 1000) * 16  # ≤ 15984, inside int16
     return np.full(n, amp, dtype=np.int16)
+
+
+# --- minimal video container (length-prefixed BMP frames) -------------------
+
+VIDEO_MAGIC = b"RVID"
+
+
+def encode_video(frames: "list[np.ndarray]") -> bytes:
+    """Toy-but-real video container: ``RVID`` magic, u32 frame count,
+    then length-prefixed 24-bit BMP frames. Every byte is produced by the
+    same BMP codec the image path uses, so frame extraction exercises a
+    genuine nested-container parse (magic → index walk → per-frame BMP
+    decode), not a stub."""
+    blobs = [encode_bmp(f) for f in frames]
+    out = [VIDEO_MAGIC, len(blobs).to_bytes(4, "little")]
+    for b in blobs:
+        out.append(len(b).to_bytes(4, "little"))
+        out.append(b)
+    return b"".join(out)
+
+
+def video_frame_count(data: bytes) -> int:
+    if data[:4] != VIDEO_MAGIC:
+        raise ValueError("not an RVID container")
+    return int.from_bytes(data[4:8], "little")
+
+
+def extract_video_frame(data: bytes, idx: int) -> "tuple[int, int, np.ndarray]":
+    """Seek to frame ``idx`` by walking the length prefixes (no decode of
+    skipped frames — the point of frame SAMPLING) and BMP-decode it."""
+    n = video_frame_count(data)
+    if not 0 <= idx < n:
+        raise IndexError(f"frame {idx} out of range 0..{n - 1}")
+    pos = 8
+    for i in range(n):
+        flen = int.from_bytes(data[pos : pos + 4], "little")
+        pos += 4
+        if i == idx:
+            return decode_bmp(data[pos : pos + flen])
+        pos += flen
+    raise ValueError("corrupt RVID index")
+
+
+def synth_video_frames(doc_id: int) -> "list[np.ndarray]":
+    """Closed-form synthetic clip: 2+id%4 constant-color frames of
+    (2+id%2)×(4+id%3) px; frame f is RGB ((id+11f)%256, (3id+5f)%256,
+    (7id+13f)%256) — every stat an oracle can recompute in SQL."""
+    n_frames = 2 + doc_id % 4
+    h, w = 2 + doc_id % 2, 4 + doc_id % 3
+    frames = []
+    for f in range(n_frames):
+        px = np.zeros((h, w, 3), np.uint8)
+        px[:, :, 0] = (doc_id + 11 * f) % 256
+        px[:, :, 1] = (doc_id * 3 + 5 * f) % 256
+        px[:, :, 2] = (doc_id * 7 + 13 * f) % 256
+        frames.append(px)
+    return frames

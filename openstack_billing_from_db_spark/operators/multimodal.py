@@ -267,3 +267,74 @@ def sample_frame_offsets(
         "frame_offsets_ms",
         F.transform(idx, lambda i: (F.col(duration_col) * i / n_frames).cast("long")),
     )
+
+
+def synthesize_video_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per doc: a real RVID container (length-prefixed BMP frames) with
+    closed-form frame count/dims/colors (functions/media.synth_video_frames)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                media.encode_video(media.synth_video_frames(int(d)))
+                for d in pdf[id_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return ensure_map_parallelism(docs.select(id_col)).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, n_frames long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def sample_video_frames(
+    df: DataFrame, payload_col: str = "payload", n_samples: int = 2
+) -> DataFrame:
+    """Frame SAMPLING over video payloads: walk the container index to
+    ``n_samples`` evenly spaced frames (idx_j = ⌊n_frames·j/n_samples⌋),
+    BMP-decode only those, and emit per-frame stats. Skipped frames are
+    never decoded — at 100 TB of video that byte-skip IS the operator
+    (decode cost ∝ sampled frames, I/O ∝ payload scan). Arrow-batched
+    mapInPandas with a declared schema, like every media path here."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(data)
+                n = media.video_frame_count(data)
+                for j in range(n_samples):
+                    idx = n * j // n_samples
+                    w, h, px = media.extract_video_frame(data, idx)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            idx,
+                            n,
+                            w,
+                            h,
+                            float(px[:, :, 0].mean()),
+                            float(px[:, :, 1].mean()),
+                            float(px[:, :, 2].mean()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "n_frames",
+                    "width",
+                    "height",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                ],
+            )
+
+    return df.mapInPandas(batches, VIDEO_FRAME_SCHEMA)

@@ -867,3 +867,29 @@ def q76_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing, mean log-prob in micro-nats) — the perplexity filter of a
     pretraining pipeline (operators/text.lm_quality_score)."""
     return text.lm_quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q77_video_frame_sample",
+    oracle="""
+SELECT doc_id,
+       CAST((2 + doc_id % 4) * j // 2 AS BIGINT) AS frame_idx,
+       CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+       CAST(4 + doc_id % 3 AS INTEGER) AS width,
+       CAST(2 + doc_id % 2 AS INTEGER) AS height,
+       CAST((doc_id + 11 * ((2 + doc_id % 4) * j // 2)) % 256 AS DOUBLE) AS mean_r,
+       CAST((doc_id * 3 + 5 * ((2 + doc_id % 4) * j // 2)) % 256 AS DOUBLE) AS mean_g,
+       CAST((doc_id * 7 + 13 * ((2 + doc_id % 4) * j // 2)) % 256 AS DOUBLE) AS mean_b
+FROM documents, range(0, 2) t(j)
+""",
+)
+def q77_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: per doc an RVID container (length-
+    prefixed BMP frames, closed-form count/dims/colors) is built, then
+    the sampler walks the index to 2 evenly spaced frames and BMP-decodes
+    ONLY those (operators/multimodal.sample_video_frames) — the decode-
+    cost-∝-sampled-frames property that matters at video scale. The
+    oracle recomputes every stat from the closed form; any index-walk or
+    stride bug hash-fails."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_video_frames(multimodal.synthesize_video_payloads(docs))

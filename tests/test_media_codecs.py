@@ -211,3 +211,45 @@ def test_resize_output_pixels_come_from_source(h, w, oh, ow, seed):
     assert out.shape == (oh, ow, 3)
     src = {tuple(p) for p in px.reshape(-1, 3)}
     assert {tuple(p) for p in out.reshape(-1, 3)} <= src
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_frames=st.integers(1, 6),
+    h=st.integers(1, 8),
+    w=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_video_container_round_trip_random(n_frames, h, w, seed):
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(n_frames)
+    ]
+    blob = media.encode_video(frames)
+    assert media.video_frame_count(blob) == n_frames
+    for i, f in enumerate(frames):
+        gw, gh, px = media.extract_video_frame(blob, i)
+        assert (gw, gh) == (w, h)
+        np.testing.assert_array_equal(px, f)
+
+
+def test_video_frame_extraction_bounds():
+    blob = media.encode_video(media.synth_video_frames(3))
+    n = media.video_frame_count(blob)
+    with pytest.raises(IndexError):
+        media.extract_video_frame(blob, n)
+    with pytest.raises(ValueError):
+        media.video_frame_count(b"XXXX\x00\x00\x00\x00")
+
+
+def test_sample_video_frames_spark(spark):
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    out = multimodal.sample_video_frames(
+        multimodal.synthesize_video_payloads(docs)
+    ).collect()
+    assert len(out) == 40  # 2 sampled frames per doc
+    for r in out:
+        assert r.n_frames == 2 + r.doc_id % 4
+        assert r.frame_idx == r.n_frames * (0 if r.frame_idx == 0 else 1) // 2
+        assert r.width == 4 + r.doc_id % 3
+        assert r.mean_r == (r.doc_id + 11 * r.frame_idx) % 256

@@ -20,6 +20,7 @@ NEVER_DRIVER_CHECKED = {
     "q74_repetition_stats",
     "q75_stream_stream_join",
     "q76_lm_quality",
+    "q77_video_frame_sample",
 }
 
 
