@@ -1,0 +1,77 @@
+"""Corpus-scale BPE merge-rule training (Sennrich et al. 2016) — the
+tokenizer-training step of an LLM data pipeline, expressed as DataFrame
+ops.
+
+The classic trainer iterates over a WORD-FREQUENCY table, not the raw
+corpus: the corpus is scanned once to build ``(word, freq)``, and every
+merge iteration then runs on vocabulary-sized data (≪ corpus; this is
+what makes trainers tractable, here and in HF tokenizers). Per merge:
+
+1. adjacent symbol pairs, frequency-weighted → one partial-agg groupBy;
+2. top pair by (count desc, pair asc) → TakeOrdered(1) to the driver;
+3. apply the merge map-side as a LEFT-TO-RIGHT NON-OVERLAPPING literal
+   string replace on the space-joined symbol string — exactly greedy BPE
+   application, and exactly what SQL ``replace`` does, so the DuckDB
+   oracle replays training verbatim.
+
+Scale notes (100 TB): the corpus scan is one shuffle (word counts); the
+iteration loop touches only the vocabulary table (persisted; typically
+10⁵-10⁷ rows at web scale — single-executor-broadcastable), and each
+merge is a groupBy + a constant-size driver fetch. Driver traffic per
+merge is ONE row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.operators.caching import tracked_persist
+from openstack_billing_from_db_spark.operators.text import words, word_shingles
+
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merge rules from the corpus. Returns a
+    tiny DataFrame of the learned rules: (merge_rank, pair, merged,
+    pair_count) — the artifact a tokenizer ships."""
+    spark = docs.sparkSession
+    vocab = tracked_persist(
+        docs.select(F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.array_join(F.split(F.col("w"), ""), " ").alias("syms"),
+        )
+    )
+
+    rules = []
+    cur = vocab
+    for rank in range(n_merges):
+        top = (
+            cur.select(
+                "freq",
+                F.explode(word_shingles(F.split(F.col("syms"), " "), 2)).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, count = top[0].pair, int(top[0].c)
+        merged = pair.replace(" ", "")
+        rules.append((rank, pair, merged, count))
+        cur = cur.select(
+            "freq", F.replace(F.col("syms"), F.lit(pair), F.lit(merged)).alias("syms")
+        )
+    return spark.createDataFrame(
+        rules, "merge_rank long, pair string, merged string, pair_count long"
+    )

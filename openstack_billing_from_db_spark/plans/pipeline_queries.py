@@ -893,3 +893,56 @@ def q77_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride bug hash-fails."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.sample_video_frames(multimodal.synthesize_video_payloads(docs))
+
+
+# --- BPE tokenizer training --------------------------------------------------
+
+_BPE_MERGES = 3
+_PAIRS = "list_transform(range(1, len(sy)), i -> sy[i] || ' ' || sy[i+1])"
+
+
+def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
+    """Replays operators/bpe.bpe_train in SQL: same vocab table, same
+    frequency-weighted pair counts, same (count desc, pair asc) top-1,
+    same left-to-right non-overlapping replace per merge."""
+    blocks = [
+        f"""v AS (
+  SELECT w, count(*) AS freq FROM (SELECT unnest({_W}) AS w FROM documents) GROUP BY w
+)""",
+        "s0 AS (SELECT freq, array_to_string(string_split(w, ''), ' ') AS syms FROM v)",
+    ]
+    outs = []
+    for r in range(n_merges):
+        blocks.extend([
+            f"""p{r} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM (
+    SELECT freq, unnest({_PAIRS}) AS pair
+    FROM (SELECT freq, string_split(syms, ' ') AS sy FROM s{r})
+  ) GROUP BY pair
+)""",
+            f"t{r} AS (SELECT pair, c FROM p{r} ORDER BY c DESC, pair LIMIT 1)",
+            f"""s{r + 1} AS (
+  SELECT freq, replace(syms, (SELECT pair FROM t{r}),
+                       replace((SELECT pair FROM t{r}), ' ', '')) AS syms
+  FROM s{r}
+)""",
+        ])
+        outs.append(
+            f"SELECT CAST({r} AS BIGINT) AS merge_rank, pair, "
+            f"replace(pair, ' ', '') AS merged, c AS pair_count FROM t{r}"
+        )
+    ctes = ",\n".join(blocks)
+    union = "\nUNION ALL\n".join(outs)
+    return f"WITH {ctes}\n{union}"
+
+
+@register("q78_bpe_train", oracle=_bpe_oracle())
+def q78_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus (3 merge rules): word-
+    frequency table once, then vocabulary-sized pair-count iterations
+    with one-row driver fetches (operators/bpe.py). The oracle replays
+    the entire training loop in SQL — a wrong tie-break, a re-merging
+    replace, or a frequency-weighting bug all hash-fail."""
+    from openstack_billing_from_db_spark.operators.bpe import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES)

@@ -110,3 +110,25 @@ def test_lm_quality_degenerate_docs(spark):
     assert out[2]["n_bigrams"] == 3
     # probabilities are < 1 → mean log-prob strictly negative
     assert out[2]["avg_logp_micro"] < 0
+
+
+def test_bpe_train_greedy_semantics(spark):
+    from openstack_billing_from_db_spark.operators.bpe import bpe_train
+
+    # "aaaa"×3: pairs of the char sequence a a a a → 'a a'×3 per word ×3
+    # docs = 9. After merging 'a a'→'aa' the sequence is 'aa aa' (greedy
+    # left-to-right, no re-overlap), so the next top pair is 'aa aa'.
+    rules = bpe_train(
+        _docs(spark, ["aaaa aaaa aaaa"]), n_merges=2
+    ).collect()
+    by_rank = {r.merge_rank: r for r in rules}
+    assert by_rank[0].pair == "a a" and by_rank[0].pair_count == 9
+    assert by_rank[1].pair == "aa aa" and by_rank[1].merged == "aaaa"
+
+
+def test_bpe_tie_breaks_lexicographic(spark):
+    from openstack_billing_from_db_spark.operators.bpe import bpe_train
+
+    # 'ab' and 'ba' each appear once → pair counts tie; 'a b' < 'b a'
+    rules = bpe_train(_docs(spark, ["ab ba"]), n_merges=1).collect()
+    assert rules[0].pair == "a b"

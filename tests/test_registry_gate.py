@@ -21,6 +21,7 @@ NEVER_DRIVER_CHECKED = {
     "q75_stream_stream_join",
     "q76_lm_quality",
     "q77_video_frame_sample",
+    "q78_bpe_train",
 }
 
 
