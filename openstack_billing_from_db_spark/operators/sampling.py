@@ -49,3 +49,58 @@ def stratified_hash_sample(
     monotone (a 10% sample is a subset of the 25% sample)."""
     bucket = seeded_hash64(F.col(id_col).cast("string"), seed) % 100
     return df.filter(bucket < stratum_rate(F.col(strata_col), rates, default_pct))
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    target_fraction: float = 0.3,
+    seed: str = "mix",
+) -> DataFrame:
+    """Temperature-based source mixing (the multinomial-smoothing step of
+    GPT-3/PaLM-style data recipes): source s gets sampling mass
+    p_s ∝ n_s^α, flattening the natural distribution toward uniform as
+    α→0, and each row is kept by the same portable hash gate the other
+    samplers use, at per-source rate
+
+        rate_s = min(1, target_fraction · N · p_s / n_s)
+
+    expressed in basis points (floor to int → engine-exact arithmetic
+    after the pow/division, shared with the oracle).
+
+    Plan shape: one partial-agg ``groupBy(source)`` for the counts (tiny
+    output), rates computed on that dimension table, then a BROADCAST
+    join back and a map-side hash filter — the corpus itself shuffles
+    zero times. Derived rates are data-dependent, which is exactly what
+    fixed-rate ``stratified_hash_sample`` cannot express."""
+    counts = df.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    totals = counts.agg(
+        F.sum("__n").alias("__total"), F.sum(F.pow("__n", F.lit(alpha))).alias("__Z")
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "__src",
+        "__n",
+        F.least(
+            F.lit(10000),
+            F.floor(
+                F.lit(target_fraction)
+                * F.col("__total")
+                * (F.pow("__n", F.lit(alpha)) / F.col("__Z"))
+                / F.col("__n")
+                * 10000
+            ),
+        )
+        .cast("long")
+        .alias("__rate_bp"),
+    )
+    bucket = seeded_hash64(F.col(id_col).cast("string"), seed) % 10000
+    return (
+        df.join(F.broadcast(rates), F.col(source_col) == F.col("__src"))
+        .filter(bucket < F.col("__rate_bp"))
+        .drop("__src", "__n", "__rate_bp")
+    )

@@ -946,3 +946,83 @@ def q78_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openstack_billing_from_db_spark.operators.bpe import bpe_train
 
     return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES)
+
+
+# --- temperature source mixing ----------------------------------------------
+
+_MIX_HASH = seeded_hash64_sql("CAST(doc_id AS VARCHAR)", "mix")
+_MIX_ALPHA = 0.5
+_MIX_FRAC = 0.3
+
+
+@register(
+    "q79_temperature_mix",
+    oracle=f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT sum(n) AS grand_n, sum(pow(n, {_MIX_ALPHA})) AS z FROM counts),
+rates AS (
+  SELECT source, n,
+         least(10000, CAST(floor(
+           {_MIX_FRAC} * tot.grand_n * (pow(n, {_MIX_ALPHA}) / tot.z) / n * 10000
+         ) AS BIGINT)) AS rate_bp
+  FROM counts CROSS JOIN tot
+),
+kept AS (
+  SELECT d.doc_id, d.source
+  FROM documents d JOIN rates r USING (source)
+  WHERE {_MIX_HASH} % 10000 < r.rate_bp
+)
+SELECT r.source,
+       CAST(r.n AS BIGINT) AS n_total,
+       r.rate_bp,
+       CAST(count(k.doc_id) AS BIGINT) AS n_sampled,
+       CAST(min(k.doc_id) AS BIGINT) AS min_doc_id
+FROM rates r LEFT JOIN kept k USING (source)
+GROUP BY r.source, r.n, r.rate_bp
+""",
+)
+def q79_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (α=0.5 multinomial smoothing, 30%
+    target): derived per-source rates from one tiny counts aggregation,
+    broadcast back, map-side hash gate — the data-recipe step fixed-rate
+    stratified sampling can't express (operators/sampling.py)."""
+    from openstack_billing_from_db_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = temperature_mixture_sample(
+        docs, id_col="doc_id", source_col="source", alpha=_MIX_ALPHA,
+        target_fraction=_MIX_FRAC,
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    totals = counts.agg(
+        F.sum("n_total").alias("grand_total"),
+        F.sum(F.pow("n_total", F.lit(_MIX_ALPHA))).alias("Z"),
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_total",
+        F.least(
+            F.lit(10000),
+            F.floor(
+                F.lit(_MIX_FRAC)
+                * F.col("grand_total")
+                * (F.pow("n_total", F.lit(_MIX_ALPHA)) / F.col("Z"))
+                / F.col("n_total")
+                * 10000
+            ),
+        )
+        .cast("long")
+        .alias("rate_bp"),
+    )
+    per_src = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("min_doc_id")
+    )
+    return rates.join(per_src, "source", "left").select(
+        "source",
+        F.col("n_total").cast("long").alias("n_total"),
+        "rate_bp",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+        F.col("min_doc_id").cast("long").alias("min_doc_id"),
+    )

@@ -74,6 +74,7 @@ DEFERRED: tuple[str, ...] = (
     "q36_simhash",  # r2-green; fingerprint stage consumed by in-gate q37
     "q45_term_stats",  # r2-green; corpus counting in-gate via q71/q74/q76
     "q63_image_decode",  # r2-green; BMP decode in-gate via q77 frame sampling
+    "q70_stratified_sample",  # r2-green; hash-gate sampling in-gate via q66 + q79
 )
 
 

@@ -132,3 +132,45 @@ def test_bpe_tie_breaks_lexicographic(spark):
     # 'ab' and 'ba' each appear once → pair counts tie; 'a b' < 'b a'
     rules = bpe_train(_docs(spark, ["ab ba"]), n_merges=1).collect()
     assert rules[0].pair == "a b"
+
+
+def test_temperature_mix_flattens_skew(spark):
+    from openstack_billing_from_db_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    # 900 docs from 'big', 100 from 'small' → with alpha=0.5 the small
+    # source's sampling RATE must exceed the big one's (flattening), and
+    # with alpha=1.0 rates are equal (natural distribution preserved).
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def rates(alpha):
+        kept = temperature_mixture_sample(
+            df, id_col="doc_id", source_col="source", alpha=alpha,
+            target_fraction=0.2,
+        )
+        counts = {r.source: r.n for r in kept.groupBy("source").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("doc_id").alias("n")
+        ).collect()}
+        return counts.get("big", 0) / 900, counts.get("small", 0) / 100
+
+    big_half, small_half = rates(0.5)
+    assert small_half > big_half  # flattened toward uniform
+    big_nat, small_nat = rates(1.0)
+    # alpha=1: both rates ≈ target_fraction; hash granularity gives ±2%
+    assert abs(big_nat - 0.2) < 0.05 and abs(small_nat - 0.2) < 0.05
+
+
+def test_temperature_mix_deterministic(spark):
+    from openstack_billing_from_db_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(r.doc_id for r in temperature_mixture_sample(
+        df, id_col="doc_id", source_col="source").collect())
+    b = sorted(r.doc_id for r in temperature_mixture_sample(
+        df, id_col="doc_id", source_col="source").collect())
+    assert a == b and len(a) > 0

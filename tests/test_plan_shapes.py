@@ -65,6 +65,8 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         "q60_fingerprint_pandas_udf",  # the sanctioned Arrow slow-path demo
         "q63_image_decode",  # media codecs are genuine Python work (Arrow-batched)
         "q64_audio_features",
+        "q75_stream_stream_join",  # streaming (memory-sink table scan)
+        "q77_video_frame_sample",  # media codec (Arrow-batched container walk)
     }
     for name, fn in QUERIES.items():
         if name in python_ok:
@@ -88,6 +90,15 @@ def test_ivf_plan_shape(spark, sf_dir):
     """q65: centroids picked by per-partition top-k (no global sort),
     broadcast to the corpus; candidate join broadcasts the probed query
     set; the query filter reaches the parquet scan."""
+    from openstack_billing_from_db_spark.operators.caching import (
+        release_operator_caches,
+    )
+
+    # earlier tests leave operator-persisted intermediates cached; an
+    # InMemoryTableScan would (correctly) swallow the pushed filter this
+    # test pins on the PARQUET scan, so assert from a cold cache
+    release_operator_caches()
+    spark.catalog.clearCache()
     plan = _plan(QUERIES["q65_ivf_ann"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # centroid sample, not a global sort
     assert "BroadcastHashJoin" in plan  # probed queries broadcast into the index

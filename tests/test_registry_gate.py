@@ -22,6 +22,7 @@ NEVER_DRIVER_CHECKED = {
     "q76_lm_quality",
     "q77_video_frame_sample",
     "q78_bpe_train",
+    "q79_temperature_mix",
 }
 
 
