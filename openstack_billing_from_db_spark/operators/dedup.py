@@ -372,3 +372,61 @@ def simhash_near_duplicates(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cross_doc_span_stats(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 8,
+):
+    """Cross-document duplicated-span statistics — the signal behind
+    substring-level exact dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a span that occurs in
+    more than one document is boilerplate/copy candidate; documents
+    dominated by such spans get cut or trimmed.
+
+    Per document (BIGINTs): ``n_spans`` (overlapping ``span_words``-word
+    windows) and ``cross_dup_spans`` (positions whose span text occurs in
+    ≥2 DISTINCT documents).
+
+    Plan shape: one explode → one span-keyed ``countDistinct(doc)``
+    groupBy (partial-aggregated; the heavy stage, keyed on span text
+    exactly like an inverted-index build) → join the per-span doc counts
+    back to the span stream → per-doc conditional count. At 100 TB this
+    is two shuffles over ≈ token-count rows — the same cost class as the
+    MinHash signature build, and embarrassingly partitionable.
+    """
+    from pyspark.sql import functions as F
+
+    from openstack_billing_from_db_spark.operators.text import words, word_shingles
+
+    spans = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(words(F.col(text_col)), span_words)).alias("span"),
+    )
+    span_docs = spans.groupBy("span").agg(
+        F.countDistinct(id_col).alias("n_docs_with_span")
+    )
+    per_doc = (
+        spans.join(span_docs, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("n_docs_with_span") > 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("cross_dup_spans"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("cross_dup_spans"), F.lit(0))
+            .cast("long")
+            .alias("cross_dup_spans"),
+        )
+    )

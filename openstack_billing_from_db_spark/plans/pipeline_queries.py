@@ -1026,3 +1026,124 @@ def q79_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
         F.col("min_doc_id").cast("long").alias("min_doc_id"),
     )
+
+
+# --- cross-document span duplication (substring-dedup signal) ---------------
+
+_SPAN_N = 8
+
+
+@register(
+    "q80_span_dedup",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+sp AS (
+  SELECT doc_id, unnest(
+    list_transform(range(1, len(ws) - {_SPAN_N - 2}),
+                   i -> array_to_string(ws[i:i+{_SPAN_N - 1}], ' '))
+  ) AS span
+  FROM w WHERE len(ws) >= {_SPAN_N}
+),
+sd AS (SELECT span, count(DISTINCT doc_id) AS n_docs_with_span FROM sp GROUP BY span),
+p AS (
+  SELECT sp.doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN sd.n_docs_with_span > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cross_dup_spans
+  FROM sp JOIN sd USING (span) GROUP BY sp.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.cross_dup_spans, 0) AS cross_dup_spans
+FROM documents d LEFT JOIN p USING (doc_id)
+""",
+)
+def q80_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span counts (8-word windows occurring in
+    ≥2 docs) — the substring-level exact-dedup signal (Lee et al. 2022)
+    complementing whole-doc (q34) and near-dup (q35/q37/q40) dedup
+    (operators/dedup.cross_doc_span_stats)."""
+    return dedup.cross_doc_span_stats(
+        load_table(spark, sf_dir, "documents"), span_words=_SPAN_N
+    )
+
+
+# --- composed quality filter (the keep/drop verdict) ------------------------
+
+_QF_MAX_DUP3 = 0.5  # max duplicate-trigram token fraction
+_QF_MIN_LOGP = -7_500_000  # min mean bigram log-prob, micro-nats
+_QF_MIN_WORDS = 20
+
+
+@register(
+    "q81_quality_filter",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+g3 AS (
+  SELECT doc_id, unnest({_gram_sql(3)}) AS gram FROM w WHERE len(ws) >= 3
+),
+c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+rep AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_trigrams,
+         CAST(coalesce(sum(c) FILTER (c > 1), 0) AS BIGINT) AS dup_trigram_tokens
+  FROM c3 GROUP BY doc_id
+),
+g2 AS (SELECT doc_id, unnest({_gram_sql(2)}) AS g FROM w WHERE len(ws) >= 2),
+gc AS (SELECT g, string_split(g, ' ')[1] AS ctx, count(*) AS c_bg FROM g2 GROUP BY g),
+cc AS (SELECT ctx, sum(c_bg) AS c_ctx FROM gc GROUP BY ctx),
+vv AS (SELECT count(DISTINCT u) AS v FROM (SELECT unnest(ws) AS u FROM w)),
+lm AS (
+  SELECT g2.doc_id,
+         CAST(floor(sum(ln((gc.c_bg + 1.0) / (cc.c_ctx + 1.0 * vv.v))) / count(*) * 1e6 + 0.5) AS BIGINT)
+           AS avg_logp_micro
+  FROM g2 JOIN gc USING (g) JOIN cc ON cc.ctx = gc.ctx CROSS JOIN vv
+  GROUP BY g2.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(w.ws) AS BIGINT) AS n_words,
+       coalesce(rep.n_trigrams, 0) AS n_trigrams,
+       coalesce(rep.dup_trigram_tokens, 0) AS dup_trigram_tokens,
+       coalesce(lm.avg_logp_micro, 0) AS avg_logp_micro,
+       (len(w.ws) >= {_QF_MIN_WORDS}
+        AND coalesce(rep.dup_trigram_tokens, 0) <= {_QF_MAX_DUP3} * coalesce(rep.n_trigrams, 0)
+        AND coalesce(lm.avg_logp_micro, 0) >= {_QF_MIN_LOGP}) AS keep
+FROM documents d
+JOIN w ON w.doc_id = d.doc_id
+LEFT JOIN rep ON rep.doc_id = d.doc_id
+LEFT JOIN lm ON lm.doc_id = d.doc_id
+""",
+)
+def q81_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep/drop verdict a corpus pipeline actually applies:
+    length floor AND Gopher duplicate-trigram cap (q74's counters) AND
+    CCNet LM-score floor (q76's micro-nats) — assembled from the same
+    operators, with the whole composition value-hash-checked (the
+    'composed pipeline' entry that previously had no oracle)."""
+    from openstack_billing_from_db_spark.operators.text import (
+        lm_quality_score,
+        repetition_stats,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = repetition_stats(docs).select("doc_id", "n_trigrams", "dup_trigram_tokens")
+    lm = lm_quality_score(docs)
+    base = docs.select("doc_id", token_count(F.col("text")).alias("n_words"))
+    out = base.join(rep, "doc_id", "left").join(lm, "doc_id", "left")
+    keep = (
+        (F.col("n_words") >= _QF_MIN_WORDS)
+        & (
+            F.col("dup_trigram_tokens")
+            <= F.lit(_QF_MAX_DUP3) * F.col("n_trigrams")
+        )
+        & (F.col("avg_logp_micro") >= _QF_MIN_LOGP)
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_trigrams",
+        "dup_trigram_tokens",
+        "avg_logp_micro",
+        keep.alias("keep"),
+    )

@@ -75,6 +75,8 @@ DEFERRED: tuple[str, ...] = (
     "q45_term_stats",  # r2-green; corpus counting in-gate via q71/q74/q76
     "q63_image_decode",  # r2-green; BMP decode in-gate via q77 frame sampling
     "q70_stratified_sample",  # r2-green; hash-gate sampling in-gate via q66 + q79
+    "q66_hash_split",  # r2-green; seeded-hash gating in-gate via q79
+    "q30_token_stats",  # r2-green; tokenization consumed by in-gate q74/q76/q81
 )
 
 

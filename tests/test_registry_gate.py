@@ -23,6 +23,8 @@ NEVER_DRIVER_CHECKED = {
     "q77_video_frame_sample",
     "q78_bpe_train",
     "q79_temperature_mix",
+    "q80_span_dedup",
+    "q81_quality_filter",
 }
 
 
