@@ -104,3 +104,32 @@ def test_ivf_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # probed queries broadcast into the index
     assert "LessThan(vec_id,10)" in plan  # query predicate pushed to the scan
     assert "SortMergeJoin" not in plan  # nothing shuffles a fact-fact join
+
+
+def test_kmeans_assignment_is_map_side(spark, sf_dir):
+    """q73's FINAL assignment: centroid literals are in the plan (no
+    centroid join) and the only exchange is the documented small-input
+    round-robin repartition — never a hash shuffle of the corpus."""
+    from openstack_billing_from_db_spark.operators.caching import (
+        release_operator_caches,
+    )
+
+    release_operator_caches()
+    spark.catalog.clearCache()
+    plan = _plan(QUERIES["q73_kmeans_clusters"](spark, sf_dir))
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan  # centroids are literals, not a join
+
+
+def test_temperature_mix_broadcasts_rates(spark, sf_dir):
+    """q79: derived per-source rates join back via broadcast — the
+    corpus never hash-shuffles for the sampling filter."""
+    plan = _plan(QUERIES["q79_temperature_mix"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lm_quality_partial_aggregation(spark, sf_dir):
+    """q76: gram counting partial-aggregates map-side before its
+    exchange (two HashAggregates per count: partial + final)."""
+    plan = _plan(QUERIES["q76_lm_quality"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4, plan
