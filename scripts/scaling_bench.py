@@ -39,6 +39,10 @@ QUERIES = (
     "q73_kmeans_clusters",
     "q74_repetition_stats",
     "q76_lm_quality",
+    # span inverted-index build, BPE training loop, composed filter
+    "q80_span_dedup",
+    "q78_bpe_train",
+    "q81_quality_filter",
 )
 
 
