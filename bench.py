@@ -25,10 +25,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from openstack_billing_from_db_spark.registry import all_queries
+    from openstack_billing_from_db_spark.registry import STREAMING, all_queries
     from openstack_billing_from_db_spark.session import get_spark
 
-    QUERIES = all_queries()
+    # streaming queries run LAST: their state-store/worker churn
+    # measurably inflates whichever batch queries follow them
+    _all = all_queries()
+    QUERIES = {n: f for n, f in _all.items() if n not in STREAMING}
+    QUERIES.update({n: _all[n] for n in _all if n in STREAMING})
 
     spark = get_spark(app_name="bench")
 
@@ -40,7 +44,7 @@ def main() -> None:
     # state-store/worker churn perturbs the next few batch queries.
     warm_dir = "/root/testdata/sf0.001"
     for name, fn in QUERIES.items():
-        if not name.startswith("q5"):
+        if name not in STREAMING:
             try:
                 fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
             except Exception:

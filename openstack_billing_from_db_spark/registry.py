@@ -36,6 +36,19 @@ _QUERY_MODULES = (
 
 _loaded = False
 
+# Streaming queries drive a real micro-batch pipeline (state stores,
+# Python streaming workers, memory sinks). They are timed last in
+# bench.py: their worker/state churn measurably inflates whichever batch
+# queries run right after them in the same session.
+STREAMING: frozenset[str] = frozenset(
+    {
+        "q50_streaming_windowed_counts",
+        "q51_streaming_state_intervals",
+        "q52_streaming_dedup",
+        "q75_stream_stream_join",
+    }
+)
+
 # The driver's correctness gate checks only the FIRST 50 entries of
 # ``queries()`` in iteration order (observed in round 1:
 # CORRECTNESS_r01.json contains exactly the first 50 registration-order
