@@ -442,26 +442,38 @@ FROM lineitem GROUP BY l_returnflag
 )
 def q24_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median / interpolated percentile (both engines use linear
-    interpolation on the sorted values — verified bit-identical)."""
+    interpolation on the sorted values — verified bit-identical).
+
+    Scale shape: a bare ``percentile(col, p)`` buffers EVERY group value
+    in its reducer — with 3 return-flag groups that is a third of the
+    column per task at 100 TB. Instead the values are pre-aggregated to
+    ``(group, value) → count`` (map-side partial aggregation shrinks
+    each partition to its distinct values) and the weighted form
+    ``percentile(value, p, count)`` interpolates over distinct values —
+    reducer memory is bounded by per-group distinct cardinality, not
+    row count, and the result is identical (repeat-count semantics)."""
     li = load_table(spark, sf_dir, "lineitem")
-    # one percentile aggregate (one sort) serving both quantiles
-    pct = F.expr("percentile(l_extendedprice, array(0.5, 0.9))")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            pct.alias("pcts"),
-            F.min("l_extendedprice").alias("min_price"),
-            F.max("l_extendedprice").alias("max_price"),
-            F.countDistinct("l_suppkey").alias("n_suppliers"),
-        )
-        .select(
-            "l_returnflag",
-            F.col("pcts")[0].alias("med_price"),
-            F.col("pcts")[1].alias("p90_price"),
-            "min_price",
-            "max_price",
-            "n_suppliers",
-        )
+    vals = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pct = F.expr("percentile(l_extendedprice, array(0.5, 0.9), cnt)")
+    per_flag = vals.groupBy("l_returnflag").agg(
+        pct.alias("pcts"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    # countDistinct(suppkey) can't ride the (flag, price) rollup; keep it
+    # as its own partial-agged aggregation and join the 3-row results
+    nsup = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers")
+    )
+    return per_flag.join(nsup, "l_returnflag").select(
+        "l_returnflag",
+        F.col("pcts")[0].alias("med_price"),
+        F.col("pcts")[1].alias("p90_price"),
+        "min_price",
+        "max_price",
+        "n_suppliers",
     )
 
 
