@@ -248,3 +248,59 @@ def test_gap_sessions_out_of_order_keys_do_not_crash(spark, tmp_path):
     assert tight and all(t[0] in (1, 2) for t in tight)
     # watermark covering the disorder: exact batch equivalence
     assert run("6 hours") == batch
+
+
+def test_multibatch_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """q75's join must produce the BATCH join result even when purchases
+    and clicks arrive across 4 separate micro-batches — a purchase in
+    batch 3 must still match a click from batch 1 held in join state."""
+    from openstack_billing_from_db_spark.streaming.sessions import (
+        stream_stream_attribution,
+    )
+
+    out_dir = str(tmp_path / "events_split_join")
+    _write_time_split_files(spark, sf_dir, out_dir)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out_dir)
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = stream.filter(F.col("event_type") == "click")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(stream_stream_attribution(purchases, clicks), name)
+    got = {
+        (r.purchase_id, r.click_id, r.user_id, r.gap_us)
+        for r in spark.table(name).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = {
+        (r.purchase_id, r.click_id, r.user_id, r.gap_us)
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 15 minutes"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            F.col("p_user").alias("user_id"),
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
