@@ -148,3 +148,36 @@ def q75_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = events.filter(F.col("event_type") == "click")
     run_stream_to_memory(stream_stream_attribution(purchases, clicks), name)
     return spark.table(name)
+
+
+@register(
+    "q82_streaming_dedup_watermarked",
+    oracle="""
+SELECT event_type, count(*) AS n_distinct_events
+FROM (SELECT DISTINCT event_id, event_type FROM events)
+GROUP BY event_type
+""",
+)
+def q82_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q52's dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    evicts seen-key state once the watermark passes — the formulation an
+    unbounded 24/7 stream needs (plain dropDuplicates state grows
+    forever). Same result as q52 here because the replay fits inside the
+    watermark horizon; the operator difference is the state-lifetime
+    contract, pinned equal to q52 by pytest."""
+    name = f"q82_{uuid.uuid4().hex[:8]}"
+    from openstack_billing_from_db_spark.streaming.sessions import (
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    stream = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_distinct_events")
+    )
+    run_stream_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)

@@ -46,6 +46,7 @@ STREAMING: frozenset[str] = frozenset(
         "q51_streaming_state_intervals",
         "q52_streaming_dedup",
         "q75_stream_stream_join",
+        "q82_streaming_dedup_watermarked",
     }
 )
 
@@ -90,6 +91,8 @@ DEFERRED: tuple[str, ...] = (
     "q70_stratified_sample",  # r2-green; hash-gate sampling in-gate via q66 + q79
     "q66_hash_split",  # r2-green; seeded-hash gating in-gate via q79
     "q30_token_stats",  # r2-green; tokenization consumed by in-gate q74/q76/q81
+    "q82_streaming_dedup_watermarked",  # API variant of in-gate q52 (bounded
+    # state via dropDuplicatesWithinWatermark); pytest-pinned equal to q52
 )
 
 

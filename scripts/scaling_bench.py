@@ -75,22 +75,64 @@ def run_scale(spark, queries, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def main(scaled_dir: str) -> None:
+def _isolated_time(name: str, sf_dir: str) -> float:
+    """One (query, scale) measurement in a FRESH interpreter+JVM. In-
+    session sweeps showed 5-9x inflated ratios for late-running queries
+    (accumulated session state); isolation trades ~8s of JVM startup per
+    point for numbers that don't depend on sweep order."""
+    import subprocess
+
+    code = f"""
+import time
+from openstack_billing_from_db_spark.session import get_spark
+from openstack_billing_from_db_spark.registry import all_queries
+from openstack_billing_from_db_spark.operators.caching import release_operator_caches
+import scripts.scaling_bench as sb
+spark = get_spark(app_name='scaling-probe')
+spark.sparkContext.setLogLevel('ERROR')
+fn = sb._q40_adaptive if {name!r} == 'q40_adaptive' else all_queries()[{name!r}]
+fn(spark, {sf_dir!r}).count()
+release_operator_caches(); spark.catalog.clearCache()
+t0 = time.monotonic(); fn(spark, {sf_dir!r}).count()
+print('ISOLATED_SECONDS', round(time.monotonic() - t0, 3))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("ISOLATED_SECONDS"):
+            return float(line.split()[1])
+    raise RuntimeError(f"{name}@{sf_dir} failed:\n{out.stderr[-2000:]}")
+
+
+def main(scaled_dir: str, isolated: bool = False) -> None:
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="scaling-bench")
-    queries = all_queries()
-    # first sweep is warmup only (whole-stage-codegen JIT dominates the
-    # first execution of each plan shape and would inflate the base
-    # numbers ~3-4x); timed sweeps run on a fully warmed JVM
-    run_scale(spark, queries, base_dir)
-    base = run_scale(spark, queries, base_dir)
-    scaled = run_scale(spark, queries, scaled_dir)
+    label = os.path.basename(scaled_dir.rstrip("/"))
+    if isolated:
+        base = {n: _isolated_time(n, base_dir) for n in QUERIES}
+        scaled = {n: _isolated_time(n, scaled_dir) for n in QUERIES}
+    else:
+        spark = get_spark(app_name="scaling-bench")
+        queries = all_queries()
+        # first sweep is warmup only (whole-stage-codegen JIT dominates
+        # the first execution of each plan shape and would inflate the
+        # base numbers ~3-4x); timed sweeps run on a fully warmed JVM
+        run_scale(spark, queries, base_dir)
+        base = run_scale(spark, queries, base_dir)
+        scaled = run_scale(spark, queries, scaled_dir)
     ratios = {k: round(scaled[k] / base[k], 2) for k in base}
     print(json.dumps({"sf": "base(sf0.1)", "queries": base}))
-    print(json.dumps({"sf": "scaled(10x)", "queries": scaled}))
-    print(json.dumps({"time_ratio_at_10x_data": ratios}))
+    print(json.dumps({"sf": f"scaled({label})", "queries": scaled}))
+    print(json.dumps({f"time_ratio_at_{label}_data": ratios}))
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else
-         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "x10"))
+    args = [a for a in sys.argv[1:] if a != "--isolated"]
+    main(
+        args[0] if args else
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "x10"),
+        isolated="--isolated" in sys.argv,
+    )

@@ -304,3 +304,14 @@ def test_multibatch_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_watermarked_dedup_matches_plain_dedup(spark, sf_dir):
+    """q82 (dropDuplicatesWithinWatermark, bounded state) must equal q52
+    (unbounded dropDuplicates) when the replay fits the watermark."""
+    from openstack_billing_from_db_spark.registry import all_queries
+
+    qs = all_queries()
+    a = sorted(map(tuple, qs["q52_streaming_dedup"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, qs["q82_streaming_dedup_watermarked"](spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
