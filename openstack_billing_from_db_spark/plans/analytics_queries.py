@@ -1116,3 +1116,38 @@ def q23_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") - F.expr("INTERVAL 1 SECONDS")).alias("just_before"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
     )
+
+
+# --- q83: VARIANT semi-structured path (Spark 4 native) ----------------------
+
+
+@register(
+    "q83_variant_json",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN json_extract(props, '$.missing') IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing
+FROM events GROUP BY event_type
+""",
+)
+def q83_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of the semi-structured props column:
+    ``parse_json`` once into a variant, then typed ``variant_get`` path
+    extraction — the open-type path Spark 4 adds over from_json's rigid
+    schema (binary-encoded variant, no per-row schema inference; the
+    shredded columnar encoding is the 100 TB story). The q21/q05 JSON
+    paths keep from_json coverage; this pins the variant API against a
+    DuckDB json_extract oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.try_variant_get("v", "$.k", "long")).alias("sum_k"),
+        F.sum(
+            F.when(
+                F.try_variant_get("v", "$.missing", "string").isNull(), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("n_missing"),
+    )

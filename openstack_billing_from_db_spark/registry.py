@@ -93,6 +93,7 @@ DEFERRED: tuple[str, ...] = (
     "q30_token_stats",  # r2-green; tokenization consumed by in-gate q74/q76/q81
     "q82_streaming_dedup_watermarked",  # API variant of in-gate q52 (bounded
     # state via dropDuplicatesWithinWatermark); pytest-pinned equal to q52
+    "q33_fingerprint",  # r2-green; md5 hashing in-gate via q34, normalize via q69
 )
 
 

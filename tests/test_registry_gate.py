@@ -25,6 +25,7 @@ NEVER_DRIVER_CHECKED = {
     "q79_temperature_mix",
     "q80_span_dedup",
     "q81_quality_filter",
+    "q83_variant_json",
 }
 
 
