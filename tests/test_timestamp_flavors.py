@@ -72,3 +72,30 @@ def test_streaming_source_matches_batch_flavor(spark, tmp_path):
     )
     got = sorted(r.us for r in spark.table("flavor_probe").collect())
     assert got == _EXPECT_US
+
+
+def test_non_utc_session_timezone_is_forced_back(spark, sf_dir):
+    """A caller (or the driver harness) may hand us a session configured
+    with any timezone; interval math and oracle parity require UTC.
+    load_table forces it — timestamp-heavy results must be identical to
+    the DuckDB naive-as-UTC oracle regardless of the incoming setting."""
+    import duckdb
+
+    from openstack_billing_from_db_spark.registry import all_oracle_sql, all_queries
+
+    qs, osql = all_queries(), all_oracle_sql()
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        sdf = qs["q04_state_intervals"](spark, sf_dir)
+        got = sorted(tuple(r) for r in sdf.collect())
+        con = duckdb.connect()
+        con.execute(
+            f"create view events as select * from read_parquet('{sf_dir}/events.parquet')"
+        )
+        want = sorted(
+            tuple(r) for r in con.execute(osql["q04_state_intervals"]).fetchall()
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
