@@ -70,22 +70,25 @@ def connected_components(
     ).localCheckpoint()
 
     for _ in range(max_iter):
-        # message pass: each vertex u hears every neighbour v's label
+        # message pass: each vertex u hears every neighbour v's label.
+        # The vertex's OWN previous label rides the same union tagged
+        # is_own=1, so one aggregation yields both the new label
+        # (min over all) and the old one (min over own rows) — the
+        # convergence check costs a filter on the checkpointed result
+        # instead of a |V|⋈|V| join per iteration.
         msgs = sym.join(
             labels.withColumnRenamed("vertex", "v"), on="v"
-        ).select(F.col("u").alias("vertex"), "component")
-        new_labels = (
-            msgs.union(labels)
+        ).select(F.col("u").alias("vertex"), "component", F.lit(0).alias("is_own"))
+        grouped = (
+            msgs.union(labels.withColumn("is_own", F.lit(1)))
             .groupBy("vertex")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("is_own") == 1, F.col("component"))).alias("__old"),
+            )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="vertex")
-            .filter(F.col("n.component") < F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = grouped.filter(F.col("component") < F.col("__old")).count()
+        labels = grouped.select("vertex", "component")
         if changed == 0:
             break
     return labels

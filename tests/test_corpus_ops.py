@@ -137,3 +137,31 @@ def test_bm25_prefers_term_density(spark):
     assert ranks[1] < ranks.get(2, 99)
     scores = {r.doc_id: r.score for r in out}
     assert scores.get(3, 0.0) == min(scores.values())
+
+
+def test_connected_components_long_chain(spark):
+    """Path graph 0-1-2-...-19: worst-case diameter for min-label
+    propagation; every vertex must still converge to component 0, and
+    the loop must stop via the changed==0 check, not max_iter."""
+    from openstack_billing_from_db_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "src long, dst long"
+    )
+    got = {
+        (r.vertex, r.component) for r in connected_components(edges).collect()
+    }
+    assert got == {(i, 0) for i in range(20)}
+
+
+def test_connected_components_two_components_and_self_loops(spark):
+    from openstack_billing_from_db_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 11), (2, 2)],
+        "src long, dst long",
+    )
+    got = {
+        (r.vertex, r.component) for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
