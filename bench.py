@@ -55,6 +55,7 @@ def main() -> None:
     # intra-query persist reuse (e.g. the minhash signature table) stays,
     # but caches don't accumulate GC pressure across 45 queries.
     timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for name, fn in QUERIES.items():
         spark.catalog.clearCache()
         try:
@@ -62,21 +63,26 @@ def main() -> None:
         except Exception:
             pass
         start = time.perf_counter()
-        run(fn)
+        try:
+            run(fn)
+        except Exception as e:  # one bad query must not zero the whole
+            # round's bench signal (a single AnalysisException cost all
+            # of round 2's timings) — record it and keep measuring
+            failed[name] = f"{type(e).__name__}: {str(e)[:200]}"
+            continue
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "sum_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "sum_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
     spark.stop()
 
 
