@@ -1151,3 +1151,44 @@ def q83_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).alias("n_missing"),
     )
+
+
+# --- q84: event-time RANGE-frame trailing aggregation ------------------------
+
+
+@register(
+    "q84_trailing_window",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+)
+""",
+)
+def q84_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour RANGE frame (count + decimal sum) — the
+    event-time sliding aggregate q29's ROWS frames can't express (a
+    RANGE frame bounds by ORDER-BY VALUE distance, so ties and gaps
+    behave correctly). Spark needs a numeric order column for
+    rangeBetween: unix_micros(ts) with a ±3.6e9 µs frame — one exchange
+    on user_id, sort within, zero joins."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-hour_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing_1h"),
+    )

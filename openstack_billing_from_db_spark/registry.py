@@ -94,6 +94,7 @@ DEFERRED: tuple[str, ...] = (
     "q82_streaming_dedup_watermarked",  # API variant of in-gate q52 (bounded
     # state via dropDuplicatesWithinWatermark); pytest-pinned equal to q52
     "q33_fingerprint",  # r2-green; md5 hashing in-gate via q34, normalize via q69
+    "q15_distinct_brand_sizes",  # r1/r2-green; A1 distinct in-gate via q05
 )
 
 

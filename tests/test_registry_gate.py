@@ -26,6 +26,7 @@ NEVER_DRIVER_CHECKED = {
     "q80_span_dedup",
     "q81_quality_filter",
     "q83_variant_json",
+    "q84_trailing_window",
 }
 
 
