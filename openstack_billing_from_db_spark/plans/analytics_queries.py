@@ -1192,3 +1192,51 @@ def q84_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_trailing_1h"),
     )
+
+
+# --- q85: full outer join ----------------------------------------------------
+
+
+@register(
+    "q85_full_outer_join",
+    oracle="""
+WITH p AS (
+  SELECT user_id, count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+c AS (
+  SELECT user_id, count(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+)
+SELECT coalesce(p.user_id, c.user_id) AS user_id,
+       CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+       CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks
+FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+""",
+)
+def q85_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two per-user aggregates (users with only
+    purchases, only clicks, or both survive) — the one join type the
+    registry didn't exercise. Both sides shuffle once on user_id and the
+    join reuses that partitioning (no extra exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    j = p.withColumnRenamed("user_id", "p_user").join(
+        c.withColumnRenamed("user_id", "c_user"),
+        F.col("p_user") == F.col("c_user"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        F.coalesce(F.col("n_purchases"), F.lit(0)).cast("long").alias("n_purchases"),
+        F.coalesce(F.col("n_clicks"), F.lit(0)).cast("long").alias("n_clicks"),
+    )

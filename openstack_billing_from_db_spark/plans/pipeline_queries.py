@@ -1147,3 +1147,46 @@ def q81_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_logp_micro",
         keep.alias("keep"),
     )
+
+
+# --- q86: Python UDTF demo (sanctioned slow path, like q60's pandas UDF) ----
+
+
+@register(
+    "q86_ngram_udtf",
+    oracle=f"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams
+FROM (
+  SELECT doc_id, unnest({_gram_sql(2)}) AS g
+  FROM (SELECT doc_id, {_W} AS ws FROM documents) WHERE len(ws) >= 2
+)
+GROUP BY doc_id
+""",
+)
+def q86_ngram_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function API) emitting word bigrams
+    via LATERAL, rolled up per doc. The sanctioned-slow-path demo for
+    UDTFs — q60 plays the same role for pandas UDFs; the NATIVE
+    higher-order-function formulation (q74) is the production path, and
+    pytest pins this output identical to q74's n_bigrams column."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, gram: string")
+    class BigramUDTF:
+        def eval(self, doc_id: int, text: str):
+            ws = [w for w in (text or "").strip().split(" ") if w]
+            for a, b in zip(ws, ws[1:]):
+                yield doc_id, f"{a} {b}"
+
+    import uuid as _uuid
+
+    fname = f"bigrams_{_uuid.uuid4().hex[:8]}"
+    spark.udtf.register(fname, BigramUDTF)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(f"docs_{fname}")
+    return spark.sql(
+        f"""
+        SELECT b.doc_id, count(*) AS n_bigrams
+        FROM docs_{fname} d, LATERAL {fname}(d.doc_id, d.text) b
+        GROUP BY b.doc_id
+        """
+    )

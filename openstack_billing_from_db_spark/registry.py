@@ -95,6 +95,8 @@ DEFERRED: tuple[str, ...] = (
     # state via dropDuplicatesWithinWatermark); pytest-pinned equal to q52
     "q33_fingerprint",  # r2-green; md5 hashing in-gate via q34, normalize via q69
     "q15_distinct_brand_sizes",  # r1/r2-green; A1 distinct in-gate via q05
+    "q86_ngram_udtf",  # UDTF slow-path demo; pytest-pinned ≡ q74 n_bigrams
+    "q54_signup_purchase_funnel",  # r1/r2-green; event windows in-gate via q25/q28/q29/q84
 )
 
 

@@ -174,3 +174,20 @@ def test_temperature_mix_deterministic(spark):
     b = sorted(r.doc_id for r in temperature_mixture_sample(
         df, id_col="doc_id", source_col="source").collect())
     assert a == b and len(a) > 0
+
+
+def test_udtf_bigrams_match_native(spark, sf_dir):
+    """q86 (Python UDTF lateral) must equal q74's native n_bigrams for
+    every doc that has at least one bigram."""
+    from openstack_billing_from_db_spark.registry import all_queries
+
+    qs = all_queries()
+    udtf_out = {
+        (r.doc_id, r.n_bigrams) for r in qs["q86_ngram_udtf"](spark, sf_dir).collect()
+    }
+    native = {
+        (r.doc_id, r.n_bigrams)
+        for r in qs["q74_repetition_stats"](spark, sf_dir).collect()
+        if r.n_bigrams > 0
+    }
+    assert udtf_out == native and len(native) > 0

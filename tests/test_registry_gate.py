@@ -27,6 +27,7 @@ NEVER_DRIVER_CHECKED = {
     "q81_quality_filter",
     "q83_variant_json",
     "q84_trailing_window",
+    "q85_full_outer_join",
 }
 
 
