@@ -64,3 +64,28 @@ def enforce(report: DataFrame) -> None:
             "data-quality violations: "
             + ", ".join(f"{r.rule}={r.n_violations}" for r in bad)
         )
+
+
+def observed(
+    df: DataFrame, name: str, *rules: tuple[str, Column]
+) -> "tuple[DataFrame, object]":
+    """Attach zero-cost pipeline observability: each rule's VIOLATION
+    count rides the next action as a ``df.observe`` CollectMetrics node
+    (computed inside the same job — no second scan, unlike running the
+    ``violations`` report separately). Returns (df, Observation); read
+    ``observation.get`` after any action on the returned frame.
+
+    This is the production monitoring half of the quality story: the
+    reference's one inline assert (P5, billing.py:84-90) generalizes to
+    batch reports (``violations``/``enforce``) for gating and to
+    observed metrics for per-run dashboards — at 100 TB a separate
+    quality scan doubles the read; an observation is free."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    exprs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(rule)
+        for rule, cond in rules  # cond is the VIOLATION predicate
+    ]
+    exprs.append(F.count(F.lit(1)).cast("long").alias("__rows"))
+    return df.observe(obs, *exprs), obs

@@ -191,3 +191,21 @@ def test_udtf_bigrams_match_native(spark, sf_dir):
         if r.n_bigrams > 0
     }
     assert udtf_out == native and len(native) > 0
+
+
+def test_observed_metrics_ride_the_action(spark, sf_dir):
+    from openstack_billing_from_db_spark.operators import quality
+    from openstack_billing_from_db_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    df, obs = quality.observed(
+        ev,
+        "ev_quality",
+        quality.not_null("user_id"),
+        quality.in_range("value", 0.0, 1e9),
+    )
+    n = df.count()  # the observation rides this job — no second scan
+    got = obs.get
+    assert got["__rows"] == n
+    assert got["not_null_user_id"] == 0  # testdata has no null users
+    assert 0 <= got["range_value"] <= n
