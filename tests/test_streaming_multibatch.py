@@ -315,3 +315,56 @@ def test_watermarked_dedup_matches_plain_dedup(spark, sf_dir):
     a = sorted(map(tuple, qs["q52_streaming_dedup"](spark, sf_dir).collect()))
     b = sorted(map(tuple, qs["q82_streaming_dedup_watermarked"](spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_state_store_reader_exposes_window_state(spark, sf_dir, tmp_path):
+    """Spark 4's statestore reader: operational debugging of a live
+    stateful query's checkpoint. The windowed-count state keys must be
+    exactly the (window, event_type) groups the batch aggregation
+    produces — proving the checkpoint is inspectable without replay."""
+    from openstack_billing_from_db_spark.sources.tables import load_table
+    from openstack_billing_from_db_spark.streaming.sessions import (
+        stream_events,
+        windowed_event_counts,
+    )
+
+    import uuid as _uuid
+
+    ckpt = str(tmp_path / "ckpt")
+    name = f"ssr_{_uuid.uuid4().hex[:8]}"
+    agg = windowed_event_counts(stream_events(spark, sf_dir))
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # append mode EMITS and EVICTS windows once the watermark passes;
+    # whatever was not yet finalized must still sit in the state store —
+    # emitted ∪ state is exactly the batch aggregation, with no overlap.
+    emitted = {
+        (r.window_start, r.event_type, r.n) for r in spark.table(name).collect()
+    }
+    state = spark.read.format("statestore").load(ckpt)
+    in_state = {
+        (r.key.window.start, r.key.event_type, r.value['count'])
+        for r in state.collect()
+    }
+    assert emitted.isdisjoint(in_state)
+    got = emitted | in_state
+
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.ws, r.event_type, r.n)
+        for r in ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert got == want and len(want) > 0
