@@ -67,6 +67,8 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         "q64_audio_features",
         "q75_stream_stream_join",  # streaming (memory-sink table scan)
         "q77_video_frame_sample",  # media codec (Arrow-batched container walk)
+        "q82_streaming_dedup_watermarked",  # streaming (memory-sink table scan)
+        "q86_ngram_udtf",  # the sanctioned UDTF slow-path demo (≡ q74 native)
     }
     for name, fn in QUERIES.items():
         if name in python_ok:
