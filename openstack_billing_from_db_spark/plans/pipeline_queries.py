@@ -1190,3 +1190,53 @@ def q86_ngram_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY b.doc_id
         """
     )
+
+
+# --- q87: dedup survivor list (the pipeline's final output) ------------------
+
+
+@register(
+    "q87_dedup_survivors",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_JACCARD_CTES},
+prs AS (SELECT doc_a, doc_b FROM jc WHERE jaccard >= {_CLUSTER_JACCARD}),
+e AS (
+  SELECT doc_a AS s, doc_b AS d FROM prs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM prs
+),
+reach(v, r) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.v
+),
+clusters AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+SELECT d.doc_id,
+       CASE WHEN c.doc_id IS NULL THEN 'unique'
+            WHEN c.cluster_id = d.doc_id THEN 'canonical'
+            ELSE 'dropped' END AS fate
+FROM documents d LEFT JOIN clusters c USING (doc_id)
+""",
+)
+def q87_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL artifact: per document, keep it because
+    it is unique (in no near-dup cluster), keep it as its cluster's
+    canonical (minimum doc_id), or drop it — the keep-list a corpus build
+    writes after pair generation (q35) and transitive clustering (q67).
+    One anti-joinable left join over the cluster table; the heavy work is
+    the in-gate q35/q67 machinery this composes."""
+    from openstack_billing_from_db_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, num_hashes=_NUM_HASHES, rows_per_band=_ROWS_PER_BAND,
+        shingle_n=_SHINGLE_N,
+    ).filter(F.col("jaccard") >= _CLUSTER_JACCARD)
+    clusters = graph.dedup_clusters(pairs)
+    return docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("cluster_id").isNull(), F.lit("unique"))
+        .when(F.col("cluster_id") == F.col("doc_id"), F.lit("canonical"))
+        .otherwise(F.lit("dropped"))
+        .alias("fate"),
+    )

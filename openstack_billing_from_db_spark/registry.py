@@ -97,6 +97,7 @@ DEFERRED: tuple[str, ...] = (
     "q15_distinct_brand_sizes",  # r1/r2-green; A1 distinct in-gate via q05
     "q86_ngram_udtf",  # UDTF slow-path demo; pytest-pinned ≡ q74 n_bigrams
     "q54_signup_purchase_funnel",  # r1/r2-green; event windows in-gate via q25/q28/q29/q84
+    "q87_dedup_survivors",  # composition of in-gate q35+q67 (keep-list); local-oracle-green
 )
 
 
