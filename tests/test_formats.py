@@ -64,3 +64,31 @@ def test_output_file_count_control(spark, sf_dir, tmp_path):
     p1 = str(tmp_path / "one")
     inv.coalesce(1).write.mode("overwrite").parquet(p1)
     assert len(glob.glob(f"{p1}/part-*.parquet")) == 1
+
+
+def test_compact_parquet_shrinks_files_preserves_data(spark, sf_dir, tmp_path):
+    from openstack_billing_from_db_spark.sources.maintenance import compact_parquet
+    from openstack_billing_from_db_spark.sources.tables import load_table
+
+    p = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(24).write.mode("overwrite").parquet(p)  # fragment: 24 files
+    before = {tuple(r) for r in spark.read.parquet(p).collect()}
+
+    stats = compact_parquet(spark, p, target_file_mb=64)
+    assert stats["files_before"] == 24
+    assert stats["files_after"] < 24
+    after = {tuple(r) for r in spark.read.parquet(p).collect()}
+    assert after == before
+    assert stats["rows"] == len(before)
+
+
+def test_compact_parquet_noop_on_single_file(spark, sf_dir, tmp_path):
+    from openstack_billing_from_db_spark.sources.maintenance import compact_parquet
+    from openstack_billing_from_db_spark.sources.tables import load_table
+
+    p = str(tmp_path / "single")
+    load_table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").parquet(p)
+    stats = compact_parquet(spark, p)
+    assert stats["files_before"] == stats["files_after"] == 1
+    assert stats["rows"] is None  # untouched
