@@ -91,13 +91,16 @@ DEFERRED: tuple[str, ...] = (
     "q70_stratified_sample",  # r2-green; hash-gate sampling in-gate via q66 + q79
     "q66_hash_split",  # r2-green; seeded-hash gating in-gate via q79
     "q30_token_stats",  # r2-green; tokenization consumed by in-gate q74/q76/q81
-    "q82_streaming_dedup_watermarked",  # API variant of in-gate q52 (bounded
-    # state via dropDuplicatesWithinWatermark); pytest-pinned equal to q52
     "q33_fingerprint",  # r2-green; md5 hashing in-gate via q34, normalize via q69
     "q15_distinct_brand_sizes",  # r1/r2-green; A1 distinct in-gate via q05
-    "q86_ngram_udtf",  # UDTF slow-path demo; pytest-pinned ≡ q74 n_bigrams
     "q54_signup_purchase_funnel",  # r1/r2-green; event windows in-gate via q25/q28/q29/q84
-    "q87_dedup_survivors",  # composition of in-gate q35+q67 (keep-list); local-oracle-green
+    # Round-4 rotation (VERDICT r3 Next #1): q82/q86/q87 never received a
+    # driver CORRECTNESS row (registered after the 50-entry gate filled).
+    # Swap three multiply-proven in-gate twins into DEFERRED for one round
+    # so the last unproven components get a hard signal; rotate back after.
+    "q14_customers_without_orders",  # r1+r3-green; anti-join in-gate via q13-family/q85
+    "q16_set_operations",  # r1+r3-green; set ops twin q16b (pytest-pinned)
+    "q20_priority_unpivot",  # r1+r3-green; pivot/unpivot in-gate via q27 cube
 )
 
 
