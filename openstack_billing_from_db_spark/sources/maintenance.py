@@ -59,18 +59,33 @@ def compact_parquet(
     n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     rows = df.count()
-    tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path.rstrip("/")))
+    norm = path.rstrip("/")
+    parent = os.path.dirname(norm)
+    tmp = tempfile.mkdtemp(prefix="compact_", dir=parent)
     try:
         # round-robin repartition: size-balanced output files regardless
         # of the input's partitioning or skew
         df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
         if spark.read.parquet(tmp).count() != rows:
             raise RuntimeError("compaction row-count mismatch; original kept")
-        shutil.rmtree(path)
-        shutil.move(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    # Swap via rename-aside so a failure at any point leaves a complete
+    # copy of the data on disk: the original stays intact until the
+    # verified rewrite is ready, and once the original is set aside the
+    # rewrite is never deleted. os.rename within one directory is a
+    # same-filesystem atomic rename — no copy window.
+    old = tempfile.mkdtemp(prefix="compact_old_", dir=parent)
+    os.rmdir(old)  # reserve a unique sibling name for the rename-aside
+    os.rename(norm, old)
+    try:
+        os.rename(tmp, norm)
+    except BaseException:
+        os.rename(old, norm)  # restore the original; tmp left for inspection
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
     return {
         "files_before": len(before),
         "files_after": len(_data_files(path)),

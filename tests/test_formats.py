@@ -92,3 +92,81 @@ def test_compact_parquet_noop_on_single_file(spark, sf_dir, tmp_path):
     stats = compact_parquet(spark, p)
     assert stats["files_before"] == stats["files_after"] == 1
     assert stats["rows"] is None  # untouched
+
+
+def test_compact_parquet_rewrite_failure_keeps_original(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A failed rewrite (row-count mismatch) must leave the original
+    table byte-identical and clean up its temp directory."""
+    import os
+
+    import pytest
+
+    from openstack_billing_from_db_spark.sources import maintenance
+    from openstack_billing_from_db_spark.sources.tables import load_table
+
+    p = str(tmp_path / "frag_fail")
+    load_table(spark, sf_dir, "nation").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(p)
+    before = {tuple(r) for r in spark.read.parquet(p).collect()}
+
+    concrete = type(spark.read.parquet(p))  # classic DataFrame subclass
+    real_count = concrete.count
+    calls = []
+
+    def bad_count(self):
+        calls.append(1)
+        # first count is the source row-count; fudge only the re-read of
+        # the rewrite so the verification mismatch fires
+        return real_count(self) + (1 if len(calls) > 1 else 0)
+
+    monkeypatch.setattr(concrete, "count", bad_count)
+    with pytest.raises(RuntimeError, match="row-count mismatch"):
+        maintenance.compact_parquet(spark, p, min_files=2)
+    monkeypatch.undo()
+
+    assert {tuple(r) for r in spark.read.parquet(p).collect()} == before
+    siblings = [d for d in os.listdir(tmp_path) if d.startswith("compact")]
+    assert siblings == []  # tmp cleaned, no .old left behind
+
+
+def test_compact_parquet_swap_failure_restores_original(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """If the final rename of the rewrite into place fails, the original
+    directory must be restored intact (rename-aside swap, ADVICE r3)."""
+    import os
+
+    import pytest
+
+    from openstack_billing_from_db_spark.sources import maintenance
+    from openstack_billing_from_db_spark.sources.tables import load_table
+
+    p = str(tmp_path / "frag_swap")
+    load_table(spark, sf_dir, "nation").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(p)
+    before = {tuple(r) for r in spark.read.parquet(p).collect()}
+
+    real_rename = os.rename
+    fired = []
+
+    def flaky_rename(src, dst):
+        # fail only the tmp->path rename; the restore (old->path) that
+        # follows must go through
+        if not fired and os.path.basename(src).startswith(
+            "compact_"
+        ) and not os.path.basename(src).startswith("compact_old_"):
+            fired.append(1)
+            raise OSError("injected: rename of rewrite into place failed")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(maintenance.os, "rename", flaky_rename)
+    with pytest.raises(OSError, match="injected"):
+        maintenance.compact_parquet(spark, p, min_files=2)
+    monkeypatch.undo()
+
+    # original restored at its path, readable, byte-identical rows
+    assert {tuple(r) for r in spark.read.parquet(p).collect()} == before
