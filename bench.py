@@ -54,8 +54,11 @@ def main() -> None:
     # broadcast caches hot), then the timed run. Cache cleared per query:
     # intra-query persist reuse (e.g. the minhash signature table) stays,
     # but caches don't accumulate GC pressure across 45 queries.
+    from openstack_billing_from_db_spark.streaming import sessions as _stream_sessions
+
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
+    stream_stats: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         spark.catalog.clearCache()
         try:
@@ -71,8 +74,17 @@ def main() -> None:
             failed[name] = f"{type(e).__name__}: {str(e)[:200]}"
             continue
         timings[name] = round(time.perf_counter() - start, 3)
+        if name in STREAMING and _stream_sessions.LAST_STREAM_STATS:
+            # micro-batch / state-store commit counts make streaming wall
+            # time attributable (fixed per-batch overhead vs plan cost)
+            stats = dict(_stream_sessions.LAST_STREAM_STATS)
+            stats.pop("name", None)
+            stream_stats[name] = stats
 
-    total = round(sum(timings.values()), 3)
+    # A failed (often expensive) query would otherwise make the headline
+    # SMALLER — a failure must never read as a speedup in cross-round
+    # comparisons, so the total is nulled when anything failed.
+    total = None if failed else round(sum(timings.values()), 3)
     out = {
         "metric": "sum_query_wall_time",
         "value": total,
@@ -80,9 +92,24 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if stream_stats:
+        out["streaming"] = stream_stats
     if failed:
         out["failed"] = failed
     print(json.dumps(out))
+    # The full line above is several KB at 87 queries; a bounded tail
+    # capture can truncate its head and lose the headline (BENCH_r03
+    # "parsed": null). Repeat the summary WITHOUT the per-query map as
+    # its own short final line so the tail always parses.
+    summary = {
+        "metric": "sum_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 

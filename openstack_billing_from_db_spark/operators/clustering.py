@@ -99,9 +99,14 @@ def kmeans_assign(
             )
         )
     )
-    seed_rows = (
-        base.filter(F.col("vid") < k).orderBy("vid").select("vid", "e").collect()
-    )
+    # Seed from the k LOWEST ids actually present (not vid < k, which
+    # silently under-seeds — or IndexErrors — on sparse/offset id spaces)
+    # and label clusters by the seed's RANK, so cluster ids are
+    # 0..k-1 regardless of the id values. The oracle mirrors this with
+    # row_number() OVER (ORDER BY vid) - 1 (ADVICE r3).
+    seed_rows = base.orderBy("vid").limit(k).select("vid", "e").collect()
+    if not seed_rows:
+        raise ValueError("kmeans_assign: input has no vectors")
     centroids = [list(r.e) for r in seed_rows]
     dims = len(centroids[0])
 

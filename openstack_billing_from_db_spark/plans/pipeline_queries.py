@@ -734,7 +734,10 @@ def _kmeans_oracle(k: int = _KM_K, n_iter: int = _KM_ITER, dp: int = _KM_DP) -> 
 
     blocks = [
         "corpus AS (SELECT vid, e FROM (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings))",
-        f"c0 AS (SELECT vid AS cid, e AS c FROM corpus WHERE vid < {k})",
+        # k lowest ids present, labeled by rank — mirrors kmeans_assign's
+        # orderBy(vid).limit(k) seeding (robust to sparse/offset id spaces)
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, e AS c "
+        f"FROM (SELECT vid, e FROM corpus ORDER BY vid LIMIT {k}))",
     ]
     cur = "c0"
     for it in range(1, n_iter + 1):

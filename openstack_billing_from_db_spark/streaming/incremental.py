@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from openstack_billing_from_db_spark.streaming.sessions import (
+    pinned_state_partitions,
     stream_events,
     streaming_state_intervals,
 )
@@ -44,15 +45,16 @@ def run_incremental_runtime(
             .parquet(f"{target_dir}/epoch={epoch_id}")
         )
 
-    q = (
-        intervals.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with pinned_state_partitions(spark):
+        q = (
+            intervals.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
 
 def read_incremental_runtime(spark: SparkSession, target_dir: str) -> DataFrame:

@@ -27,6 +27,7 @@ defines.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -44,14 +45,6 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # window alignment and collected timestamps are session-TZ dependent
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # stateful operators allocate one state-store instance PER shuffle
-    # partition, fixed at stream start (no AQE coalescing in streaming) —
-    # a bare session's default 200 means 200 store setups/commits per
-    # micro-batch. Pin to actual parallelism; on a real cluster this conf
-    # is sized to executor count by the deployment, not left at default.
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
-    )
     from openstack_billing_from_db_spark.sources.tables import (
         NANO_TS_COLUMNS,
         canonical_timestamps,
@@ -142,21 +135,72 @@ def streaming_state_intervals(
     )
 
 
+# Run stats of the most recent run_stream_to_memory call, for bench
+# attribution (micro-batch and state-store commit counts explain wall-
+# clock deltas that plan shapes can't — VERDICT r3 Next #5).
+LAST_STREAM_STATS: dict = {}
+
+
+@contextmanager
+def pinned_state_partitions(spark: SparkSession):
+    """Pin spark.sql.shuffle.partitions to actual parallelism for the
+    duration of a streaming run, then RESTORE the prior value.
+
+    Stateful operators allocate one state-store instance PER shuffle
+    partition, fixed at stream start (no AQE coalescing in streaming) — a
+    bare session's default 200 means 200 store setups/commits per
+    micro-batch. The session is shared, so a lingering override would
+    silently change every later batch query's shuffle width (ADVICE r3);
+    restoring makes the pin a per-run effect. On a real cluster this conf
+    is sized to executor count by the deployment, not left at default.
+    """
+    prior = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        yield
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, *, output_mode: str = "append"
 ) -> None:
     """Drive a streaming DataFrame to completion into a memory-sink table
-    (deterministic: processAllAvailable then stop)."""
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    (deterministic: processAllAvailable then stop). State partitions are
+    pinned to parallelism for the run and restored after (see
+    ``pinned_state_partitions``); run stats land in LAST_STREAM_STATS."""
+    spark = df.sparkSession
+    with pinned_state_partitions(spark):
+        n_state_partitions = spark.conf.get("spark.sql.shuffle.partitions")
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            LAST_STREAM_STATS.clear()
+            last = q.lastProgress or {}
+            state = last.get("stateOperators") or []
+            LAST_STREAM_STATS.update(
+                {
+                    "name": name,
+                    # batchId counts from 0; the last progress is the final batch
+                    "micro_batches": int(last.get("batchId", -1)) + 1,
+                    "state_rows_total": sum(
+                        int(s.get("numRowsTotal", 0)) for s in state
+                    ),
+                    "state_commit_partitions": int(n_state_partitions),
+                }
+            )
+        finally:
+            q.stop()
 
 
 def stream_stream_attribution(

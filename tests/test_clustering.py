@@ -60,6 +60,28 @@ def test_kmeans_deterministic_across_runs(spark):
     assert a == b
 
 
+def test_kmeans_sparse_offset_ids(spark):
+    """Seeding must come from the k LOWEST ids actually present, labeled
+    by rank — a regenerated table with offset/sparse ids (no vec_id < k)
+    used to IndexError / silently under-seed (ADVICE r3)."""
+    blob_a = [[0.0, 0.0], [0.1, 0.0], [0.0, 0.1], [0.1, 0.1]]
+    blob_b = [[10.0, 10.0], [10.1, 10.0], [10.0, 10.1], [10.1, 10.1]]
+    # ids 1000, 2003, 3006, ... — sparse AND offset, none below k
+    vecs = [blob_a[0], blob_b[0]] + blob_a[1:] + blob_b[1:]
+    ids = [1000 + 1003 * i for i in range(len(vecs))]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r.cluster_id for r in kmeans_assign(df, k=2, n_iter=2).collect()}
+    # seeds are the two lowest ids (blob A's first point, blob B's first
+    # point) labeled by rank: cluster 0 = blob A, cluster 1 = blob B
+    a_ids = {ids[0], ids[2], ids[3], ids[4]}
+    b_ids = {ids[1], ids[5], ids[6], ids[7]}
+    assert {out[i] for i in a_ids} == {0}
+    assert {out[i] for i in b_ids} == {1}
+
+
 def test_round_half_up_matches_sql_formula():
     assert _round_half_up(1.2345645, 6) == 1.234565  # .5 at 7th dp rounds up
     # float repr puts -1.0000005*1e6 just below the half → rounds down;

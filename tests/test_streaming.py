@@ -106,3 +106,25 @@ def test_windowed_counts_rocksdb_state_store(spark, sf_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_run_restores_shuffle_partitions_and_reports_stats(spark, sf_dir):
+    """The per-run state-partition pin must not leak into later batch
+    queries on the shared session (ADVICE r3), and each run must leave
+    attribution stats (micro-batch / state-store commit counts)."""
+    from openstack_billing_from_db_spark.streaming import sessions
+
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    name = f"stats_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(
+        windowed_event_counts(stream_events(spark, sf_dir)),
+        name,
+        output_mode="complete",
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+
+    stats = sessions.LAST_STREAM_STATS
+    assert stats["name"] == name
+    assert stats["micro_batches"] >= 1
+    assert stats["state_commit_partitions"] == spark.sparkContext.defaultParallelism
+    assert stats["state_rows_total"] >= 1  # windowed agg keeps state rows
