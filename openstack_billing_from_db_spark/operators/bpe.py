@@ -10,9 +10,10 @@ what makes trainers tractable, here and in HF tokenizers). Per merge:
 1. adjacent symbol pairs, frequency-weighted → one partial-agg groupBy;
 2. top pair by (count desc, pair asc) → TakeOrdered(1) to the driver;
 3. apply the merge map-side as a LEFT-TO-RIGHT NON-OVERLAPPING literal
-   string replace on the space-joined symbol string — exactly greedy BPE
-   application, and exactly what SQL ``replace`` does, so the DuckDB
-   oracle replays training verbatim.
+   string replace on a BOUNDARY-SAFE encoding of the symbol string —
+   exactly greedy BPE application (see ``_apply_merge``), with the same
+   ``replace`` semantics in SQL, so the DuckDB oracle replays training
+   verbatim.
 
 Scale notes (100 TB): the corpus scan is one shuffle (word counts); the
 iteration loop touches only the vocabulary table (persisted; typically
@@ -28,6 +29,27 @@ from pyspark.sql import functions as F
 
 from openstack_billing_from_db_spark.operators.caching import tracked_persist
 from openstack_billing_from_db_spark.operators.text import words, word_shingles
+
+
+def _apply_merge(syms, pair: str, merged: str):
+    """Merge every left-to-right non-overlapping occurrence of the
+    adjacent symbol ``pair`` in a space-joined symbol string — EXACT
+    greedy BPE application.
+
+    A naive ``replace(syms, 'b c', 'bc')`` can merge across symbol
+    boundaries: 'b c' matches inside 'ab c' (symbols ['ab','c']),
+    which is not a (b, c) symbol pair (ADVICE r3). Encoding the
+    sequence with the separators doubled and the ends wrapped —
+    ``'a b c' → ' a  b  c '`` — makes every symbol delimited on both
+    sides, so the literal target ``' b  c '`` can only match a true
+    adjacent pair (symbols are whitespace-split words' characters and
+    can never contain a space). Left-to-right non-overlapping replace
+    on that encoding IS the greedy merge scan; decode by trimming the
+    wrap and halving the separators."""
+    enc = F.concat(F.lit(" "), F.replace(syms, F.lit(" "), F.lit("  ")), F.lit(" "))
+    target = " " + pair.replace(" ", "  ") + " "
+    applied = F.replace(enc, F.lit(target), F.lit(f" {merged} "))
+    return F.replace(F.btrim(applied), F.lit("  "), F.lit(" "))
 
 
 def bpe_train(
@@ -69,9 +91,7 @@ def bpe_train(
         pair, count = top[0].pair, int(top[0].c)
         merged = pair.replace(" ", "")
         rules.append((rank, pair, merged, count))
-        cur = cur.select(
-            "freq", F.replace(F.col("syms"), F.lit(pair), F.lit(merged)).alias("syms")
-        )
+        cur = cur.select("freq", _apply_merge(F.col("syms"), pair, merged).alias("syms"))
     return spark.createDataFrame(
         rules, "merge_rank long, pair string, merged string, pair_count long"
     )

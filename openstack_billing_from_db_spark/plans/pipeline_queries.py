@@ -907,7 +907,9 @@ _PAIRS = "list_transform(range(1, len(sy)), i -> sy[i] || ' ' || sy[i+1])"
 def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
     """Replays operators/bpe.bpe_train in SQL: same vocab table, same
     frequency-weighted pair counts, same (count desc, pair asc) top-1,
-    same left-to-right non-overlapping replace per merge."""
+    same boundary-safe left-to-right non-overlapping merge per round
+    (the doubled-separator encoding of bpe._apply_merge, replayed
+    operation-for-operation with DuckDB replace/btrim)."""
     blocks = [
         f"""v AS (
   SELECT w, count(*) AS freq FROM (SELECT unnest({_W}) AS w FROM documents) GROUP BY w
@@ -925,8 +927,11 @@ def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
 )""",
             f"t{r} AS (SELECT pair, c FROM p{r} ORDER BY c DESC, pair LIMIT 1)",
             f"""s{r + 1} AS (
-  SELECT freq, replace(syms, (SELECT pair FROM t{r}),
-                       replace((SELECT pair FROM t{r}), ' ', '')) AS syms
+  SELECT freq, replace(trim(replace(
+           ' ' || replace(syms, ' ', '  ') || ' ',
+           (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM t{r}),
+           (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t{r}))),
+         '  ', ' ') AS syms
   FROM s{r}
 )""",
         ])

@@ -156,6 +156,25 @@ def test_bpe_tie_breaks_lexicographic(spark):
     assert rules[0].pair == "a b"
 
 
+def test_bpe_merge_respects_symbol_boundaries(spark):
+    """A learned pair must only merge true ADJACENT SYMBOLS: after
+    merge1 creates 'ab', the word 'abc' has symbols [ab, c], and
+    merge2's pair (b, c) must NOT fire inside it (a flat string replace
+    of 'b c' on 'ab c' would — ADVICE r3)."""
+    from openstack_billing_from_db_spark.operators.bpe import bpe_train
+
+    # freqs: (a,b)=7 > (b,c)=5 → merge1 = 'a b'. After it, 'abc' is
+    # [ab, c]; remaining (b,c) pairs come only from 'bc' words (4).
+    corpus = " ".join(["ab"] * 6 + ["bc"] * 4 + ["abc"])
+    rules = {r.merge_rank: r for r in bpe_train(_docs(spark, [corpus]), n_merges=3).collect()}
+    assert rules[0].pair == "a b" and rules[0].pair_count == 7
+    assert rules[1].pair == "b c" and rules[1].pair_count == 4
+    # merge3 proves 'abc' stayed [ab, c]: its only pair is (ab, c).
+    # A boundary-crossing replace collapses 'abc' to one symbol and no
+    # (ab, c) pair survives anywhere.
+    assert rules[2].pair == "ab c" and rules[2].pair_count == 1
+
+
 def test_temperature_mix_flattens_skew(spark):
     from openstack_billing_from_db_spark.operators.sampling import (
         temperature_mixture_sample,
