@@ -288,6 +288,82 @@ def state_micros_in_window_outages_df(
     )
 
 
+# above this many intervals the inline-literal path would bloat the
+# expression tree (one overlap term per outage per state); the
+# broadcast-join path takes over (same auto-select idea as
+# dedup._pick_verify_path)
+_LITERAL_OUTAGES_MAX_ROWS = 64
+# a file-backed dimension whose Catalyst size estimate exceeds this is
+# big without needing a row probe (64 rows × a generous 256 B/row)
+_LITERAL_OUTAGES_MAX_BYTES = _LITERAL_OUTAGES_MAX_ROWS * 256
+
+
+def _probe_outage_literals(
+    outages_df: DataFrame,
+) -> list[tuple[datetime, datetime]] | None:
+    """The tuples for the literal path if the dimension is small, else
+    None (→ broadcast join).
+
+    Catalyst's size estimate settles file-backed dimensions for free
+    (real bytes, no job); Python-created local relations report unknown
+    (Long.MaxValue), so those get a BOUNDED probe: collect at most
+    max_rows+1 narrow rows — trivial for a real outage dim, and the
+    limit caps the work if the dimension is huge. When the probe fits,
+    the collected rows ARE the literals (no second job)."""
+    try:
+        size = int(
+            outages_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if size > _LITERAL_OUTAGES_MAX_BYTES and size < (1 << 62):
+            return None  # known-big: skip the probe
+    except Exception:
+        pass  # unknown size: fall through to the bounded probe
+    rows = (
+        outages_df.select("outage_start", "outage_end")
+        .limit(_LITERAL_OUTAGES_MAX_ROWS + 1)
+        .collect()
+    )
+    if len(rows) > _LITERAL_OUTAGES_MAX_ROWS:
+        return None
+    return [(r.outage_start, r.outage_end) for r in rows]
+
+
+def state_micros_in_window_excluding(
+    intervals: DataFrame,
+    window_start: datetime,
+    window_end: datetime,
+    outages: DataFrame | Iterable[tuple[datetime, datetime]],
+    *,
+    states: Sequence[str] = BILLED_STATES,
+) -> DataFrame:
+    """ONE entry point for outage exclusion — auto-selects the physical
+    strategy by dimension size, removing the manual choice between the
+    two equivalent formulations (test-pinned equal):
+
+    - small dimension → inline literal arithmetic
+      (``state_micros_in_window``): zero extra shuffles, the overlap
+      terms fold into the projection;
+    - large dimension → broadcast join
+      (``state_micros_in_window_outages_df``): scales to any dimension
+      that fits an executor without bloating the expression tree.
+
+    ``outages`` may be driver-side ``(start, end)`` tuples (always the
+    literal path — the caller already materialized them) or an outage
+    DataFrame (path picked by Catalyst size estimate + bounded probe,
+    see ``_probe_outage_literals``).
+    """
+    if isinstance(outages, DataFrame):
+        literals = _probe_outage_literals(outages)
+        if literals is None:
+            return state_micros_in_window_outages_df(
+                intervals, window_start, window_end, outages, states=states
+            )
+        outages = literals
+    return state_micros_in_window(
+        intervals, window_start, window_end, outages=outages, states=states
+    )
+
+
 def outages_during(
     outages_df: DataFrame,
     window_start: datetime,
