@@ -397,14 +397,23 @@ def cross_doc_span_stats(
     back to the span stream → per-doc conditional count. At 100 TB this
     is two shuffles over ≈ token-count rows — the same cost class as the
     MinHash signature build, and embarrassingly partitionable.
+
+    The span stream feeds BOTH sides of the self-join (the per-span agg
+    and the join-back), so it is persisted once: without it the explode
+    (tokenize + shingle the whole corpus) evaluates twice (VERDICT r3
+    Next #7). On a cluster with exchange reuse this mostly overlaps; on
+    a single node it halves the dominant cost.
     """
     from pyspark.sql import functions as F
 
+    from openstack_billing_from_db_spark.operators.caching import tracked_persist
     from openstack_billing_from_db_spark.operators.text import words, word_shingles
 
-    spans = docs.select(
-        F.col(id_col),
-        F.explode(word_shingles(words(F.col(text_col)), span_words)).alias("span"),
+    spans = tracked_persist(
+        docs.select(
+            F.col(id_col),
+            F.explode(word_shingles(words(F.col(text_col)), span_words)).alias("span"),
+        )
     )
     span_docs = spans.groupBy("span").agg(
         F.countDistinct(id_col).alias("n_docs_with_span")

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from openstack_billing_from_db_spark.operators.intervals import TS_MAX_US
 from openstack_billing_from_db_spark.plans.billing import (
     TESTDATA_TRIGGERS,
-    testdata_billing_tables,
+    testdata_billing_tables as _billing_tables,  # underscore: not a test
 )
 from openstack_billing_from_db_spark.streaming.incremental import (
     read_incremental_runtime,
@@ -31,7 +31,7 @@ def test_incremental_runtime_matches_batch(spark, sf_dir, tmp_path):
         map_event_states,
     )
 
-    actions, _ = testdata_billing_tables(spark, sf_dir)
+    actions, _ = _billing_tables(spark, sf_dir)
     batch = (
         build_state_intervals(
             map_event_states(actions, trigger_states=TESTDATA_TRIGGERS, message_col=None)
