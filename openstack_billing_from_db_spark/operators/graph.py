@@ -20,10 +20,11 @@ Scale notes (100 TB): near-duplicate graphs are unions of small dense
 clusters — diameter is tiny (pairs from banded LSH form near-cliques),
 so the round count is small and independent of corpus size; per-round
 cost is one |E|-sized hash join on vertex id. For adversarial
-long-chain graphs the round count grows with graph diameter; the
+long-chain graphs label propagation needs O(diameter) rounds; the
 alternating large-star/small-star transform (Kiveris et al., "Connected
-Components in MapReduce and Beyond") drops that to O(log² n) rounds and
-composes with this same per-round join shape.
+Components in MapReduce and Beyond", 2014) drops that to O(log² n)
+rounds with the same per-round join shape — available here as
+``algorithm="star"`` and pinned output-identical to label propagation.
 """
 
 from __future__ import annotations
@@ -31,12 +32,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# round count of the most recent connected_components call, for tests
+# and plan audits (the star/label trade is ABOUT round counts)
+LAST_RUN_STATS: dict = {}
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Label every vertex of the undirected graph ``edges`` with the
     minimum vertex id reachable from it.
@@ -45,7 +51,17 @@ def connected_components(
     least one edge. ``edges`` may contain duplicates or self-loops;
     both are harmless (self-loops propagate nothing new, duplicate
     edges only repeat a message).
+
+    ``algorithm="label"`` (default) is min-label propagation —
+    O(diameter) rounds, the right choice for near-dup graphs (unions of
+    near-cliques, tiny diameter). ``algorithm="star"`` is the
+    alternating large-star/small-star algorithm — O(log² n) rounds on
+    adversarial long-chain graphs, same fixpoint (test-pinned).
     """
+    if algorithm == "star":
+        return _connected_components_star(edges, src, dst, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r} (label|star)")
     # symmetrize once: propagation below reads neighbours one-directionally.
     # explode(array(fwd, rev)) reads the (possibly expensive — e.g. a full
     # MinHash pipeline) edge input ONCE; union(sel, sel) would evaluate the
@@ -69,6 +85,7 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
     ).localCheckpoint()
 
+    rounds = 0
     for _ in range(max_iter):
         # message pass: each vertex u hears every neighbour v's label.
         # The vertex's OWN previous label rides the same union tagged
@@ -89,9 +106,107 @@ def connected_components(
         ).localCheckpoint()
         changed = grouped.filter(F.col("component") < F.col("__old")).count()
         labels = grouped.select("vertex", "component")
+        rounds += 1
         if changed == 0:
             break
+    LAST_RUN_STATS.clear()
+    LAST_RUN_STATS.update({"algorithm": "label", "rounds": rounds})
     return labels
+
+
+def _connected_components_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al. 2014, §3).
+
+    The edge set is kept canonically directed high→low and rewritten
+    each round:
+
+    - LARGE-STAR, per node u over its full neighborhood Γ(u): emit
+      ``(v, min(Γ⁺(u)))`` for every neighbor v > u — strictly-larger
+      neighbors re-attach to u's best-known minimum;
+    - SMALL-STAR, per node u over its smaller neighbors N(u): with
+      ``m = min(N(u))``, emit ``(u, m)`` and ``(v, m)`` for the other
+      v ∈ N(u) — u's smaller neighbors collapse onto its minimum.
+
+    Both phases preserve connectivity and converge to one star per
+    component rooted at the component minimum in O(log² n) rounds even
+    on a path graph (where label propagation needs O(n)). Each phase is
+    one |E| hash join against a per-node min table — the same cost
+    class as one label-propagation round; lineage is truncated per
+    round with localCheckpoint.
+
+    Convergence: the canonical edge set reaches a fixpoint. Checked
+    exactly — same row count and empty ``subtract`` (both sides are
+    distinct sets).
+    """
+    hi, lo = F.col("__hi"), F.col("__lo")
+    cur = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("__hi"),
+            F.least(F.col(src), F.col(dst)).alias("__lo"),
+        )
+        .filter(hi != lo)  # self-loops carry no connectivity
+        .distinct()
+    ).localCheckpoint()
+    # every vertex incident to an edge — the output domain (roots keep
+    # no outgoing edge at the fixpoint, so they are re-added at the end)
+    vertices = (
+        cur.select(hi.alias("vertex"))
+        .union(cur.select(lo.alias("vertex")))
+        .distinct()
+    ).localCheckpoint()
+    n_cur = cur.count()
+
+    rounds = 0
+    for _ in range(max_iter):
+        # --- large-star ---
+        sym = cur.select(hi.alias("u"), lo.alias("v")).union(
+            cur.select(lo.alias("u"), hi.alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")  # min over Γ⁺(u)
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("__hi"), F.col("m").alias("__lo"))
+            .filter(hi != lo)
+            .distinct()
+        )
+        # --- small-star (input already directed high→low) ---
+        smins = large.groupBy("__hi").agg(F.min("__lo").alias("m"))
+        with_min = large.join(smins, "__hi")
+        small = (
+            with_min.select(hi.alias("__hi"), F.col("m").alias("__lo"))
+            .union(
+                with_min.filter(lo != F.col("m")).select(
+                    lo.alias("__hi"), F.col("m").alias("__lo")
+                )
+            )
+            .filter(hi != lo)
+            .distinct()
+        ).localCheckpoint()
+        rounds += 1
+        n_new = small.count()
+        converged = n_new == n_cur and small.subtract(cur).isEmpty()
+        cur, n_cur = small, n_new
+        if converged:
+            break
+
+    LAST_RUN_STATS.clear()
+    LAST_RUN_STATS.update({"algorithm": "star", "rounds": rounds})
+    # fixpoint: one star per component, rooted at the component min —
+    # each non-root vertex carries exactly one (vertex, root) edge;
+    # roots (and any vertex whose edges all collapsed) label themselves
+    return cur.select(hi.alias("vertex"), lo.alias("component")).union(
+        vertices.join(
+            cur.select(hi.alias("vertex")), "vertex", "left_anti"
+        ).select("vertex", F.col("vertex").alias("component"))
+    )
 
 
 def dedup_clusters(
