@@ -92,6 +92,13 @@ def _decode_one_image(data: bytes) -> tuple[str, int, int, np.ndarray]:
     if data[:2] == b"P6":
         w, h, px = media.decode_ppm(data)
         return "image/x-portable-pixmap", w, h, px
+    if data[: len(media.PNG_MAGIC)] == media.PNG_MAGIC:
+        try:
+            w, h, px = media.decode_png(data)
+            return "image/png", w, h, px
+        except ValueError:
+            if not _pil_available():
+                raise  # a PNG variant outside the built-in codec's scope
     if _pil_available():
         import io
 
@@ -209,19 +216,29 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 def synthesize_image_payloads(
     docs: DataFrame, id_col: str = "doc_id", fmt: str = "bmp"
 ) -> DataFrame:
-    """Deterministic image corpus: each doc_id gets a real encoded BMP/PPM
-    whose dimensions and color are closed-form functions of the id
-    (media.synth_image_pixels) — so decode results are SQL-predictable."""
-    enc = media.encode_bmp if fmt == "bmp" else media.encode_ppm
+    """Deterministic image corpus: each doc_id gets a real encoded
+    BMP/PPM/PNG whose dimensions and color are closed-form functions of
+    the id (media.synth_image_pixels) — so decode results are
+    SQL-predictable. PNG payloads cycle the scanline filter type with
+    doc_id % 5, so a corpus decode exercises every defilter path."""
+    if fmt == "png":
+        def enc(i: int) -> bytes:  # noqa: E306
+            return media.encode_png(
+                media.synth_image_pixels(i), filter_type=i % 5
+            )
+    elif fmt == "bmp":
+        def enc(i: int) -> bytes:
+            return media.encode_bmp(media.synth_image_pixels(i))
+    else:
+        def enc(i: int) -> bytes:
+            return media.encode_ppm(media.synth_image_pixels(i))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "payload": [
-                        enc(media.synth_image_pixels(int(i))) for i in pdf[id_col]
-                    ],
+                    "payload": [enc(int(i)) for i in pdf[id_col]],
                 }
             )
 

@@ -101,6 +101,8 @@ DEFERRED: tuple[str, ...] = (
     "q14_customers_without_orders",  # r1+r3-green; anti-join in-gate via q13-family/q85
     "q16_set_operations",  # r1+r3-green; set ops twin q16b (pytest-pinned)
     "q20_priority_unpivot",  # r1+r3-green; pivot/unpivot in-gate via q27 cube
+    "q41_multimodal_meta",  # r1+r3-green; payload plumbing in-gate via q77 +
+    # the new q88 PNG decode (which takes this slot)
 )
 
 

@@ -99,7 +99,10 @@ def _ids(spark, ids):
     return spark.createDataFrame([(i,) for i in ids], "doc_id long")
 
 
-@pytest.mark.parametrize("fmt,mime", [("bmp", "image/bmp"), ("ppm", "image/x-portable-pixmap")])
+@pytest.mark.parametrize(
+    "fmt,mime",
+    [("bmp", "image/bmp"), ("ppm", "image/x-portable-pixmap"), ("png", "image/png")],
+)
 def test_decode_images_round_trip(spark, fmt, mime):
     ids = [0, 5, 17, 123, 100_000_123]
     rows = {
@@ -177,6 +180,41 @@ def test_bmp_ppm_round_trip_random(h, w, seed):
         got_w, got_h, got = dec(enc(px))
         assert (got_w, got_h) == (w, h)
         np.testing.assert_array_equal(got, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    filter_type=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_round_trip_random(h, w, filter_type, seed):
+    """encode→decode identity for every scanline filter type, including
+    the sequential Average/Paeth defilter paths."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got_w, got_h, got = media.decode_png(media.encode_png(px, filter_type=filter_type))
+    assert (got_w, got_h) == (w, h)
+    np.testing.assert_array_equal(got, px)
+
+
+def test_png_rejects_unsupported_variants():
+    with pytest.raises(ValueError, match="not a PNG"):
+        media.decode_png(b"GIF89a......")
+    # grayscale (color type 0) header: outside the built-in codec scope
+    import struct as _struct
+    import zlib as _zlib
+
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bogus = (
+        media.PNG_MAGIC
+        + len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
+        + _zlib.crc32(b"IHDR" + ihdr).to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + b"IDAT" + _zlib.crc32(b"IDAT").to_bytes(4, "big")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        media.decode_png(bogus + (0).to_bytes(4, "big") + b"IEND" + _zlib.crc32(b"IEND").to_bytes(4, "big"))
 
 
 @settings(max_examples=40, deadline=None)
