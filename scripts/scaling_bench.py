@@ -93,8 +93,9 @@ spark.sparkContext.setLogLevel('ERROR')
 fn = sb._q40_adaptive if {name!r} == 'q40_adaptive' else all_queries()[{name!r}]
 fn(spark, {sf_dir!r}).count()
 release_operator_caches(); spark.catalog.clearCache()
-t0 = time.monotonic(); fn(spark, {sf_dir!r}).count()
+t0 = time.monotonic(); n = fn(spark, {sf_dir!r}).count()
 print('ISOLATED_SECONDS', round(time.monotonic() - t0, 3))
+print('ISOLATED_ROWS', n)
 """
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -102,18 +103,35 @@ print('ISOLATED_SECONDS', round(time.monotonic() - t0, 3))
         text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
+    secs = rows = None
     for line in out.stdout.splitlines():
         if line.startswith("ISOLATED_SECONDS"):
-            return float(line.split()[1])
-    raise RuntimeError(f"{name}@{sf_dir} failed:\n{out.stderr[-2000:]}")
+            secs = float(line.split()[1])
+        elif line.startswith("ISOLATED_ROWS"):
+            rows = int(line.split()[1])
+    if secs is None:
+        raise RuntimeError(f"{name}@{sf_dir} failed:\n{out.stderr[-2000:]}")
+    return secs, rows
 
 
-def main(scaled_dir: str, isolated: bool = False) -> None:
+def main(scaled_dir: str, isolated: bool = False, subset: tuple = ()) -> None:
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     label = os.path.basename(scaled_dir.rstrip("/"))
+    names = tuple(subset) or QUERIES
     if isolated:
-        base = {n: _isolated_time(n, base_dir) for n in QUERIES}
-        scaled = {n: _isolated_time(n, scaled_dir) for n in QUERIES}
+        base_pairs = {n: _isolated_time(n, base_dir) for n in names}
+        scaled_pairs = {n: _isolated_time(n, scaled_dir) for n in names}
+        base = {n: s for n, (s, _) in base_pairs.items()}
+        scaled = {n: s for n, (s, _) in scaled_pairs.items()}
+        rows = {
+            n: {"base": base_pairs[n][1], "scaled": scaled_pairs[n][1]}
+            for n in names
+        }
+        ratios = {k: round(scaled[k] / base[k], 2) for k in base}
+        print(json.dumps({"sf": "base(sf0.1)", "queries": base}))
+        print(json.dumps({"sf": f"scaled({label})", "queries": scaled}))
+        print(json.dumps({f"time_ratio_at_{label}_data": ratios, "output_rows": rows}))
+        return
     else:
         spark = get_spark(app_name="scaling-bench")
         queries = all_queries()
@@ -130,9 +148,18 @@ def main(scaled_dir: str, isolated: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--isolated"]
+    subset = ()
+    args = []
+    for a in sys.argv[1:]:
+        if a == "--isolated":
+            continue
+        if a.startswith("--queries="):
+            subset = tuple(a.split("=", 1)[1].split(","))
+        else:
+            args.append(a)
     main(
         args[0] if args else
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "x10"),
         isolated="--isolated" in sys.argv,
+        subset=subset,
     )

@@ -65,6 +65,7 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         "q60_fingerprint_pandas_udf",  # the sanctioned Arrow slow-path demo
         "q63_image_decode",  # media codecs are genuine Python work (Arrow-batched)
         "q64_audio_features",
+        "q88_png_decode",  # media codec (Arrow-batched zlib inflate + defilter)
         "q75_stream_stream_join",  # streaming (memory-sink table scan)
         "q77_video_frame_sample",  # media codec (Arrow-batched container walk)
         "q82_streaming_dedup_watermarked",  # streaming (memory-sink table scan)
