@@ -213,12 +213,17 @@ def dedup_clusters(
     pairs: DataFrame,
     doc_a: str = "doc_a",
     doc_b: str = "doc_b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Near-duplicate *cluster* assignment: transitive closure of the
     pair relation. Returns ``(doc_id, cluster_id)`` for every document
     that appears in at least one pair; ``cluster_id`` is the minimum
     doc_id of the cluster (the canonical survivor a keep-one-per-cluster
-    policy retains)."""
-    return connected_components(pairs, src=doc_a, dst=doc_b).select(
+    policy retains). ``algorithm`` passes through to
+    ``connected_components`` (label propagation by default; "star" for
+    adversarial-diameter graphs)."""
+    return connected_components(
+        pairs, src=doc_a, dst=doc_b, algorithm=algorithm
+    ).select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
     )
