@@ -36,6 +36,11 @@ from pyspark.sql import functions as F
 # and plan audits (the star/label trade is ABOUT round counts)
 LAST_RUN_STATS: dict = {}
 
+# algorithm="auto": label rounds attempted before escalating to star.
+# Real dedup graphs (near-clique unions) converge in 2-3 rounds; a graph
+# still moving after this many rounds has an unusual diameter.
+_AUTO_LABEL_ROUNDS = 5
+
 
 def connected_components(
     edges: DataFrame,
@@ -57,11 +62,27 @@ def connected_components(
     near-cliques, tiny diameter). ``algorithm="star"`` is the
     alternating large-star/small-star algorithm — O(log² n) rounds on
     adversarial long-chain graphs, same fixpoint (test-pinned).
+    ``algorithm="auto"`` runs label propagation for a few rounds (the
+    cheap path that wins on real dedup graphs) and ESCALATES to star if
+    the graph hasn't converged — diameter can't be known up front, so
+    the escalation bound (``_AUTO_LABEL_ROUNDS``) caps the wasted work
+    at a constant number of rounds before the O(log² n) path takes over.
     """
     if algorithm == "star":
         return _connected_components_star(edges, src, dst, max_iter)
+    if algorithm == "auto":
+        labels = connected_components(
+            edges, src, dst, max_iter=_AUTO_LABEL_ROUNDS, algorithm="label"
+        )
+        if LAST_RUN_STATS.get("converged"):
+            LAST_RUN_STATS["algorithm"] = "auto(label)"
+            return labels
+        out = _connected_components_star(edges, src, dst, max_iter)
+        LAST_RUN_STATS["algorithm"] = "auto(star)"
+        LAST_RUN_STATS["label_rounds_wasted"] = _AUTO_LABEL_ROUNDS
+        return out
     if algorithm != "label":
-        raise ValueError(f"unknown algorithm {algorithm!r} (label|star)")
+        raise ValueError(f"unknown algorithm {algorithm!r} (label|star|auto)")
     # symmetrize once: propagation below reads neighbours one-directionally.
     # explode(array(fwd, rev)) reads the (possibly expensive — e.g. a full
     # MinHash pipeline) edge input ONCE; union(sel, sel) would evaluate the
@@ -85,7 +106,7 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
     ).localCheckpoint()
 
-    rounds = 0
+    rounds, converged = 0, False
     for _ in range(max_iter):
         # message pass: each vertex u hears every neighbour v's label.
         # The vertex's OWN previous label rides the same union tagged
@@ -108,9 +129,12 @@ def connected_components(
         labels = grouped.select("vertex", "component")
         rounds += 1
         if changed == 0:
+            converged = True
             break
     LAST_RUN_STATS.clear()
-    LAST_RUN_STATS.update({"algorithm": "label", "rounds": rounds})
+    LAST_RUN_STATS.update(
+        {"algorithm": "label", "rounds": rounds, "converged": converged}
+    )
     return labels
 
 
@@ -161,7 +185,7 @@ def _connected_components_star(
     ).localCheckpoint()
     n_cur = cur.count()
 
-    rounds = 0
+    rounds, converged = 0, False
     for _ in range(max_iter):
         # --- large-star ---
         sym = cur.select(hi.alias("u"), lo.alias("v")).union(
@@ -198,7 +222,9 @@ def _connected_components_star(
             break
 
     LAST_RUN_STATS.clear()
-    LAST_RUN_STATS.update({"algorithm": "star", "rounds": rounds})
+    LAST_RUN_STATS.update(
+        {"algorithm": "star", "rounds": rounds, "converged": converged}
+    )
     # fixpoint: one star per component, rooted at the component min —
     # each non-root vertex carries exactly one (vertex, root) edge;
     # roots (and any vertex whose edges all collapsed) label themselves

@@ -110,6 +110,31 @@ def test_star_handles_duplicates_self_loops_empty(spark):
     assert connected_components(empty, algorithm="star").count() == 0
 
 
+def test_auto_escalates_only_on_adversarial_diameter(spark):
+    """algorithm='auto' must finish on the cheap label path for a
+    near-clique dup graph (converges fast) and escalate to star for a
+    long chain — same labels either way."""
+    from openstack_billing_from_db_spark.operators import graph
+
+    # two 5-cliques: label propagation converges in ~2 rounds
+    clique_edges = [
+        (a, b) for base in (0, 100) for a in range(base, base + 5)
+        for b in range(a + 1, base + 5)
+    ]
+    df = spark.createDataFrame(clique_edges, "src bigint, dst bigint")
+    got = {(r.vertex, r.component) for r in connected_components(df, algorithm="auto").collect()}
+    assert got == {(i, 0) for i in range(5)} | {(i, 100) for i in range(100, 105)}
+    assert graph.LAST_RUN_STATS["algorithm"] == "auto(label)"
+
+    # 64-vertex path: label needs ~63 rounds, auto must escalate
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src bigint, dst bigint"
+    )
+    got = {(r.vertex, r.component) for r in connected_components(chain, algorithm="auto").collect()}
+    assert got == {(i, 0) for i in range(65)}
+    assert graph.LAST_RUN_STATS["algorithm"] == "auto(star)"
+
+
 def _sample_ids(spark, rates, seed="sample"):
     rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
     df = spark.createDataFrame(rows, "doc_id bigint, lang string")
