@@ -124,6 +124,7 @@ def minhash_near_duplicates(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     verify_via: str = "auto",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs with exact n-gram Jaccard verification.
 
@@ -139,6 +140,16 @@ def minhash_near_duplicates(
     Catalyst's pre-execution size estimate: arrays below
     ``_ARRAY_VERIFY_MAX_BYTES``, exploded above. Both paths are
     output-identical (pinned by tests/test_round2_fixes.py).
+
+    ``max_bucket_size`` is the boilerplate safety valve for huge corpora:
+    LSH buckets larger than the cap (giant template/boilerplate families,
+    whose within-bucket pair count is quadratic) emit NO candidates —
+    the measured 100× blowup of pair output is exactly these families.
+    A capped run bounds per-bucket join work at cap² while pairs in
+    normal-sized buckets are unaffected; a pair is emitted iff at least
+    one of its colliding bands is under the cap (the canonical-band test
+    skips oversized bands the same way the join does, so capping never
+    drops a pair that a kept band would emit). Default None = emit all.
     """
     if verify_via == "auto":
         verify_via = _pick_verify_path(docs)
@@ -206,22 +217,49 @@ def minhash_near_duplicates(
         )
     )
 
-    a = melted.select(
-        "band", "sig", F.col("doc_id").alias("doc_a"), F.col("sigvec").alias("sv_a")
-    )
-    b = melted.select(
-        "band", "sig", F.col("doc_id").alias("doc_b"), F.col("sigvec").alias("sv_b")
-    )
+    side_cols = ["band", "sig", "doc_id", "sigvec"]
+    if max_bucket_size is not None:
+        # per-(band, sig) bucket sizes, keyed like the self-join (the
+        # aggregation is partial/map-side over the narrow band rows);
+        # every doc also gets its per-band size vector so the canonical-
+        # band test below can skip oversized bands exactly like the join
+        sizes = melted.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("__bn"))
+        with_bn = melted.join(sizes, ["band", "sig"])
+        bnvec = with_bn.groupBy("doc_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("band", "__bn"))),
+                lambda s: s["__bn"],
+            ).alias("bnvec")
+        )
+        melted = (
+            with_bn.filter(F.col("__bn") <= max_bucket_size)
+            .join(bnvec, "doc_id")
+        )
+        side_cols.append("bnvec")
+
+    def _side(suffix: str) -> DataFrame:
+        renames = {"doc_id": f"doc_{suffix}", "sigvec": f"sv_{suffix}",
+                   "bnvec": f"bv_{suffix}"}
+        return melted.select(
+            *[F.col(c).alias(renames.get(c, c)) for c in side_cols]
+        )
+
+    a, b = _side("a"), _side("b")
     # canonical-band emission: keep a collision only when no EARLIER band
     # also collides (both signature vectors ride on the joined row, so
     # this is a map-side test) — each candidate pair appears exactly once
-    # and the pair-distinct exchange disappears
+    # and the pair-distinct exchange disappears. With a bucket cap, an
+    # earlier band only counts if its (shared) bucket was under the cap.
     first_band_only = F.lit(True)
     for j in range(n_bands):
-        first_band_only = first_band_only & (
-            (F.col("band") <= F.lit(j))
-            | (F.col("sv_a")[j] != F.col("sv_b")[j])
+        earlier_emits = (F.col("band") > F.lit(j)) & (
+            F.col("sv_a")[j] == F.col("sv_b")[j]
         )
+        if max_bucket_size is not None:
+            earlier_emits = earlier_emits & (
+                F.col("bv_a")[j] <= F.lit(max_bucket_size)
+            )
+        first_band_only = first_band_only & ~earlier_emits
     cand = (
         a.join(b, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -315,12 +353,18 @@ def simhash_near_duplicates(
     bits: int = 32,
     band_bits: int = 8,
     max_hamming: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded hamming join over simhash fingerprints: candidates share at
     least one exact band (probabilistic recall, standard LSH trade-off),
     verified with bit_count(xor) ≤ max_hamming.
 
-    Output: (doc_a, doc_b, hamming)."""
+    Output: (doc_a, doc_b, hamming).
+
+    ``max_bucket_size`` caps per-band bucket membership the same way
+    ``minhash_near_duplicates`` does (oversized buckets — boilerplate
+    families with quadratic pair counts — emit nothing; a pair survives
+    iff one of its colliding bands is under the cap)."""
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     # persisted: both sides of the self-join read the same fingerprints
@@ -344,22 +388,52 @@ def simhash_near_duplicates(
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = melted.select("band", "bucket", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
-    b = melted.select("band", "bucket", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    side_cols = ["band", "bucket", "doc_id", "simhash"]
+    if max_bucket_size is not None:
+        sizes = melted.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        with_bn = melted.join(sizes, ["band", "bucket"])
+        bnvec = with_bn.groupBy("doc_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("band", "__bn"))),
+                lambda s: s["__bn"],
+            ).alias("bnvec")
+        )
+        melted = (
+            with_bn.filter(F.col("__bn") <= max_bucket_size)
+            .join(bnvec, "doc_id")
+        )
+        side_cols.append("bnvec")
+
+    def _side(suffix: str) -> DataFrame:
+        renames = {"doc_id": f"doc_{suffix}", "simhash": f"fp_{suffix}",
+                   "bnvec": f"bv_{suffix}"}
+        return melted.select(
+            *[F.col(c).alias(renames.get(c, c)) for c in side_cols]
+        )
+
+    a, b = _side("a"), _side("b")
 
     # canonical-band dedup: a pair colliding in m bands would otherwise be
     # emitted m times and need a full distinct SHUFFLE over the (huge)
     # near-dup output. Instead keep a joined row only when NO EARLIER band
     # also matches — both fingerprints are present, so this is a map-side
     # bit test, each pair survives exactly once, and the distinct exchange
-    # disappears from the plan (pinned by test_round2_fixes).
+    # disappears from the plan (pinned by test_round2_fixes). With a
+    # bucket cap, an earlier band only counts if its bucket was kept.
     first_band_only = F.lit(True)
     for j in range(n_bands):
         eq_j = (
             F.expr(f"shiftright(fp_a, {j * band_bits})").bitwiseAND(F.lit(mask))
             == F.expr(f"shiftright(fp_b, {j * band_bits})").bitwiseAND(F.lit(mask))
         )
-        first_band_only = first_band_only & ((F.col("band") <= F.lit(j)) | ~eq_j)
+        earlier_emits = (F.col("band") > F.lit(j)) & eq_j
+        if max_bucket_size is not None:
+            earlier_emits = earlier_emits & (
+                F.col("bv_a")[j] <= F.lit(max_bucket_size)
+            )
+        first_band_only = first_band_only & ~earlier_emits
 
     return (
         a.join(b, ["band", "bucket"])

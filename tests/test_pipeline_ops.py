@@ -156,3 +156,64 @@ def test_asof_join_inner_drops_unmatched(spark):
         right_value_cols=["v"],
     ).collect()
     assert {(r.k, r.asof_v) for r in outer} == {(1, "a"), (2, None)}
+
+
+def test_bucket_cap_drops_boilerplate_keeps_normal_pairs(spark):
+    """max_bucket_size: a giant exact-dup (boilerplate) family lands in
+    oversized LSH buckets and must emit NO pairs, while a small near-dup
+    pair in normal buckets is unaffected; cap >= corpus is identical to
+    no cap."""
+    from openstack_billing_from_db_spark.operators.dedup import (
+        minhash_near_duplicates,
+        simhash,
+        simhash_near_duplicates,
+    )
+
+    boiler = "terms of service apply to all content on this site always"
+    rows = [(i, boiler) for i in range(40)]  # 40 identical docs
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog today ok"),
+        (101, "the quick brown fox jumps over the lazy dog today yes"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_duplicates(docs).filter("jaccard >= 0.5").collect()
+    }
+    assert (100, 101) in uncapped
+    assert sum(1 for a, b in uncapped if a < 40 and b < 40) == 40 * 39 // 2
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_duplicates(docs, max_bucket_size=10)
+        .filter("jaccard >= 0.5")
+        .collect()
+    }
+    assert (100, 101) in capped  # normal pair untouched
+    assert not any(a < 40 and b < 40 for a, b in capped)  # boilerplate gone
+
+    # a cap larger than every bucket is a no-op (identical output)
+    loose = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_duplicates(docs, max_bucket_size=10_000)
+        .filter("jaccard >= 0.5")
+        .collect()
+    }
+    assert loose == uncapped
+
+    fps = simhash(docs)
+    sim_uncapped = {
+        (r.doc_a, r.doc_b) for r in simhash_near_duplicates(fps).collect()
+    }
+    sim_capped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_duplicates(fps, max_bucket_size=10).collect()
+    }
+    assert not any(a < 40 and b < 40 for a, b in sim_capped)
+    assert sim_capped <= sim_uncapped
+    sim_loose = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_duplicates(fps, max_bucket_size=10_000).collect()
+    }
+    assert sim_loose == sim_uncapped
