@@ -264,20 +264,64 @@ def embedding_near_duplicates(
     dims: int = 64,
     n_tables: int = 1,
     corpus_size: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucketing: only same-bucket
     pairs are scored. Output: (vec_a, vec_b, cos ≥ threshold).
 
     Defaults are the scale-safe ones: adaptive bucket width (see
-    ``adaptive_n_planes``) and optional multi-table OR-amplification."""
+    ``adaptive_n_planes``) and optional multi-table OR-amplification.
+    ``max_bucket_size`` is the same boilerplate valve as on the
+    minhash/simhash emitters (operators/dedup.py): oversized buckets —
+    giant duplicate families with quadratic pair counts — emit nothing,
+    and with multiple tables the first-matching-table test skips capped
+    tables exactly like the join does."""
     n_planes = _resolve_n_planes(emb, n_planes, corpus_size)
     index = _bucketed_index(emb, id_col, vec_col, n_planes, dims, n_tables)
-    a = index.select("table", "bucket", F.col("vid").alias("vec_a"), F.col("e").alias("ea"), F.col("e_norm").alias("na"), F.col("bucketvec").alias("bv_a"))
-    b = index.select("table", "bucket", F.col("vid").alias("vec_b"), F.col("e").alias("eb"), F.col("e_norm").alias("nb"), F.col("bucketvec").alias("bv_b"))
+    size_vec = None
+    if max_bucket_size is not None:
+        sizes = index.groupBy("table", "bucket").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        with_bn = index.join(sizes, ["table", "bucket"])
+        bnvec = with_bn.groupBy("vid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("table", "__bn"))),
+                lambda s: s["__bn"],
+            ).alias("__bnvec")
+        )
+        index = with_bn.filter(F.col("__bn") <= max_bucket_size).join(bnvec, "vid")
+        size_vec = "__bnvec"
+
+    def _side(suffix: str) -> DataFrame:
+        cols = [
+            F.col("table"),
+            F.col("bucket"),
+            F.col("vid").alias(f"vec_{suffix}"),
+            F.col("e").alias(f"e{suffix}"),
+            F.col("e_norm").alias(f"n{suffix}"),
+            F.col("bucketvec").alias(f"bv_{suffix}"),
+        ]
+        if size_vec is not None:
+            cols.append(F.col(size_vec).alias(f"sz_{suffix}"))
+        return index.select(*cols)
+
+    a, b = _side("a"), _side("b")
     pairs = a.join(b, ["table", "bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
     if n_tables > 1:
-        # scored once per pair: first-matching-table emission, map-side
-        pairs = pairs.filter(_first_table_only(n_tables, "bv_a", "bv_b"))
+        # scored once per pair: first-matching-table emission, map-side.
+        # With a cap, an earlier table only counts if its bucket was kept.
+        cond = F.lit(True)
+        for t in range(n_tables):
+            earlier_emits = (F.col("table") > F.lit(t)) & (
+                F.col("bv_a")[t] == F.col("bv_b")[t]
+            )
+            if size_vec is not None:
+                earlier_emits = earlier_emits & (
+                    F.col("sz_a")[t] <= F.lit(max_bucket_size)
+                )
+            cond = cond & ~earlier_emits
+        pairs = pairs.filter(cond)
     return (
         pairs.select(
             "vec_a",

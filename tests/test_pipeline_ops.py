@@ -217,3 +217,40 @@ def test_bucket_cap_drops_boilerplate_keeps_normal_pairs(spark):
         for r in simhash_near_duplicates(fps, max_bucket_size=10_000).collect()
     }
     assert sim_loose == sim_uncapped
+
+
+def test_embedding_bucket_cap(spark):
+    """max_bucket_size on embedding_near_duplicates: a giant identical-
+    vector family emits no pairs, a distinct near-dup pair survives, and
+    a loose cap is identical to no cap (n_tables=2 exercises the
+    cap-aware first-matching-table emission)."""
+    from openstack_billing_from_db_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    dims = 8
+    big = [1.0] + [0.0] * (dims - 1)
+    rows = [(i, big) for i in range(30)]  # 30 identical vectors
+    rows += [
+        (100, [0.0, 1.0, 0.1] + [0.0] * (dims - 3)),
+        (101, [0.0, 1.0, 0.12] + [0.0] * (dims - 3)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pairs(**kw):
+        return {
+            (r.vec_a, r.vec_b)
+            for r in embedding_near_duplicates(
+                emb, threshold=0.9, n_planes=4, dims=dims, n_tables=2, **kw
+            ).collect()
+        }
+
+    uncapped = pairs()
+    assert (100, 101) in uncapped
+    assert sum(1 for a, b in uncapped if a < 30 and b < 30) == 30 * 29 // 2
+
+    capped = pairs(max_bucket_size=8)
+    assert (100, 101) in capped
+    assert not any(a < 30 and b < 30 for a, b in capped)
+
+    assert pairs(max_bucket_size=10_000) == uncapped
