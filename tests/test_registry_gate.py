@@ -11,23 +11,16 @@ from openstack_billing_from_db_spark.registry import (
 
 GATE_SIZE = 50
 
-# never driver-checked yet (added round 3) — must sit inside the gate.
-# The round-1-unchecked set is retired: all 11 got green CORRECTNESS_r02
-# rows, so redundant members of it (q36/q46/q53) may now defer to make
-# room for NEW components, which always take gate priority.
+# never driver-checked yet — must sit inside the gate. Round-3's
+# unchecked set all got green CORRECTNESS_r03 rows; what remains is the
+# round-4 rotation (VERDICT r3 Next #1: q82/q86/q87, which filled the
+# gate after round 3's additions) plus the new q88 PNG decode. NEW
+# components always take gate priority over multiply-proven twins.
 NEVER_DRIVER_CHECKED = {
-    "q73_kmeans_clusters",
-    "q74_repetition_stats",
-    "q75_stream_stream_join",
-    "q76_lm_quality",
-    "q77_video_frame_sample",
-    "q78_bpe_train",
-    "q79_temperature_mix",
-    "q80_span_dedup",
-    "q81_quality_filter",
-    "q83_variant_json",
-    "q84_trailing_window",
-    "q85_full_outer_join",
+    "q82_streaming_dedup_watermarked",
+    "q86_ngram_udtf",
+    "q87_dedup_survivors",
+    "q88_png_decode",
 }
 
 
