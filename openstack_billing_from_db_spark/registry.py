@@ -31,6 +31,7 @@ _QUERY_MODULES = (
     "openstack_billing_from_db_spark.plans.analytics_queries",
     "openstack_billing_from_db_spark.plans.pipeline_queries",
     "openstack_billing_from_db_spark.plans.corpus_queries",
+    "openstack_billing_from_db_spark.plans.curation_queries",
     "openstack_billing_from_db_spark.plans.streaming_queries",
 )
 
@@ -103,6 +104,16 @@ DEFERRED: tuple[str, ...] = (
     "q20_priority_unpivot",  # r1+r3-green; pivot/unpivot in-gate via q27 cube
     "q41_multimodal_meta",  # r1+r3-green; payload plumbing in-gate via q77 +
     # the new q88 PNG decode (which takes this slot)
+    # Round-4 curation additions (q89-q93, plans/curation_queries.py) take
+    # the next five gate slots; these five multiply-proven twins absorb the
+    # overflow (same NEW-components-take-priority rule as the q82/q86/q87
+    # rotation above; rotate back once CORRECTNESS_r04 is green):
+    "q22_scalar_functions",  # r1+r3-green; scalar F-chains in-gate via q05/q42/q23
+    "q29_running_totals",  # r1+r3-green; window aggs in-gate via q84 (RANGE frame) + q28
+    "q31_quality_score",  # r1+r3-green; same operator composed in-gate by q81
+    "q38_ann_topk_bruteforce",  # r1+r3-green; ANN in-gate via q39 LSH + q65 IVF
+    # (whose degrade-to-brute-force path is pytest-pinned to q38's kernel)
+    "q52_streaming_dedup",  # r1+r3-green; in-gate q82 is pytest-pinned ≡ q52
 )
 
 

@@ -1,0 +1,145 @@
+"""Unit tests for the round-4 curation operators (operators/curation.py)
+on hand-built inputs with hand-computed expectations; oracle parity for
+the registered q89-q93 queries is covered by test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.functions.hashing import py_hash64
+from openstack_billing_from_db_spark.operators.curation import (
+    bloom_positions,
+    build_bloom_bitset,
+    bloom_probe,
+    fixed_segments,
+    linear_logit_micro,
+    token_chunks,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_chunks_exact_boundaries(spark):
+    # 7 tokens, chunk 3 stride 2 -> starts 0,2,4,6
+    df = _docs(spark, [(1, "a b c d e f g")])
+    got = {
+        (r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in token_chunks(df, chunk_size=3, stride=2).collect()
+    }
+    assert got == {
+        (0, 3, "a b c"),
+        (1, 3, "c d e"),
+        (2, 3, "e f g"),
+        (3, 1, "g"),
+    }
+
+
+def test_token_chunks_short_and_empty_docs(spark):
+    df = _docs(spark, [(1, "x y"), (2, ""), (3, "   ")])
+    rows = token_chunks(df, chunk_size=5, stride=4).collect()
+    # empty docs emit nothing; short doc emits exactly one short chunk
+    assert [(r.doc_id, r.chunk_id, r.chunk_text) for r in rows] == [(1, 0, "x y")]
+
+
+def test_token_chunks_exact_multiple_no_phantom_tail(spark):
+    # 4 tokens, chunk=stride=2: starts 0,2 only (no empty chunk at 4)
+    df = _docs(spark, [(1, "a b c d")])
+    rows = token_chunks(df, chunk_size=2, stride=2).collect()
+    assert sorted((r.chunk_id, r.chunk_text) for r in rows) == [
+        (0, "a b"),
+        (1, "c d"),
+    ]
+
+
+def test_fixed_segments_are_nonoverlapping_partition(spark):
+    df = _docs(spark, [(7, "a b c d e")])
+    rows = sorted(
+        (r.seg_idx, r.seg_text) for r in fixed_segments(df, seg_size=2).collect()
+    )
+    assert rows == [(0, "a b"), (1, "c d"), (2, "e")]
+
+
+def test_bloom_bitset_bounds_and_sign_bit():
+    # bit 63 exercises the signed-long reinterpretation
+    bits = build_bloom_bitset([0, 63, 64, 127], m_bits=128)
+    assert len(bits) == 2
+    assert bits[0] == (1 | (1 << 63)) - (1 << 64)  # negative: sign bit set
+    assert bits[1] == (1 | (1 << 63)) - (1 << 64)
+    with pytest.raises(ValueError):
+        build_bloom_bitset([128], m_bits=128)
+
+
+def test_bloom_probe_no_false_negatives_and_rejects_unset(spark):
+    m, k = 1024, 3
+    df = spark.createDataFrame([(h,) for h in range(200)], "gh long")
+    pos = df.select("gh", *bloom_positions(F.col("gh"), k, m))
+    members = pos.filter(F.col("gh") < 100)
+    member_positions = [
+        r.pos
+        for r in members.select(
+            F.explode(F.array("bfpos0", "bfpos1", "bfpos2")).alias("pos")
+        ).collect()
+    ]
+    bitset = build_bloom_bitset(member_positions, m)
+    surv = {
+        r.gh for r in bloom_probe(pos, bitset, ["bfpos0", "bfpos1", "bfpos2"]).collect()
+    }
+    # every member survives (no false negatives)...
+    assert set(range(100)) <= surv
+    # ...and the filter actually rejects (some non-members fail the probe)
+    assert len(surv) < 200
+
+
+def test_bloom_positions_match_python_hash_family(spark):
+    # the Spark-side positions are the same md5 family the oracle uses
+    df = spark.createDataFrame([(12345,)], "gh long")
+    row = df.select(*bloom_positions(F.col("gh"), 2, 64)).collect()[0]
+    assert row.bfpos0 == py_hash64("bf0|12345") % 64
+    assert row.bfpos1 == py_hash64("bf1|12345") % 64
+
+
+def test_linear_logit_micro_matches_python(spark):
+    df = spark.createDataFrame([(3, 10), (0, -4)], "f1 long, f2 long")
+    out = df.select(
+        linear_logit_micro({"f1": 7, "f2": -2}, 100).alias("logit")
+    ).collect()
+    assert [r.logit for r in out] == [100 + 7 * 3 - 2 * 10, 100 + 7 * 0 - 2 * -4]
+
+
+def test_segment_dedup_keeps_first_occurrence(spark, tmp_path):
+    # two docs sharing a segment: doc 1 (earlier packed position) keeps it
+    df = _docs(
+        spark,
+        [
+            (1, "dup seg one two unique a b c"),
+            (2, "dup seg one two other x y z"),
+        ],
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.mode("overwrite").parquet(path)
+    from openstack_billing_from_db_spark.plans.curation_queries import (
+        q92_segment_dedup,
+    )
+
+    rows = {r.doc_id: r for r in q92_segment_dedup(spark, str(tmp_path)).collect()}
+    # seg size 8: each doc is exactly one 8-token segment... both unique
+    assert rows[1].n_kept == 1 and rows[2].n_kept == 1
+    # now a true duplicate: identical 8-token prefix segments
+    df2 = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h tail1 x"),
+            (2, "a b c d e f g h tail2 y"),
+        ],
+    )
+    df2.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.mode("overwrite").parquet(path)
+    rows = {r.doc_id: r for r in q92_segment_dedup(spark, str(tmp_path)).collect()}
+    assert (rows[1].n_kept, rows[1].n_removed) == (2, 0)  # first occurrence
+    assert (rows[2].n_kept, rows[2].n_removed) == (1, 1)  # shared seg removed

@@ -21,6 +21,12 @@ NEVER_DRIVER_CHECKED = {
     "q86_ngram_udtf",
     "q87_dedup_survivors",
     "q88_png_decode",
+    # round-4 curation additions (plans/curation_queries.py)
+    "q89_doc_chunks",
+    "q90_tfidf_topk",
+    "q91_bloom_decontaminate",
+    "q92_segment_dedup",
+    "q93_quality_classifier",
 }
 
 
