@@ -513,3 +513,117 @@ def cross_doc_span_stats(
             .alias("cross_dup_spans"),
         )
     )
+
+
+# --- incremental near-dup dedup against a signature index --------------------
+
+
+def minhash_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The persisted dedup index for a GROWING corpus: one row per
+    (doc, band) carrying the band bucket key and the full minhash
+    signature — ``(id, sig array<bigint>, band bigint, band_sig string)``.
+
+    This is what survives between daily batches at 100 TB: raw text is
+    never re-read to dedup an incremental batch, only this narrow
+    (num_hashes longs + one md5 per row) table, ideally written
+    partitioned/bucketed by ``band_sig``. Building it is pure map-side
+    (shingle → base-hash → affine minhash per row, no explode, no
+    shuffle)."""
+    assert num_hashes % rows_per_band == 0
+    n_bands = num_hashes // rows_per_band
+    base = ensure_map_parallelism(docs.select(id_col, text_col))
+    sig = (
+        base.select(
+            id_col,
+            shingle_hashes(word_shingles(words(F.col(text_col)), shingle_n)).alias(
+                "h"
+            ),
+        )
+        .filter(F.size("h") > 0)
+        .select(id_col, *minhash_signature(F.col("h"), num_hashes))
+        .select(
+            id_col,
+            F.array(*[F.col(f"mh{j}") for j in range(num_hashes)]).alias("sig"),
+            *minhash_bands(num_hashes, rows_per_band),
+        )
+    )
+    pairs: list[Column] = []
+    for b in range(n_bands):
+        pairs.append(F.struct(F.lit(b).cast("long").alias("band"), F.col(f"band{b}").alias("band_sig")))
+    return sig.select(
+        id_col, "sig", F.explode(F.array(*pairs)).alias("bb")
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+
+
+# packing base for the (n_agree, match_id) argmax: match ids must be
+# < _MATCH_PACK for the decode to be exact
+_MATCH_PACK = 1_000_000_000_000
+
+
+def incremental_near_duplicates(
+    index: DataFrame,
+    new_index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    min_agree: int = 6,
+) -> DataFrame:
+    """Dedup an incremental batch against an existing corpus WITHOUT
+    re-mining the corpus: join the new batch's band rows against the
+    stored index (plus the batch itself — a daily batch arrives as a
+    unit) on ``(band, band_sig)``, score each candidate by minhash
+    signature agreement, and keep the best match per new doc.
+
+    Scale shape: the join keys are band buckets (the same banded-LSH
+    narrowing as full-corpus dedup), rows carry only ``num_hashes``
+    longs, and multi-band duplicate candidates collapse in the packed
+    argmax aggregation — no pair-distinct exchange. The verify is
+    signature agreement (est_jaccard = n_agree/num_hashes), the standard
+    index-resident verify when raw text isn't retained; false-positive
+    rate decays exponentially in ``min_agree``.
+
+    Output: one row per new doc that has a signature —
+    ``(new_id, match_id, n_agree, est_jaccard, is_dup)`` with NULL match
+    columns when no candidate collided.
+    """
+    others = index.unionByName(new_index)
+    n = new_index.alias("n")
+    o = others.alias("o")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("n.sig"), F.col("o.sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    ).cast("long")
+    packed = (
+        agree * F.lit(_MATCH_PACK)
+        + (F.lit(_MATCH_PACK - 1) - F.col(f"o.{id_col}"))
+    ).alias("packed")
+    cands = (
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_sig") == F.col("o.band_sig"))
+            & (F.col(f"n.{id_col}") != F.col(f"o.{id_col}")),
+        )
+        .select(F.col(f"n.{id_col}").alias("new_id"), packed)
+        .groupBy("new_id")
+        .agg(F.max("packed").alias("packed"))
+    )
+    new_docs = new_index.select(F.col(id_col).alias("new_id")).distinct()
+    n_agree = F.expr(f"packed div {_MATCH_PACK}L")
+    return new_docs.join(cands, "new_id", "left").select(
+        "new_id",
+        (F.lit(_MATCH_PACK - 1) - F.col("packed") % _MATCH_PACK).alias("match_id"),
+        n_agree.alias("n_agree"),
+        (n_agree.cast("double") / num_hashes).alias("est_jaccard"),
+        F.coalesce(n_agree >= min_agree, F.lit(False)).alias("is_dup"),
+    )

@@ -388,3 +388,101 @@ def q93_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         logit.alias("logit_micro"),
         (logit > 0).alias("keep"),
     )
+
+
+# --- incremental dedup against a signature index -----------------------------
+
+from openstack_billing_from_db_spark.functions.hashing import portable_hash64_sql
+from openstack_billing_from_db_spark.operators import dedup as _dedup
+
+_INC_NUM_HASHES = 12
+_INC_ROWS_PER_BAND = 2
+_INC_SHINGLE_N = 3
+_INC_MIN_AGREE = 6
+_INC_P = _dedup.MINHASH_P
+_INC_MH_PARAMS = "(VALUES " + ", ".join(
+    f"({j}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+    for j, (a, b) in enumerate(_dedup.minhash_coefficients(_INC_NUM_HASHES))
+) + ")"
+_BATCH_HASH = seeded_hash64_sql("CAST(doc_id AS VARCHAR)", "batch")
+
+
+@register(
+    "q94_incremental_dedup",
+    oracle=f"""
+WITH wrd AS (SELECT doc_id, {_W} AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - {_INC_SHINGLE_N - 2}),
+                               i -> array_to_string(w[i:i+{_INC_SHINGLE_N - 1}], ' '))) AS shingle
+  FROM wrd WHERE len(w) >= {_INC_SHINGLE_N}
+),
+shh AS (SELECT doc_id, {portable_hash64_sql("shingle")} % {_INC_P} AS hh FROM sh),
+mh AS (
+  SELECT doc_id, p.j, min((p.a * hh + p.b) % {_INC_P}) AS mh
+  FROM shh CROSS JOIN {_INC_MH_PARAMS} AS p(j, a, b)
+  GROUP BY doc_id, p.j
+),
+bands AS (
+  SELECT doc_id, j // {_INC_ROWS_PER_BAND} AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS sig
+  FROM mh GROUP BY doc_id, j // {_INC_ROWS_PER_BAND}
+),
+newdoc AS (SELECT DISTINCT doc_id FROM sh WHERE {_BATCH_HASH} % 10 = 0),
+cand AS (
+  SELECT DISTINCT nb.doc_id AS new_id, ob.doc_id AS other_id
+  FROM bands nb
+  JOIN bands ob ON nb.band = ob.band AND nb.sig = ob.sig
+              AND ob.doc_id != nb.doc_id
+  WHERE nb.doc_id IN (SELECT doc_id FROM newdoc)
+),
+agree AS (
+  SELECT c.new_id, c.other_id, count(*) FILTER (WHERE a.mh = b.mh) AS n_agree
+  FROM cand c
+  JOIN mh a ON a.doc_id = c.new_id
+  JOIN mh b ON b.doc_id = c.other_id AND b.j = a.j
+  GROUP BY c.new_id, c.other_id
+),
+best AS (
+  SELECT new_id,
+         max(n_agree * 1000000000000 + (999999999999 - other_id)) AS packed
+  FROM agree GROUP BY new_id
+)
+SELECT nd.doc_id AS new_id,
+       999999999999 - (best.packed % 1000000000000) AS match_id,
+       best.packed // 1000000000000 AS n_agree,
+       CAST(best.packed // 1000000000000 AS DOUBLE) / {_INC_NUM_HASHES} AS est_jaccard,
+       coalesce(best.packed // 1000000000000 >= {_INC_MIN_AGREE}, FALSE) AS is_dup
+FROM newdoc nd LEFT JOIN best ON best.new_id = nd.doc_id
+""",
+)
+def q94_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup: a 10% hash-gated slice of the corpus
+    plays the daily batch; the rest plays the persisted signature index
+    (operators/dedup.minhash_index — one (doc, band) row carrying the
+    12-long minhash signature, NO raw text). The batch's band rows join
+    the index (plus the batch itself) on the LSH bucket key, candidates
+    are scored by signature agreement, and a packed-integer argmax keeps
+    the best match per new doc — multi-band duplicates collapse in the
+    agg, so there is no pair-distinct exchange. At 100 TB yesterday's
+    corpus is never re-read: the index is ~100 bytes/doc. Output: one
+    row per batch doc with its best match, agreement count, estimated
+    Jaccard, and the dup verdict (NULLs when nothing collided)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = seeded_hash64(F.col("doc_id").cast("string"), "batch") % 10 == 0
+    full_index = _dedup.minhash_index(
+        docs,
+        num_hashes=_INC_NUM_HASHES,
+        rows_per_band=_INC_ROWS_PER_BAND,
+        shingle_n=_INC_SHINGLE_N,
+    )
+    # one signature build, split by role (a real deployment reads the
+    # index from parquet and builds signatures only for the new batch)
+    index = full_index.filter(~is_new)
+    new_index = full_index.filter(is_new)
+    return _dedup.incremental_near_duplicates(
+        index,
+        new_index,
+        num_hashes=_INC_NUM_HASHES,
+        min_agree=_INC_MIN_AGREE,
+    )

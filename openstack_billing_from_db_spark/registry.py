@@ -114,6 +114,9 @@ DEFERRED: tuple[str, ...] = (
     "q38_ann_topk_bruteforce",  # r1+r3-green; ANN in-gate via q39 LSH + q65 IVF
     # (whose degrade-to-brute-force path is pytest-pinned to q38's kernel)
     "q52_streaming_dedup",  # r1+r3-green; in-gate q82 is pytest-pinned ≡ q52
+    "q04_state_intervals",  # r1+r3-green; E1-E6 in-gate via q03/q06 supersets,
+    # and q04b (pytest-pinned output-identical) covers the bucketed variant;
+    # slot goes to the new q94 incremental dedup
 )
 
 

@@ -143,3 +143,89 @@ def test_segment_dedup_keeps_first_occurrence(spark, tmp_path):
     rows = {r.doc_id: r for r in q92_segment_dedup(spark, str(tmp_path)).collect()}
     assert (rows[1].n_kept, rows[1].n_removed) == (2, 0)  # first occurrence
     assert (rows[2].n_kept, rows[2].n_removed) == (1, 1)  # shared seg removed
+
+
+# --- incremental near-dup dedup ----------------------------------------------
+
+
+def _mini_corpus(spark):
+    return _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words about spark shuffles and joins"),
+            # near-dup of doc 1 (one token changed)
+            (30, "the quick brown fox jumps over the lazy cat today"),
+            # unique new doc
+            (31, "nothing like anything else in this tiny corpus at all"),
+        ],
+    )
+
+
+def test_incremental_dedup_finds_index_match(spark):
+    from openstack_billing_from_db_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_index,
+    )
+
+    docs = _mini_corpus(spark)
+    index = minhash_index(docs.filter("doc_id < 10"))
+    new = minhash_index(docs.filter("doc_id >= 10"))
+    rows = {r.new_id: r for r in incremental_near_duplicates(index, new).collect()}
+    assert set(rows) == {30, 31}
+    # 30 matches its near-identical sibling 1
+    assert rows[30].match_id == 1 and rows[30].is_dup
+    assert rows[30].n_agree >= 6
+    assert abs(rows[30].est_jaccard - rows[30].n_agree / 12) < 1e-12
+    # 31 collides with nothing: NULL match, not a dup
+    assert rows[31].match_id is None and rows[31].n_agree is None
+    assert rows[31].is_dup is False
+
+
+def test_incremental_dedup_exact_dup_full_agreement(spark):
+    from openstack_billing_from_db_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_index,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (50, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+    )
+    index = minhash_index(docs.filter("doc_id = 1"))
+    new = minhash_index(docs.filter("doc_id = 50"))
+    (row,) = incremental_near_duplicates(index, new).collect()
+    assert (row.new_id, row.match_id, row.n_agree) == (50, 1, 12)
+    assert row.est_jaccard == 1.0 and row.is_dup
+
+
+def test_incremental_dedup_matches_within_new_batch(spark):
+    from openstack_billing_from_db_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_index,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "index doc with its own unrelated content words here"),
+            (40, "twin text shared by two new arrivals in one batch"),
+            (41, "twin text shared by two new arrivals in one batch"),
+        ],
+    )
+    index = minhash_index(docs.filter("doc_id = 1"))
+    new = minhash_index(docs.filter("doc_id >= 40"))
+    rows = {r.new_id: r for r in incremental_near_duplicates(index, new).collect()}
+    # the batch dedups against itself: each twin's best match is the other
+    assert rows[40].match_id == 41 and rows[40].is_dup
+    assert rows[41].match_id == 40 and rows[41].is_dup
+
+
+def test_minhash_index_short_docs_have_no_rows(spark):
+    from openstack_billing_from_db_spark.operators.dedup import minhash_index
+
+    docs = _docs(spark, [(1, "one two"), (2, "")])  # below shingle_n=3
+    assert minhash_index(docs).count() == 0

@@ -27,6 +27,7 @@ NEVER_DRIVER_CHECKED = {
     "q91_bloom_decontaminate",
     "q92_segment_dedup",
     "q93_quality_classifier",
+    "q94_incremental_dedup",
 }
 
 
