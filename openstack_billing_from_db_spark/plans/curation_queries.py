@@ -185,8 +185,13 @@ def q91_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per training doc, its distinct-gram count, how many grams
     survived the Bloom probe, how many truly match an eval gram, and
     the contamination flag."""
+    from openstack_billing_from_db_spark.operators.caching import tracked_persist
+
     docs = _docs(spark, sf_dir)
-    grams = (
+    # persisted: the bitset build collects positions from the eval slice
+    # BEFORE the main query runs, and the verify join reads the eval side
+    # again — without this the shingle+distinct stream evaluates 3×
+    grams = tracked_persist(
         docs.select(
             "doc_id",
             F.explode(text.word_shingles(text.words(F.col("text")), _BF_N)).alias("ng"),

@@ -43,6 +43,15 @@ QUERIES = (
     "q80_span_dedup",
     "q78_bpe_train",
     "q81_quality_filter",
+    # round-4 curation operators: map-side chunking/scoring, tf-idf
+    # double agg + window, bloom-prefiltered decontamination, min-packed
+    # segment dedup, banded incremental index join
+    "q89_doc_chunks",
+    "q90_tfidf_topk",
+    "q91_bloom_decontaminate",
+    "q92_segment_dedup",
+    "q93_quality_classifier",
+    "q94_incremental_dedup",
 )
 
 
