@@ -627,3 +627,24 @@ def incremental_near_duplicates(
         (n_agree.cast("double") / num_hashes).alias("est_jaccard"),
         F.coalesce(n_agree >= min_agree, F.lit(False)).alias("is_dup"),
     )
+
+
+def merge_index(
+    index: DataFrame,
+    new_index: DataFrame,
+    verdicts: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold a deduplicated batch into the persisted signature index:
+    the old index survives untouched; only band rows of batch docs that
+    were NOT judged duplicates (``incremental_near_duplicates`` output)
+    are appended. Duplicate docs never enter the index, so later
+    batches always match the canonical survivor instead of walking a
+    chain of near-dups — and the index growth rate is the UNIQUE-doc
+    rate, not the ingest rate. One narrow left-semi join; at 100 TB
+    this is the daily index-maintenance job."""
+    keep = verdicts.filter(~F.col("is_dup")).select(
+        F.col("new_id").alias(id_col)
+    )
+    return index.unionByName(new_index.join(keep, id_col, "left_semi"))

@@ -229,3 +229,64 @@ def test_minhash_index_short_docs_have_no_rows(spark):
 
     docs = _docs(spark, [(1, "one two"), (2, "")])  # below shingle_n=3
     assert minhash_index(docs).count() == 0
+
+
+def test_merge_index_admits_only_unique_docs(spark):
+    from openstack_billing_from_db_spark.operators.dedup import (
+        incremental_near_duplicates,
+        merge_index,
+        minhash_index,
+    )
+
+    day0 = _docs(spark, [(1, "the quick brown fox jumps over the lazy dog today")])
+    day1 = _docs(
+        spark,
+        [
+            (30, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+            (31, "an entirely fresh document with novel words in it"),  # unique
+        ],
+    )
+    day2 = _docs(spark, [(60, "an entirely fresh document with novel words in it")])
+
+    idx = minhash_index(day0)
+    new1 = minhash_index(day1)
+    v1 = incremental_near_duplicates(idx, new1)
+    idx = merge_index(idx, new1, v1)
+    # dup doc 30 never entered the index; unique doc 31 did
+    assert set(r.doc_id for r in idx.select("doc_id").distinct().collect()) == {1, 31}
+
+    # a later copy of 31's text matches the canonical survivor 31
+    new2 = minhash_index(day2)
+    (row,) = incremental_near_duplicates(idx, new2).collect()
+    assert (row.new_id, row.match_id, row.is_dup) == (60, 31, True)
+
+
+def test_table_stats_one_row_per_column(spark, sf_dir):
+    from openstack_billing_from_db_spark.sources.stats import table_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stats = {r.column: r for r in table_stats(ev).collect()}
+    assert set(stats) == set(ev.columns)
+    n = ev.count()
+    for r in stats.values():
+        assert r.n_rows == n
+    # exact facts to pin: event_id unique and non-null
+    assert stats["event_id"].n_nulls == 0
+    ndv = stats["event_id"].approx_ndv
+    assert abs(ndv - n) / n < 0.15  # rsd=0.05 approx distinct
+    assert int(stats["event_id"].min_repr) == ev.agg(F.min("event_id")).collect()[0][0]
+
+
+def test_table_stats_nulls_and_complex_types(spark):
+    from openstack_billing_from_db_spark.sources.stats import table_stats
+
+    df = spark.createDataFrame(
+        [(1, None, [1, 2]), (2, "x", None)],
+        "a long, s string, arr array<int>",
+    )
+    stats = {r.column: r for r in table_stats(df).collect()}
+    assert stats["s"].n_nulls == 1
+    assert stats["arr"].n_nulls == 1
+    # complex types carry no min/max but still count
+    assert stats["arr"].min_repr is None and stats["arr"].max_repr is None
+    assert stats["a"].min_repr == "1" and stats["a"].max_repr == "2"
