@@ -170,3 +170,54 @@ def test_compact_parquet_swap_failure_restores_original(
 
     # original restored at its path, readable, byte-identical rows
     assert {tuple(r) for r in spark.read.parquet(p).collect()} == before
+
+
+def test_delete_rows_removes_only_matching(spark, sf_dir, tmp_path):
+    from openstack_billing_from_db_spark.sources.maintenance import delete_rows
+    from openstack_billing_from_db_spark.sources.tables import load_table
+
+    p = str(tmp_path / "ev_del")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(p)
+    before = spark.read.parquet(p)
+    n = before.count()
+    victims = before.filter("user_id % 7 = 0").count()
+    assert victims > 0
+
+    res = delete_rows(spark, p, "user_id % 7 = 0")
+    assert res["rows_before"] == n
+    assert res["rows_deleted"] == victims
+    assert res["rows_after"] == n - victims
+
+    after = spark.read.parquet(p)
+    assert after.count() == n - victims
+    assert after.filter("user_id % 7 = 0").count() == 0
+
+
+def test_delete_rows_null_predicate_rows_survive(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from openstack_billing_from_db_spark.sources.maintenance import delete_rows
+
+    p = str(tmp_path / "nulls_del")
+    spark.createDataFrame(
+        [(1, 10), (2, None), (3, 99)], "id long, v long"
+    ).write.mode("overwrite").parquet(p)
+    res = delete_rows(spark, p, "v > 50")  # NULL for id=2 -> kept
+    assert res["rows_deleted"] == 1
+    kept = {r.id for r in spark.read.parquet(p).collect()}
+    assert kept == {1, 2}
+
+
+def test_delete_rows_noop_without_matches(spark, tmp_path):
+    import os
+
+    from openstack_billing_from_db_spark.sources.maintenance import delete_rows
+
+    p = str(tmp_path / "noop_del")
+    spark.createDataFrame([(1,), (2,)], "id long").write.mode(
+        "overwrite"
+    ).parquet(p)
+    files = sorted(os.listdir(p))
+    res = delete_rows(spark, p, "id > 100")
+    assert res["rows_deleted"] == 0 and res["rows_after"] == 2
+    assert sorted(os.listdir(p)) == files  # untouched, no rewrite
