@@ -1,0 +1,138 @@
+"""Operational CLI for the corpus/table-maintenance side of the engine
+(the billing CLI lives in cli.py, mirroring the reference's entry
+point; the reference has no corpus tooling — beyond-reference surface).
+
+    python -m openstack_billing_from_db_spark.corpus_cli prepare \
+        --data-dir /root/testdata/sf0.001 --output /tmp/corpus
+    python -m openstack_billing_from_db_spark.corpus_cli stats \
+        --path /root/testdata/sf0.001/events.parquet
+    python -m openstack_billing_from_db_spark.corpus_cli compact --path DIR
+    python -m openstack_billing_from_db_spark.corpus_cli delete \
+        --path DIR --predicate "user_id % 7 = 0"
+    python -m openstack_billing_from_db_spark.corpus_cli zorder \
+        --path DIR --cols user_id,ts --output DIR2
+
+Each subcommand prints one JSON summary line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="corpus_cli")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    prep = sub.add_parser("prepare", help="run the corpus-prep pipeline")
+    prep.add_argument("--data-dir", required=True)
+    prep.add_argument("--output", default=None)
+    prep.add_argument("--min-quality", type=float, default=0.3)
+    prep.add_argument("--near-dup-jaccard", type=float, default=0.8)
+
+    st = sub.add_parser("stats", help="one-pass column statistics")
+    st.add_argument("--path", required=True)
+
+    cp = sub.add_parser("compact", help="small-file compaction")
+    cp.add_argument("--path", required=True)
+    cp.add_argument("--target-file-mb", type=int, default=128)
+
+    de = sub.add_parser("delete", help="row-level delete (verified swap)")
+    de.add_argument("--path", required=True)
+    de.add_argument("--predicate", required=True)
+
+    zo = sub.add_parser("zorder", help="z-order clustered rewrite")
+    zo.add_argument("--path", required=True)
+    zo.add_argument("--cols", required=True, help="comma-separated")
+    zo.add_argument("--output", required=True)
+    zo.add_argument("--num-files", type=int, default=8)
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> dict:
+    args = build_parser().parse_args(argv)
+    own_session = spark is None
+    if own_session:
+        from openstack_billing_from_db_spark.session import get_spark
+
+        spark = get_spark(app_name=f"corpus-cli-{args.command}")
+    try:
+        if args.command == "prepare":
+            from openstack_billing_from_db_spark.plans.corpus_pipeline import (
+                prepare_corpus,
+            )
+
+            out = prepare_corpus(
+                spark,
+                args.data_dir,
+                args.output,
+                min_quality=args.min_quality,
+                near_dup_jaccard=args.near_dup_jaccard,
+            )
+            result = {"command": "prepare", "rows": out.count(), "output": args.output}
+        elif args.command == "stats":
+            from openstack_billing_from_db_spark.sources.stats import table_stats
+
+            rows = table_stats(spark.read.parquet(args.path)).collect()
+            result = {
+                "command": "stats",
+                "path": args.path,
+                "columns": {
+                    r.column: {
+                        "n_rows": r.n_rows,
+                        "n_nulls": r.n_nulls,
+                        "approx_ndv": r.approx_ndv,
+                        "min": r.min_repr,
+                        "max": r.max_repr,
+                    }
+                    for r in rows
+                },
+            }
+        elif args.command == "compact":
+            from openstack_billing_from_db_spark.sources.maintenance import (
+                compact_parquet,
+            )
+
+            result = {
+                "command": "compact",
+                **compact_parquet(
+                    spark, args.path, target_file_mb=args.target_file_mb
+                ),
+            }
+        elif args.command == "delete":
+            from openstack_billing_from_db_spark.sources.maintenance import (
+                delete_rows,
+            )
+
+            result = {
+                "command": "delete",
+                **delete_rows(spark, args.path, args.predicate),
+            }
+        else:  # zorder
+            from openstack_billing_from_db_spark.sources.zorder import write_zordered
+
+            df = spark.read.parquet(args.path)
+            write_zordered(
+                df,
+                args.output,
+                args.cols.split(","),
+                num_files=args.num_files,
+            )
+            result = {
+                "command": "zorder",
+                "rows": spark.read.parquet(args.output).count(),
+                "output": args.output,
+            }
+        print(json.dumps(result))
+        return result
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -140,3 +140,61 @@ def test_cli_missing_dump_file_raises(sf_dir):
 
     with _pytest.raises(FileNotFoundError):
         main(["--sql-dump-file", "/nonexistent/nova.sql", "--data-dir", sf_dir])
+
+
+# --- corpus/maintenance CLI ---------------------------------------------------
+
+
+def test_corpus_cli_stats_and_zorder(spark, sf_dir, tmp_path, capsys):
+    import json
+
+    from openstack_billing_from_db_spark import corpus_cli
+
+    res = corpus_cli.main(
+        ["stats", "--path", f"{sf_dir}/events.parquet"], spark=spark
+    )
+    assert res["columns"]["event_id"]["n_nulls"] == 0
+    # stdout carries one parseable JSON line
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line)["command"] == "stats"
+
+    out = str(tmp_path / "ev_z")
+    res = corpus_cli.main(
+        [
+            "zorder",
+            "--path",
+            f"{sf_dir}/events.parquet",
+            "--cols",
+            "user_id,event_id",
+            "--output",
+            out,
+            "--num-files",
+            "4",
+        ],
+        spark=spark,
+    )
+    assert res["rows"] == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_corpus_cli_delete_roundtrip(spark, sf_dir, tmp_path):
+    from openstack_billing_from_db_spark import corpus_cli
+
+    p = str(tmp_path / "ev_cli_del")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(p)
+    res = corpus_cli.main(
+        ["delete", "--path", p, "--predicate", "user_id % 5 = 0"], spark=spark
+    )
+    assert res["rows_deleted"] > 0
+    assert spark.read.parquet(p).filter("user_id % 5 = 0").count() == 0
+
+
+def test_corpus_cli_prepare(spark, sf_dir, tmp_path):
+    from openstack_billing_from_db_spark import corpus_cli
+
+    out = str(tmp_path / "corpus_out")
+    res = corpus_cli.main(
+        ["prepare", "--data-dir", sf_dir, "--output", out], spark=spark
+    )
+    assert res["rows"] > 0
+    back = spark.read.parquet(out)
+    assert back.count() == res["rows"]
