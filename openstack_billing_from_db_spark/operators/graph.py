@@ -253,3 +253,62 @@ def dedup_clusters(
     ).select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+# PageRank fixed-point scaling: scores are integer micros so every
+# iteration is exact in both engines (floor-divided shares, floor-damped
+# sums) — the production path would use doubles with a convergence test.
+PR_INIT = 1_000_000
+PR_BASE = 150_000  # (1 - d) * 1e6 with d = 0.85
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-micro PageRank over a directed edge list.
+
+    Semantics (bit-exact across engines, matching the chained-CTE
+    oracle): pr_0 = PR_INIT for every node appearing as src or dst;
+    each iteration sends ``pr_u div outdeg(u)`` (floor) along every
+    out-edge and sets ``pr_v = PR_BASE + (sum_of_incoming * 17) div 20``
+    — i.e. damping 0.85 in exact rational form. Nodes with no in-edges
+    settle at PR_BASE; dangling-node mass leaks (documented semantic,
+    shared by the oracle).
+
+    Scale shape: per iteration one |E| hash join (edges ⨝ scores,
+    partitioned on src) + one partial-aggregated shuffle on dst + a
+    node-list left join — the canonical distributed PageRank step.
+    Lineage is cut per iteration with localCheckpoint so a large
+    ``iterations`` cannot accumulate a deep plan."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(outdeg, "src")  # static: (src, dst, outdeg)
+    pr = nodes.withColumn("pr", F.lit(PR_INIT).cast("long"))
+    for _ in range(iterations):
+        incoming = (
+            ew.join(pr, ew["src"] == pr["node"])
+            .select("dst", F.expr("pr div outdeg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("t"))
+        )
+        pr = (
+            nodes.join(incoming, nodes["node"] == incoming["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr("(coalesce(t, 0L) * 17) div 20")
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr

@@ -491,3 +491,64 @@ def q94_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_INC_NUM_HASHES,
         min_agree=_INC_MIN_AGREE,
     )
+
+
+# --- PageRank over the purchase graph ----------------------------------------
+
+from openstack_billing_from_db_spark.operators.graph import (
+    PR_BASE,
+    PR_INIT,
+    pagerank_micro,
+)
+
+_PR_ITER = 3
+
+
+def _pr_iteration_sql(k: int) -> str:
+    return f"""
+p{k} AS (SELECT n.node, CAST({PR_BASE} + (coalesce(s.t, 0) * 17) // 20 AS BIGINT) AS pr
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst, sum(p.pr // d.outdeg) AS t
+           FROM e JOIN p{k - 1} p ON p.node = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst) s ON s.dst = n.node)"""
+
+
+@register(
+    "q95_pagerank",
+    oracle=f"""
+WITH eb AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+e AS (SELECT a AS src, b AS dst FROM eb UNION ALL SELECT b, a FROM eb),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+p0 AS (SELECT node, CAST({PR_INIT} AS BIGINT) AS pr FROM nodes),
+{",".join(_pr_iteration_sql(k) for k in range(1, _PR_ITER + 1))}
+SELECT node, pr FROM p{_PR_ITER}
+""",
+)
+def q95_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected customer↔supplier purchase graph
+    (edges = distinct (customer, supplier) pairs through orders ⨝
+    lineitem), {_PR_ITER} exact integer-micro iterations
+    (operators/graph.pagerank_micro). The iterative-algorithm family
+    member beside connected components: per iteration one |E| join +
+    one partial-aggregated shuffle, lineage cut per round. The oracle
+    replays the same fixed-point arithmetic as chained CTEs, so a
+    single mis-floored share or damping step hash-fails."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = eb.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        eb.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank_micro(edges, iterations=_PR_ITER)

@@ -117,6 +117,10 @@ DEFERRED: tuple[str, ...] = (
     "q04_state_intervals",  # r1+r3-green; E1-E6 in-gate via q03/q06 supersets,
     # and q04b (pytest-pinned output-identical) covers the bucketed variant;
     # slot goes to the new q94 incremental dedup
+    "q95_pagerank",  # r4-new, local-oracle-green; the gate is full with the
+    # nine rotated-in r4 components — rotate q95 in next round alongside the
+    # returning twins (iterative-join family meanwhile evidenced by in-gate
+    # q67 connected components)
 )
 
 
