@@ -89,6 +89,39 @@ def fixed_segments(
 
 # --- Bloom-bitset membership -------------------------------------------------
 
+# adaptive sizing: ~8 bits/key with k=3 hash functions keeps the false-
+# positive rate ≈ 2.5% however large the key set grows; the x100 sweep
+# measured the fixed-size alternative saturating (FP → 1, prefilter
+# useless). Power-of-two sizes 2^16..2^34 (8 KiB .. 2 GiB).
+BLOOM_MIN_BITS = 1 << 16
+BLOOM_MAX_BITS = 1 << 34
+BLOOM_BITS_PER_KEY = 8
+
+
+def adaptive_bloom_bits(n_keys: int) -> int:
+    """Smallest power of two ≥ max(BLOOM_MIN_BITS, 8·n_keys), capped at
+    BLOOM_MAX_BITS — mirrored exactly by :func:`adaptive_bloom_bits_sql`
+    so oracles stay bit-identical."""
+    target = max(BLOOM_MIN_BITS, BLOOM_BITS_PER_KEY * n_keys)
+    m = BLOOM_MIN_BITS
+    while m < target and m < BLOOM_MAX_BITS:
+        m <<= 1
+    return m
+
+
+def adaptive_bloom_bits_sql(count_subquery: str) -> str:
+    """DuckDB scalar expression computing the same power-of-two size
+    from a COUNT subquery (no floating log2 — an explicit power list,
+    so boundary cases can't round differently across engines)."""
+    powers = ", ".join(
+        f"({1 << b})" for b in range(16, 35)
+    )
+    return (
+        f"(SELECT coalesce(min(p), {BLOOM_MAX_BITS}) FROM (VALUES {powers}) t(p) "
+        f"WHERE p >= greatest({BLOOM_MIN_BITS}, "
+        f"{BLOOM_BITS_PER_KEY} * ({count_subquery})))"
+    )
+
 
 def bloom_positions(hash_col: Column, n_hashes: int, m_bits: int) -> list[Column]:
     """The ``n_hashes`` bit positions of a 64-bit hash value, derived
@@ -101,7 +134,11 @@ def bloom_positions(hash_col: Column, n_hashes: int, m_bits: int) -> list[Column
     ]
 
 
-def bloom_positions_sql(hash_expr: str, n_hashes: int, m_bits: int) -> list[str]:
+def bloom_positions_sql(
+    hash_expr: str, n_hashes: int, m_bits: int | str
+) -> list[str]:
+    """``m_bits`` may be an int literal or a SQL scalar expression
+    (e.g. :func:`adaptive_bloom_bits_sql`)."""
     from openstack_billing_from_db_spark.functions.hashing import seeded_hash64_sql
 
     e = f"CAST({hash_expr} AS VARCHAR)"
@@ -121,6 +158,74 @@ def build_bloom_bitset(positions: list[int], m_bits: int) -> list[int]:
         bits[p // 64] |= 1 << (p % 64)
     # reinterpret as signed int64 for a Spark bigint array literal
     return [b - (1 << 64) if b >= (1 << 63) else b for b in bits]
+
+
+# above this size an array LITERAL stops being viable: a 2^20-bit set is
+# 16k expression-tree children; half a million (2^25) made the x100
+# probe 50x slower than the work it saved. Bigger filters ship as a real
+# Spark broadcast probed by an Arrow-batched pandas UDF.
+LITERAL_BITSET_MAX_BITS = 1 << 20
+
+
+def build_bloom_bitset_distributed(pos_df: DataFrame, m_bits: int) -> list[int]:
+    """Assemble the bitset executor-side: OR-fold each 64-bit word with
+    a partial-aggregated ``bit_or`` and collect at most m_bits/64 rows —
+    the driver never sees individual positions (the naive
+    distinct-positions collect moved ~8M rows at the 100× point; this
+    moves ≤ word-count rows whatever the key count)."""
+    rows = (
+        pos_df.select(
+            F.expr("CAST(pos DIV 64 AS INT)").alias("w"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
+    )
+    words = [0] * ((m_bits + 63) // 64)
+    for r in rows:
+        if not 0 <= r["w"] < len(words):
+            raise ValueError(f"bit word {r['w']} outside m_bits={m_bits}")
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def _bloom_probe_arrow(
+    df: DataFrame, bitset: list[int], pos_cols: list[str]
+) -> DataFrame:
+    """Large-filter probe: the bitset rides a real Spark broadcast and
+    each Arrow batch is tested with vectorized numpy bit math — the
+    sanctioned slow path (no per-row Python)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.array(bitset, dtype=np.int64).view(np.uint64)
+    )
+
+    def _probe(parr):
+        if len(parr) == 0:
+            return pd.Series([], dtype=bool)
+        w = bc.value
+        mat = np.stack(parr.to_numpy()).astype(np.int64)  # (batch, k)
+        bit = (w[mat >> 6] >> (mat & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(bit.all(axis=1))
+
+    # explicit form: postponed annotations (module-wide) break hint
+    # inference for the decorator form
+    probe = pandas_udf(_probe, "boolean")
+    return df.filter(probe(F.array(*[F.col(c) for c in pos_cols])))
+
+
+def bloom_probe_auto(
+    df: DataFrame, bitset: list[int], pos_cols: list[str]
+) -> DataFrame:
+    """Pick the probe implementation by filter size: codegen'd array
+    literal up to LITERAL_BITSET_MAX_BITS, broadcast + Arrow beyond."""
+    if len(bitset) * 64 <= LITERAL_BITSET_MAX_BITS:
+        return bloom_probe(df, bitset, pos_cols)
+    return _bloom_probe_arrow(df, bitset, pos_cols)
 
 
 def bloom_probe(df: DataFrame, bitset: list[int], pos_cols: list[str]) -> DataFrame:

@@ -21,10 +21,12 @@ from openstack_billing_from_db_spark.functions.hashing import (
 from openstack_billing_from_db_spark.operators import text
 from openstack_billing_from_db_spark.operators.curation import (
     WORDS_SQL as _W,
+    adaptive_bloom_bits,
+    adaptive_bloom_bits_sql,
     bloom_positions,
     bloom_positions_sql,
-    bloom_probe,
-    build_bloom_bitset,
+    bloom_probe_auto,
+    build_bloom_bitset_distributed,
     fixed_segments,
     linear_logit_micro,
     token_chunks,
@@ -131,10 +133,13 @@ def q90_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Bloom-prefiltered decontamination ---------------------------------------
 
 _BF_N = 4  # n-gram width (matches q68)
-_BF_M = 65536  # filter bits (8 KiB bitset — fixed, data-independent)
 _BF_K = 3  # hash functions
 _EVAL_HASH = seeded_hash64_sql("CAST(doc_id AS VARCHAR)", "eval")
-_BF_POS = bloom_positions_sql("gh", _BF_K, _BF_M)
+# filter bits scale with the eval-gram count (x100 sweep: a fixed 64k-bit
+# filter saturates at 100x and the prefilter degenerates to a no-op);
+# both engines derive the same power of two from the same COUNT
+_BF_M_SQL = adaptive_bloom_bits_sql("SELECT count(*) FROM ev")
+_BF_POS = bloom_positions_sql("gh", _BF_K, f"({_BF_M_SQL})")
 _BF_IN = " AND ".join(f"{p} IN (SELECT pos FROM evpos)" for p in _BF_POS)
 
 
@@ -173,15 +178,18 @@ FROM base LEFT JOIN cc USING (train_id) LEFT JOIN sc USING (train_id)
 def q91_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered eval-set decontamination. q68 joins every
     training n-gram against the eval grams; here the eval grams are
-    first folded into a {_BF_M}-bit Bloom bitset ({_BF_K} portable hash
-    functions) that rides the plan as a fixed 8 KiB array<bigint>
-    literal, so the membership probe is map-side whole-stage-codegen —
-    only Bloom *candidates* reach the exact verify join. At 100 TB the
-    prefilter turns a corpus-sized shuffle into a candidate-sized one
-    while the bitset cost stays constant; false positives are removed
-    by the verify join and false negatives are impossible, so the
-    output is exact. The oracle reproduces the bitset as a 3-way
-    semi-join against the same positions (identical semantics).
+    first folded into a Bloom bitset ({_BF_K} portable hash functions)
+    that rides the plan as an array<bigint> literal, so the membership
+    probe is map-side whole-stage-codegen — only Bloom *candidates*
+    reach the exact verify join. The filter size is ADAPTIVE: the
+    smallest power of two ≥ 8 bits per eval gram (the x100 sweep
+    measured a fixed 64k-bit filter saturating — FP → 1 — at 100×; at
+    ~8 bits/key with k=3 the FP rate stays ≈ 2.5% at any scale, and
+    the bitset grows with the EVAL set, which is always a sliver of
+    the corpus). False positives are removed by the verify join and
+    false negatives are impossible, so the output is exact. The oracle
+    derives the same power of two from the same COUNT and reproduces
+    the bitset as a 3-way semi-join against the same positions.
     Output: per training doc, its distinct-gram count, how many grams
     survived the Bloom probe, how many truly match an eval gram, and
     the contamination flag."""
@@ -203,17 +211,17 @@ def q91_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = grams.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "gh")
     tr = grams.filter(~is_eval).select(F.col("doc_id").alias("train_id"), "gh")
 
+    m_bits = adaptive_bloom_bits(ev.count())
     pos_cols = [f"bfpos{i}" for i in range(_BF_K)]
-    ev_pos = (
-        ev.select(F.explode(F.array(*bloom_positions(F.col("gh"), _BF_K, _BF_M))).alias("pos"))
-        .distinct()
+    ev_pos = ev.select(
+        F.explode(F.array(*bloom_positions(F.col("gh"), _BF_K, m_bits))).alias("pos")
     )
-    # driver barrier bounded by the filter size (≤ m_bits ints), never
-    # by the data — the classic build-side of a broadcast Bloom join
-    bitset = build_bloom_bitset([r["pos"] for r in ev_pos.collect()], _BF_M)
+    # driver barrier bounded by the filter size (≤ m_bits/64 word rows,
+    # OR-folded executor-side), never by the eval-gram count
+    bitset = build_bloom_bitset_distributed(ev_pos, m_bits)
 
-    tr_pos = tr.select("train_id", "gh", *bloom_positions(F.col("gh"), _BF_K, _BF_M))
-    cand = bloom_probe(tr_pos, bitset, pos_cols).select("train_id", "gh")
+    tr_pos = tr.select("train_id", "gh", *bloom_positions(F.col("gh"), _BF_K, m_bits))
+    cand = bloom_probe_auto(tr_pos, bitset, pos_cols).select("train_id", "gh")
     shared = cand.join(ev.select("gh").distinct(), "gh", "left_semi")
 
     zero = F.lit(0).cast("long")

@@ -290,3 +290,77 @@ def test_table_stats_nulls_and_complex_types(spark):
     # complex types carry no min/max but still count
     assert stats["arr"].min_repr is None and stats["arr"].max_repr is None
     assert stats["a"].min_repr == "1" and stats["a"].max_repr == "2"
+
+
+def test_adaptive_bloom_bits_power_of_two_and_sql_twin(spark):
+    from openstack_billing_from_db_spark.operators.curation import (
+        BLOOM_MAX_BITS,
+        BLOOM_MIN_BITS,
+        adaptive_bloom_bits,
+        adaptive_bloom_bits_sql,
+    )
+
+    assert adaptive_bloom_bits(0) == BLOOM_MIN_BITS
+    assert adaptive_bloom_bits(8192) == BLOOM_MIN_BITS  # 8*8192 = 2^16
+    assert adaptive_bloom_bits(8193) == BLOOM_MIN_BITS * 2
+    assert adaptive_bloom_bits(10**12) == BLOOM_MAX_BITS
+
+    import duckdb
+
+    con = duckdb.connect()
+    for n in (0, 1, 8192, 8193, 100_000, 10**7):
+        sql = adaptive_bloom_bits_sql(f"SELECT {n}")
+        assert con.sql(f"SELECT {sql}").fetchone()[0] == adaptive_bloom_bits(n)
+
+
+def test_bloom_distributed_build_equals_naive(spark):
+    from openstack_billing_from_db_spark.operators.curation import (
+        bloom_positions,
+        build_bloom_bitset,
+        build_bloom_bitset_distributed,
+    )
+
+    df = spark.createDataFrame([(h,) for h in range(300)], "gh long")
+    mp = df.select(
+        F.explode(F.array(*bloom_positions(F.col("gh"), 3, 2048))).alias("pos")
+    )
+    naive = build_bloom_bitset([r.pos for r in mp.collect()], 2048)
+    assert build_bloom_bitset_distributed(mp, 2048) == naive
+
+
+def test_bloom_arrow_probe_equals_literal_probe(spark):
+    from openstack_billing_from_db_spark.operators.curation import (
+        _bloom_probe_arrow,
+        bloom_positions,
+        bloom_probe,
+        build_bloom_bitset_distributed,
+    )
+
+    df = spark.createDataFrame([(h,) for h in range(400)], "gh long")
+    pos = df.select("gh", *bloom_positions(F.col("gh"), 3, 2048))
+    members = pos.filter(F.col("gh") < 200).select(
+        F.explode(F.array("bfpos0", "bfpos1", "bfpos2")).alias("pos")
+    )
+    bits = build_bloom_bitset_distributed(members, 2048)
+    cols = ["bfpos0", "bfpos1", "bfpos2"]
+    lit = {r.gh for r in bloom_probe(pos, bits, cols).collect()}
+    arrow = {r.gh for r in _bloom_probe_arrow(pos, bits, cols).collect()}
+    assert lit == arrow
+    assert set(range(200)) <= lit
+
+
+def test_bloom_probe_auto_picks_by_size(spark):
+    from openstack_billing_from_db_spark.operators import curation
+
+    df = spark.createDataFrame([(1,)], "gh long")
+    pos = df.select("gh", *curation.bloom_positions(F.col("gh"), 2, 64))
+    small = [0] * 1  # 64 bits -> literal path (no Arrow node)
+    plan = curation.bloom_probe_auto(
+        pos, small, ["bfpos0", "bfpos1"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    big = [0] * ((curation.LITERAL_BITSET_MAX_BITS // 64) + 1)
+    plan = curation.bloom_probe_auto(
+        pos, big, ["bfpos0", "bfpos1"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
