@@ -284,31 +284,37 @@ def pagerank_micro(
     node-list left join — the canonical distributed PageRank step.
     Lineage is cut per iteration with localCheckpoint so a large
     ``iterations`` cannot accumulate a deep plan."""
+    from openstack_billing_from_db_spark.operators.caching import tracked_persist
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (
+    # both sides are STATIC across iterations — persist once instead of
+    # recomputing the edge scan + degree join every round
+    nodes = tracked_persist(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = e.join(outdeg, "src")  # static: (src, dst, outdeg)
+    ew = tracked_persist(e.join(outdeg, "src"))  # static: (src, dst, outdeg)
     pr = nodes.withColumn("pr", F.lit(PR_INIT).cast("long"))
-    for _ in range(iterations):
+    for i in range(iterations):
         incoming = (
             ew.join(pr, ew["src"] == pr["node"])
             .select("dst", F.expr("pr div outdeg").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("t"))
         )
-        pr = (
-            nodes.join(incoming, nodes["node"] == incoming["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(PR_BASE)
-                    + F.expr("(coalesce(t, 0L) * 17) div 20")
-                ).cast("long").alias("pr"),
-            )
-            .localCheckpoint(eager=False)
+        pr = nodes.join(
+            incoming, nodes["node"] == incoming["dst"], "left"
+        ).select(
+            "node",
+            (F.lit(PR_BASE) + F.expr("(coalesce(t, 0L) * 17) div 20"))
+            .cast("long")
+            .alias("pr"),
         )
+        # lineage grows linearly in rounds; truncating EVERY round costs
+        # a materialization barrier that dominates short runs — cut only
+        # every 5th round (plan depth stays bounded either way)
+        if (i + 1) % 5 == 0 and (i + 1) < iterations:
+            pr = pr.localCheckpoint(eager=False)
     return pr
