@@ -560,3 +560,119 @@ def q95_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         eb.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     return pagerank_micro(edges, iterations=_PR_ITER)
+
+
+# --- MERGE / SCD2 lakehouse maintenance as registry entries -------------------
+
+from datetime import datetime as _dt
+
+from openstack_billing_from_db_spark.operators.merge import (
+    merge_upsert,
+    scd2_apply,
+)
+
+_SCD_HASH = seeded_hash64_sql("CAST(c_custkey AS VARCHAR)", "scd")
+_T0 = "TIMESTAMP '2024-01-01 00:00:00'"
+_TEFF = "TIMESTAMP '2024-06-01 00:00:00'"
+
+
+def _customer_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer cents: md5-change-hash over a string-cast DOUBLE is not
+    # engine-portable (Java vs DuckDB float formatting); BIGINT is
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("bal_cents"),
+    )
+
+
+@register(
+    "q96_scd2_history",
+    oracle=f"""
+WITH base AS (
+  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents FROM customer
+),
+chg AS (SELECT c_custkey FROM base WHERE {_SCD_HASH} % 5 = 0)
+SELECT c_custkey, bal_cents, {_T0} AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to
+FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+UNION ALL
+SELECT c_custkey, bal_cents, {_T0}, {_TEFF}
+FROM base WHERE c_custkey IN (SELECT c_custkey FROM chg)
+UNION ALL
+SELECT c_custkey, bal_cents + 10000, {_TEFF}, CAST(NULL AS TIMESTAMP)
+FROM base WHERE c_custkey IN (SELECT c_custkey FROM chg)
+""",
+)
+def q96_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 type-2 history maintenance (operators/merge.scd2_apply) put
+    under the oracle: day-0 history opens every customer at t0; a new
+    snapshot changes a 20% hash-gated slice's balance; the operator must
+    close exactly the changed rows at the effective date and open their
+    replacements — the oracle states the expected history in closed
+    form, so a wrong change-detection or close/open step hash-fails.
+    Shape at scale: one full-outer key join + three unions, the
+    standard MERGE-emulation cost (Delta/Iceberg jars absent here)."""
+    base = _customer_cents(spark, sf_dir)
+    t0 = _dt(2024, 1, 1)
+    history0 = base.select(
+        "c_custkey",
+        "bal_cents",
+        F.lit(t0).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    is_chg = seeded_hash64(F.col("c_custkey").cast("string"), "scd") % 5 == 0
+    snapshot = base.withColumn(
+        "bal_cents",
+        F.when(is_chg, F.col("bal_cents") + 10000).otherwise(F.col("bal_cents")),
+    ).select(
+        "c_custkey",
+        "bal_cents",
+        F.lit(t0).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    return scd2_apply(
+        history0,
+        snapshot,
+        key=["c_custkey"],
+        compare_cols=["bal_cents"],
+        effective=_dt(2024, 6, 1),
+    )
+
+
+@register(
+    "q97_merge_upsert",
+    oracle=f"""
+WITH base AS (
+  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents FROM customer
+),
+upd AS (
+  SELECT c_custkey, bal_cents + 5000 AS bal_cents
+  FROM base WHERE {_SCD_HASH} % 4 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, CAST(777 AS BIGINT)
+  FROM base WHERE {_SCD_HASH} % 10 = 0
+)
+SELECT c_custkey, bal_cents FROM upd
+UNION ALL
+SELECT c_custkey, bal_cents FROM base
+WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+""",
+)
+def q97_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert (operators/merge.merge_upsert): a 25%
+    hash-gated update slice plus synthetic brand-new keys; updates win,
+    unmatched target rows survive. The oracle is the closed-form next
+    snapshot. One key-partitioned anti-join — both sides hash once."""
+    base = _customer_cents(spark, sf_dir)
+    h = seeded_hash64(F.col("c_custkey").cast("string"), "scd")
+    upd = (
+        base.filter(h % 4 == 0)
+        .select("c_custkey", (F.col("bal_cents") + 5000).alias("bal_cents"))
+        .unionByName(
+            base.filter(h % 10 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit(777).cast("long").alias("bal_cents"),
+            )
+        )
+    )
+    return merge_upsert(base, upd, key=["c_custkey"])

@@ -121,6 +121,8 @@ DEFERRED: tuple[str, ...] = (
     # nine rotated-in r4 components — rotate q95 in next round alongside the
     # returning twins (iterative-join family meanwhile evidenced by in-gate
     # q67 connected components)
+    "q96_scd2_history",  # r4-new, local-oracle-green; MERGE family (gate full)
+    "q97_merge_upsert",  # r4-new, local-oracle-green; MERGE family (gate full)
 )
 
 
