@@ -52,6 +52,9 @@ QUERIES = (
     "q92_segment_dedup",
     "q93_quality_classifier",
     "q94_incremental_dedup",
+    # iterative joins over the purchase graph (edge extraction scales
+    # with the replicas; the derived graph itself is key-space-bound)
+    "q95_pagerank",
 )
 
 
