@@ -31,6 +31,11 @@ def main() -> None:
     # streaming queries run LAST: their state-store/worker churn
     # measurably inflates whichever batch queries follow them
     _all = all_queries()
+    # dev/test subset filter (comma-separated names); default = everything
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        keep = set(only.split(","))
+        _all = {n: f for n, f in _all.items() if n in keep}
     QUERIES = {n: f for n, f in _all.items() if n not in STREAMING}
     QUERIES.update({n: _all[n] for n in _all if n in STREAMING})
 
