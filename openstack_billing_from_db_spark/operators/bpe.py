@@ -95,3 +95,46 @@ def bpe_train(
     return spark.createDataFrame(
         rules, "merge_rank long, pair string, merged string, pair_count long"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Tokenize the corpus with BPE merge rules trained on it: per
+    document, the whitespace word count and the post-merge BPE token
+    count — the sequence-length accounting step that sizes training
+    batches (and the denominator of tokens-per-doc curation filters).
+
+    Applies the rules the way production tokenizers do: NOT by
+    re-walking every document, but by building the word → token-count
+    map once on the DISTINCT vocabulary (each rule replayed in rank
+    order with the same boundary-safe merge as training), then joining
+    the exploded corpus against that map. At 100 TB the vocabulary is
+    10⁵-10⁷ rows — broadcastable — so the corpus path is one explode +
+    broadcast join + partial-agg groupBy; the training loop's driver
+    barrier touches only vocabulary-sized data (see ``bpe_train``).
+    """
+    rules = sorted(
+        bpe_train(docs, text_col=text_col, n_merges=n_merges).collect(),
+        key=lambda r: r.merge_rank,
+    )
+    vocab = (
+        docs.select(F.explode(words(F.col(text_col))).alias("w"))
+        .distinct()
+        .select("w", F.array_join(F.split(F.col("w"), ""), " ").alias("syms"))
+    )
+    for r in rules:
+        vocab = vocab.select(
+            "w", _apply_merge(F.col("syms"), r.pair, r.merged).alias("syms")
+        )
+    wtok = vocab.select(
+        "w", F.size(F.split(F.col("syms"), " ")).cast("long").alias("n_tok")
+    )
+    tok = docs.select("doc_id", F.explode(words(F.col(text_col))).alias("w"))
+    return tok.join(F.broadcast(wtok), "w").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_tok").alias("n_tokens_bpe"),
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
@@ -49,6 +49,44 @@ def stratified_hash_sample(
     monotone (a 10% sample is a subset of the 25% sample)."""
     bucket = seeded_hash64(F.col(id_col).cast("string"), seed) % 100
     return df.filter(bucket < stratum_rate(F.col(strata_col), rates, default_pct))
+
+
+def priority_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "pri",
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows without replacement —
+    integer-floored priority sampling (Duffield, Lund & Thorup 2007).
+
+    Each row draws the deterministic uniform ``u = seeded_hash(key)``
+    (60-bit) and gets inverse priority ``q = u div w`` (``w`` a positive
+    integer weight, e.g. cents); the sample is the k smallest ``q``
+    (ties broken by key). Small ``q`` ⇔ large ``w/u``, so inclusion
+    probability rises with weight, heavy rows are near-certain members,
+    and the sample is reproducible across runs, engines, and partition
+    layouts (unlike ``df.sample``). The floor keeps every comparison in
+    BIGINT — engine-exact, no doubles anywhere.
+
+    Plan shape: a map-side projection then a global top-k —
+    TakeOrderedAndProject, so each partition keeps only its local k and
+    the driver merges k-sized heaps; the input never shuffles. The final
+    rank is a window over the already-collected k rows (bounded, k-row
+    single partition by construction).
+
+    Output: (key, weight, priority, rnk), rnk 1..k by (priority, key).
+    """
+    pri = df.select(
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("long").alias("weight"),
+        seeded_hash64(F.col(key_col).cast("string"), seed).alias("_u"),
+    ).select("key", "weight", F.expr("_u div weight").alias("priority"))
+    top = pri.orderBy("priority", "key").limit(k)
+    w = Window.orderBy("priority", "key")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 def temperature_mixture_sample(

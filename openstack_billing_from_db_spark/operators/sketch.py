@@ -1,0 +1,118 @@
+"""K-minimum-values (KMV) distinct-count sketch — a mergeable cardinality
+sketch with engine-exact integer arithmetic.
+
+Bar-Yossef et al. 2002 ("Counting distinct elements in a data stream"):
+hash every distinct value uniformly into [0, M); the k-th smallest hash
+t_k estimates the cardinality as (k-1) * M / t_k. The sketch is the
+k-vector of minimum hashes — mergeable (union = merge-and-truncate), so
+it composes across partitions, files, and days exactly like the minhash
+signature index (operators/dedup.py).
+
+Engine portability: Spark's ``approx_count_distinct`` is HyperLogLog++
+with JVM-internal hashing — not reproducible in DuckDB. Here the hash is
+the portable md5-derived family (functions/hashing.py) truncated to
+52 bits, so (k-1)*M fits a signed 64-bit integer for every practical k
+(k ≤ 2047) and the whole estimate is BIGINT floor arithmetic, identical
+in both engines — the oracle hash-matches bit-for-bit.
+
+Plan shape at 100 TB: the input is first reduced to the DISTINCT
+(group, value) stream — a partial-aggregated hash exchange whose output
+is vocabulary-sized (≪ corpus). The per-group k-minimum selection is a
+window over that reduced stream; the final estimate is a one-row-per-
+group aggregation. Nothing wide shuffles, nothing collects.
+
+Reference: no sketches exist in the reference (beyond-reference
+north-star component).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KMV_BITS = 52
+KMV_M = 1 << KMV_BITS  # 4_503_599_627_370_496
+
+
+def kmv_hash(col: Column) -> Column:
+    """52-bit portable hash: first 13 hex chars of md5, identical in
+    Spark and DuckDB (see :func:`kmv_hash_sql`)."""
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("bigint")
+
+
+def kmv_hash_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 13)) AS BIGINT)"
+
+
+def kmv_distinct(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Output: (group, n_distinct_exact, k_used, kth_hash, est_distinct).
+    ``n_distinct_exact`` rides along from the same distinct stream the
+    sketch is built on, so accuracy is directly inspectable. Groups with
+    fewer than ``k`` distinct values are exact by construction
+    (``est_distinct = k_used``); otherwise
+
+        est_distinct = (k-1) * M // kth_hash
+
+    with M = 2^52 — pure BIGINT floor division (engine-exact).
+    """
+    if not 1 < k <= 2047:
+        raise ValueError(f"k must be in (1, 2047], got {k}")
+    distinct = df.select(group_col, value_col).distinct()
+    hashed = distinct.select(
+        group_col,
+        F.col(value_col).alias("v"),
+        kmv_hash(F.col(value_col).cast("string")).alias("h"),
+    )
+    w = Window.partitionBy(group_col).orderBy("h", "v")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_distinct_exact"),
+        F.sum(F.when(F.col("rn") <= k, 1).otherwise(0)).cast("long").alias("k_used"),
+        F.max(F.when(F.col("rn") <= k, F.col("h"))).alias("kth_hash"),
+    )
+    return agg.select(
+        group_col,
+        "n_distinct_exact",
+        "k_used",
+        "kth_hash",
+        F.when(F.col("k_used") < k, F.col("k_used"))
+        .otherwise(F.expr(f"{(k - 1) * KMV_M}L div kth_hash"))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
+def kmv_distinct_sql(
+    *,
+    from_distinct_cte: str,
+    group_col: str,
+    k: int,
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct`, reading a CTE named
+    ``from_distinct_cte`` with columns (group_col, v) already DISTINCT.
+    Emitted as a full SELECT so callers splice it after their WITH chain.
+    """
+    est = f"{(k - 1) * KMV_M} // max(CASE WHEN rn <= {k} THEN h END)"
+    return f"""
+SELECT {group_col},
+       CAST(count(*) AS BIGINT) AS n_distinct_exact,
+       CAST(sum(CASE WHEN rn <= {k} THEN 1 ELSE 0 END) AS BIGINT) AS k_used,
+       max(CASE WHEN rn <= {k} THEN h END) AS kth_hash,
+       CAST(CASE WHEN sum(CASE WHEN rn <= {k} THEN 1 ELSE 0 END) < {k}
+                 THEN sum(CASE WHEN rn <= {k} THEN 1 ELSE 0 END)
+                 ELSE {est} END AS BIGINT) AS est_distinct
+FROM (
+  SELECT {group_col}, v, h,
+         row_number() OVER (PARTITION BY {group_col} ORDER BY h, v) AS rn
+  FROM (SELECT {group_col}, v, {kmv_hash_sql("CAST(v AS VARCHAR)")} AS h
+        FROM {from_distinct_cte})
+)
+GROUP BY {group_col}"""

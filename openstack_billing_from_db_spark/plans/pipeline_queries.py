@@ -932,19 +932,18 @@ _BPE_MERGES = 3
 _PAIRS = "list_transform(range(1, len(sy)), i -> sy[i] || ' ' || sy[i+1])"
 
 
-def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
-    """Replays operators/bpe.bpe_train in SQL: same vocab table, same
-    frequency-weighted pair counts, same (count desc, pair asc) top-1,
-    same boundary-safe left-to-right non-overlapping merge per round
-    (the doubled-separator encoding of bpe._apply_merge, replayed
-    operation-for-operation with DuckDB replace/btrim)."""
+def _bpe_cte_blocks(n_merges: int = _BPE_MERGES) -> list[str]:
+    """The SQL replay of operators/bpe.bpe_train as a reusable CTE
+    chain: vocab ``v``, per-round pair counts ``p{r}``, top pair
+    ``t{r}``, merged symbol tables ``s0..s{n}`` (each carrying the word
+    ``w`` so downstream consumers — q100's encoder — can join the final
+    word → symbols map back to the corpus)."""
     blocks = [
         f"""v AS (
   SELECT w, count(*) AS freq FROM (SELECT unnest({_W}) AS w FROM documents) GROUP BY w
 )""",
-        "s0 AS (SELECT freq, array_to_string(string_split(w, ''), ' ') AS syms FROM v)",
+        "s0 AS (SELECT w, freq, array_to_string(string_split(w, ''), ' ') AS syms FROM v)",
     ]
-    outs = []
     for r in range(n_merges):
         blocks.extend([
             f"""p{r} AS (
@@ -955,7 +954,7 @@ def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
 )""",
             f"t{r} AS (SELECT pair, c FROM p{r} ORDER BY c DESC, pair LIMIT 1)",
             f"""s{r + 1} AS (
-  SELECT freq, replace(trim(replace(
+  SELECT w, freq, replace(trim(replace(
            ' ' || replace(syms, ' ', '  ') || ' ',
            (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM t{r}),
            (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t{r}))),
@@ -963,11 +962,21 @@ def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
   FROM s{r}
 )""",
         ])
-        outs.append(
-            f"SELECT CAST({r} AS BIGINT) AS merge_rank, pair, "
-            f"replace(pair, ' ', '') AS merged, c AS pair_count FROM t{r}"
-        )
-    ctes = ",\n".join(blocks)
+    return blocks
+
+
+def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
+    """Replays operators/bpe.bpe_train in SQL: same vocab table, same
+    frequency-weighted pair counts, same (count desc, pair asc) top-1,
+    same boundary-safe left-to-right non-overlapping merge per round
+    (the doubled-separator encoding of bpe._apply_merge, replayed
+    operation-for-operation with DuckDB replace/btrim)."""
+    outs = [
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, pair, "
+        f"replace(pair, ' ', '') AS merged, c AS pair_count FROM t{r}"
+        for r in range(n_merges)
+    ]
+    ctes = ",\n".join(_bpe_cte_blocks(n_merges))
     union = "\nUNION ALL\n".join(outs)
     return f"WITH {ctes}\n{union}"
 

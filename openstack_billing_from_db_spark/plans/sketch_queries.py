@@ -1,0 +1,149 @@
+"""Round-4 sketch/sampling/tokenizer registry entries: KMV distinct-count
+sketching, weighted priority sampling, and corpus BPE encoding.
+
+Each is a (Spark plan, DuckDB oracle) pair with engine-exact integer
+arithmetic (registry.py header). The reference
+(CCI-MOC/openstack-billing-from-db) has none of these — beyond-reference
+components in the SURVEY.md §2 sense, rounding out the sketch/sampling
+corner of the training-data-pipeline surface (the dedup sketches in
+operators/dedup.py are their siblings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.functions.hashing import seeded_hash64_sql
+from openstack_billing_from_db_spark.operators.curation import WORDS_SQL as _W
+from openstack_billing_from_db_spark.operators.parallelism import (
+    ensure_map_parallelism,
+)
+from openstack_billing_from_db_spark.operators.sketch import (
+    kmv_distinct,
+    kmv_distinct_sql,
+)
+from openstack_billing_from_db_spark.plans.pipeline_queries import (
+    _BPE_MERGES,
+    _bpe_cte_blocks,
+)
+from openstack_billing_from_db_spark.registry import register
+from openstack_billing_from_db_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ensure_map_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
+
+
+# --- KMV distinct-count sketch ----------------------------------------------
+
+_KMV_K = 16
+
+
+@register(
+    "q98_kmv_distinct",
+    oracle=f"""
+WITH wrd AS (SELECT source, {_W} AS w FROM documents),
+d AS (SELECT DISTINCT source, unnest(w) AS v FROM wrd)
+{kmv_distinct_sql(from_distinct_cte="d", group_col="source", k=_KMV_K)}
+""",
+)
+def q98_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-term cardinality via the KMV sketch
+    (operators/sketch.py, k={_KMV_K}), exact count alongside for
+    accuracy inspection. Shape at scale: the corpus reduces to the
+    partial-aggregated DISTINCT (source, term) stream (vocabulary-sized)
+    before the k-minimum window — the sketch path for cardinalities
+    where ``approx_count_distinct`` (HLL++, JVM-internal hashing) can't
+    be oracle-replayed."""
+    from openstack_billing_from_db_spark.operators import text
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", F.explode(text.words(F.col("text"))).alias("v"))
+    return kmv_distinct(toks, group_col="source", value_col="v", k=_KMV_K)
+
+
+# --- weighted priority sampling ----------------------------------------------
+
+_PRI_K = 20
+
+
+@register(
+    "q99_priority_sample",
+    oracle=f"""
+WITH w AS (
+  SELECT o_orderkey AS key,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS weight
+  FROM orders
+),
+p AS (
+  SELECT key, weight,
+         {seeded_hash64_sql("CAST(key AS VARCHAR)", "pri")} // weight AS priority
+  FROM w
+),
+top AS (SELECT key, weight, priority FROM p ORDER BY priority, key LIMIT {_PRI_K})
+SELECT key AS o_orderkey, weight AS weight_cents, priority,
+       CAST(row_number() OVER (ORDER BY priority, key) AS BIGINT) AS rnk
+FROM top
+""",
+)
+def q99_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PRI_K} weighted priority sample of orders by price
+    (operators/sampling.priority_sample): reproducible weighted sampling
+    without replacement, heavy orders near-certain members. Plan:
+    map-side hash/weight projection → TakeOrderedAndProject (per-
+    partition k-heaps, no shuffle of the input) → rank over the k
+    collected rows."""
+    from openstack_billing_from_db_spark.operators.sampling import priority_sample
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "weight"
+        ),
+    )
+    top = priority_sample(orders, key_col="o_orderkey", weight_col="weight", k=_PRI_K)
+    return top.select(
+        F.col("key").alias("o_orderkey"),
+        F.col("weight").alias("weight_cents"),
+        "priority",
+        "rnk",
+    )
+
+
+# --- corpus BPE encoding -----------------------------------------------------
+
+
+def _bpe_encode_oracle() -> str:
+    blocks = _bpe_cte_blocks(_BPE_MERGES)
+    blocks.append(
+        f"wtok AS (SELECT w, CAST(len(string_split(syms, ' ')) AS BIGINT)"
+        f" AS n_tok FROM s{_BPE_MERGES})"
+    )
+    blocks.append(f"tok AS (SELECT doc_id, unnest({_W}) AS w FROM documents)")
+    ctes = ",\n".join(blocks)
+    return f"""WITH {ctes}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens_bpe
+FROM tok JOIN wtok USING (w)
+GROUP BY doc_id"""
+
+
+@register("q100_bpe_encode", oracle=_bpe_encode_oracle())
+def q100_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with the BPE rules trained on it
+    (operators/bpe.bpe_encode): per-doc whitespace word count and
+    post-merge token count. The merges are applied to the DISTINCT
+    vocabulary only (each rule replayed in rank order), then the
+    exploded corpus joins the broadcast word → token-count map — the
+    oracle replays training AND encoding in one CTE chain, so a wrong
+    merge order, a boundary-crossing replace, or a vocab/corpus join
+    mismatch all hash-fail."""
+    from openstack_billing_from_db_spark.operators.bpe import bpe_encode
+
+    return bpe_encode(
+        load_table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+    )

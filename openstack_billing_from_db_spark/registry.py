@@ -33,6 +33,7 @@ _QUERY_MODULES = (
     "openstack_billing_from_db_spark.plans.corpus_queries",
     "openstack_billing_from_db_spark.plans.curation_queries",
     "openstack_billing_from_db_spark.plans.streaming_queries",
+    "openstack_billing_from_db_spark.plans.sketch_queries",
 )
 
 _loaded = False
@@ -123,6 +124,10 @@ DEFERRED: tuple[str, ...] = (
     # q67 connected components)
     "q96_scd2_history",  # r4-new, local-oracle-green; MERGE family (gate full)
     "q97_merge_upsert",  # r4-new, local-oracle-green; MERGE family (gate full)
+    "q98_kmv_distinct",  # r4-new, local-oracle-green; sketch family (gate full)
+    "q99_priority_sample",  # r4-new, local-oracle-green; sampling family (gate full)
+    "q100_bpe_encode",  # r4-new, local-oracle-green; BPE family (gate full;
+    # training twin q78 is in-gate and the encode oracle replays it verbatim)
 )
 
 

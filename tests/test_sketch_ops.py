@@ -1,0 +1,134 @@
+"""Unit tests for the sketch/sampling/encoder additions: KMV distinct
+sketch (operators/sketch.py), weighted priority sampling
+(operators/sampling.priority_sample), and corpus BPE encoding
+(operators/bpe.bpe_encode). Oracle parity for q98/q99/q100 runs in
+test_oracle_parity.py; these pin the branches and invariants the
+registered queries don't reach at the test sf."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.operators.bpe import bpe_encode, bpe_train
+from openstack_billing_from_db_spark.operators.sampling import priority_sample
+from openstack_billing_from_db_spark.operators.sketch import KMV_M, kmv_distinct
+
+
+def test_kmv_exact_branch_under_k(spark):
+    # fewer distinct values than k → the sketch IS the exact count
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(5)] + [("g", "v0")], "grp string, v string"
+    )
+    row = kmv_distinct(df, group_col="grp", value_col="v", k=16).collect()[0]
+    assert row.n_distinct_exact == 5
+    assert row.k_used == 5
+    assert row.est_distinct == 5
+
+
+def test_kmv_estimate_branch_bounds(spark):
+    # 500 distinct values, k=16 → estimate within a loose 3x band and
+    # computed from the k-th minimum hash exactly
+    df = spark.createDataFrame(
+        [("g", f"value-{i}") for i in range(500)], "grp string, v string"
+    )
+    row = kmv_distinct(df, group_col="grp", value_col="v", k=16).collect()[0]
+    assert row.n_distinct_exact == 500
+    assert row.k_used == 16
+    assert row.est_distinct == (15 * KMV_M) // row.kth_hash
+    assert 500 / 3 < row.est_distinct < 500 * 3
+
+
+def test_kmv_rejects_bad_k(spark):
+    df = spark.createDataFrame([("g", "v")], "grp string, v string")
+    with pytest.raises(ValueError):
+        kmv_distinct(df, group_col="grp", value_col="v", k=1)
+    with pytest.raises(ValueError):
+        kmv_distinct(df, group_col="grp", value_col="v", k=2048)
+
+
+def test_kmv_merge_property(spark):
+    # KMV is a mergeable sketch: the k minima of a union are the k
+    # minima of the concatenated per-part minima. Model the two-executor
+    # case by unioning two disjoint halves and checking the union's
+    # sketch equals the sketch of the whole.
+    rows = [("g", f"value-{i}") for i in range(400)]
+    whole = spark.createDataFrame(rows, "grp string, v string")
+    union = spark.createDataFrame(rows[:150], "grp string, v string").union(
+        spark.createDataFrame(rows[150:], "grp string, v string")
+    )
+    a = kmv_distinct(whole, group_col="grp", value_col="v", k=16).collect()[0]
+    b = kmv_distinct(union, group_col="grp", value_col="v", k=16).collect()[0]
+    assert (a.kth_hash, a.est_distinct) == (b.kth_hash, b.est_distinct)
+
+
+def test_priority_sample_weight_bias_and_determinism(spark):
+    # one heavy row among uniform light rows → the heavy row is sampled
+    # (inverse priority u div w shrinks with weight); two runs agree.
+    rows = [(i, 100) for i in range(1, 200)] + [(999, 1_000_000)]
+    df = spark.createDataFrame(rows, "key long, w long")
+    s1 = priority_sample(df, key_col="key", weight_col="w", k=10).collect()
+    s2 = priority_sample(df, key_col="key", weight_col="w", k=10).collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]
+    assert len(s1) == 10
+    keys = {r.key for r in s1}
+    assert 999 in keys
+    assert [r.rnk for r in s1] == sorted(r.rnk for r in s1) == list(range(1, 11))
+    # ranks follow (priority, key) order
+    assert all(
+        (a.priority, a.key) < (b.priority, b.key) for a, b in zip(s1, s1[1:])
+    )
+
+
+def test_priority_sample_takeordered_plan(spark):
+    # the top-k must be TakeOrderedAndProject (per-partition heaps),
+    # never a global sort exchange
+    df = spark.createDataFrame([(i, 10) for i in range(100)], "key long, w long")
+    plan = (
+        priority_sample(df, key_col="key", weight_col="w", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bpe_encode_invariants(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    enc = bpe_encode(docs, n_merges=2)
+    rows = enc.collect()
+    assert len(rows) == 50
+    base = {
+        r.doc_id: r.n_chars_nospace
+        for r in docs.select(
+            "doc_id",
+            F.length(F.regexp_replace("text", r"\s", "")).alias("n_chars_nospace"),
+        ).collect()
+    }
+    for r in rows:
+        # merges only ever shrink the token stream; never below one
+        # token per word; zero merges would equal character count
+        assert r.n_words <= r.n_tokens_bpe <= base[r.doc_id]
+
+
+def test_bpe_encode_zero_merges_is_char_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab abc"), (2, "a")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bpe_encode(docs, n_merges=0).collect()}
+    assert rows[1].n_words == 2 and rows[1].n_tokens_bpe == 5
+    assert rows[2].n_words == 1 and rows[2].n_tokens_bpe == 1
+
+
+def test_bpe_encode_applies_trained_merges(spark):
+    # corpus where 'ab' is the clear top pair: every 'ab' bigram merges
+    docs = spark.createDataFrame(
+        [(1, "ab ab abx"), (2, "ab yab")], "doc_id long, text string"
+    )
+    rules = bpe_train(docs, n_merges=1).collect()
+    assert rules[0].pair == "a b" and rules[0].merged == "ab"
+    rows = {r.doc_id: r for r in bpe_encode(docs, n_merges=1).collect()}
+    # doc1: 'ab'(1) 'ab'(1) 'abx'(2 tokens: ab,x) = 4
+    assert rows[1].n_tokens_bpe == 4
+    # doc2: 'ab'(1) 'yab'(2 tokens: y,ab) = 3
+    assert rows[2].n_tokens_bpe == 3
