@@ -67,7 +67,26 @@ def main() -> None:
     for name, fn in QUERIES.items():
         spark.catalog.clearCache()
         try:
+            # a 100-query sweep in one JVM accumulates collected garbage
+            # (codegen classes, broadcast refs, shuffle bookkeeping);
+            # without an explicit GC the drift lands on whichever queries
+            # run late — iterative multi-job queries (k-means, connected
+            # components) inflate up to ~9x in-sweep vs solo. One young
+            # GC per query (~tens of ms) keeps timings attributable.
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        # Both executions below run the full plan; the first additionally
+        # pays cache fill. This VM's one-sided noise (compaction/steal
+        # spikes inflate a random query 3-9x per sweep) makes a single
+        # timed run unattributable — report the MIN of the two
+        # executions: normally that's the warm second run, and a spike on
+        # either run is bounded by the other. Zero extra executions.
+        t_first = None
+        start = time.perf_counter()
+        try:
             run(fn)
+            t_first = time.perf_counter() - start
         except Exception:
             pass
         start = time.perf_counter()
@@ -78,7 +97,10 @@ def main() -> None:
             # of round 2's timings) — record it and keep measuring
             failed[name] = f"{type(e).__name__}: {str(e)[:200]}"
             continue
-        timings[name] = round(time.perf_counter() - start, 3)
+        t_second = time.perf_counter() - start
+        timings[name] = round(
+            t_second if t_first is None else min(t_first, t_second), 3
+        )
         if name in STREAMING and _stream_sessions.LAST_STREAM_STATS:
             # micro-batch / state-store commit counts make streaming wall
             # time attributable (fixed per-batch overhead vs plan cost)

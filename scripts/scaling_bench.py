@@ -55,6 +55,11 @@ QUERIES = (
     # iterative joins over the purchase graph (edge extraction scales
     # with the replicas; the derived graph itself is key-space-bound)
     "q95_pagerank",
+    # round-4 sketch/sampling/encoder: distinct-reduce + k-min window,
+    # TakeOrdered top-k sample, vocab-merge + broadcast-join encode
+    "q98_kmv_distinct",
+    "q99_priority_sample",
+    "q100_bpe_encode",
 )
 
 
