@@ -90,6 +90,88 @@ def kmv_distinct(
     )
 
 
+CM_DEPTH = 4  # independent hash rows
+CM_WIDTH = 256  # buckets per row (power of two)
+
+
+def countmin_build(
+    df: DataFrame,
+    *,
+    value_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a value
+    stream: a fixed depth×width counter table — here depth rows of
+    width buckets, ~{CM_DEPTH}×{CM_WIDTH} integers regardless of input
+    size. Mergeable by element-wise addition, which is what makes it
+    the streaming/windowed frequency-estimate state (O(d·w), never
+    O(distinct)).
+
+    Build shape at 100 TB: one explode to (row, bucket) pairs — depth
+    narrow integer rows per input value, all map-side — then a
+    partial-aggregated groupBy onto d·w cells. The exchange carries at
+    most d·w distinct keys; the map-side combine absorbs the volume.
+
+    Output: (cm_row, cm_bucket, cnt).
+    """
+    from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
+
+    cells = df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    seeded_hash64(F.col(value_col).cast("string"), f"cm{i}") % width
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cm_row", "cm_bucket")
+    )
+    return cells.groupBy("cm_row", "cm_bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def countmin_probe(
+    sketch: DataFrame,
+    probes: DataFrame,
+    *,
+    value_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates from a count-min sketch: for each probe
+    value, the MIN over its depth counters — an overestimate by
+    construction (collisions only add), so ``est_count >= true count``
+    always. The probe side explodes to (probe, row, bucket) and joins
+    the d·w-row sketch — broadcastable by definition; the probe set is
+    typically small (heavy-hitter candidates).
+
+    Output: probes' columns + est_count.
+    """
+    from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
+
+    pb = probes.select(
+        "*",
+        F.posexplode(
+            F.array(
+                *[
+                    seeded_hash64(F.col(value_col).cast("string"), f"cm{i}") % width
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cm_row", "cm_bucket"),
+    )
+    others = [c for c in probes.columns]
+    joined = pb.join(F.broadcast(sketch), ["cm_row", "cm_bucket"])
+    return joined.groupBy(*others).agg(F.min("cnt").alias("est_count"))
+
+
+def countmin_cell_sql(expr: str, i: int, width: int = CM_WIDTH) -> str:
+    """DuckDB twin of one count-min cell coordinate for seed row i."""
+    from openstack_billing_from_db_spark.functions.hashing import seeded_hash64_sql
+
+    return f"{seeded_hash64_sql(expr, f'cm{i}')} % {width}"
+
+
 def kmv_distinct_sql(
     *,
     from_distinct_cte: str,

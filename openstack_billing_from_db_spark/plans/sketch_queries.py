@@ -113,6 +113,73 @@ def q99_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- count-min frequency sketch ----------------------------------------------
+
+_CM_K = 20
+
+
+def _countmin_oracle() -> str:
+    from openstack_billing_from_db_spark.operators.sketch import (
+        CM_DEPTH,
+        countmin_cell_sql,
+    )
+
+    build_rows = "\n    UNION ALL ".join(
+        f"SELECT {i} AS cm_row, {countmin_cell_sql('term', i)} AS cm_bucket FROM tok"
+        for i in range(CM_DEPTH)
+    )
+    probe_rows = "\n    UNION ALL ".join(
+        f"SELECT term, exact_count, {i} AS cm_row,"
+        f" {countmin_cell_sql('term', i)} AS cm_bucket FROM top"
+        for i in range(CM_DEPTH)
+    )
+    return f"""
+WITH wrd AS (SELECT {_W} AS w FROM documents),
+tok AS (SELECT unnest(w) AS term FROM wrd),
+exact AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_count FROM tok GROUP BY term),
+top AS (SELECT term, exact_count FROM exact ORDER BY exact_count DESC, term LIMIT {_CM_K}),
+cells AS (
+  SELECT cm_row, cm_bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+    {build_rows}
+  ) GROUP BY cm_row, cm_bucket
+),
+pb AS (
+    {probe_rows}
+)
+SELECT term, exact_count, min(cnt) AS est_count
+FROM pb JOIN cells USING (cm_row, cm_bucket)
+GROUP BY term, exact_count
+"""
+
+
+@register("q101_countmin_heavy_hitters", oracle=_countmin_oracle())
+def q101_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for the corpus's top-{_CM_K} terms,
+    exact counts alongside (operators/sketch.countmin_build/probe). The
+    sketch is a FIXED d×w counter table (mergeable by addition — the
+    windowed/streaming frequency state), built with one map-side explode
+    and a partial-aggregated groupBy onto ≤ d·w cells; the probe joins
+    the broadcast sketch. est ≥ exact always (collisions only add) —
+    the oracle pins the exact min-over-rows arithmetic."""
+    from openstack_billing_from_db_spark.operators import text
+    from openstack_billing_from_db_spark.operators.sketch import (
+        countmin_build,
+        countmin_probe,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(text.words(F.col("text"))).alias("term")
+    )
+    sketch = countmin_build(toks, value_col="term")
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("term"))
+        .limit(_CM_K)
+    )
+    return countmin_probe(sketch, top, value_col="term")
+
+
 # --- corpus BPE encoding -----------------------------------------------------
 
 

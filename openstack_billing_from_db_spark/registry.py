@@ -128,6 +128,7 @@ DEFERRED: tuple[str, ...] = (
     "q99_priority_sample",  # r4-new, local-oracle-green; sampling family (gate full)
     "q100_bpe_encode",  # r4-new, local-oracle-green; BPE family (gate full;
     # training twin q78 is in-gate and the encode oracle replays it verbatim)
+    "q101_countmin_heavy_hitters",  # r4-new, local-oracle-green; sketch family
 )
 
 

@@ -60,6 +60,7 @@ QUERIES = (
     "q98_kmv_distinct",
     "q99_priority_sample",
     "q100_bpe_encode",
+    "q101_countmin_heavy_hitters",
 )
 
 

@@ -62,6 +62,63 @@ def test_kmv_merge_property(spark):
     assert (a.kth_hash, a.est_distinct) == (b.kth_hash, b.est_distinct)
 
 
+def test_countmin_never_underestimates(spark):
+    from openstack_billing_from_db_spark.operators.sketch import (
+        countmin_build,
+        countmin_probe,
+    )
+
+    vals = [(f"v{i % 37}",) for i in range(1000)]
+    df = spark.createDataFrame(vals, "v string")
+    sketch = countmin_build(df, value_col="v")
+    exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("exact"))
+    est = countmin_probe(sketch, exact, value_col="v").collect()
+    assert len(est) == 37
+    for r in est:
+        assert r.est_count >= r.exact  # collisions only ever ADD
+
+
+def test_countmin_exact_when_no_collisions(spark):
+    from openstack_billing_from_db_spark.operators.sketch import (
+        countmin_build,
+        countmin_probe,
+    )
+
+    # 5 distinct values in a 4x256 sketch: P(collision in ALL 4 rows)
+    # is negligible, and min-over-rows recovers the exact counts
+    df = spark.createDataFrame(
+        [(f"val{i % 5}",) for i in range(50)], "v string"
+    )
+    sketch = countmin_build(df, value_col="v")
+    exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("exact"))
+    for r in countmin_probe(sketch, exact, value_col="v").collect():
+        assert r.est_count == r.exact == 10
+
+
+def test_countmin_merge_by_addition(spark):
+    from openstack_billing_from_db_spark.operators.sketch import (
+        countmin_build,
+        countmin_probe,
+    )
+
+    rows = [(f"v{i % 11}",) for i in range(300)]
+    whole = spark.createDataFrame(rows, "v string")
+    h1 = spark.createDataFrame(rows[:100], "v string")
+    h2 = spark.createDataFrame(rows[100:], "v string")
+    merged = (
+        countmin_build(h1, value_col="v")
+        .unionByName(countmin_build(h2, value_col="v"))
+        .groupBy("cm_row", "cm_bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    probes = whole.select("v").distinct()
+    a = {r.v: r.est_count for r in countmin_probe(
+        countmin_build(whole, value_col="v"), probes, value_col="v").collect()}
+    b = {r.v: r.est_count for r in countmin_probe(
+        merged, probes, value_col="v").collect()}
+    assert a == b
+
+
 def test_priority_sample_weight_bias_and_determinism(spark):
     # one heavy row among uniform light rows → the heavy row is sampled
     # (inverse priority u div w shrinks with weight); two runs agree.
