@@ -44,6 +44,73 @@ def kmv_hash_sql(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 13)) AS BIGINT)"
 
 
+def kmv_partial(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """The mergeable KMV state for one slice of the data: per group, the
+    k smallest (hash, value) pairs over the slice's DISTINCT values.
+    Output: (group, v, h) — at most k rows per group. Slices compose via
+    :func:`kmv_merge`; :func:`kmv_finalize` turns state into estimates.
+    This partial/merge/finalize trio is the incremental API the batch
+    wrapper (:func:`kmv_distinct`) and the streaming accumulator
+    (streaming/sketch_stream.py) share."""
+    if not 1 < k <= 2047:
+        raise ValueError(f"k must be in (1, 2047], got {k}")
+    hashed = (
+        df.select(group_col, value_col)
+        .distinct()
+        .select(
+            group_col,
+            F.col(value_col).alias("v"),
+            kmv_hash(F.col(value_col).cast("string")).alias("h"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy("h", "v")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_merge(parts: DataFrame, *, group_col: str, k: int = 16) -> DataFrame:
+    """Union-of-slices → the union's KMV state: re-deduplicate values
+    (a value can be a minimum of several slices) and re-truncate to the
+    k smallest per group. ``merge(partial(A), partial(B)) ≡
+    partial(A ∪ B)`` — pinned by test_sketch_ops."""
+    w = Window.partitionBy(group_col).orderBy("h", "v")
+    return (
+        parts.select(group_col, "v", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_finalize(minima: DataFrame, *, group_col: str, k: int = 16) -> DataFrame:
+    """KMV state → per-group cardinality estimate:
+    (group, k_used, kth_hash, est_distinct). Groups holding fewer than k
+    minima are exact (the state IS their full distinct set)."""
+    agg = minima.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    )
+    return agg.select(
+        group_col,
+        "k_used",
+        "kth_hash",
+        F.when(F.col("k_used") < k, F.col("k_used"))
+        .otherwise(F.expr(f"{(k - 1) * KMV_M}L div kth_hash"))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     *,

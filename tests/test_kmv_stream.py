@@ -1,0 +1,150 @@
+"""Streaming incremental cardinality (streaming/sketch_stream.py): the
+KMV sketch accumulated over micro-batches must equal the batch sketch
+over the union of all data — the merge law made operational."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from openstack_billing_from_db_spark.operators.sketch import (
+    kmv_distinct,
+    kmv_finalize,
+    kmv_merge,
+    kmv_partial,
+)
+from openstack_billing_from_db_spark.streaming.sketch_stream import (
+    read_kmv_estimate,
+    run_streaming_kmv,
+)
+
+K = 8
+
+
+def _write_events(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        path,
+    )
+
+
+def test_partial_merge_finalize_equals_batch(spark):
+    rows = [("click", i % 40) for i in range(300)] + [
+        ("view", i % 5) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    whole = {
+        r.event_type: r
+        for r in kmv_distinct(
+            df, group_col="event_type", value_col="user_id", k=K
+        ).collect()
+    }
+    p1 = kmv_partial(
+        df.limit(100), group_col="event_type", value_col="user_id", k=K
+    )
+    rest = df.subtract(df.limit(100))
+    p2 = kmv_partial(rest, group_col="event_type", value_col="user_id", k=K)
+    via_merge = {
+        r.event_type: r
+        for r in kmv_finalize(
+            kmv_merge(p1.unionByName(p2), group_col="event_type", k=K),
+            group_col="event_type",
+            k=K,
+        ).collect()
+    }
+    for g in whole:
+        assert via_merge[g].kth_hash == whole[g].kth_hash
+        assert via_merge[g].est_distinct == whole[g].est_distinct
+    # 'view' has 5 < K distinct users: state is exact
+    assert via_merge["view"].est_distinct == 5
+
+
+def test_streaming_kmv_equals_batch_over_all_files(spark, tmp_path):
+    stream_dir = str(tmp_path / "events_stream")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [("click", i) for i in range(60)] + [("view", 1), ("view", 2)]
+    b2 = [("click", i) for i in range(30, 90)] + [("view", 2), ("view", 3)]
+    b3 = [("click", i) for i in range(200, 220)]
+    _write_events(f"{stream_dir}/b1.parquet", b1)
+    _write_events(f"{stream_dir}/b2.parquet", b2)
+    _write_events(f"{stream_dir}/b3.parquet", b3)
+
+    run_streaming_kmv(
+        spark,
+        stream_dir,
+        "event_type string, user_id long",
+        state_dir,
+        ckpt,
+        group_col="event_type",
+        value_col="user_id",
+        k=K,
+    )
+    streamed = {
+        r.event_type: r
+        for r in read_kmv_estimate(
+            spark, state_dir, group_col="event_type", k=K
+        ).collect()
+    }
+    batch = {
+        r.event_type: r
+        for r in kmv_distinct(
+            spark.createDataFrame(b1 + b2 + b3, "event_type string, user_id long"),
+            group_col="event_type",
+            value_col="user_id",
+            k=K,
+        ).collect()
+    }
+    assert set(streamed) == set(batch) == {"click", "view"}
+    for g in batch:
+        assert streamed[g].kth_hash == batch[g].kth_hash
+        assert streamed[g].est_distinct == batch[g].est_distinct
+    assert streamed["view"].est_distinct == 3  # exact under k
+    # state is bounded: at most k rows per group per epoch
+    state = spark.read.parquet(state_dir)
+    per_epoch = state.groupBy("epoch", "event_type").count().collect()
+    assert all(r["count"] <= K for r in per_epoch)
+
+    # a second run with one new file continues from the checkpoint and
+    # folds the new epoch in
+    b4 = [("click", i) for i in range(500, 560)] + [("view", 99)]
+    _write_events(f"{stream_dir}/b4.parquet", b4)
+    run_streaming_kmv(
+        spark,
+        stream_dir,
+        "event_type string, user_id long",
+        state_dir,
+        ckpt,
+        group_col="event_type",
+        value_col="user_id",
+        k=K,
+    )
+    streamed2 = {
+        r.event_type: r
+        for r in read_kmv_estimate(
+            spark, state_dir, group_col="event_type", k=K
+        ).collect()
+    }
+    batch2 = {
+        r.event_type: r
+        for r in kmv_distinct(
+            spark.createDataFrame(
+                b1 + b2 + b3 + b4, "event_type string, user_id long"
+            ),
+            group_col="event_type",
+            value_col="user_id",
+            k=K,
+        ).collect()
+    }
+    for g in batch2:
+        assert streamed2[g].kth_hash == batch2[g].kth_hash
+        assert streamed2[g].est_distinct == batch2[g].est_distinct
+    assert streamed2["view"].est_distinct == 4
