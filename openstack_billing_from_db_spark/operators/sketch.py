@@ -157,6 +157,92 @@ def kmv_distinct(
     )
 
 
+def kmv_pairwise_overlap(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """Estimated distinct-value overlap between every pair of groups,
+    computed entirely on the groups' KMV sketches (Beyer et al. 2007,
+    "On synopses for distinct-value estimation under multiset
+    operations"): for a pair (a, b), rank the union of the two k-min
+    sets, keep the union's k minima, and count how many of those live in
+    BOTH sketches — that fraction ρ estimates Jaccard(a, b), and
+    ρ · est(|a ∪ b|) estimates the intersection size. Pairs whose union
+    holds fewer than k values are EXACT (the state is the full union).
+
+    The corpus is scanned exactly once (the per-group sketch build);
+    the pairwise stage touches only k·groups sketch rows — this is how
+    you screen all source pairs for vocabulary overlap at 100 TB without
+    a corpus-sized self-join. Integer arithmetic throughout:
+
+        est_union        = (k-1)·M // kth_union          (or exact)
+        est_intersection = matches · est_union // k_used
+        jaccard_micro    = matches · 10^6 // k_used
+
+    Output: (grp_a, grp_b, k_used, matches, est_union, est_intersection,
+    jaccard_micro) for every unordered pair grp_a < grp_b.
+    """
+    sk = kmv_partial(df, group_col=group_col, value_col=value_col, k=k)
+    srcs = sk.select(group_col).distinct()
+    pairs = (
+        srcs.select(F.col(group_col).alias("grp_a"))
+        .join(
+            srcs.select(F.col(group_col).alias("grp_b")),
+            F.col("grp_a") < F.col("grp_b"),
+        )
+        .select(
+            "grp_a",
+            "grp_b",
+            F.explode(F.array("grp_a", "grp_b")).alias(group_col),
+        )
+    )
+    rows = (
+        pairs.join(sk, group_col)
+        .groupBy("grp_a", "grp_b", "v")
+        .agg(
+            F.min("h").alias("h"),
+            F.max(
+                F.when(F.col(group_col) == F.col("grp_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col(group_col) == F.col("grp_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("h", "v")
+    ranked = rows.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    agg = ranked.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("matches"),
+    )
+    return agg.select(
+        "grp_a",
+        "grp_b",
+        "k_used",
+        "matches",
+        F.when(F.col("k_used") < k, F.col("k_used"))
+        .otherwise(F.expr(f"{(k - 1) * KMV_M}L div kth_hash"))
+        .cast("long")
+        .alias("est_union"),
+    ).select(
+        "grp_a",
+        "grp_b",
+        "k_used",
+        "matches",
+        "est_union",
+        F.expr("matches * est_union div k_used").cast("long").alias(
+            "est_intersection"
+        ),
+        F.expr("matches * 1000000L div k_used").cast("long").alias(
+            "jaccard_micro"
+        ),
+    )
+
+
 CM_DEPTH = 4  # independent hash rows
 CM_WIDTH = 256  # buckets per row (power of two)
 

@@ -113,6 +113,97 @@ def q99_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- KMV set algebra: pairwise overlap ---------------------------------------
+
+
+def _kmv_overlap_oracle() -> str:
+    from openstack_billing_from_db_spark.operators.sketch import (
+        KMV_M,
+        kmv_hash_sql,
+    )
+
+    k = _KMV_K
+    return f"""
+WITH wrd AS (SELECT source, {_W} AS w FROM documents),
+d AS (SELECT DISTINCT source, unnest(w) AS v FROM wrd),
+hh AS (SELECT source, v, {kmv_hash_sql("CAST(v AS VARCHAR)")} AS h FROM d),
+sk AS (SELECT source, v, h FROM (
+  SELECT source, v, h,
+         row_number() OVER (PARTITION BY source ORDER BY h, v) AS rn FROM hh)
+  WHERE rn <= {k}),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (SELECT a.source AS grp_a, b.source AS grp_b
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+pr AS (
+  SELECT p.grp_a, p.grp_b, s.v, min(s.h) AS h,
+         max(CASE WHEN s.source = p.grp_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.source = p.grp_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.source IN (p.grp_a, p.grp_b)
+  GROUP BY p.grp_a, p.grp_b, s.v
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h, v) AS rn
+       FROM pr),
+agg AS (
+  SELECT grp_a, grp_b, CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash,
+         CAST(sum(in_a * in_b) AS BIGINT) AS matches
+  FROM rk WHERE rn <= {k} GROUP BY grp_a, grp_b
+),
+est AS (
+  SELECT grp_a, grp_b, k_used, matches,
+         CAST(CASE WHEN k_used < {k} THEN k_used
+              ELSE {(k - 1) * KMV_M} // kth_hash END AS BIGINT) AS est_union
+  FROM agg
+),
+ex AS (
+  SELECT x.source AS grp_a, y.source AS grp_b,
+         CAST(count(*) AS BIGINT) AS exact_intersection
+  FROM d x JOIN d y ON x.v = y.v AND x.source < y.source
+  GROUP BY x.source, y.source
+)
+SELECT e.grp_a, e.grp_b, e.k_used, e.matches, e.est_union,
+       CAST(e.matches * e.est_union // e.k_used AS BIGINT) AS est_intersection,
+       CAST(e.matches * 1000000 // e.k_used AS BIGINT) AS jaccard_micro,
+       COALESCE(ex.exact_intersection, CAST(0 AS BIGINT)) AS exact_intersection
+FROM est e LEFT JOIN ex USING (grp_a, grp_b)
+"""
+
+
+@register("q102_kmv_set_overlap", oracle=_kmv_overlap_oracle())
+def q102_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated distinct-term overlap between every source pair from
+    their KMV sketches (operators/sketch.kmv_pairwise_overlap — Beyer et
+    al. 2007 set algebra), exact intersections alongside. The corpus is
+    scanned once for the sketches; the 190-pair stage runs on k·sources
+    sketch rows — the 100 TB way to screen all source pairs for
+    vocabulary overlap without a corpus self-join (the exact column here
+    is the verification luxury the sketch replaces at scale)."""
+    from openstack_billing_from_db_spark.operators import text
+    from openstack_billing_from_db_spark.operators.sketch import (
+        kmv_pairwise_overlap,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(text.words(F.col("text"))).alias("v")
+    )
+    est = kmv_pairwise_overlap(toks, group_col="source", value_col="v", k=_KMV_K)
+    d = toks.distinct()
+    ex = (
+        d.alias("x")
+        .join(
+            d.alias("y"),
+            (F.col("x.v") == F.col("y.v"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("grp_a"), F.col("y.source").alias("grp_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    return est.join(ex, ["grp_a", "grp_b"], "left").withColumn(
+        "exact_intersection", F.coalesce("exact_intersection", F.lit(0).cast("long"))
+    )
+
+
 # --- count-min frequency sketch ----------------------------------------------
 
 _CM_K = 20

@@ -129,6 +129,7 @@ DEFERRED: tuple[str, ...] = (
     "q100_bpe_encode",  # r4-new, local-oracle-green; BPE family (gate full;
     # training twin q78 is in-gate and the encode oracle replays it verbatim)
     "q101_countmin_heavy_hitters",  # r4-new, local-oracle-green; sketch family
+    "q102_kmv_set_overlap",  # r4-new, local-oracle-green; sketch family
 )
 
 

@@ -61,6 +61,7 @@ QUERIES = (
     "q99_priority_sample",
     "q100_bpe_encode",
     "q101_countmin_heavy_hitters",
+    "q102_kmv_set_overlap",
 )
 
 

@@ -62,6 +62,49 @@ def test_kmv_merge_property(spark):
     assert (a.kth_hash, a.est_distinct) == (b.kth_hash, b.est_distinct)
 
 
+def test_kmv_overlap_exact_under_k(spark):
+    from openstack_billing_from_db_spark.operators.sketch import (
+        kmv_pairwise_overlap,
+    )
+
+    # unions smaller than k → the sketch IS the full union: exact
+    rows = (
+        [("a", f"v{i}") for i in range(6)]
+        + [("b", f"v{i}") for i in range(3, 9)]  # |a ∩ b| = 3, |a ∪ b| = 9
+        + [("c", "zz")]  # disjoint from both
+    )
+    df = spark.createDataFrame(rows, "grp string, v string")
+    out = {
+        (r.grp_a, r.grp_b): r
+        for r in kmv_pairwise_overlap(
+            df, group_col="grp", value_col="v", k=16
+        ).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab.est_union == 9 and ab.matches == 3 and ab.est_intersection == 3
+    assert ab.jaccard_micro == 3 * 1_000_000 // 9
+    assert out[("a", "c")].matches == 0 == out[("a", "c")].est_intersection
+    assert out[("b", "c")].jaccard_micro == 0
+    assert len(out) == 3
+
+
+def test_kmv_overlap_identical_sets_full_jaccard(spark):
+    from openstack_billing_from_db_spark.operators.sketch import (
+        kmv_pairwise_overlap,
+    )
+
+    # two identical 200-value sets, k=16: every union minimum is in both
+    # sketches → jaccard_micro = 1e6 exactly, est_intersection = est_union
+    rows = [(g, f"value-{i}") for g in ("a", "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    r = kmv_pairwise_overlap(df, group_col="grp", value_col="v", k=16).collect()[0]
+    assert r.k_used == 16
+    assert r.matches == 16
+    assert r.jaccard_micro == 1_000_000
+    assert r.est_intersection == r.est_union
+    assert 200 / 3 < r.est_union < 200 * 3
+
+
 def test_countmin_never_underestimates(spark):
     from openstack_billing_from_db_spark.operators.sketch import (
         countmin_build,
