@@ -318,3 +318,101 @@ def pagerank_micro(
         if (i + 1) % 5 == 0 and (i + 1) < iterations:
             pr = pr.localCheckpoint(eager=False)
     return pr
+
+
+def oriented_edges(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Canonicalize an undirected edge list and orient every edge from
+    its lower-degree endpoint to its higher-degree one (ties by id).
+
+    Degree orientation is THE skew defense for triangle enumeration
+    (Suri & Vassilvitskii 2011, "Counting triangles and the curse of the
+    last reducer"): after orienting, every out-degree is O(sqrt(m))
+    regardless of how skewed the raw degree distribution is, so the
+    wedge self-join below never concentrates a celebrity vertex's
+    neighborhood in one task. The total order is packed as
+    ``ord = degree · 2^40 + id`` — pure BIGINT, shared with the oracle
+    (requires id < 2^40 and degree < 2^23; both hold for any real
+    vertex id space here).
+
+    Output: (src, dst, src_ord, dst_ord) with src_ord < dst_ord,
+    distinct, self-loops dropped.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ORD = 1 << 40
+    withord = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            F.expr(f"da * {ORD}L + a").alias("orda"),
+            F.expr(f"db * {ORD}L + b").alias("ordb"),
+        )
+    )
+    return withord.select(
+        F.when(F.col("orda") < F.col("ordb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(F.col("orda") < F.col("ordb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.least("orda", "ordb").alias("src_ord"),
+        F.greatest("orda", "ordb").alias("dst_ord"),
+    )
+
+
+def triangle_stats(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact global triangle count of an undirected graph via
+    degree-oriented wedge joining — the canonical distributed triangle
+    kernel. Wedges are enumerated at their lowest-ordered vertex
+    (directed pairs u→v, u→w with ord(v) < ord(w)); each wedge closes
+    iff the directed edge v→w exists, and every triangle is counted
+    EXACTLY once (at its minimum-order vertex).
+
+    Scale shape: orientation (one |E| dedup exchange + a degree join),
+    then a self-join of the directed edges on src — out-degrees are
+    bounded by O(sqrt(m)) after orientation, so wedge counts are
+    sum-of-squares over BOUNDED out-degrees, not over raw (skewed)
+    degrees — then one |wedges| ⨝ |E| hash join on (v, w). No vertex
+    neighborhood is ever collected.
+
+    Output: one row (n_vertices, n_edges, n_wedges, n_triangles).
+    """
+    from openstack_billing_from_db_spark.operators.caching import tracked_persist
+
+    d = tracked_persist(
+        oriented_edges(edges, src=src, dst=dst).select("src", "dst", "dst_ord")
+    )
+    wedges = (
+        d.alias("e1")
+        .join(d.alias("e2"), F.col("e1.src") == F.col("e2.src"))
+        .filter(F.col("e1.dst_ord") < F.col("e2.dst_ord"))
+        .select(F.col("e1.dst").alias("v"), F.col("e2.dst").alias("w"))
+    )
+    closed = wedges.join(
+        d.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"]
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_wedge = wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
+    base = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+    )
+    n_vert = (
+        d.select(F.explode(F.array("src", "dst")).alias("v"))
+        .agg(F.count_distinct("v").cast("long").alias("n_vertices"))
+    )
+    return (
+        n_vert.crossJoin(base).crossJoin(n_wedge).crossJoin(n_tri)
+    )

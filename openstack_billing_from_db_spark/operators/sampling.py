@@ -89,6 +89,45 @@ def priority_sample(
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
+def priority_sample_per_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "pri",
+) -> DataFrame:
+    """Per-group weighted sample: the k best priority-sample rows WITHIN
+    each group (Duffield-Lund-Thorup priorities, as :func:`priority_sample`,
+    but stratified). Global top-k keeps whole strata out of small samples;
+    per-group k guarantees every stratum is represented — the shape used
+    for per-source eval slices and per-language inspection samples.
+
+    Plan shape: map-side priority projection, then ONE hash exchange on
+    the group key feeding a bounded window (rank ≤ k) — no global sort,
+    no driver merge; output is at most k rows per group regardless of
+    input size. Contrast with :func:`priority_sample`'s
+    TakeOrderedAndProject, which never shuffles but returns a single
+    global k.
+
+    Output: (group, key, weight, priority, rnk), rnk 1..k per group by
+    (priority, key).
+    """
+    pri = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("long").alias("weight"),
+        seeded_hash64(F.col(key_col).cast("string"), seed).alias("_u"),
+    ).select("grp", "key", "weight", F.expr("_u div weight").alias("priority"))
+    w = Window.partitionBy("grp").orderBy("priority", "key")
+    return (
+        pri.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .withColumnRenamed("grp", group_col)
+    )
+
+
 def temperature_mixture_sample(
     df: DataFrame,
     *,

@@ -420,3 +420,41 @@ def ivf_topk(
     return scored.select(
         "query_id", "neighbor_id", F.row_number().over(w).cast("long").alias("rn")
     ).filter(F.col("rn") <= k)
+
+
+def random_projection(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dims: int = 8,
+    dims: int = 64,
+    table: int = 0,
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style dimensionality reduction: project each
+    vector onto ``out_dims`` deterministic ±1 hyperplanes (Achlioptas
+    2003 — ±1 entries preserve pairwise distances in expectation as well
+    as Gaussians, and are exactly reproducible across engines via the
+    md5-derived sign family shared with the sign-LSH bucketer).
+
+    This is the continuous complement of :func:`lsh_topk`'s bucket bits:
+    instead of keeping only ``sign(⟨v, h_j⟩)``, keep the projections
+    themselves — a ``dims → out_dims`` reduction that downstream ANN /
+    clustering runs on at ``out_dims/dims`` of the compute and shuffle
+    width.
+
+    Plan shape: pure map-side — one projection per row, ``out_dims``
+    left-to-right array folds, no shuffle, no UDF; Catalyst prunes the
+    scan to (id, vec). Sums fold in array order so the doubles are
+    bit-identical to DuckDB's ``list_inner_product`` (same guarantee the
+    cosine path relies on).
+
+    Output: (id_col, y0 .. y{out_dims-1}) as doubles.
+    """
+    signs = hyperplane_signs(out_dims, dims, table=table)
+    v = _as_double(F.col(vec_col))
+    cols = [
+        dot(v, F.array(*[F.lit(s) for s in signs[j]])).alias(f"y{j}")
+        for j in range(out_dims)
+    ]
+    return emb.select(F.col(id_col), *cols)

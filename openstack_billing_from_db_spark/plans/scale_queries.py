@@ -1,0 +1,286 @@
+"""Round-4 scale-kernel registry entries: histogram quantiles, per-group
+weighted sampling, degree-oriented triangle counting, skew-salted joins,
+and random-projection dimensionality reduction.
+
+Each is a (Spark plan, DuckDB oracle) pair per the registry.py contract.
+The reference (CCI-MOC/openstack-billing-from-db) has none of these —
+beyond-reference components targeting the specific hazards of a
+1000-executor run: skewed join keys (q107), skewed vertex degrees
+(q106), corpus-wide percentile scans (q103), whole-stratum sample
+starvation (q105), and shuffle-width of wide embeddings (q104).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.operators.parallelism import (
+    ensure_map_parallelism,
+)
+from openstack_billing_from_db_spark.registry import register
+from openstack_billing_from_db_spark.sources.tables import load_table
+
+
+# --- histogram quantile sketch ------------------------------------------------
+
+_HQ_BIN = 64
+_HQ_P = (500_000, 900_000, 990_000)
+
+
+def _hq_oracle() -> str:
+    from openstack_billing_from_db_spark.operators.quantiles import (
+        histogram_quantiles_sql,
+    )
+
+    inner = histogram_quantiles_sql(
+        from_cte="vals", group_col="source", bin_width=_HQ_BIN, p_micro=_HQ_P
+    )
+    return f"""
+WITH vals AS (SELECT source, CAST(n_chars AS BIGINT) AS val FROM documents)
+{inner}"""
+
+
+@register("q103_histogram_quantiles", oracle=_hq_oracle())
+def q103_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length percentiles (p50/p90/p99) from the
+    mergeable fixed-width histogram sketch (operators/quantiles.py),
+    exact ranks alongside for accuracy inspection. The sketch path: one
+    partial-aggregated groupBy onto (source, length div {_HQ_BIN}) cells
+    — the exchange carries bins, not rows — then windows over the cell
+    table; ``percentile_approx`` (JVM-internal GK) can't be
+    oracle-replayed, integer bin arithmetic can. est ≥ exact and
+    est − exact < {_HQ_BIN} always."""
+    from openstack_billing_from_db_spark.operators.quantiles import (
+        histogram_quantiles,
+    )
+
+    docs = ensure_map_parallelism(
+        load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    )
+    return histogram_quantiles(
+        docs,
+        group_col="source",
+        value_col="n_chars",
+        bin_width=_HQ_BIN,
+        p_micro=_HQ_P,
+    )
+
+
+# --- random-projection dimensionality reduction ------------------------------
+
+_RP_OUT = 8
+_RP_DIMS = 64
+
+
+def _rp_oracle() -> str:
+    from openstack_billing_from_db_spark.operators.similarity import (
+        hyperplane_signs,
+    )
+
+    signs = hyperplane_signs(_RP_OUT, _RP_DIMS)
+    cols = ",\n       ".join(
+        "list_inner_product(embedding::DOUBLE[], ["
+        + ", ".join(str(v) for v in signs[j])
+        + f"]::DOUBLE[]) AS y{j}"
+        for j in range(_RP_OUT)
+    )
+    return f"""
+SELECT vec_id,
+       {cols}
+FROM embeddings"""
+
+
+@register("q104_random_projection", oracle=_rp_oracle())
+def q104_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_RP_DIMS}→{_RP_OUT}-dim Johnson-Lindenstrauss reduction of the
+    embedding corpus via deterministic ±1 hyperplanes
+    (operators/similarity.random_projection — the continuous complement
+    of the sign-LSH bucket bits). Pure map-side: no shuffle, no UDF,
+    scan pruned to (vec_id, embedding); downstream ANN/k-means runs at
+    {_RP_OUT}/{_RP_DIMS} of the shuffle width. Left-to-right array folds
+    make the doubles bit-identical to DuckDB's list_inner_product."""
+    from openstack_billing_from_db_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = ensure_map_parallelism(load_table(spark, sf_dir, "embeddings"))
+    return random_projection(emb, out_dims=_RP_OUT, dims=_RP_DIMS)
+
+
+# --- per-group weighted priority sampling ------------------------------------
+
+_GPS_K = 5
+
+
+@register(
+    "q105_group_priority_sample",
+    oracle=f"""
+WITH w AS (
+  SELECT o_orderpriority, o_orderkey AS key,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS weight
+  FROM orders
+),
+p AS (
+  SELECT o_orderpriority, key, weight,
+         CAST(concat('0x', substr(md5(concat('pri|', CAST(key AS VARCHAR))), 1, 15)) AS BIGINT)
+           // weight AS priority
+  FROM w
+)
+SELECT o_orderpriority, key AS o_orderkey, weight AS weight_cents, priority, rnk
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY priority, key) AS BIGINT) AS rnk
+      FROM p)
+WHERE rnk <= {_GPS_K}
+""",
+)
+def q105_group_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_GPS_K} weighted priority sample WITHIN each order priority
+    class (operators/sampling.priority_sample_per_group): stratified
+    Duffield-Lund-Thorup sampling, every stratum guaranteed
+    representation — the global top-k (q99) can starve small strata.
+    Plan: map-side priority projection → one hash exchange on the
+    stratum key → bounded rank-≤-k window; output ≤ k rows per stratum
+    regardless of input size."""
+    from openstack_billing_from_db_spark.operators.sampling import (
+        priority_sample_per_group,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "weight"
+        ),
+    )
+    out = priority_sample_per_group(
+        orders,
+        group_col="o_orderpriority",
+        key_col="o_orderkey",
+        weight_col="weight",
+        k=_GPS_K,
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("key").alias("o_orderkey"),
+        F.col("weight").alias("weight_cents"),
+        "priority",
+        "rnk",
+    )
+
+
+# --- degree-oriented triangle counting ---------------------------------------
+
+_ORD = 1 << 40
+
+
+@register(
+    "q106_triangle_count",
+    oracle=f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+e0 AS (SELECT DISTINCT x.p AS a, y.p AS b FROM li x JOIN li y
+       ON x.ok = y.ok AND x.p < y.p),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
+        (SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0) GROUP BY v),
+ww AS (SELECT e0.a, e0.b,
+              da.deg * {_ORD} + e0.a AS orda,
+              db.deg * {_ORD} + e0.b AS ordb
+       FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
+d AS (SELECT CASE WHEN orda < ordb THEN a ELSE b END AS src,
+             CASE WHEN orda < ordb THEN b ELSE a END AS dst,
+             CASE WHEN orda < ordb THEN ordb ELSE orda END AS dst_ord
+      FROM ww),
+wedges AS (SELECT e1.dst AS wv, e2.dst AS wd
+           FROM d e1 JOIN d e2 ON e1.src = e2.src AND e1.dst_ord < e2.dst_ord)
+SELECT
+  (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM
+     (SELECT src AS v FROM d UNION ALL SELECT dst AS v FROM d)) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_edges,
+  (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+  (SELECT CAST(count(*) AS BIGINT) FROM wedges w
+     JOIN d ON d.src = w.wv AND d.dst = w.wd) AS n_triangles
+""",
+)
+def q106_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the part co-purchase graph (parts sharing
+    an order are adjacent) via degree-oriented wedge joining
+    (operators/graph.triangle_stats — Suri & Vassilvitskii 2011). The
+    scale point: after orientation every out-degree is O(sqrt(m)), so
+    the wedge self-join is bounded even when raw degrees are wildly
+    skewed (a best-seller part touching every order). Edge build is
+    per-order pairing — bounded by the per-order item count, never a
+    corpus self-join."""
+    from openstack_billing_from_db_spark.operators.graph import triangle_stats
+
+    li = (
+        ensure_map_parallelism(
+            load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        )
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+    return triangle_stats(edges)
+
+
+# --- skew-salted join --------------------------------------------------------
+
+_N_SALTS = 8
+
+
+@register(
+    "q107_salted_join_revenue",
+    oracle="""
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def q107_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by part brand through a SALTED shuffled-hash join
+    (operators/joins.salted_join): the part side is replicated
+    {_N_SALTS}× and lineitem rows scatter across the replicas by a
+    row-local hash of (orderkey, linenumber) — the defense for the join
+    AQE's skew splitter does not cover (shuffled-hash, or a hot key
+    beyond block granularity). Result is structurally identical to the
+    plain join (every fact row meets exactly one replica of its dim
+    row), which is exactly what the unsalted oracle pins."""
+    from openstack_billing_from_db_spark.operators.joins import salted_join
+
+    li = ensure_map_parallelism(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li,
+        part.withColumnRenamed("p_partkey", "l_partkey"),
+        key="l_partkey",
+        salt_from=F.concat_ws("_", "l_orderkey", "l_linenumber"),
+        n_salts=_N_SALTS,
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )

@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "openstack_billing_from_db_spark.plans.curation_queries",
     "openstack_billing_from_db_spark.plans.streaming_queries",
     "openstack_billing_from_db_spark.plans.sketch_queries",
+    "openstack_billing_from_db_spark.plans.scale_queries",
 )
 
 _loaded = False
@@ -130,6 +131,11 @@ DEFERRED: tuple[str, ...] = (
     # training twin q78 is in-gate and the encode oracle replays it verbatim)
     "q101_countmin_heavy_hitters",  # r4-new, local-oracle-green; sketch family
     "q102_kmv_set_overlap",  # r4-new, local-oracle-green; sketch family
+    "q103_histogram_quantiles",  # r4-new, local-oracle-green; sketch family
+    "q104_random_projection",  # r4-new, local-oracle-green; similarity family
+    "q105_group_priority_sample",  # r4-new, local-oracle-green; sampling family
+    "q106_triangle_count",  # r4-new, local-oracle-green; graph family
+    "q107_salted_join_revenue",  # r4-new, local-oracle-green; join family
 )
 
 

@@ -1,0 +1,286 @@
+"""Unit tests for the round-4 scale kernels: histogram quantile sketch
+(operators/quantiles.py), per-group priority sampling
+(operators/sampling.priority_sample_per_group), degree-oriented triangle
+counting (operators/graph.oriented_edges/triangle_stats), skew-salted
+joins (operators/joins.salted_join), and random projection
+(operators/similarity.random_projection). Oracle parity for q103-q107
+runs in test_oracle_parity.py; these pin the invariants and branches the
+registered queries don't reach at the test sf."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.operators.graph import (
+    oriented_edges,
+    triangle_stats,
+)
+from openstack_billing_from_db_spark.operators.joins import salted_join
+from openstack_billing_from_db_spark.operators.quantiles import (
+    histogram_quantiles,
+)
+from openstack_billing_from_db_spark.operators.sampling import (
+    priority_sample,
+    priority_sample_per_group,
+)
+from openstack_billing_from_db_spark.operators.similarity import (
+    hyperplane_signs,
+    random_projection,
+)
+
+
+# --- histogram quantiles ------------------------------------------------------
+
+
+def _hq(spark, values, bin_width=10, p=(500_000, 900_000, 990_000)):
+    df = spark.createDataFrame([("g", v) for v in values], "g string, n long")
+    return histogram_quantiles(
+        df, group_col="g", value_col="n", bin_width=bin_width, p_micro=p
+    ).collect()[0]
+
+
+def test_hq_known_quantiles(spark):
+    # 1..100 with bin width 10: p50 rank = 50 → value 50 in bin 4
+    # (40-49? no: 50 div 10 = 5, bin 5 covers 50-59, edge 59)
+    row = _hq(spark, list(range(1, 101)))
+    assert row.n_rows == 100
+    assert row.p50_exact == 50
+    assert row.p90_exact == 90
+    assert row.p99_exact == 99
+    assert row.p50_est == 59  # upper edge of bin 5
+    assert row.p90_est == 99
+    assert row.p99_est == 99
+
+
+def test_hq_est_bounds_exact(spark):
+    # est is the bin's inclusive upper edge: est >= exact, est - exact < W
+    vals = [7, 7, 7, 23, 23, 901, 902, 4096, 4096, 5000]
+    for w in (1, 8, 64):
+        row = _hq(spark, vals, bin_width=w)
+        for p in ("p50", "p90", "p99"):
+            est, exact = row[f"{p}_est"], row[f"{p}_exact"]
+            assert exact <= est < exact + w
+
+
+def test_hq_bin_width_one_is_exact(spark):
+    row = _hq(spark, [5, 1, 9, 3, 3], bin_width=1)
+    assert row.p50_est == row.p50_exact == 3
+    assert row.p99_est == row.p99_exact == 9
+
+
+def test_hq_without_exact_and_validation(spark):
+    df = spark.createDataFrame([("g", 1)], "g string, n long")
+    out = histogram_quantiles(
+        df, group_col="g", value_col="n", bin_width=4, with_exact=False
+    )
+    assert [c for c in out.columns if c.endswith("_exact")] == []
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, group_col="g", value_col="n", bin_width=0)
+    with pytest.raises(ValueError):
+        histogram_quantiles(
+            df, group_col="g", value_col="n", bin_width=4, p_micro=(0,)
+        )
+
+
+def test_hq_multi_group_independent(spark):
+    df = spark.createDataFrame(
+        [("a", v) for v in range(10)] + [("b", v) for v in range(1000, 1010)],
+        "g string, n long",
+    )
+    rows = {
+        r.g: r
+        for r in histogram_quantiles(
+            df, group_col="g", value_col="n", bin_width=16
+        ).collect()
+    }
+    assert rows["a"].n_rows == rows["b"].n_rows == 10
+    assert rows["a"].p50_exact == 4 and rows["b"].p50_exact == 1004
+
+
+# --- per-group priority sampling ----------------------------------------------
+
+
+def test_group_sample_bounded_and_complete(spark):
+    rows = [(f"g{i % 4}", i, 100 + i) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, key long, w long")
+    out = priority_sample_per_group(
+        df, group_col="grp", key_col="key", weight_col="w", k=7
+    )
+    counts = {r.grp: r.cnt for r in out.groupBy("grp").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {f"g{i}": 7 for i in range(4)}
+    # rnk is 1..k per group by (priority, key)
+    for r in out.filter(F.col("grp") == "g0").orderBy("rnk").collect():
+        assert 1 <= r.rnk <= 7
+
+
+def test_group_sample_matches_global_on_single_group(spark):
+    df = spark.createDataFrame(
+        [("only", i, 50 + i) for i in range(60)], "grp string, key long, w long"
+    )
+    grouped = priority_sample_per_group(
+        df, group_col="grp", key_col="key", weight_col="w", k=9
+    ).select("key", "weight", "priority", "rnk")
+    glob = priority_sample(df, key_col="key", weight_col="w", k=9)
+    assert sorted(map(tuple, grouped.collect())) == sorted(
+        map(tuple, glob.select("key", "weight", "priority", "rnk").collect())
+    )
+
+
+def test_group_sample_small_group_fully_kept(spark):
+    df = spark.createDataFrame(
+        [("big", i, 10) for i in range(50)] + [("tiny", 1000 + i, 10) for i in range(2)],
+        "grp string, key long, w long",
+    )
+    out = priority_sample_per_group(
+        df, group_col="grp", key_col="key", weight_col="w", k=5
+    )
+    tiny = out.filter(F.col("grp") == "tiny").collect()
+    assert sorted(r.key for r in tiny) == [1000, 1001]
+
+
+# --- triangle counting --------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _tri(spark, pairs):
+    return triangle_stats(_edges(spark, pairs)).collect()[0]
+
+
+def test_triangle_single(spark):
+    row = _tri(spark, [(1, 2), (2, 3), (3, 1)])
+    assert (row.n_vertices, row.n_edges, row.n_triangles) == (3, 3, 1)
+
+
+def test_triangle_path_and_star_have_none(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4)]).n_triangles == 0
+    hub = [(0, i) for i in range(1, 10)]
+    row = _tri(spark, hub)
+    assert row.n_triangles == 0
+    assert row.n_wedges == 0  # orientation: all leaves point at the hub
+
+
+def test_triangle_k4(spark):
+    verts = [1, 2, 3, 4]
+    pairs = [(a, b) for a in verts for b in verts if a < b]
+    row = _tri(spark, pairs)
+    assert row.n_edges == 6
+    assert row.n_triangles == 4
+
+
+def test_triangle_dedup_and_self_loops(spark):
+    # duplicate edges (both directions) and self-loops don't change counts
+    row = _tri(
+        spark,
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)],
+    )
+    assert (row.n_edges, row.n_triangles) == (3, 1)
+
+
+def test_orientation_bounds_hub_outdegree(spark):
+    # skewed graph: hub 0 adjacent to 50 leaves + one triangle off to the
+    # side; the hub's edges must all point INTO it (leaves have lower
+    # degree), so no task ever enumerates the hub's neighborhood
+    pairs = [(0, i) for i in range(1, 51)] + [(100, 101), (101, 102), (102, 100)]
+    d = oriented_edges(_edges(spark, pairs))
+    hub_out = d.filter(F.col("src") == 0).count()
+    assert hub_out == 0
+    assert _tri(spark, pairs).n_triangles == 1
+
+
+# --- salted join --------------------------------------------------------------
+
+
+def _skewed_fact(spark, n=300):
+    # 80% of rows share one hot key
+    rows = [(i, 1 if i % 5 else (i % 7) + 2, float(i)) for i in range(n)]
+    return spark.createDataFrame(rows, "row_id long, k long, val double")
+
+
+def test_salted_join_equals_plain_inner(spark):
+    fact = _skewed_fact(spark)
+    dim = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(1, 9)], "k long, name string"
+    )
+    salted = salted_join(
+        fact, dim, key="k", salt_from=F.col("row_id"), n_salts=8
+    )
+    plain = fact.join(dim, "k")
+    cols = ["k", "row_id", "val", "name"]
+    assert sorted(map(tuple, salted.select(cols).collect())) == sorted(
+        map(tuple, plain.select(cols).collect())
+    )
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 99)], "row_id long, k long"
+    )
+    dim = spark.createDataFrame([(10, "hit")], "k long, name string")
+    out = salted_join(
+        fact, dim, key="k", salt_from=F.col("row_id"), n_salts=4, how="left"
+    )
+    rows = {r.k: r.name for r in out.collect()}
+    assert rows == {10: "hit", 99: None}
+    # exactly one row per fact row — replicas must not duplicate matches
+    assert out.count() == 2
+
+
+def test_salted_join_one_salt_degenerates(spark):
+    fact = _skewed_fact(spark, n=40)
+    dim = spark.createDataFrame([(1, "x")], "k long, name string")
+    out = salted_join(fact, dim, key="k", salt_from=F.col("row_id"), n_salts=1)
+    assert out.count() == fact.filter(F.col("k") == 1).count()
+
+
+def test_salted_join_validation(spark):
+    fact = _skewed_fact(spark, n=5)
+    dim = spark.createDataFrame([(1, "x")], "k long, name string")
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, key="k", salt_from=F.col("row_id"), n_salts=0)
+    with pytest.raises(ValueError):
+        salted_join(
+            fact, dim, key="k", salt_from=F.col("row_id"), how="full"
+        )
+
+
+# --- random projection --------------------------------------------------------
+
+
+def test_random_projection_matches_manual(spark):
+    dims, out_dims = 6, 3
+    vecs = [
+        (1, [1.0, 0.0, 2.0, -1.0, 0.5, 3.0]),
+        (2, [0.0] * 6),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in random_projection(
+            df, out_dims=out_dims, dims=dims
+        ).collect()
+    }
+    signs = hyperplane_signs(out_dims, dims)
+    for vid, e in vecs:
+        for j in range(out_dims):
+            expected = sum(x * s for x, s in zip(e, signs[j]))
+            assert out[vid][f"y{j}"] == pytest.approx(expected, abs=1e-12)
+    # zero vector projects to the origin exactly
+    assert all(out[2][f"y{j}"] == 0.0 for j in range(out_dims))
+
+
+def test_random_projection_schema_and_tables(spark):
+    df = spark.createDataFrame(
+        [(7, [1.0, -1.0])], "vec_id long, embedding array<double>"
+    )
+    out = random_projection(df, out_dims=2, dims=2)
+    assert out.columns == ["vec_id", "y0", "y1"]
+    # a different table index gives an independent sign family
+    alt = random_projection(df, out_dims=2, dims=2, table=1)
+    s0 = hyperplane_signs(2, 2, table=0)
+    s1 = hyperplane_signs(2, 2, table=1)
+    assert s0 != s1
+    assert out.collect() != alt.collect() or s0 == s1
