@@ -46,6 +46,79 @@ def _p_label(p_micro: int) -> str:
     return f"p{whole}" if frac == 0 else f"p{whole}_{frac:02d}"
 
 
+def _validate(bin_width: int, p_micro: Sequence[int]) -> None:
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    for p in p_micro:
+        if not 0 < p < 1_000_000:
+            raise ValueError(f"p_micro values must be in (0, 1e6), got {p}")
+
+
+def histogram_cells(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """The mergeable histogram state for one slice of the data: per
+    (group, bin) row counts. Slices compose by ADDITION (groupBy-sum of
+    cnt) — the partial/merge law the streaming accumulator
+    (streaming/sketch_stream.py) runs on; :func:`quantiles_from_cells`
+    turns state into estimates. Output: (group, bin, cnt)."""
+    _validate(bin_width, DEFAULT_P_MICRO)
+    return (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("long").alias("val"),
+        )
+        .select("g", F.expr(f"val div {bin_width}").alias("bin"))
+        .groupBy("g", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumnRenamed("g", group_col)
+    )
+
+
+def quantiles_from_cells(
+    cells: DataFrame,
+    *,
+    group_col: str,
+    bin_width: int,
+    p_micro: Sequence[int] = DEFAULT_P_MICRO,
+) -> DataFrame:
+    """Histogram state → per-group quantile estimates
+    (group, n_rows, <pXX>_est ...). Input may hold MULTIPLE cnt rows per
+    (group, bin) — e.g. the union of per-epoch streaming partitions —
+    they are summed first (merge-by-addition)."""
+    _validate(bin_width, p_micro)
+    merged = (
+        cells.select(F.col(group_col).alias("g"), "bin", "cnt")
+        .groupBy("g", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wn = Window.partitionBy("g")
+    wcum = Window.partitionBy("g").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    edges = merged.select(
+        "g",
+        F.sum("cnt").over(wn).alias("n"),
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.expr(f"(bin + 1) * {bin_width}L - 1").alias("edge"),
+    )
+    est_aggs = [
+        F.min(
+            F.when(F.col("cum") * 1_000_000 >= F.lit(p) * F.col("n"), F.col("edge"))
+        ).alias(f"{_p_label(p)}_est")
+        for p in p_micro
+    ]
+    return (
+        edges.groupBy("g")
+        .agg(F.max("n").alias("n_rows"), *est_aggs)
+        .withColumnRenamed("g", group_col)
+    )
+
+
 def histogram_quantiles(
     df: DataFrame,
     *,
@@ -62,35 +135,16 @@ def histogram_quantiles(
     ``est >= exact`` always, and ``est - exact < W``). Output:
     (group, n_rows, <pXX>_est ..., [<pXX>_exact ...]).
     """
-    if bin_width < 1:
-        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
-    for p in p_micro:
-        if not 0 < p < 1_000_000:
-            raise ValueError(f"p_micro values must be in (0, 1e6), got {p}")
-
+    _validate(bin_width, p_micro)
     vals = df.select(
         F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("val")
     )
-    cells = vals.select("g", F.expr(f"val div {bin_width}").alias("bin")).groupBy(
-        "g", "bin"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    wn = Window.partitionBy("g")
-    wcum = Window.partitionBy("g").orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    edges = cells.select(
-        "g",
-        F.sum("cnt").over(wn).alias("n"),
-        F.sum("cnt").over(wcum).alias("cum"),
-        F.expr(f"(bin + 1) * {bin_width}L - 1").alias("edge"),
-    )
-    est_aggs = [
-        F.min(
-            F.when(F.col("cum") * 1_000_000 >= F.lit(p) * F.col("n"), F.col("edge"))
-        ).alias(f"{_p_label(p)}_est")
-        for p in p_micro
-    ]
-    out = edges.groupBy("g").agg(F.max("n").alias("n_rows"), *est_aggs)
+    out = quantiles_from_cells(
+        histogram_cells(df, group_col=group_col, value_col=value_col, bin_width=bin_width),
+        group_col=group_col,
+        bin_width=bin_width,
+        p_micro=p_micro,
+    ).withColumnRenamed(group_col, "g")
 
     if with_exact:
         wrank = Window.partitionBy("g").orderBy("val")
@@ -98,7 +152,7 @@ def histogram_quantiles(
             "g",
             "val",
             F.row_number().over(wrank).alias("rn"),
-            F.count(F.lit(1)).over(wn).alias("n"),
+            F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
         )
         exact_aggs = [
             F.min(

@@ -96,3 +96,163 @@ def read_kmv_estimate(
     return kmv_finalize(
         kmv_merge(state, group_col=group_col, k=k), group_col=group_col, k=k
     )
+
+
+# --- count-min: streaming frequency state ------------------------------------
+#
+# The count-min table merges by ADDITION, so the epoch pattern is even
+# simpler than KMV's merge-and-truncate: each micro-batch writes its own
+# d×w cell counts under epoch=<id> (idempotent overwrite), and the live
+# sketch is one groupBy-sum over all epochs — at most d·w rows per epoch
+# on disk, a fixed-size frequency state no matter how much volume the
+# stream has carried.
+
+
+def update_batch_countmin(
+    batch_df: DataFrame,
+    *,
+    value_col: str,
+    depth: int | None = None,
+    width: int | None = None,
+) -> DataFrame:
+    """One micro-batch → its count-min cell counts (≤ d·w rows)."""
+    from openstack_billing_from_db_spark.operators.sketch import (
+        CM_DEPTH,
+        CM_WIDTH,
+        countmin_build,
+    )
+
+    return countmin_build(
+        batch_df,
+        value_col=value_col,
+        depth=depth or CM_DEPTH,
+        width=width or CM_WIDTH,
+    )
+
+
+def run_streaming_countmin(
+    spark: SparkSession,
+    stream_dir: str,
+    schema: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    value_col: str,
+) -> None:
+    """Stream files → per-epoch count-min cell partitions
+    (processAllAvailable, then stop; the checkpoint resumes new files)."""
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        cells = update_batch_countmin(batch_df, value_col=value_col)
+        cells.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_countmin_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The live sketch: every epoch's cells summed — equals the batch
+    sketch over the union of all streamed data (merge-by-addition law,
+    pinned by test_kmv_stream). Probe with operators.sketch.countmin_probe."""
+    from pyspark.sql import functions as F
+
+    state = spark.read.parquet(state_dir).select("cm_row", "cm_bucket", "cnt")
+    return state.groupBy("cm_row", "cm_bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+# --- histogram quantiles: streaming percentile state -------------------------
+
+
+def update_batch_histogram(
+    batch_df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """One micro-batch → its (group, bin, cnt) histogram cells."""
+    from openstack_billing_from_db_spark.operators.quantiles import (
+        histogram_cells,
+    )
+
+    return histogram_cells(
+        batch_df, group_col=group_col, value_col=value_col, bin_width=bin_width
+    )
+
+
+def run_streaming_histogram(
+    spark: SparkSession,
+    stream_dir: str,
+    schema: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    group_col: str,
+    value_col: str,
+    bin_width: int,
+) -> None:
+    """Stream files → per-epoch histogram cell partitions. State per
+    epoch is bounded by groups × occupied bins, independent of row
+    volume — live percentiles over an unbounded stream without keeping
+    a single raw value."""
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        cells = update_batch_histogram(
+            batch_df,
+            group_col=group_col,
+            value_col=value_col,
+            bin_width=bin_width,
+        )
+        cells.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_histogram_quantiles(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    group_col: str,
+    bin_width: int,
+    p_micro=None,
+) -> DataFrame:
+    """The live per-group quantile estimates: all epoch cells summed
+    (merge-by-addition) then finalized — equals the batch sketch over
+    the union of the streamed data."""
+    from openstack_billing_from_db_spark.operators.quantiles import (
+        DEFAULT_P_MICRO,
+        quantiles_from_cells,
+    )
+
+    state = spark.read.parquet(state_dir).select(group_col, "bin", "cnt")
+    return quantiles_from_cells(
+        state,
+        group_col=group_col,
+        bin_width=bin_width,
+        p_micro=p_micro or DEFAULT_P_MICRO,
+    )

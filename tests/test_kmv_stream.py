@@ -148,3 +148,96 @@ def test_streaming_kmv_equals_batch_over_all_files(spark, tmp_path):
         assert streamed2[g].kth_hash == batch2[g].kth_hash
         assert streamed2[g].est_distinct == batch2[g].est_distinct
     assert streamed2["view"].est_distinct == 4
+
+
+# --- count-min + histogram streaming accumulators (merge-by-addition) --------
+
+
+def test_streaming_countmin_equals_batch(spark, tmp_path):
+    from openstack_billing_from_db_spark.operators.sketch import (
+        countmin_build,
+        countmin_probe,
+    )
+    from openstack_billing_from_db_spark.streaming.sketch_stream import (
+        read_countmin_sketch,
+        run_streaming_countmin,
+    )
+
+    stream_dir = str(tmp_path / "s")
+    state_dir = str(tmp_path / "state")
+    b1 = [("hot", 0)] * 30 + [("a", 0), ("b", 0)]
+    b2 = [("hot", 0)] * 20 + [("b", 0), ("c", 0)]
+    _write_events(f"{stream_dir}/b1.parquet", b1)
+    _write_events(f"{stream_dir}/b2.parquet", b2)
+    run_streaming_countmin(
+        spark,
+        stream_dir,
+        "event_type string, user_id long",
+        state_dir,
+        str(tmp_path / "ckpt"),
+        value_col="event_type",
+    )
+    live = read_countmin_sketch(spark, state_dir)
+    whole = countmin_build(
+        spark.createDataFrame(b1 + b2, "event_type string, user_id long"),
+        value_col="event_type",
+    )
+    assert sorted(map(tuple, live.collect())) == sorted(map(tuple, whole.collect()))
+    probes = spark.createDataFrame([("hot",), ("c",)], "event_type string")
+    est = {
+        r.event_type: r.est_count
+        for r in countmin_probe(live, probes, value_col="event_type").collect()
+    }
+    assert est["hot"] >= 50 and est["c"] >= 1  # never underestimates
+
+
+def test_streaming_histogram_equals_batch(spark, tmp_path):
+    from openstack_billing_from_db_spark.operators.quantiles import (
+        histogram_quantiles,
+    )
+    from openstack_billing_from_db_spark.streaming.sketch_stream import (
+        read_histogram_quantiles,
+        run_streaming_histogram,
+    )
+
+    stream_dir = str(tmp_path / "s")
+    state_dir = str(tmp_path / "state")
+    b1 = [("g", i) for i in range(1, 51)]
+    b2 = [("g", i) for i in range(51, 101)] + [("h", 5)]
+    _write_events(f"{stream_dir}/b1.parquet", b1)
+    _write_events(f"{stream_dir}/b2.parquet", b2)
+    run_streaming_histogram(
+        spark,
+        stream_dir,
+        "event_type string, user_id long",
+        state_dir,
+        str(tmp_path / "ckpt"),
+        group_col="event_type",
+        value_col="user_id",
+        bin_width=10,
+    )
+    live = {
+        r.event_type: r
+        for r in read_histogram_quantiles(
+            spark, state_dir, group_col="event_type", bin_width=10
+        ).collect()
+    }
+    batch = {
+        r.event_type: r
+        for r in histogram_quantiles(
+            spark.createDataFrame(b1 + b2, "event_type string, user_id long"),
+            group_col="event_type",
+            value_col="user_id",
+            bin_width=10,
+            with_exact=False,
+        ).collect()
+    }
+    assert set(live) == set(batch) == {"g", "h"}
+    for g in live:
+        assert tuple(live[g]) == tuple(batch[g])
+    # the 1..100 stream: p50 falls in bin 5 (50-59), edge 59
+    assert live["g"].p50_est == 59
+    # per-epoch state is cells, not rows: epoch b1 has <= 6 bins for g
+    cells = spark.read.parquet(state_dir)
+    per_epoch = cells.groupBy("epoch", "event_type").count().collect()
+    assert all(r["count"] <= 11 for r in per_epoch)

@@ -136,3 +136,39 @@ def test_lm_quality_partial_aggregation(spark, sf_dir):
     exchange (two HashAggregates per count: partial + final)."""
     plan = _plan(QUERIES["q76_lm_quality"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_random_projection_map_side(spark, sf_dir):
+    """q104: pure map-side — no hash exchange, no join, no window; the
+    scan is pruned to (vec_id, embedding)."""
+    plan = _plan(QUERIES["q104_random_projection"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert re.search(r"FileScan parquet \[vec_id[^,]*,embedding[^\]]*\]", plan), plan
+
+
+def test_group_sample_rank_limit_pushdown(spark, sf_dir):
+    """q105: Spark 4's WindowGroupLimit runs a PARTIAL per-group top-k
+    map-side before the single stratum exchange — each mapper ships at
+    most k rows per group, so the shuffle is bounded by k·groups, not
+    by the input."""
+    plan = _plan(QUERIES["q105_group_priority_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_salted_join_is_shuffled_hash(spark, sf_dir):
+    """q107: the salted join must NOT degrade to broadcast (that would
+    make the salt demo vacuous) — the hint pins shuffled-hash, keyed on
+    (key, salt)."""
+    plan = _plan(QUERIES["q107_salted_join_revenue"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "__salt" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_histogram_sketch_partial_aggregates(spark, sf_dir):
+    """q103: the (group, bin) cell build partial-aggregates map-side —
+    the exchange carries cells, not rows."""
+    plan = _plan(QUERIES["q103_histogram_quantiles"](spark, sf_dir))
+    assert "partial_count" in plan, plan
