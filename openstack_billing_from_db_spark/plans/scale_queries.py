@@ -284,3 +284,67 @@ def q107_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.sum(rev).cast("double").alias("revenue"),
     )
+
+
+# --- sketch-driven outlier trim ----------------------------------------------
+
+
+def _trim_oracle() -> str:
+    from openstack_billing_from_db_spark.operators.quantiles import (
+        histogram_quantiles_sql,
+    )
+
+    est = histogram_quantiles_sql(
+        from_cte="vals",
+        group_col="source",
+        bin_width=_HQ_BIN,
+        p_micro=(990_000,),
+        with_exact=False,
+    )
+    return f"""
+WITH vals AS (SELECT source, CAST(n_chars AS BIGINT) AS val FROM documents),
+est AS ({est})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN d.n_chars <= e.p99_est THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN d.n_chars > e.p99_est THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed,
+       e.p99_est
+FROM documents d JOIN est e USING (source)
+GROUP BY d.source, e.p99_est
+"""
+
+
+@register("q108_quantile_trim", oracle=_trim_oracle())
+def q108_quantile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier trimming driven BY the quantile sketch: each
+    source's p99 length estimate (one sketch row per source) broadcasts
+    back against the corpus and gates each document — the composition
+    that makes q103 a pipeline stage rather than a report. At 100 TB the
+    corpus is scanned twice (cell build + filter) and shuffled never;
+    the sketch side is groups-sized by construction."""
+    from openstack_billing_from_db_spark.operators.quantiles import (
+        histogram_cells,
+        quantiles_from_cells,
+    )
+
+    docs = ensure_map_parallelism(
+        load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    )
+    est = quantiles_from_cells(
+        histogram_cells(
+            docs, group_col="source", value_col="n_chars", bin_width=_HQ_BIN
+        ),
+        group_col="source",
+        bin_width=_HQ_BIN,
+        p_micro=(990_000,),
+    ).select("source", "p99_est")
+    joined = docs.join(F.broadcast(est), "source")
+    return joined.groupBy("source", "p99_est").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_chars") <= F.col("p99_est"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("n_chars") > F.col("p99_est"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_trimmed"),
+    ).select("source", "n_docs", "n_kept", "n_trimmed", "p99_est")

@@ -136,6 +136,7 @@ DEFERRED: tuple[str, ...] = (
     "q105_group_priority_sample",  # r4-new, local-oracle-green; sampling family
     "q106_triangle_count",  # r4-new, local-oracle-green; graph family
     "q107_salted_join_revenue",  # r4-new, local-oracle-green; join family
+    "q108_quantile_trim",  # r4-new, local-oracle-green; sketch composition
 )
 
 
