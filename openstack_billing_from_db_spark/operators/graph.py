@@ -395,6 +395,17 @@ def triangle_stats(
     d = tracked_persist(
         oriented_edges(edges, src=src, dst=dst).select("src", "dst", "dst_ord")
     )
+    # wedge COUNT is pure arithmetic on out-degrees — sum C(outdeg, 2) —
+    # so the full wedge stream is never enumerated just to count it
+    outdeg = d.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+    n_wedge = outdeg.agg(
+        F.sum(F.expr("(c * (c - 1)) div 2")).cast("long").alias("n_wedges")
+    )
+    # (a semi-join prefilter of e1.dst against the src set — "only
+    # closable wedges" — was measured at sf0.1: it prunes 0.01% of the
+    # 41M wedges on this graph, because orientation leaves almost no
+    # pure-sink vertices in a dense co-occurrence graph; the extra join
+    # isn't worth it, so wedges are enumerated once, plain)
     wedges = (
         d.alias("e1")
         .join(d.alias("e2"), F.col("e1.src") == F.col("e2.src"))
@@ -405,7 +416,6 @@ def triangle_stats(
         d.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"]
     )
     n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    n_wedge = wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
     base = d.agg(
         F.count(F.lit(1)).cast("long").alias("n_edges"),
     )
