@@ -348,3 +348,74 @@ def q108_quantile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_trimmed"),
     ).select("source", "n_docs", "n_kept", "n_trimmed", "p99_est")
+
+
+# --- per-document contamination fraction -------------------------------------
+
+
+def _contamination_oracle() -> str:
+    from openstack_billing_from_db_spark.functions.hashing import seeded_hash64_sql
+    from openstack_billing_from_db_spark.operators.curation import WORDS_SQL as _W
+    from openstack_billing_from_db_spark.plans.corpus_queries import _DECON_N
+
+    eval_hash = seeded_hash64_sql("CAST(doc_id AS VARCHAR)", "eval")
+    gh = seeded_hash64_sql("ng", "ng")
+    return f"""
+WITH wrd AS (SELECT doc_id, {_W} AS w FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, {gh} AS gh
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - {_DECON_N - 2}),
+                                 i -> array_to_string(w[i:i+{_DECON_N - 1}], ' '))) AS ng
+    FROM wrd WHERE len(w) >= {_DECON_N}
+  )
+),
+ev AS (SELECT DISTINCT gh FROM g WHERE {eval_hash} % 20 = 0),
+tr AS (SELECT doc_id, gh FROM g WHERE {eval_hash} % 20 != 0)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS contamination_bp
+FROM tr t LEFT JOIN ev e ON t.gh = e.gh
+GROUP BY t.doc_id
+"""
+
+
+@register("q109_contamination_fraction", oracle=_contamination_oracle())
+def q109_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-document contamination SCORE: the fraction of its
+    distinct 4-gram shingles that appear anywhere in the held-out eval
+    slice (GPT-3-appendix-style overlap accounting), in basis points —
+    the keep/drop signal q68's pairwise shared-gram counts feed into.
+    Scale shape: same narrow (doc_id, gram-hash) stream as q68; the eval
+    side collapses to DISTINCT gram hashes (eval sets are small by
+    construction — broadcastable), and the scoring join is a left join
+    + conditional count, partial-aggregated per doc."""
+    from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
+    from openstack_billing_from_db_spark.operators import text
+    from openstack_billing_from_db_spark.plans.corpus_queries import _DECON_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        ensure_map_parallelism(docs.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode(
+                text.word_shingles(text.words(F.col("text")), _DECON_N)
+            ).alias("ng"),
+        )
+        .select("doc_id", seeded_hash64(F.col("ng"), "ng").alias("gh"))
+        .distinct()
+    )
+    is_eval = seeded_hash64(F.col("doc_id").cast("string"), "eval") % 20 == 0
+    ev = grams.filter(is_eval).select("gh").distinct().withColumn("hit", F.lit(1))
+    tr = grams.filter(~is_eval)
+    return tr.join(F.broadcast(ev), "gh", "left").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_contaminated"),
+        F.expr("CAST(sum(coalesce(hit, 0)) * 10000 div count(1) AS BIGINT)").alias(
+            "contamination_bp"
+        ),
+    )

@@ -137,6 +137,7 @@ DEFERRED: tuple[str, ...] = (
     "q106_triangle_count",  # r4-new, local-oracle-green; graph family
     "q107_salted_join_revenue",  # r4-new, local-oracle-green; join family
     "q108_quantile_trim",  # r4-new, local-oracle-green; sketch composition
+    "q109_contamination_fraction",  # r4-new, local-oracle-green; decontamination family
 )
 
 
