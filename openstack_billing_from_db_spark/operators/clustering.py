@@ -79,26 +79,20 @@ def _assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return base.withColumn("cluster", F.array_min(scored)["cid"])
 
 
-def kmeans_assign(
-    emb: DataFrame,
+def kmeans_fit(
+    base: DataFrame,
     *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
     k: int = 8,
     n_iter: int = 2,
     round_dp: int = 6,
-) -> DataFrame:
-    """Run ``n_iter`` Lloyd iterations from a deterministic seed (the k
-    lowest-id vectors) and return the final ``(vec_id, cluster_id)``
-    assignment. Empty clusters keep their previous centroid."""
-    base = tracked_persist(
-        ensure_map_parallelism(
-            emb.select(
-                F.col(id_col).alias("vid"),
-                F.col(vec_col).cast("array<double>").alias("e"),
-            )
-        )
-    )
+) -> list[list[float]]:
+    """Run ``n_iter`` Lloyd iterations over ``base`` (columns (vid, e))
+    and return the trained centroid list — the reusable half of
+    :func:`kmeans_assign`, also consumed by the product-quantization
+    codebook trainer (operators/quantization.py). Deterministic seed:
+    the k lowest-id vectors, labeled by rank. Empty clusters keep their
+    previous centroid. Per iteration: one map-side assignment over
+    driver-literal centroids + a k-row aggregate collect."""
     # Seed from the k LOWEST ids actually present (not vid < k, which
     # silently under-seeds — or IndexErrors — on sparse/offset id spaces)
     # and label clusters by the seed's RANK, so cluster ids are
@@ -106,7 +100,7 @@ def kmeans_assign(
     # row_number() OVER (ORDER BY vid) - 1 (ADVICE r3).
     seed_rows = base.orderBy("vid").limit(k).select("vid", "e").collect()
     if not seed_rows:
-        raise ValueError("kmeans_assign: input has no vectors")
+        raise ValueError("kmeans_fit: input has no vectors")
     centroids = [list(r.e) for r in seed_rows]
     dims = len(centroids[0])
 
@@ -130,7 +124,30 @@ def kmeans_assign(
             else centroids[j]  # empty cluster: keep previous centroid
             for j in range(len(centroids))
         ]
+    return centroids
 
+
+def kmeans_assign(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Run ``n_iter`` Lloyd iterations from a deterministic seed (the k
+    lowest-id vectors) and return the final ``(vec_id, cluster_id)``
+    assignment. Empty clusters keep their previous centroid."""
+    base = tracked_persist(
+        ensure_map_parallelism(
+            emb.select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).cast("array<double>").alias("e"),
+            )
+        )
+    )
+    centroids = kmeans_fit(base, k=k, n_iter=n_iter, round_dp=round_dp)
     return _assign(base, centroids).select(
         F.col("vid").alias("vec_id"), F.col("cluster").alias("cluster_id")
     )

@@ -1,0 +1,195 @@
+"""Product quantization (PQ) — compressed embeddings for ANN at 100 TB.
+
+Jégou, Douze & Schmid 2011 ("Product quantization for nearest neighbor
+search"): split each D-dim vector into M contiguous subvectors, k-means
+each subspace independently (M codebooks of K centroids each), and store
+a vector as its M nearest-centroid codes — D doubles shrink to M small
+ints (e.g. 64×8 bytes → 8×1 byte, 64×), while asymmetric distance
+computation (ADC) approximates L2 against UNCOMPRESSED queries by
+summing per-subspace distances to the coded centroids.
+
+Why this matters at scale: a 10^9-vector corpus of 64-dim doubles is
+512 GB of embedding payload PER SCAN; its PQ codes are 8 GB — the
+difference between an ANN sweep that reshuffles half a terabyte and one
+that broadcasts codebooks (M·K·(D/M) doubles — kilobytes) and scans
+narrow code rows. This is the compression path the IVF operator
+(operators/similarity.ivf_topk) composes with in a full IVF-PQ system.
+
+Engine-exact: codebooks come from the same deterministic Lloyd
+iterations as q73 (seed = k lowest ids per subspace, half-up-rounded
+means — operators/clustering.kmeans_fit), so the DuckDB oracle replays
+training bit-for-bit; assignment ties break to the lowest code id via
+the identical (score, cid) ordering.
+
+Plan shape: training is M independent kmeans_fit runs over SLICED
+vectors (each a map-side assignment + k-row collect per iteration, on
+one shared persisted base); encoding is one pure map-side projection
+over driver-literal codebooks (no shuffle, no UDF); ADC scoring is a
+map-side fold per (query, subspace) over broadcast literals.
+
+Reference: no vector machinery exists in the reference
+(beyond-reference north-star component).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.operators.caching import tracked_persist
+from openstack_billing_from_db_spark.operators.clustering import kmeans_fit
+from openstack_billing_from_db_spark.operators.parallelism import (
+    ensure_map_parallelism,
+)
+
+
+def _sub(col: Column, m: int, sub_dims: int) -> Column:
+    """1-based contiguous slice for subspace m (Spark slice is 1-based,
+    matching DuckDB list slicing)."""
+    return F.slice(col, m * sub_dims + 1, sub_dims)
+
+
+def _base(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return ensure_map_parallelism(
+        emb.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("e"),
+        )
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    n_subspaces: int = 8,
+    k: int = 4,
+    n_iter: int = 1,
+    round_dp: int = 6,
+) -> list[list[list[float]]]:
+    """Train the M codebooks: ``codebooks[m][c]`` is centroid ``c`` of
+    subspace ``m`` (each ``dims // n_subspaces`` wide). One persisted
+    scan of the corpus feeds all M kmeans_fit runs."""
+    if dims % n_subspaces:
+        raise ValueError(f"dims {dims} not divisible by n_subspaces {n_subspaces}")
+    sub_dims = dims // n_subspaces
+    base = tracked_persist(_base(emb, id_col, vec_col))
+    return [
+        kmeans_fit(
+            base.select("vid", _sub(F.col("e"), m, sub_dims).alias("e")),
+            k=k,
+            n_iter=n_iter,
+            round_dp=round_dp,
+        )
+        for m in range(n_subspaces)
+    ]
+
+
+def _nearest_code(sub: Column, codebook: list[list[float]]) -> Column:
+    """Nearest centroid of one subspace by squared L2 (ties → lowest
+    code), via array_min over (score, code) structs — the same
+    expression shape as clustering._assign, map-side only."""
+    from openstack_billing_from_db_spark.operators.clustering import _dot_lit
+
+    scored = F.array(
+        *[
+            F.struct(
+                (F.lit(sum(v * v for v in c)) - 2.0 * _dot_lit(sub, c)).alias(
+                    "score"
+                ),
+                F.lit(j).cast("long").alias("code"),
+            )
+            for j, c in enumerate(codebook)
+        ]
+    )
+    return F.array_min(scored)["code"]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its M codes: (vec_id, c0 .. c{M-1}).
+    Pure map-side projection over driver-literal codebooks."""
+    sub_dims = len(codebooks[0][0])
+    base = _base(emb, id_col, vec_col)
+    return base.select(
+        F.col("vid").alias(id_col),
+        *[
+            _nearest_code(_sub(F.col("e"), m, sub_dims), cb).alias(f"c{m}")
+            for m, cb in enumerate(codebooks)
+        ],
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    topk: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k: UNCOMPRESSED query vectors scored
+    against the corpus's PQ codes. The approximate squared L2 is
+
+        d(q, x) ≈ Σ_m |q_sub(m) − codebook[m][code_m(x)]|²
+
+    computed as a map-side per-subspace lookup fold over the broadcast
+    codebooks — the corpus side touches only its narrow code columns
+    (never the raw embeddings: that is the point). Queries are the first
+    ``n_queries`` corpus vectors by id (same convention as the exact and
+    LSH top-k operators, so recall is directly comparable).
+
+    Output: (query_id, neighbor_id, rn) with rn 1..topk per query by
+    (approx distance, neighbor_id).
+    """
+    from pyspark.sql import Window
+
+    sub_dims = len(codebooks[0][0])
+    codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    base = _base(emb, id_col, vec_col)
+    queries = base.orderBy("vid").limit(n_queries).select(
+        F.col("vid").alias("query_id"),
+        *[
+            _sub(F.col("e"), m, sub_dims).alias(f"q{m}")
+            for m in range(len(codebooks))
+        ],
+    )
+    pairs = codes.withColumnRenamed(id_col, "neighbor_id").crossJoin(
+        F.broadcast(queries)
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+
+    def sub_dist(m: int, cb: list[list[float]]) -> Column:
+        # |q_sub − c|² for the row's code, as a chained lookup over the
+        # K codebook entries (K is small by construction)
+        expr: Column = F.lit(0.0)
+        for j, c in enumerate(cb):
+            d = F.aggregate(
+                F.zip_with(
+                    F.col(f"q{m}"),
+                    F.array(*[F.lit(v) for v in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            expr = F.when(F.col(f"c{m}") == j, d).otherwise(expr)
+        return expr
+
+    scored = pairs.withColumn(
+        "adist",
+        sum((sub_dist(m, cb) for m, cb in enumerate(codebooks)), F.lit(0.0)),
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+    ).filter(F.col("rn") <= topk)

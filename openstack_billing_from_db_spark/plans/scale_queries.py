@@ -419,3 +419,170 @@ def q109_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contamination_bp"
         ),
     )
+
+
+# --- product quantization ----------------------------------------------------
+
+_PQ_DIMS = 64
+_PQ_M = 8  # subspaces
+_PQ_K = 4  # codes per subspace
+_PQ_ITER = 1
+_PQ_DP = 6
+
+
+def _pq_oracle() -> str:
+    """Per-subspace replay of the deterministic Lloyd training
+    (mirroring plans/pipeline_queries._kmeans_oracle, namespaced per
+    subspace over SLICED vectors) followed by the nearest-code encode."""
+    sd = _PQ_DIMS // _PQ_M
+
+    def assign(name: str, src: str, cents: str, out: str) -> str:
+        return f"""{name} AS (
+  SELECT vid, cid AS {out} FROM (
+    SELECT co.vid, ce.cid, row_number() OVER (
+      PARTITION BY co.vid
+      ORDER BY list_inner_product(ce.c, ce.c) - 2 * list_inner_product(co.e, ce.c), ce.cid
+    ) AS rn
+    FROM {src} co CROSS JOIN {cents} ce
+  ) WHERE rn = 1
+)"""
+
+    blocks = [
+        "corpus AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings)"
+    ]
+    for m in range(_PQ_M):
+        lo, hi = m * sd + 1, (m + 1) * sd
+        blocks.append(f"s{m} AS (SELECT vid, e[{lo}:{hi}] AS e FROM corpus)")
+        blocks.append(
+            f"c0_{m} AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, e AS c "
+            f"FROM (SELECT vid, e FROM s{m} ORDER BY vid LIMIT {_PQ_K}))"
+        )
+        cur = f"c0_{m}"
+        for it in range(1, _PQ_ITER + 1):
+            blocks.append(assign(f"a{it}_{m}", f"s{m}", cur, "cluster"))
+            blocks.append(
+                f"""u{it}_{m} AS (
+  SELECT cluster AS cid, list(v ORDER BY pos) AS c FROM (
+    SELECT cluster, pos, floor(avg(val) * 1e{_PQ_DP} + 0.5) / 1e{_PQ_DP} AS v
+    FROM (
+      SELECT a.cluster, unnest(co.e) AS val, generate_subscripts(co.e, 1) AS pos
+      FROM a{it}_{m} a JOIN s{m} co USING (vid)
+    ) GROUP BY cluster, pos
+  ) GROUP BY cluster
+)"""
+            )
+            blocks.append(
+                f"c{it}_{m} AS (SELECT p.cid, coalesce(u.c, p.c) AS c "
+                f"FROM {cur} p LEFT JOIN u{it}_{m} u USING (cid))"
+            )
+            cur = f"c{it}_{m}"
+        blocks.append(assign(f"code_{m}", f"s{m}", cur, f"c{m}"))
+    ctes = ",\n".join(blocks)
+    joins = "\n".join(f"JOIN code_{m} USING (vid)" for m in range(_PQ_M))
+    cols = ", ".join(f"CAST(c{m} AS BIGINT) AS c{m}" for m in range(_PQ_M))
+    return f"""
+WITH {ctes}
+SELECT vid AS vec_id, {cols}
+FROM corpus
+{joins}"""
+
+
+@register("q110_pq_encode", oracle=_pq_oracle())
+def q110_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011,
+    operators/quantization.py): {_PQ_M} codebooks of {_PQ_K} centroids
+    trained per contiguous {_PQ_DIMS // _PQ_M}-dim subspace with the
+    same deterministic Lloyd machinery as q73, then every vector
+    compressed to its {_PQ_M} nearest-centroid codes — 64 doubles down
+    to {_PQ_M} small ints, the embedding-payload compression that makes
+    a 10^9-vector ANN scan broadcast codebooks instead of reshuffling
+    raw vectors. Training: M shared-scan kmeans_fit runs; encoding: one
+    map-side projection over driver-literal codebooks (no shuffle, no
+    UDF). The oracle replays training AND encoding per subspace."""
+    from openstack_billing_from_db_spark.operators.quantization import (
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(
+        emb,
+        dims=_PQ_DIMS,
+        n_subspaces=_PQ_M,
+        k=_PQ_K,
+        n_iter=_PQ_ITER,
+        round_dp=_PQ_DP,
+    )
+    return pq_encode(emb, books)
+
+
+_ADC_NQ = 10
+_ADC_TOPK = 5
+
+
+def _pq_adc_oracle() -> str:
+    """Training CTEs from :func:`_pq_oracle`, then asymmetric-distance
+    scoring: every neighbor's per-subspace centroid joined via its code,
+    distance = the same left-to-right (x−y)² fold Spark computes
+    (list_sum over an index-lambda difference — NOT the expanded
+    a²−2ab+b² form, which rounds differently)."""
+    sd = _PQ_DIMS // _PQ_M
+    train = _pq_oracle()
+    ctes = train.split("WITH ", 1)[1].rsplit("\nSELECT vid AS vec_id", 1)[0]
+    cur = f"c{_PQ_ITER}_"  # final centroid CTE prefix per subspace
+    nb_joins = "\n  ".join(
+        f"JOIN code_{m} v{m} USING (vid) JOIN {cur}{m} b{m} ON b{m}.cid = v{m}.c{m}"
+        for m in range(_PQ_M)
+    )
+    nb_cols = ", ".join(f"b{m}.c AS cc{m}" for m in range(_PQ_M))
+    dist = " + ".join(
+        f"list_sum(list_transform(range(1, {sd + 1}), "
+        f"i -> (q.e[{m * sd}+i] - n.cc{m}[i]) * (q.e[{m * sd}+i] - n.cc{m}[i])))"
+        for m in range(_PQ_M)
+    )
+    return f"""
+WITH {ctes},
+nb AS (
+  SELECT co.vid, {nb_cols}
+  FROM corpus co
+  {nb_joins}
+),
+q AS (SELECT vid AS query_id, e FROM corpus ORDER BY vid LIMIT {_ADC_NQ}),
+scored AS (
+  SELECT q.query_id, n.vid AS neighbor_id,
+         {dist} AS adist
+  FROM q CROSS JOIN nb n WHERE n.vid != q.query_id
+)
+SELECT query_id, neighbor_id, rn FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adist, neighbor_id) AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= {_ADC_TOPK}"""
+
+
+@register("q111_pq_adc_topk", oracle=_pq_adc_oracle())
+def q111_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-{_ADC_TOPK} over the PQ-compressed corpus
+    (operators/quantization.pq_adc_topk): uncompressed query vectors vs
+    {_PQ_M}-code rows — the corpus's raw embeddings are touched only by
+    the one-time encode; the ANN scan itself reads narrow code columns
+    and broadcast codebooks. At 10^9 vectors this is the 64×-smaller
+    scan that makes a full-corpus ANN sweep feasible; composes with IVF
+    (q65) for the bucketed variant. Rank-only output, ties by
+    neighbor_id — same contract as q38/q39/q65."""
+    from openstack_billing_from_db_spark.operators.quantization import (
+        pq_adc_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(
+        emb,
+        dims=_PQ_DIMS,
+        n_subspaces=_PQ_M,
+        k=_PQ_K,
+        n_iter=_PQ_ITER,
+        round_dp=_PQ_DP,
+    )
+    return pq_adc_topk(emb, books, n_queries=_ADC_NQ, topk=_ADC_TOPK)

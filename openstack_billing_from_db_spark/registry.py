@@ -138,6 +138,8 @@ DEFERRED: tuple[str, ...] = (
     "q107_salted_join_revenue",  # r4-new, local-oracle-green; join family
     "q108_quantile_trim",  # r4-new, local-oracle-green; sketch composition
     "q109_contamination_fraction",  # r4-new, local-oracle-green; decontamination family
+    "q110_pq_encode",  # r4-new, local-oracle-green; vector-compression family
+    "q111_pq_adc_topk",  # r4-new, local-oracle-green; ANN family
 )
 
 

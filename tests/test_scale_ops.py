@@ -284,3 +284,80 @@ def test_random_projection_schema_and_tables(spark):
     s1 = hyperplane_signs(2, 2, table=1)
     assert s0 != s1
     assert out.collect() != alt.collect() or s0 == s1
+
+
+# --- product quantization -----------------------------------------------------
+
+
+def _pq_corpus(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [round(rnd.uniform(-1, 1), 3) for _ in range(8)]) for i in range(40)
+    ]
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_train_shapes_and_validation(spark):
+    from openstack_billing_from_db_spark.operators.quantization import pq_train
+
+    rows, df = _pq_corpus(spark)
+    books = pq_train(df, dims=8, n_subspaces=4, k=3, n_iter=1)
+    assert len(books) == 4
+    for cb in books:
+        assert len(cb) == 3 and all(len(c) == 2 for c in cb)
+    with pytest.raises(ValueError):
+        pq_train(df, dims=8, n_subspaces=3)
+
+
+def test_pq_encode_codes_bounded_and_deterministic(spark):
+    from openstack_billing_from_db_spark.operators.quantization import (
+        pq_encode,
+        pq_train,
+    )
+
+    rows, df = _pq_corpus(spark)
+    books = pq_train(df, dims=8, n_subspaces=4, k=3, n_iter=1)
+    out = pq_encode(df, books)
+    assert out.columns == ["vec_id", "c0", "c1", "c2", "c3"]
+    codes = {r.vec_id: (r.c0, r.c1, r.c2, r.c3) for r in out.collect()}
+    assert len(codes) == 40
+    assert all(0 <= c < 3 for t in codes.values() for c in t)
+    # re-encoding is bit-identical (driver-literal codebooks)
+    again = {r.vec_id: (r.c0, r.c1, r.c2, r.c3) for r in pq_encode(df, books).collect()}
+    assert codes == again
+
+
+def test_pq_adc_matches_manual(spark):
+    from openstack_billing_from_db_spark.operators.quantization import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rows, df = _pq_corpus(spark)
+    books = pq_train(df, dims=8, n_subspaces=4, k=3, n_iter=1)
+    codes = {r.vec_id: [r.c0, r.c1, r.c2, r.c3] for r in pq_encode(df, books).collect()}
+    vecs = dict(rows)
+
+    def adc(qid, nid):
+        q = vecs[qid]
+        return sum(
+            sum(
+                (q[m * 2 + i] - books[m][codes[nid][m]][i]) ** 2
+                for i in range(2)
+            )
+            for m in range(4)
+        )
+
+    out = pq_adc_topk(df, books, n_queries=3, topk=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rn, r.neighbor_id))
+    for qid in (0, 1, 2):
+        expected = sorted(
+            (adc(qid, nid), nid) for nid in vecs if nid != qid
+        )[:4]
+        want = [(i + 1, nid) for i, (_, nid) in enumerate(expected)]
+        assert sorted(got[qid]) == want, (qid, sorted(got[qid]), want)
