@@ -390,9 +390,13 @@ def q109_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice (GPT-3-appendix-style overlap accounting), in basis points —
     the keep/drop signal q68's pairwise shared-gram counts feed into.
     Scale shape: same narrow (doc_id, gram-hash) stream as q68; the eval
-    side collapses to DISTINCT gram hashes (eval sets are small by
-    construction — broadcastable), and the scoring join is a left join
-    + conditional count, partial-aggregated per doc."""
+    side collapses to DISTINCT gram hashes, and the scoring join is a
+    left join + conditional count, partial-aggregated per doc. The join
+    strategy is left to AQE: a benchmark-suite eval set broadcasts, a
+    5%-of-corpus eval slice (this synthetic setup at scale) exceeds any
+    executor and must shuffle — forcing a broadcast hint here would OOM
+    at 100 TB. Isolated x100: 79.7x wall for 100x input AND output —
+    linear work on fixed cores (both gram streams grow with the data)."""
     from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
     from openstack_billing_from_db_spark.operators import text
     from openstack_billing_from_db_spark.plans.corpus_queries import _DECON_N
@@ -412,7 +416,7 @@ def q109_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = seeded_hash64(F.col("doc_id").cast("string"), "eval") % 20 == 0
     ev = grams.filter(is_eval).select("gh").distinct().withColumn("hit", F.lit(1))
     tr = grams.filter(~is_eval)
-    return tr.join(F.broadcast(ev), "gh", "left").groupBy("doc_id").agg(
+    return tr.join(ev, "gh", "left").groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams"),
         F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_contaminated"),
         F.expr("CAST(sum(coalesce(hit, 0)) * 10000 div count(1) AS BIGINT)").alias(
