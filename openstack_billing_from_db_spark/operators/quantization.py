@@ -193,3 +193,108 @@ def pq_adc_topk(
         "neighbor_id",
         F.row_number().over(w).cast("long").alias("rn"),
     ).filter(F.col("rn") <= topk)
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    coarse_centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    n_queries: int = 10,
+    topk: int = 5,
+) -> DataFrame:
+    """IVF-PQ: the full billion-scale ANN composition — a coarse
+    quantizer (Lloyd cells, as operators/similarity.ivf_topk) partitions
+    the corpus into inverted lists, and within the ``n_probe`` cells
+    nearest to each query only the PQ CODES are scanned with asymmetric
+    distance. Cell assignment and probing are map-side over
+    driver-literal centroids; the candidate join is cell-keyed (narrow
+    code rows); nothing touches raw corpus embeddings after encode.
+
+    This variant quantizes raw vectors (IVF + PQ side by side); the
+    classic refinement quantizes residuals (vector − cell centroid),
+    which reuses this exact plumbing with a residual projection before
+    encode — omitted here to keep the oracle replay single-stage.
+
+    Output: (query_id, neighbor_id, rn) with rn 1..topk per query by
+    (approx distance, neighbor_id) over the probed candidates.
+    """
+    from pyspark.sql import Window
+
+    from openstack_billing_from_db_spark.operators.clustering import _dot_lit
+
+    sub_dims = len(codebooks[0][0])
+    base = tracked_persist(_base(emb, id_col, vec_col))
+
+    def cell_scores(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(sum(v * v for v in c)) - 2.0 * _dot_lit(vec, c)
+                    ).alias("score"),
+                    F.lit(j).cast("long").alias("cell"),
+                )
+                for j, c in enumerate(coarse_centroids)
+            ]
+        )
+
+    # assign cells on the same persisted base, then attach to the codes
+    cells = base.select(
+        "vid", F.array_min(cell_scores(F.col("e")))["cell"].alias("cell")
+    )
+    codes = pq_encode(base, codebooks, id_col="vid", vec_col="e").join(
+        cells, "vid"
+    )
+
+    queries = base.orderBy("vid").limit(n_queries).select(
+        F.col("vid").alias("query_id"),
+        *[
+            _sub(F.col("e"), m, sub_dims).alias(f"q{m}")
+            for m in range(len(codebooks))
+        ],
+        F.slice(
+            F.array_sort(cell_scores(F.col("e"))), 1, n_probe
+        ).alias("probes"),
+    )
+    probed = queries.select(
+        "query_id",
+        *[F.col(f"q{m}") for m in range(len(codebooks))],
+        F.explode("probes").alias("pr"),
+    ).select(
+        "query_id",
+        *[F.col(f"q{m}") for m in range(len(codebooks))],
+        F.col("pr.cell").alias("cell"),
+    )
+    pairs = codes.withColumnRenamed("vid", "neighbor_id").join(
+        F.broadcast(probed), "cell"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+
+    def sub_dist(m: int, cb: list[list[float]]) -> Column:
+        expr: Column = F.lit(0.0)
+        for j, c in enumerate(cb):
+            d = F.aggregate(
+                F.zip_with(
+                    F.col(f"q{m}"),
+                    F.array(*[F.lit(v) for v in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            expr = F.when(F.col(f"c{m}") == j, d).otherwise(expr)
+        return expr
+
+    scored = pairs.withColumn(
+        "adist",
+        sum((sub_dist(m, cb) for m, cb in enumerate(codebooks)), F.lit(0.0)),
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+    ).filter(F.col("rn") <= topk)

@@ -590,3 +590,128 @@ def q111_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_dp=_PQ_DP,
     )
     return pq_adc_topk(emb, books, n_queries=_ADC_NQ, topk=_ADC_TOPK)
+
+
+_IVFPQ_CELLS = 4
+_IVFPQ_PROBE = 2
+
+
+def _ivf_pq_oracle() -> str:
+    """Coarse-quantizer Lloyd replay over FULL vectors (namespaced g*)
+    + the per-subspace PQ training CTEs from :func:`_pq_oracle`, then:
+    probe = each query's {_IVFPQ_PROBE} nearest cells, candidates =
+    probed cells' members, distance = the q111 (x−y)² fold."""
+    sd = _PQ_DIMS // _PQ_M
+    train = _pq_oracle()
+    pq_ctes = train.split("WITH ", 1)[1].rsplit("\nSELECT vid AS vec_id", 1)[0]
+
+    coarse = f"""gc0 AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, e AS c
+  FROM (SELECT vid, e FROM corpus ORDER BY vid LIMIT {_IVFPQ_CELLS})),
+ga1 AS (
+  SELECT vid, cid AS cluster FROM (
+    SELECT co.vid, ce.cid, row_number() OVER (
+      PARTITION BY co.vid
+      ORDER BY list_inner_product(ce.c, ce.c) - 2 * list_inner_product(co.e, ce.c), ce.cid
+    ) AS rn
+    FROM corpus co CROSS JOIN gc0 ce
+  ) WHERE rn = 1
+),
+gu1 AS (
+  SELECT cluster AS cid, list(v ORDER BY pos) AS c FROM (
+    SELECT cluster, pos, floor(avg(val) * 1e{_PQ_DP} + 0.5) / 1e{_PQ_DP} AS v
+    FROM (
+      SELECT a.cluster, unnest(co.e) AS val, generate_subscripts(co.e, 1) AS pos
+      FROM ga1 a JOIN corpus co USING (vid)
+    ) GROUP BY cluster, pos
+  ) GROUP BY cluster
+),
+gc1 AS (SELECT p.cid, coalesce(u.c, p.c) AS c FROM gc0 p LEFT JOIN gu1 u USING (cid)),
+gcell AS (
+  SELECT vid, cid AS cell FROM (
+    SELECT co.vid, ce.cid, row_number() OVER (
+      PARTITION BY co.vid
+      ORDER BY list_inner_product(ce.c, ce.c) - 2 * list_inner_product(co.e, ce.c), ce.cid
+    ) AS rn
+    FROM corpus co CROSS JOIN gc1 ce
+  ) WHERE rn = 1
+)"""
+
+    nb_joins = "\n  ".join(
+        f"JOIN code_{m} v{m} USING (vid) JOIN c{_PQ_ITER}_{m} b{m} ON b{m}.cid = v{m}.c{m}"
+        for m in range(_PQ_M)
+    )
+    nb_cols = ", ".join(f"b{m}.c AS cc{m}" for m in range(_PQ_M))
+    dist = " + ".join(
+        f"list_sum(list_transform(range(1, {sd + 1}), "
+        f"i -> (q.e[{m * sd}+i] - n.cc{m}[i]) * (q.e[{m * sd}+i] - n.cc{m}[i])))"
+        for m in range(_PQ_M)
+    )
+    return f"""
+WITH {pq_ctes},
+{coarse},
+nb AS (
+  SELECT co.vid, g.cell, {nb_cols}
+  FROM corpus co JOIN gcell g USING (vid)
+  {nb_joins}
+),
+q AS (SELECT vid AS query_id, e FROM corpus ORDER BY vid LIMIT {_ADC_NQ}),
+probe AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, ce.cid, row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY list_inner_product(ce.c, ce.c) - 2 * list_inner_product(q.e, ce.c), ce.cid
+    ) AS rn
+    FROM q CROSS JOIN gc1 ce
+  ) WHERE rn <= {_IVFPQ_PROBE}
+),
+scored AS (
+  SELECT q.query_id, n.vid AS neighbor_id,
+         {dist} AS adist
+  FROM q JOIN probe p USING (query_id)
+  JOIN nb n ON n.cell = p.cell AND n.vid != q.query_id
+)
+SELECT query_id, neighbor_id, rn FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adist, neighbor_id) AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= {_ADC_TOPK}"""
+
+
+@register("q112_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def q112_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-{_ADC_TOPK} (operators/quantization.ivf_pq_topk): the
+    full billion-scale ANN composition — a {_IVFPQ_CELLS}-cell coarse
+    quantizer partitions the corpus into inverted lists; each query
+    probes its {_IVFPQ_PROBE} nearest cells and scans ONLY those cells'
+    PQ codes with asymmetric distance. Candidate count falls by
+    n_probe/cells and each candidate costs code-width reads — combining
+    q65's pruning with q110's compression. Training, cell assignment,
+    probing, and scoring all replay in the oracle."""
+    from openstack_billing_from_db_spark.operators.clustering import kmeans_fit
+    from openstack_billing_from_db_spark.operators.quantization import (
+        _base,
+        ivf_pq_topk,
+        pq_train,
+    )
+    from openstack_billing_from_db_spark.operators.caching import tracked_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(
+        emb,
+        dims=_PQ_DIMS,
+        n_subspaces=_PQ_M,
+        k=_PQ_K,
+        n_iter=_PQ_ITER,
+        round_dp=_PQ_DP,
+    )
+    base = tracked_persist(_base(emb, "vec_id", "embedding"))
+    coarse = kmeans_fit(base, k=_IVFPQ_CELLS, n_iter=1, round_dp=_PQ_DP)
+    return ivf_pq_topk(
+        emb,
+        books,
+        coarse,
+        n_probe=_IVFPQ_PROBE,
+        n_queries=_ADC_NQ,
+        topk=_ADC_TOPK,
+    )

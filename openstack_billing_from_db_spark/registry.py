@@ -140,6 +140,7 @@ DEFERRED: tuple[str, ...] = (
     "q109_contamination_fraction",  # r4-new, local-oracle-green; decontamination family
     "q110_pq_encode",  # r4-new, local-oracle-green; vector-compression family
     "q111_pq_adc_topk",  # r4-new, local-oracle-green; ANN family
+    "q112_ivf_pq_topk",  # r4-new, local-oracle-green; ANN family
 )
 
 

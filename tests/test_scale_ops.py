@@ -361,3 +361,26 @@ def test_pq_adc_matches_manual(spark):
         )[:4]
         want = [(i + 1, nid) for i, (_, nid) in enumerate(expected)]
         assert sorted(got[qid]) == want, (qid, sorted(got[qid]), want)
+
+
+def test_ivf_pq_probing_all_cells_equals_plain_adc(spark):
+    from openstack_billing_from_db_spark.operators.clustering import kmeans_fit
+    from openstack_billing_from_db_spark.operators.quantization import (
+        _base,
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_train,
+    )
+
+    rows, df = _pq_corpus(spark)
+    books = pq_train(df, dims=8, n_subspaces=4, k=3, n_iter=1)
+    coarse = kmeans_fit(_base(df, "vec_id", "embedding"), k=3, n_iter=1)
+    # n_probe = all cells → the inverted lists cover the whole corpus and
+    # IVF-PQ must reproduce the unpartitioned ADC ranking exactly
+    full = ivf_pq_topk(df, books, coarse, n_probe=3, n_queries=4, topk=5)
+    plain = pq_adc_topk(df, books, n_queries=4, topk=5)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, plain.collect()))
+    # n_probe=1 returns at most topk rows per query, all from probed cells
+    pruned = ivf_pq_topk(df, books, coarse, n_probe=1, n_queries=4, topk=5)
+    counts = {r.query_id: r.n for r in pruned.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 5 for n in counts.values())
