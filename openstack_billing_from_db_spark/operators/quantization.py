@@ -298,3 +298,147 @@ def ivf_pq_topk(
         "neighbor_id",
         F.row_number().over(w).cast("long").alias("rn"),
     ).filter(F.col("rn") <= topk)
+
+
+def residualize(
+    base: DataFrame, coarse_centroids: list[list[float]]
+) -> DataFrame:
+    """(vid, e) → (vid, cell, e) with e replaced by the RESIDUAL
+    ``e − centroid[cell]`` — the transform that turns side-by-side
+    IVF+PQ into true residual IVF-PQ (Jégou et al. §IV): residuals
+    cluster around the origin regardless of which cell a vector lives
+    in, so one shared set of PQ codebooks quantizes every cell's
+    displacement field far more accurately than raw coordinates.
+    Map-side: per-row centroid selection is a chained literal lookup,
+    the subtraction a zip_with."""
+    from openstack_billing_from_db_spark.operators.clustering import _dot_lit
+
+    scores = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(sum(v * v for v in c)) - 2.0 * _dot_lit(F.col("e"), c)
+                ).alias("score"),
+                F.lit(j).cast("long").alias("cell"),
+            )
+            for j, c in enumerate(coarse_centroids)
+        ]
+    )
+    withcell = base.withColumn("cell", F.array_min(scores)["cell"])
+    res = None
+    for j in reversed(range(len(coarse_centroids))):
+        c = coarse_centroids[j]
+        sub = F.zip_with(
+            F.col("e"),
+            F.array(*[F.lit(v) for v in c]),
+            lambda x, y: x - y,
+        )
+        res = sub if res is None else F.when(F.col("cell") == j, sub).otherwise(res)
+    return withcell.select("vid", "cell", res.alias("e"))
+
+
+def ivf_pq_residual_topk(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    coarse_centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    n_queries: int = 10,
+    topk: int = 5,
+) -> DataFrame:
+    """Residual IVF-PQ — the FAISS-style refinement of
+    :func:`ivf_pq_topk`: the PQ codebooks are trained on (and encode)
+    each vector's RESIDUAL from its cell centroid (``codebooks`` must
+    come from ``pq_train`` over :func:`residualize` output), and a query
+    probing cell c is scored via its own residual from c — distances
+    measure displacement-to-displacement within the cell. Same plan
+    shape as the raw variant: everything map-side over driver literals
+    except the cell-keyed candidate join over narrow code rows.
+
+    Output: (query_id, neighbor_id, rn), rn 1..topk per query by
+    (approx distance, neighbor_id) over probed candidates.
+    """
+    from pyspark.sql import Window
+
+    from openstack_billing_from_db_spark.operators.clustering import _dot_lit
+
+    sub_dims = len(codebooks[0][0])
+    base = tracked_persist(_base(emb, id_col, vec_col))
+    rbase = residualize(base, coarse_centroids)
+    codes = pq_encode(
+        rbase.select("vid", "e"), codebooks, id_col="vid", vec_col="e"
+    ).join(rbase.select("vid", "cell"), "vid")
+
+    def cell_scores(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(sum(v * v for v in c)) - 2.0 * _dot_lit(vec, c)
+                    ).alias("score"),
+                    F.lit(j).cast("long").alias("cell"),
+                )
+                for j, c in enumerate(coarse_centroids)
+            ]
+        )
+
+    probed = (
+        base.orderBy("vid")
+        .limit(n_queries)
+        .select(
+            F.col("vid").alias("query_id"),
+            "e",
+            F.slice(F.array_sort(cell_scores(F.col("e"))), 1, n_probe).alias(
+                "probes"
+            ),
+        )
+        .select("query_id", "e", F.explode("probes").alias("pr"))
+        .select("query_id", "e", F.col("pr.cell").alias("cell"))
+    )
+    # query residual w.r.t. the PROBED cell (not the query's own cell)
+    qres = None
+    for j in reversed(range(len(coarse_centroids))):
+        c = coarse_centroids[j]
+        sub = F.zip_with(
+            F.col("e"), F.array(*[F.lit(v) for v in c]), lambda x, y: x - y
+        )
+        qres = sub if qres is None else F.when(F.col("cell") == j, sub).otherwise(qres)
+    probed = probed.select(
+        "query_id",
+        "cell",
+        *[
+            _sub(qres, m, sub_dims).alias(f"q{m}")
+            for m in range(len(codebooks))
+        ],
+    )
+    pairs = codes.withColumnRenamed("vid", "neighbor_id").join(
+        F.broadcast(probed), "cell"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+
+    def sub_dist(m: int, cb: list[list[float]]) -> Column:
+        expr: Column = F.lit(0.0)
+        for j, c in enumerate(cb):
+            d = F.aggregate(
+                F.zip_with(
+                    F.col(f"q{m}"),
+                    F.array(*[F.lit(v) for v in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            expr = F.when(F.col(f"c{m}") == j, d).otherwise(expr)
+        return expr
+
+    scored = pairs.withColumn(
+        "adist",
+        sum((sub_dist(m, cb) for m, cb in enumerate(codebooks)), F.lit(0.0)),
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+    ).filter(F.col("rn") <= topk)

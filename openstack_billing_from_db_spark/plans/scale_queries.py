@@ -434,14 +434,8 @@ _PQ_ITER = 1
 _PQ_DP = 6
 
 
-def _pq_oracle() -> str:
-    """Per-subspace replay of the deterministic Lloyd training
-    (mirroring plans/pipeline_queries._kmeans_oracle, namespaced per
-    subspace over SLICED vectors) followed by the nearest-code encode."""
-    sd = _PQ_DIMS // _PQ_M
-
-    def assign(name: str, src: str, cents: str, out: str) -> str:
-        return f"""{name} AS (
+def _pq_assign_sql(name: str, src: str, cents: str, out: str) -> str:
+    return f"""{name} AS (
   SELECT vid, cid AS {out} FROM (
     SELECT co.vid, ce.cid, row_number() OVER (
       PARTITION BY co.vid
@@ -451,12 +445,16 @@ def _pq_oracle() -> str:
   ) WHERE rn = 1
 )"""
 
-    blocks = [
-        "corpus AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings)"
-    ]
+
+def _pq_train_blocks(vec_src: str) -> list[str]:
+    """Per-subspace Lloyd training + encode CTE blocks (s{m}, c*_{m},
+    code_{m}), slicing vectors from CTE ``vec_src`` (columns vid, e)."""
+    sd = _PQ_DIMS // _PQ_M
+    assign = _pq_assign_sql
+    blocks = []
     for m in range(_PQ_M):
         lo, hi = m * sd + 1, (m + 1) * sd
-        blocks.append(f"s{m} AS (SELECT vid, e[{lo}:{hi}] AS e FROM corpus)")
+        blocks.append(f"s{m} AS (SELECT vid, e[{lo}:{hi}] AS e FROM {vec_src})")
         blocks.append(
             f"c0_{m} AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, e AS c "
             f"FROM (SELECT vid, e FROM s{m} ORDER BY vid LIMIT {_PQ_K}))"
@@ -481,6 +479,16 @@ def _pq_oracle() -> str:
             )
             cur = f"c{it}_{m}"
         blocks.append(assign(f"code_{m}", f"s{m}", cur, f"c{m}"))
+    return blocks
+
+
+def _pq_oracle() -> str:
+    """Per-subspace replay of the deterministic Lloyd training
+    (mirroring plans/pipeline_queries._kmeans_oracle, namespaced per
+    subspace over SLICED vectors) followed by the nearest-code encode."""
+    blocks = [
+        "corpus AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings)"
+    ] + _pq_train_blocks("corpus")
     ctes = ",\n".join(blocks)
     joins = "\n".join(f"JOIN code_{m} USING (vid)" for m in range(_PQ_M))
     cols = ", ".join(f"CAST(c{m} AS BIGINT) AS c{m}" for m in range(_PQ_M))
@@ -708,6 +716,128 @@ def q112_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tracked_persist(_base(emb, "vec_id", "embedding"))
     coarse = kmeans_fit(base, k=_IVFPQ_CELLS, n_iter=1, round_dp=_PQ_DP)
     return ivf_pq_topk(
+        emb,
+        books,
+        coarse,
+        n_probe=_IVFPQ_PROBE,
+        n_queries=_ADC_NQ,
+        topk=_ADC_TOPK,
+    )
+
+
+def _coarse_blocks() -> str:
+    """Coarse-quantizer Lloyd replay over FULL vectors (gc0..gc1) plus
+    the final cell assignment (gcell) — shared by the IVF-PQ oracles."""
+    return f"""gc0 AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, e AS c
+  FROM (SELECT vid, e FROM corpus ORDER BY vid LIMIT {_IVFPQ_CELLS})),
+{_pq_assign_sql("ga1", "corpus", "gc0", "cluster")},
+gu1 AS (
+  SELECT cluster AS cid, list(v ORDER BY pos) AS c FROM (
+    SELECT cluster, pos, floor(avg(val) * 1e{_PQ_DP} + 0.5) / 1e{_PQ_DP} AS v
+    FROM (
+      SELECT a.cluster, unnest(co.e) AS val, generate_subscripts(co.e, 1) AS pos
+      FROM ga1 a JOIN corpus co USING (vid)
+    ) GROUP BY cluster, pos
+  ) GROUP BY cluster
+),
+gc1 AS (SELECT p.cid, coalesce(u.c, p.c) AS c FROM gc0 p LEFT JOIN gu1 u USING (cid)),
+{_pq_assign_sql("gcell", "corpus", "gc1", "cell")}"""
+
+
+def _ivf_pq_residual_oracle() -> str:
+    """Residual IVF-PQ replay: coarse cells over raw vectors, PQ
+    training/encoding over RESIDUALS (vector − cell centroid), queries
+    scored via their residual from each PROBED cell."""
+    sd = _PQ_DIMS // _PQ_M
+    blocks = [
+        "corpus AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings)",
+        _coarse_blocks(),
+        f"""rescorpus AS (
+  SELECT co.vid, g.cell,
+         list_transform(range(1, {_PQ_DIMS + 1}), i -> co.e[i] - ce.c[i]) AS e
+  FROM corpus co JOIN gcell g USING (vid) JOIN gc1 ce ON ce.cid = g.cell
+)""",
+    ] + _pq_train_blocks("rescorpus")
+    nb_joins = "\n  ".join(
+        f"JOIN code_{m} v{m} USING (vid) JOIN c{_PQ_ITER}_{m} b{m} ON b{m}.cid = v{m}.c{m}"
+        for m in range(_PQ_M)
+    )
+    nb_cols = ", ".join(f"b{m}.c AS cc{m}" for m in range(_PQ_M))
+    # query residual w.r.t. the probed cell pc: (q.e[i] − pc.c[i])
+    dist = " + ".join(
+        f"list_sum(list_transform(range(1, {sd + 1}), "
+        f"i -> (q.e[{m * sd}+i] - pc.c[{m * sd}+i] - n.cc{m}[i])"
+        f" * (q.e[{m * sd}+i] - pc.c[{m * sd}+i] - n.cc{m}[i])))"
+        for m in range(_PQ_M)
+    )
+    ctes = ",\n".join(blocks)
+    return f"""
+WITH {ctes},
+nb AS (
+  SELECT rc.vid, rc.cell, {nb_cols}
+  FROM rescorpus rc
+  {nb_joins}
+),
+q AS (SELECT vid AS query_id, e FROM corpus ORDER BY vid LIMIT {_ADC_NQ}),
+probe AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, ce.cid, row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY list_inner_product(ce.c, ce.c) - 2 * list_inner_product(q.e, ce.c), ce.cid
+    ) AS rn
+    FROM q CROSS JOIN gc1 ce
+  ) WHERE rn <= {_IVFPQ_PROBE}
+),
+scored AS (
+  SELECT q.query_id, n.vid AS neighbor_id,
+         {dist} AS adist
+  FROM q JOIN probe p USING (query_id)
+  JOIN gc1 pc ON pc.cid = p.cell
+  JOIN nb n ON n.cell = p.cell AND n.vid != q.query_id
+)
+SELECT query_id, neighbor_id, rn FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adist, neighbor_id) AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= {_ADC_TOPK}"""
+
+
+@register("q113_ivf_pq_residual_topk", oracle=_ivf_pq_residual_oracle())
+def q113_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ top-{_ADC_TOPK}
+    (operators/quantization.ivf_pq_residual_topk) — the FAISS-style
+    refinement of q112: PQ codebooks are trained on each vector's
+    residual from its cell centroid (residuals concentrate around the
+    origin, so one shared codebook set quantizes every cell's
+    displacement field far more accurately than raw coordinates), and a
+    query probing cell c is scored via its own residual from c. The
+    oracle replays coarse training, residualization, residual-PQ
+    training, probing, and scoring in one chain."""
+    from openstack_billing_from_db_spark.operators.caching import tracked_persist
+    from openstack_billing_from_db_spark.operators.clustering import kmeans_fit
+    from openstack_billing_from_db_spark.operators.quantization import (
+        _base,
+        ivf_pq_residual_topk,
+        pq_train,
+        residualize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tracked_persist(_base(emb, "vec_id", "embedding"))
+    coarse = kmeans_fit(base, k=_IVFPQ_CELLS, n_iter=1, round_dp=_PQ_DP)
+    rbase = residualize(base, coarse)
+    books = pq_train(
+        rbase.select("vid", "e"),
+        id_col="vid",
+        vec_col="e",
+        dims=_PQ_DIMS,
+        n_subspaces=_PQ_M,
+        k=_PQ_K,
+        n_iter=_PQ_ITER,
+        round_dp=_PQ_DP,
+    )
+    return ivf_pq_residual_topk(
         emb,
         books,
         coarse,

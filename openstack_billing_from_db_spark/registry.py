@@ -141,6 +141,7 @@ DEFERRED: tuple[str, ...] = (
     "q110_pq_encode",  # r4-new, local-oracle-green; vector-compression family
     "q111_pq_adc_topk",  # r4-new, local-oracle-green; ANN family
     "q112_ivf_pq_topk",  # r4-new, local-oracle-green; ANN family
+    "q113_ivf_pq_residual_topk",  # r4-new, local-oracle-green; ANN family
 )
 
 

@@ -384,3 +384,32 @@ def test_ivf_pq_probing_all_cells_equals_plain_adc(spark):
     pruned = ivf_pq_topk(df, books, coarse, n_probe=1, n_queries=4, topk=5)
     counts = {r.query_id: r.n for r in pruned.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
     assert all(n <= 5 for n in counts.values())
+
+
+def test_residual_ivf_pq_single_cell_equals_residual_adc(spark):
+    from openstack_billing_from_db_spark.operators.clustering import kmeans_fit
+    from openstack_billing_from_db_spark.operators.quantization import (
+        _base,
+        ivf_pq_residual_topk,
+        pq_adc_topk,
+        pq_train,
+        residualize,
+    )
+
+    rows, df = _pq_corpus(spark)
+    base = _base(df, "vec_id", "embedding")
+    # one coarse cell → every vector residualizes against the same
+    # centroid and the probe covers the whole corpus, so residual IVF-PQ
+    # must equal plain ADC over the residualized vectors
+    coarse = kmeans_fit(base, k=1, n_iter=1)
+    rbase = residualize(base, coarse)
+    books = pq_train(
+        rbase.select("vid", "e"), id_col="vid", vec_col="e",
+        dims=8, n_subspaces=4, k=3, n_iter=1,
+    )
+    full = ivf_pq_residual_topk(df, books, coarse, n_probe=1, n_queries=4, topk=5)
+    plain = pq_adc_topk(
+        rbase.select("vid", "e"), books, id_col="vid", vec_col="e",
+        n_queries=4, topk=5,
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, plain.collect()))
