@@ -845,3 +845,123 @@ def q113_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries=_ADC_NQ,
         topk=_ADC_TOPK,
     )
+
+
+# --- ANN quality evaluation: PQ recall vs exact ------------------------------
+
+
+def _pq_recall_oracle() -> str:
+    """The q111 ADC chain plus an exact-L2 ranking over raw vectors,
+    joined per query: recall@{_ADC_TOPK} in basis points. Both rankings
+    use the identical (x−y)² fold and (dist, neighbor_id) tie order."""
+    sd = _PQ_DIMS // _PQ_M
+    blocks = [
+        "corpus AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings)"
+    ] + _pq_train_blocks("corpus")
+    nb_joins = "\n  ".join(
+        f"JOIN code_{m} v{m} USING (vid) JOIN c{_PQ_ITER}_{m} b{m} ON b{m}.cid = v{m}.c{m}"
+        for m in range(_PQ_M)
+    )
+    nb_cols = ", ".join(f"b{m}.c AS cc{m}" for m in range(_PQ_M))
+    adist = " + ".join(
+        f"list_sum(list_transform(range(1, {sd + 1}), "
+        f"i -> (q.e[{m * sd}+i] - n.cc{m}[i]) * (q.e[{m * sd}+i] - n.cc{m}[i])))"
+        for m in range(_PQ_M)
+    )
+    edist = (
+        f"list_sum(list_transform(range(1, {_PQ_DIMS + 1}), "
+        f"i -> (q.e[i] - c.e[i]) * (q.e[i] - c.e[i])))"
+    )
+    ctes = ",\n".join(blocks)
+    return f"""
+WITH {ctes},
+nb AS (
+  SELECT co.vid, {nb_cols}
+  FROM corpus co
+  {nb_joins}
+),
+q AS (SELECT vid AS query_id, e FROM corpus ORDER BY vid LIMIT {_ADC_NQ}),
+adc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, n.vid AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {adist}, n.vid) AS rn
+    FROM q CROSS JOIN nb n WHERE n.vid != q.query_id
+  ) WHERE rn <= {_ADC_TOPK}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vid AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {edist}, c.vid) AS rn
+    FROM q CROSS JOIN corpus c WHERE c.vid != q.query_id
+  ) WHERE rn <= {_ADC_TOPK}
+)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS recall_bp
+FROM exact e LEFT JOIN adc a USING (query_id, neighbor_id)
+GROUP BY e.query_id
+"""
+
+
+@register("q114_pq_recall", oracle=_pq_recall_oracle())
+def q114_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_ADC_TOPK} of the PQ asymmetric-distance ranking against
+    the exact L2 ranking, per query, in basis points — the evaluation
+    loop every production ANN deployment runs before trusting a
+    compression config (codebook count / bits trade recall for scan
+    width; this query is how you measure where you landed). Both
+    rankings share tie order (dist, neighbor_id); the exact side is the
+    verification luxury computed on the small query set only."""
+    from pyspark.sql import Window
+
+    from openstack_billing_from_db_spark.operators.quantization import (
+        _base,
+        pq_adc_topk,
+        pq_train,
+    )
+    from openstack_billing_from_db_spark.operators.caching import tracked_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(
+        emb,
+        dims=_PQ_DIMS,
+        n_subspaces=_PQ_M,
+        k=_PQ_K,
+        n_iter=_PQ_ITER,
+        round_dp=_PQ_DP,
+    )
+    adc = pq_adc_topk(emb, books, n_queries=_ADC_NQ, topk=_ADC_TOPK).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    base = tracked_persist(_base(emb, "vec_id", "embedding"))
+    queries = base.orderBy("vid").limit(_ADC_NQ).select(
+        F.col("vid").alias("query_id"), F.col("e").alias("qe")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    exact = (
+        base.withColumnRenamed("vid", "neighbor_id")
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _ADC_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    return exact.join(adc, ["query_id", "neighbor_id"], "left").groupBy(
+        "query_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        F.expr(
+            "CAST(sum(coalesce(hit, 0)) * 10000 div count(1) AS BIGINT)"
+        ).alias("recall_bp"),
+    )

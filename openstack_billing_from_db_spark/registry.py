@@ -142,6 +142,7 @@ DEFERRED: tuple[str, ...] = (
     "q111_pq_adc_topk",  # r4-new, local-oracle-green; ANN family
     "q112_ivf_pq_topk",  # r4-new, local-oracle-green; ANN family
     "q113_ivf_pq_residual_topk",  # r4-new, local-oracle-green; ANN family
+    "q114_pq_recall",  # r4-new, local-oracle-green; ANN evaluation
 )
 
 
