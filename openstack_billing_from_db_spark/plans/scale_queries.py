@@ -965,3 +965,87 @@ def q114_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(coalesce(hit, 0)) * 10000 div count(1) AS BIGINT)"
         ).alias("recall_bp"),
     )
+
+
+# --- int8 scalar quantization profile ----------------------------------------
+
+_SQ_LEVELS = 255
+
+
+@register(
+    "q115_sq8_profile",
+    oracle=f"""
+WITH corpus AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings),
+flat AS (
+  SELECT vid, generate_subscripts(e, 1) AS dim, unnest(e) AS v FROM corpus
+),
+rng AS (
+  SELECT dim, min(v) AS vmin, max(v) AS vmax FROM flat GROUP BY dim
+),
+coded AS (
+  SELECT f.dim, f.v, r.vmin, r.vmax,
+         CASE WHEN r.vmax = r.vmin THEN 0
+              ELSE CAST(floor((f.v - r.vmin) * {_SQ_LEVELS} / (r.vmax - r.vmin) + 0.5) AS BIGINT)
+         END AS code
+  FROM flat f JOIN rng r USING (dim)
+),
+err AS (
+  SELECT dim, vmin, vmax, code,
+         abs(v - (vmin + code * (vmax - vmin) / {_SQ_LEVELS}))
+           * {_SQ_LEVELS} / (CASE WHEN vmax = vmin THEN 1 ELSE vmax - vmin END)
+           AS err_lvl
+  FROM coded
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n_values,
+       CAST(count(DISTINCT code) AS BIGINT) AS n_codes_used,
+       CAST(sum(CASE WHEN err_lvl > 0.5000001 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_half_level,
+       CAST(sum(CAST(err_lvl AS DECIMAL(18,9))) AS DOUBLE) AS err_levels_sum
+FROM err
+GROUP BY dim
+""",
+)
+def q115_sq8_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization profile — the cheap sibling of PQ: each
+    dimension is independently mapped onto {_SQ_LEVELS}+1 levels between
+    its corpus min and max (8 bits/dim = an 8× payload cut with no
+    training step). Output per dimension: codes actually used,
+    round-trip error in level units (sum, and the count exceeding half
+    a level — which must be ZERO: round-to-nearest is within half a
+    level by construction, and the oracle pins that invariant with an
+    epsilon for the shared fp rounding). Shape at scale: one
+    partial-aggregated min/max pass (64 rows out), then a map-side
+    encode + per-dim partial-aggregated profile — the corpus shuffles
+    never; both passes carry (dim, value) narrow rows."""
+    emb = ensure_map_parallelism(load_table(spark, sf_dir, "embeddings"))
+    flat = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"),
+    ).select("vid", (F.col("dim0") + 1).alias("dim"), "v")
+    rng = flat.groupBy("dim").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    L = _SQ_LEVELS
+    coded = flat.join(rng, "dim").withColumn(
+        "code",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("long")).otherwise(
+            F.expr(f"CAST(floor((v - vmin) * {L} / (vmax - vmin) + 0.5) AS BIGINT)")
+        ),
+    )
+    err = coded.withColumn(
+        "err_lvl",
+        F.expr(
+            f"abs(v - (vmin + code * (vmax - vmin) / {L})) * {L}"
+            f" / (CASE WHEN vmax = vmin THEN 1 ELSE vmax - vmin END)"
+        ),
+    )
+    return err.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.count_distinct("code").cast("long").alias("n_codes_used"),
+        F.sum(F.when(F.col("err_lvl") > 0.5000001, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_half_level"),
+        F.sum(F.col("err_lvl").cast("decimal(18,9)")).cast("double").alias(
+            "err_levels_sum"
+        ),
+    )
