@@ -648,3 +648,53 @@ def merge_index(
         F.col("new_id").alias(id_col)
     )
     return index.unionByName(new_index.join(keep, id_col, "left_semi"))
+
+
+def tune_banding(
+    target_jaccard: float,
+    *,
+    max_hashes: int = 128,
+    min_catch_at_target: float = 0.9,
+    max_catch_below: float = 0.2,
+    below_ratio: float = 0.5,
+) -> tuple[int, int]:
+    """Pick (num_hashes, rows_per_band) for a Jaccard threshold from the
+    LSH S-curve: with b bands of r rows, a pair with similarity s
+    collides in ≥1 band with probability ``1 − (1 − s^r)^b``. The tuner
+    returns the cheapest (fewest hashes) configuration that catches
+    pairs AT the target with probability ≥ ``min_catch_at_target``
+    while catching clearly-dissimilar pairs (at ``below_ratio × target``)
+    with probability ≤ ``max_catch_below`` — i.e. recall at the
+    threshold without drowning the verify stage in false candidates.
+
+    This closes the loop the fixed (num_hashes=8, rows_per_band=2)
+    default leaves open: at a 0.9 near-dup threshold the default is
+    fine, but a 0.5 fuzzy-dup sweep needs wider bands or it misses half
+    the true pairs — the S-curve is the public, checkable way to size
+    that (Leskovec, Rajaraman & Ullman, "Mining of Massive Datasets"
+    §3.4). Raises if no configuration within ``max_hashes`` satisfies
+    both constraints (loosen one, or raise the budget).
+    """
+    if not 0 < target_jaccard < 1:
+        raise ValueError(f"target_jaccard must be in (0,1), got {target_jaccard}")
+    s_lo = target_jaccard * below_ratio
+    best: tuple[int, int] | None = None
+    for total in range(2, max_hashes + 1):
+        for r in range(1, total + 1):
+            if total % r:
+                continue
+            b = total // r
+            p_hit = 1.0 - (1.0 - target_jaccard**r) ** b
+            p_noise = 1.0 - (1.0 - s_lo**r) ** b
+            if p_hit >= min_catch_at_target and p_noise <= max_catch_below:
+                best = (total, r)
+                break
+        if best:
+            break
+    if best is None:
+        raise ValueError(
+            f"no (hashes ≤ {max_hashes}) banding catches ≥"
+            f"{min_catch_at_target} at s={target_jaccard} with ≤"
+            f"{max_catch_below} at s={s_lo}; loosen a constraint"
+        )
+    return best

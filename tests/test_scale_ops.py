@@ -413,3 +413,48 @@ def test_residual_ivf_pq_single_cell_equals_residual_adc(spark):
         n_queries=4, topk=5,
     )
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, plain.collect()))
+
+
+# --- LSH banding auto-tuner ---------------------------------------------------
+
+
+def test_tune_banding_s_curve_properties():
+    from openstack_billing_from_db_spark.operators.dedup import tune_banding
+
+    # a 0.9 near-dup threshold is satisfiable cheaply
+    n, r = tune_banding(0.9)
+    b = n // r
+    p_hit = 1 - (1 - 0.9**r) ** b
+    p_noise = 1 - (1 - 0.45**r) ** b
+    assert p_hit >= 0.9 and p_noise <= 0.2
+    # a 0.5 threshold with a 0.25 noise floor is NOT separable within a
+    # 128-hash budget — the tuner says so instead of silently missing
+    # half the true pairs (that refusal is the point of having it)
+    with pytest.raises(ValueError):
+        tune_banding(0.5)
+    # loosening the noise bound makes it feasible and still ≥0.9 recall
+    n2, r2 = tune_banding(0.5, max_catch_below=0.5)
+    b2 = n2 // r2
+    assert 1 - (1 - 0.5**r2) ** b2 >= 0.9
+    assert 1 - (1 - 0.25**r2) ** b2 <= 0.5
+    # tuner is minimal-cost: nothing cheaper satisfies both constraints
+    for total in range(2, n):
+        ok = False
+        for r_ in (x for x in range(1, total + 1) if total % x == 0):
+            b_ = total // r_
+            if (1 - (1 - 0.9**r_) ** b_ >= 0.9
+                    and 1 - (1 - 0.45**r_) ** b_ <= 0.2):
+                ok = True
+        assert not ok, (total, n)
+
+
+def test_tune_banding_validation():
+    from openstack_billing_from_db_spark.operators.dedup import tune_banding
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        tune_banding(1.5)
+    with _pt.raises(ValueError):
+        # impossible: catch 99.99% at 0.1 but ≤1% at 0.05 with 4 hashes
+        tune_banding(0.1, max_hashes=4, min_catch_at_target=0.9999,
+                     max_catch_below=0.01)
