@@ -1049,3 +1049,140 @@ def q115_sq8_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "err_levels_sum"
         ),
     )
+
+
+# --- LSH dedup recall/precision evaluation -----------------------------------
+
+_LSH_EVAL_T = 0.5  # true-pair Jaccard threshold
+
+
+@register(
+    "q116_lsh_recall",
+    oracle=None,  # set below — needs the q35 CTE chain
+)
+def q116_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the MinHash-LSH candidate stage against
+    EXACT Jaccard ≥ {_LSH_EVAL_T} ground truth — the q114-style
+    evaluation loop for the dedup family: recall tells you whether the
+    banding (sized by operators/dedup.tune_banding) catches the true
+    near-dups, precision tells you how much exact-verify work the
+    candidates cost. Ground truth is the inverted-index all-pairs
+    Jaccard (any pair with J > 0 shares a shingle, so the shingle join
+    enumerates every qualifying pair without a doc×doc product) — the
+    verification luxury computed at eval scale only.
+    Output: one row (n_true, n_cand, n_caught, recall_bp,
+    candidate_precision_bp)."""
+    from openstack_billing_from_db_spark.operators import dedup, text
+    from openstack_billing_from_db_spark.operators.caching import tracked_persist
+    from openstack_billing_from_db_spark.plans.pipeline_queries import (
+        _NUM_HASHES,
+        _ROWS_PER_BAND,
+        _SHINGLE_N,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = tracked_persist(
+        dedup.minhash_near_duplicates(
+            docs,
+            num_hashes=_NUM_HASHES,
+            rows_per_band=_ROWS_PER_BAND,
+            shingle_n=_SHINGLE_N,
+        ).select("doc_a", "doc_b", "jaccard")
+    )
+    ps = tracked_persist(
+        ensure_map_parallelism(docs.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode(
+                text.word_shingles(text.words(F.col("text")), _SHINGLE_N)
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sz = ps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        ps.alias("a")
+        .join(
+            ps.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    true_pairs = (
+        inter.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i"))
+            >= _LSH_EVAL_T
+        )
+        .select("doc_a", "doc_b")
+    )
+    caught = true_pairs.join(cand.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
+    n_true = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    n_caught = caught.agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
+    n_cand_true = cand.filter(F.col("jaccard") >= _LSH_EVAL_T).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand_true")
+    )
+    return (
+        n_true.crossJoin(n_cand).crossJoin(n_caught).crossJoin(n_cand_true)
+        .select(
+            "n_true",
+            "n_cand",
+            "n_caught",
+            F.expr("CAST(CASE WHEN n_true = 0 THEN 10000 "
+                   "ELSE n_caught * 10000 div n_true END AS BIGINT)").alias(
+                "recall_bp"
+            ),
+            F.expr("CAST(CASE WHEN n_cand = 0 THEN 10000 "
+                   "ELSE n_cand_true * 10000 div n_cand END AS BIGINT)").alias(
+                "candidate_precision_bp"
+            ),
+        )
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    from openstack_billing_from_db_spark.plans.pipeline_queries import (
+        _MINHASH_JACCARD_CTES,
+    )
+
+    t = _LSH_EVAL_T
+    return f"""
+WITH {_MINHASH_JACCARD_CTES},
+tp AS (
+  SELECT pa.doc_id AS doc_a, pb.doc_id AS doc_b, count(*) AS i
+  FROM ps pa JOIN ps pb ON pb.shingle = pa.shingle AND pa.doc_id < pb.doc_id
+  GROUP BY pa.doc_id, pb.doc_id
+),
+tr AS (
+  SELECT t.doc_a, t.doc_b
+  FROM tp t JOIN sz sa ON sa.doc_id = t.doc_a JOIN sz sb ON sb.doc_id = t.doc_b
+  WHERE CAST(t.i AS DOUBLE) / (sa.n + sb.n - t.i) >= {t}
+),
+m AS (
+  SELECT
+    (SELECT count(*) FROM tr) AS n_true,
+    (SELECT count(*) FROM jc) AS n_cand,
+    (SELECT count(*) FROM tr JOIN cand c ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b) AS n_caught,
+    (SELECT count(*) FROM jc WHERE jaccard >= {t}) AS n_cand_true
+)
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_caught AS BIGINT) AS n_caught,
+       CAST(CASE WHEN n_true = 0 THEN 10000
+            ELSE n_caught * 10000 // n_true END AS BIGINT) AS recall_bp,
+       CAST(CASE WHEN n_cand = 0 THEN 10000
+            ELSE n_cand_true * 10000 // n_cand END AS BIGINT) AS candidate_precision_bp
+FROM m
+"""
+
+
+from openstack_billing_from_db_spark.registry import ORACLE as _ORACLE
+
+_ORACLE["q116_lsh_recall"] = _lsh_recall_oracle()

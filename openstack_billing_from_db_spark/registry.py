@@ -144,6 +144,7 @@ DEFERRED: tuple[str, ...] = (
     "q113_ivf_pq_residual_topk",  # r4-new, local-oracle-green; ANN family
     "q114_pq_recall",  # r4-new, local-oracle-green; ANN evaluation
     "q115_sq8_profile",  # r4-new, local-oracle-green; compression family
+    "q116_lsh_recall",  # r4-new, local-oracle-green; dedup evaluation
 )
 
 
