@@ -97,54 +97,53 @@ DEFERRED: tuple[str, ...] = (
     "q33_fingerprint",  # r2-green; md5 hashing in-gate via q34, normalize via q69
     "q15_distinct_brand_sizes",  # r1/r2-green; A1 distinct in-gate via q05
     "q54_signup_purchase_funnel",  # r1/r2-green; event windows in-gate via q25/q28/q29/q84
-    # Round-4 rotation (VERDICT r3 Next #1): q82/q86/q87 never received a
-    # driver CORRECTNESS row (registered after the 50-entry gate filled).
-    # Swap three multiply-proven in-gate twins into DEFERRED for one round
-    # so the last unproven components get a hard signal; rotate back after.
+    # Round-4 rotation (VERDICT r3 Next #1), kept parked in round 5: each
+    # twin is r1+r3-green and pytest-pinned to an in-gate sibling.
     "q14_customers_without_orders",  # r1+r3-green; anti-join in-gate via q13-family/q85
     "q16_set_operations",  # r1+r3-green; set ops twin q16b (pytest-pinned)
     "q20_priority_unpivot",  # r1+r3-green; pivot/unpivot in-gate via q27 cube
-    "q41_multimodal_meta",  # r1+r3-green; payload plumbing in-gate via q77 +
-    # the new q88 PNG decode (which takes this slot)
-    # Round-4 curation additions (q89-q93, plans/curation_queries.py) take
-    # the next five gate slots; these five multiply-proven twins absorb the
-    # overflow (same NEW-components-take-priority rule as the q82/q86/q87
-    # rotation above; rotate back once CORRECTNESS_r04 is green):
+    "q41_multimodal_meta",  # r1+r3-green; payload plumbing in-gate via q77
     "q22_scalar_functions",  # r1+r3-green; scalar F-chains in-gate via q05/q42/q23
     "q29_running_totals",  # r1+r3-green; window aggs in-gate via q84 (RANGE frame) + q28
     "q31_quality_score",  # r1+r3-green; same operator composed in-gate by q81
-    "q38_ann_topk_bruteforce",  # r1+r3-green; ANN in-gate via q39 LSH + q65 IVF
-    # (whose degrade-to-brute-force path is pytest-pinned to q38's kernel)
-    "q52_streaming_dedup",  # r1+r3-green; in-gate q82 is pytest-pinned ≡ q52
+    "q38_ann_topk_bruteforce",  # r1+r3-green; ANN in-gate via q39 LSH +
+    # the rotated-in q112 IVF-PQ (brute-force kernel pytest-pinned)
+    "q52_streaming_dedup",  # r1+r3-green; pytest-pinned ≡ q82 (r4-green)
     "q04_state_intervals",  # r1+r3-green; E1-E6 in-gate via q03/q06 supersets,
-    # and q04b (pytest-pinned output-identical) covers the bucketed variant;
-    # slot goes to the new q94 incremental dedup
-    "q95_pagerank",  # r4-new, local-oracle-green; the gate is full with the
-    # nine rotated-in r4 components — rotate q95 in next round alongside the
-    # returning twins (iterative-join family meanwhile evidenced by in-gate
-    # q67 connected components)
-    "q96_scd2_history",  # r4-new, local-oracle-green; MERGE family (gate full)
-    "q97_merge_upsert",  # r4-new, local-oracle-green; MERGE family (gate full)
-    "q98_kmv_distinct",  # r4-new, local-oracle-green; sketch family (gate full)
-    "q99_priority_sample",  # r4-new, local-oracle-green; sampling family (gate full)
-    "q100_bpe_encode",  # r4-new, local-oracle-green; BPE family (gate full;
-    # training twin q78 is in-gate and the encode oracle replays it verbatim)
-    "q101_countmin_heavy_hitters",  # r4-new, local-oracle-green; sketch family
-    "q102_kmv_set_overlap",  # r4-new, local-oracle-green; sketch family
-    "q103_histogram_quantiles",  # r4-new, local-oracle-green; sketch family
-    "q104_random_projection",  # r4-new, local-oracle-green; similarity family
-    "q105_group_priority_sample",  # r4-new, local-oracle-green; sampling family
-    "q106_triangle_count",  # r4-new, local-oracle-green; graph family
-    "q107_salted_join_revenue",  # r4-new, local-oracle-green; join family
-    "q108_quantile_trim",  # r4-new, local-oracle-green; sketch composition
-    "q109_contamination_fraction",  # r4-new, local-oracle-green; decontamination family
-    "q110_pq_encode",  # r4-new, local-oracle-green; vector-compression family
-    "q111_pq_adc_topk",  # r4-new, local-oracle-green; ANN family
-    "q112_ivf_pq_topk",  # r4-new, local-oracle-green; ANN family
-    "q113_ivf_pq_residual_topk",  # r4-new, local-oracle-green; ANN family
-    "q114_pq_recall",  # r4-new, local-oracle-green; ANN evaluation
-    "q115_sq8_profile",  # r4-new, local-oracle-green; compression family
-    "q116_lsh_recall",  # r4-new, local-oracle-green; dedup evaluation
+    # and q04b (pytest-pinned output-identical) covers the bucketed variant
+    # Round-5 rotation (VERDICT r4 Next #1): the ten components rotated IN
+    # for round 4 all came back green in CORRECTNESS_r04, so they park for
+    # one round and their slots go to the 14 never-driver-checked round-4
+    # family representatives (q95, q96, q98, q101, q103, q104, q105, q106,
+    # q107, q109, q110, q112, q114, q116). Remaining siblings
+    # (q97/q99/q100/q102/q108/q111/q113/q115) rotate in round 6.
+    "q82_streaming_dedup_watermarked",  # r4-green; pytest-pinned ≡ q52 (r1+r3-green)
+    "q86_ngram_udtf",  # r4-green; UDTF demo, n-gram semantics in-gate via q71/q74
+    "q87_dedup_survivors",  # r4-green; keep-list composes in-gate q34/q67
+    "q88_png_decode",  # r4-green; codec family in-gate via q77 frame sampling
+    "q89_doc_chunks",  # r4-green; chunking consumed by in-gate q72 packing
+    "q90_tfidf_topk",  # r4-green; term weighting in-gate via q71 BM25
+    "q91_bloom_decontaminate",  # r4-green; decontamination in-gate via q109 fraction
+    "q92_segment_dedup",  # r4-green; segment dedup in-gate via q80 span dedup
+    "q93_quality_classifier",  # r4-green; quality family in-gate via q76/q81
+    "q94_incremental_dedup",  # r4-green; incremental layer over in-gate q34/q35
+    # Four multiply-green siblings absorb the rest of the overflow, each
+    # with its kernel exercised by an in-gate (or rotating-in) query:
+    "q65_ivf_ann",  # r2+r3+r4-green; IVF coarse quantizer in-gate via q112 IVF-PQ
+    "q68_decontamination",  # r2+r3+r4-green; family in-gate via q109 fraction
+    "q73_kmeans_clusters",  # r3+r4-green; kmeans_fit kernel trains in-gate q110 PQ
+    "q74_repetition_stats",  # r3+r4-green; quality family in-gate via q76/q81
+    # Round-4 siblings still deferred (rotate in round 6), each pytest-
+    # pinned to a rotated-in family representative:
+    "q97_merge_upsert",  # r4-new; MERGE family in-gate via q96 SCD2
+    "q99_priority_sample",  # r4-new; sampling family in-gate via q105
+    "q100_bpe_encode",  # r4-new; BPE family (training twin q78 in-gate;
+    # the encode oracle replays it verbatim)
+    "q102_kmv_set_overlap",  # r4-new; KMV family in-gate via q98
+    "q108_quantile_trim",  # r4-new; quantile family in-gate via q103
+    "q111_pq_adc_topk",  # r4-new; ADC kernel in-gate via q112/q114
+    "q113_ivf_pq_residual_topk",  # r4-new; IVF-PQ family in-gate via q112
+    "q115_sq8_profile",  # r4-new; compression family in-gate via q110/q114
 )
 
 
