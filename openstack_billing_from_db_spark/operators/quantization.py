@@ -87,6 +87,57 @@ def pq_train(
     ]
 
 
+# Above this TOTAL centroid count (Σ_m K_m) the codebooks stop riding
+# the plan as literals: at FAISS-realistic M=16, K=256 that is 4096
+# embedded centroid arrays and a Catalyst expression tree that won't
+# codegen happily. Bigger codebooks ship as a real Spark broadcast
+# probed by an Arrow-batched pandas UDF — the same auto-select the
+# Bloom probe uses (operators/curation.py LITERAL_BITSET_MAX_BITS).
+LITERAL_CODEBOOK_MAX_CODES = 1 << 10
+
+
+def _codebook_codes(codebooks: list[list[list[float]]]) -> int:
+    return sum(len(cb) for cb in codebooks)
+
+
+def _fold_scores(emat, codebook):
+    """Per-code scores |c|² − 2⟨e, c⟩ over a numpy batch, with the dot
+    accumulated LEFT-TO-RIGHT per dimension — operation-for-operation
+    the same float64 fold as the literal path (clustering._dot_lit), so
+    argmin ties resolve identically on both paths."""
+    import numpy as np
+
+    scores = np.empty((emat.shape[0], len(codebook)))
+    for j, c in enumerate(codebook):
+        acc = np.zeros(emat.shape[0])
+        for i, v in enumerate(c):
+            acc = acc + emat[:, i] * v
+        scores[:, j] = sum(v * v for v in c) - 2.0 * acc
+    return scores
+
+
+def _nearest_code_arrow(sub: Column, codebook: list[list[float]]) -> Column:
+    """Large-codebook nearest-centroid: codebook on a Spark broadcast,
+    argmin over an Arrow batch (numpy argmin takes the FIRST minimum —
+    the same ties → lowest code rule as the struct-min literal path)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    sc = SparkSession.getActiveSession().sparkContext
+    bc = sc.broadcast([list(map(float, c)) for c in codebook])
+
+    def _nearest(parr):
+        if len(parr) == 0:
+            return pd.Series([], dtype="int64")
+        emat = np.stack(parr.to_numpy())
+        return pd.Series(np.argmin(_fold_scores(emat, bc.value), axis=1))
+
+    nearest = pandas_udf(_nearest, "long")
+    return nearest(sub)
+
+
 def _nearest_code(sub: Column, codebook: list[list[float]]) -> Column:
     """Nearest centroid of one subspace by squared L2 (ties → lowest
     code), via array_min over (score, code) structs — the same
@@ -115,15 +166,99 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Encode every vector as its M codes: (vec_id, c0 .. c{M-1}).
-    Pure map-side projection over driver-literal codebooks."""
+    Pure map-side projection; codebooks ride the plan as literals up to
+    LITERAL_CODEBOOK_MAX_CODES total centroids, as a broadcast probed
+    via Arrow beyond (both ties → lowest code)."""
     sub_dims = len(codebooks[0][0])
+    nearest = (
+        _nearest_code
+        if _codebook_codes(codebooks) <= LITERAL_CODEBOOK_MAX_CODES
+        else _nearest_code_arrow
+    )
     base = _base(emb, id_col, vec_col)
     return base.select(
         F.col("vid").alias(id_col),
         *[
-            _nearest_code(_sub(F.col("e"), m, sub_dims), cb).alias(f"c{m}")
+            nearest(_sub(F.col("e"), m, sub_dims), cb).alias(f"c{m}")
             for m, cb in enumerate(codebooks)
         ],
+    )
+
+
+def _sub_dist_lit(m: int, cb: list[list[float]]) -> Column:
+    """ADC per-subspace distance |q_sub − c|² for the row's code
+    column ``c{m}`` against query slice ``q{m}``, as a chained literal
+    lookup over the K codebook entries (small K only)."""
+    expr: Column = F.lit(0.0)
+    for j, c in enumerate(cb):
+        d = F.aggregate(
+            F.zip_with(
+                F.col(f"q{m}"),
+                F.array(*[F.lit(v) for v in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        expr = F.when(F.col(f"c{m}") == j, d).otherwise(expr)
+    return expr
+
+
+def _sub_dist_arrow(m: int, cb: list[list[float]]) -> Column:
+    """Large-codebook ADC lookup: gather the coded centroid from a
+    broadcast table, fold (q−c)² left-to-right per dimension — the same
+    float64 operation order as the literal path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    sc = SparkSession.getActiveSession().sparkContext
+    bc = sc.broadcast(np.array(cb, dtype=np.float64))
+
+    def _dist(codes, qarr):
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        cmat = bc.value[codes.to_numpy()]
+        qmat = np.stack(qarr.to_numpy())
+        acc = np.zeros(len(codes))
+        for i in range(cmat.shape[1]):
+            d = qmat[:, i] - cmat[:, i]
+            acc = acc + d * d
+        return pd.Series(acc)
+
+    dist = pandas_udf(_dist, "double")
+    return dist(F.col(f"c{m}"), F.col(f"q{m}"))
+
+
+def _adist(codebooks: list[list[list[float]]]) -> Column:
+    """Total asymmetric distance Σ_m sub_dist(m) over columns
+    (c0..c{M-1}, q0..q{M-1}), auto-selecting the lookup implementation
+    by total codebook size (same policy as pq_encode)."""
+    sub_dist = (
+        _sub_dist_lit
+        if _codebook_codes(codebooks) <= LITERAL_CODEBOOK_MAX_CODES
+        else _sub_dist_arrow
+    )
+    return sum((sub_dist(m, cb) for m, cb in enumerate(codebooks)), F.lit(0.0))
+
+
+def _cell_scores(vec: Column, coarse_centroids: list[list[float]]) -> Column:
+    """(score, cell) structs per coarse centroid — array_min/array_sort
+    over this gives nearest cell / probe order. Coarse centroid counts
+    are small by construction (n_cells ≪ corpus), so always literal."""
+    from openstack_billing_from_db_spark.operators.clustering import _dot_lit
+
+    return F.array(
+        *[
+            F.struct(
+                (F.lit(sum(v * v for v in c)) - 2.0 * _dot_lit(vec, c)).alias(
+                    "score"
+                ),
+                F.lit(j).cast("long").alias("cell"),
+            )
+            for j, c in enumerate(coarse_centroids)
+        ]
     )
 
 
@@ -166,27 +301,7 @@ def pq_adc_topk(
         F.broadcast(queries)
     ).filter(F.col("neighbor_id") != F.col("query_id"))
 
-    def sub_dist(m: int, cb: list[list[float]]) -> Column:
-        # |q_sub − c|² for the row's code, as a chained lookup over the
-        # K codebook entries (K is small by construction)
-        expr: Column = F.lit(0.0)
-        for j, c in enumerate(cb):
-            d = F.aggregate(
-                F.zip_with(
-                    F.col(f"q{m}"),
-                    F.array(*[F.lit(v) for v in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            expr = F.when(F.col(f"c{m}") == j, d).otherwise(expr)
-        return expr
-
-    scored = pairs.withColumn(
-        "adist",
-        sum((sub_dist(m, cb) for m, cb in enumerate(codebooks)), F.lit(0.0)),
-    )
+    scored = pairs.withColumn("adist", _adist(codebooks))
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return scored.select(
         "query_id",
@@ -224,23 +339,11 @@ def ivf_pq_topk(
     """
     from pyspark.sql import Window
 
-    from openstack_billing_from_db_spark.operators.clustering import _dot_lit
-
     sub_dims = len(codebooks[0][0])
     base = tracked_persist(_base(emb, id_col, vec_col))
 
     def cell_scores(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    (
-                        F.lit(sum(v * v for v in c)) - 2.0 * _dot_lit(vec, c)
-                    ).alias("score"),
-                    F.lit(j).cast("long").alias("cell"),
-                )
-                for j, c in enumerate(coarse_centroids)
-            ]
-        )
+        return _cell_scores(vec, coarse_centroids)
 
     # assign cells on the same persisted base, then attach to the codes
     cells = base.select(
@@ -273,25 +376,7 @@ def ivf_pq_topk(
         F.broadcast(probed), "cell"
     ).filter(F.col("neighbor_id") != F.col("query_id"))
 
-    def sub_dist(m: int, cb: list[list[float]]) -> Column:
-        expr: Column = F.lit(0.0)
-        for j, c in enumerate(cb):
-            d = F.aggregate(
-                F.zip_with(
-                    F.col(f"q{m}"),
-                    F.array(*[F.lit(v) for v in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            expr = F.when(F.col(f"c{m}") == j, d).otherwise(expr)
-        return expr
-
-    scored = pairs.withColumn(
-        "adist",
-        sum((sub_dist(m, cb) for m, cb in enumerate(codebooks)), F.lit(0.0)),
-    )
+    scored = pairs.withColumn("adist", _adist(codebooks))
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return scored.select(
         "query_id",
@@ -311,19 +396,7 @@ def residualize(
     displacement field far more accurately than raw coordinates.
     Map-side: per-row centroid selection is a chained literal lookup,
     the subtraction a zip_with."""
-    from openstack_billing_from_db_spark.operators.clustering import _dot_lit
-
-    scores = F.array(
-        *[
-            F.struct(
-                (
-                    F.lit(sum(v * v for v in c)) - 2.0 * _dot_lit(F.col("e"), c)
-                ).alias("score"),
-                F.lit(j).cast("long").alias("cell"),
-            )
-            for j, c in enumerate(coarse_centroids)
-        ]
-    )
+    scores = _cell_scores(F.col("e"), coarse_centroids)
     withcell = base.withColumn("cell", F.array_min(scores)["cell"])
     res = None
     for j in reversed(range(len(coarse_centroids))):
@@ -362,8 +435,6 @@ def ivf_pq_residual_topk(
     """
     from pyspark.sql import Window
 
-    from openstack_billing_from_db_spark.operators.clustering import _dot_lit
-
     sub_dims = len(codebooks[0][0])
     base = tracked_persist(_base(emb, id_col, vec_col))
     rbase = residualize(base, coarse_centroids)
@@ -372,17 +443,7 @@ def ivf_pq_residual_topk(
     ).join(rbase.select("vid", "cell"), "vid")
 
     def cell_scores(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    (
-                        F.lit(sum(v * v for v in c)) - 2.0 * _dot_lit(vec, c)
-                    ).alias("score"),
-                    F.lit(j).cast("long").alias("cell"),
-                )
-                for j, c in enumerate(coarse_centroids)
-            ]
-        )
+        return _cell_scores(vec, coarse_centroids)
 
     probed = (
         base.orderBy("vid")
@@ -417,25 +478,7 @@ def ivf_pq_residual_topk(
         F.broadcast(probed), "cell"
     ).filter(F.col("neighbor_id") != F.col("query_id"))
 
-    def sub_dist(m: int, cb: list[list[float]]) -> Column:
-        expr: Column = F.lit(0.0)
-        for j, c in enumerate(cb):
-            d = F.aggregate(
-                F.zip_with(
-                    F.col(f"q{m}"),
-                    F.array(*[F.lit(v) for v in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            expr = F.when(F.col(f"c{m}") == j, d).otherwise(expr)
-        return expr
-
-    scored = pairs.withColumn(
-        "adist",
-        sum((sub_dist(m, cb) for m, cb in enumerate(codebooks)), F.lit(0.0)),
-    )
+    scored = pairs.withColumn("adist", _adist(codebooks))
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return scored.select(
         "query_id",

@@ -458,3 +458,63 @@ def test_tune_banding_validation():
         # impossible: catch 99.99% at 0.1 but ≤1% at 0.05 with 4 hashes
         tune_banding(0.1, max_hashes=4, min_catch_at_target=0.9999,
                      max_catch_below=0.01)
+
+
+# --- PQ codebook auto-select (literal vs broadcast+Arrow) ---------------------
+
+
+def test_pq_codebook_paths_agree(spark, monkeypatch):
+    """Forcing the Arrow path (threshold 0) must reproduce the literal
+    path bit-for-bit: same codes, same ADC top-k — the fold arithmetic
+    is operation-identical on both sides."""
+    from openstack_billing_from_db_spark.operators import quantization as Q
+
+    rows, df = _pq_corpus(spark)
+    books = Q.pq_train(df, dims=8, n_subspaces=4, k=3, n_iter=1)
+
+    lit_codes = {tuple(r) for r in Q.pq_encode(df, books).collect()}
+    lit_topk = {tuple(r) for r in Q.pq_adc_topk(df, books, n_queries=3, topk=4).collect()}
+
+    monkeypatch.setattr(Q, "LITERAL_CODEBOOK_MAX_CODES", 0)
+    arrow_codes = {tuple(r) for r in Q.pq_encode(df, books).collect()}
+    arrow_topk = {tuple(r) for r in Q.pq_adc_topk(df, books, n_queries=3, topk=4).collect()}
+
+    assert arrow_codes == lit_codes
+    assert arrow_topk == lit_topk
+
+
+def test_pq_arrow_path_engages_at_k256(spark):
+    """FAISS-realistic codebooks (M=8, K=256 → 2048 centroids) must ride
+    a broadcast probed via ArrowEvalPython, never a literal expression
+    tree, and the codes must match an independent numpy argmin."""
+    import random
+
+    import numpy as np
+
+    from openstack_billing_from_db_spark.operators import quantization as Q
+
+    rnd = random.Random(11)
+    dims, m_sub, k = 16, 8, 256
+    sub_dims = dims // m_sub
+    corpus = [
+        (i, [round(rnd.uniform(-1, 1), 3) for _ in range(dims)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    books = [
+        [[round(rnd.uniform(-1, 1), 3) for _ in range(sub_dims)] for _ in range(k)]
+        for _ in range(m_sub)
+    ]
+    assert Q._codebook_codes(books) > Q.LITERAL_CODEBOOK_MAX_CODES
+
+    out = Q.pq_encode(df, books)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan
+
+    got = {r.vec_id: [r[f"c{m}"] for m in range(m_sub)] for r in out.collect()}
+    for vid, emb in corpus:
+        for m in range(m_sub):
+            sub = np.array(emb[m * sub_dims : (m + 1) * sub_dims])
+            cb = np.array(books[m])
+            scores = (cb * cb).sum(axis=1) - 2.0 * (cb @ sub)
+            assert got[vid][m] == int(np.argmin(scores)), (vid, m)
