@@ -106,6 +106,12 @@ def main() -> None:
             # time attributable (fixed per-batch overhead vs plan cost)
             stats = dict(_stream_sessions.LAST_STREAM_STATS)
             stats.pop("name", None)
+            # throughput of the run the stats came from (the second
+            # execution), independent of cross-run wall variance
+            if t_second > 0 and stats.get("input_rows_total"):
+                stats["rows_per_sec"] = round(
+                    stats["input_rows_total"] / t_second, 1
+                )
             stream_stats[name] = stats
 
     # A failed (often expensive) query would otherwise make the headline

@@ -698,3 +698,75 @@ def tune_banding(
             f"{max_catch_below} at s={s_lo}; loosen a constraint"
         )
     return best
+
+
+def edit_distance_near_duplicates(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 16,
+    len_bucket: int = 32,
+    max_block: int = 64,
+    cap_chars: int = 96,
+    max_distance: int = 8,
+):
+    """Blocked edit-distance near-duplicate pairs — the string-metric
+    member of the dedup family (exact q34 / MinHash q35 / SimHash q37 /
+    embedding q40): catches single-character-edit families that token
+    shingles dilute. Classic record-linkage blocking keeps it off the
+    doc×doc product:
+
+    - block key = (normalized-prefix[:prefix_len], length div
+      len_bucket) — a pair must agree on both to be compared;
+    - blocks larger than ``max_block`` are dropped whole (boilerplate
+      guard — the same cap law as the LSH bucket and q116 df caps);
+    - the Levenshtein comparison runs on the first ``cap_chars``
+      normalized chars, bounding per-pair cost at cap_chars².
+
+    Output: (doc_a, doc_b, edit_distance) for pairs with distance ≤
+    ``max_distance``. Engine-exact: normalization is the shared q33
+    chain and Levenshtein is unit-cost in both engines — pure integers.
+
+    Scale shape: one map-side normalize+key projection, a block-keyed
+    self-join bounded by max_block² pairs per block, zero Python. The
+    prefix misses pairs whose FIRST edit sits inside the prefix — the
+    standard multi-pass mitigation (a second pass keyed on suffix)
+    reuses this operator with a different key expression."""
+    from openstack_billing_from_db_spark.operators.text import normalize
+
+    base = docs.select(
+        F.col(id_col).alias("did"),
+        normalize(F.col(text_col)).alias("norm"),
+    ).select(
+        "did",
+        F.substring("norm", 1, cap_chars).alias("capped"),
+        F.substring("norm", 1, prefix_len).alias("pfx"),
+        F.expr(f"length(norm) div {len_bucket}").alias("lenb"),
+    )
+    small_blocks = (
+        base.groupBy("pfx", "lenb")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= max_block)
+        .select("pfx", "lenb")
+    )
+    keyed = base.join(small_blocks, ["pfx", "lenb"], "left_semi")
+    pairs = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("a.lenb") == F.col("b.lenb"))
+            & (F.col("a.did") < F.col("b.did")),
+        )
+        .select(
+            F.col("a.did").alias("doc_a"),
+            F.col("b.did").alias("doc_b"),
+            F.levenshtein(F.col("a.capped"), F.col("b.capped")).alias(
+                "edit_distance"
+            ),
+        )
+    )
+    return pairs.filter(F.col("edit_distance") <= max_distance).select(
+        "doc_a", "doc_b", F.col("edit_distance").cast("long").alias("edit_distance")
+    )

@@ -333,8 +333,11 @@ def oriented_edges(
     wedge self-join below never concentrates a celebrity vertex's
     neighborhood in one task. The total order is packed as
     ``ord = degree · 2^40 + id`` — pure BIGINT, shared with the oracle
-    (requires id < 2^40 and degree < 2^23; both hold for any real
-    vertex id space here).
+    (requires 0 <= id < 2^40 and degree < 2^23). The bounds are
+    ENFORCED map-side with ``assert_true`` folded into the packing
+    expression — a vertex of degree ≥ 2^23 (~8.4M) or an id outside
+    [0, 2^40) fails the job loudly instead of silently corrupting the
+    orientation.
 
     Output: (src, dst, src_ord, dst_ord) with src_ord < dst_ord,
     distinct, self-loops dropped.
@@ -353,14 +356,27 @@ def oriented_edges(
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     ORD = 1 << 40
+    MAX_DEG = 1 << 23
+
+    def _pack(dcol: str, vcol: str) -> str:
+        # assert_true yields NULL on pass (coalesce falls through to the
+        # packed value) and raises on violation — zero extra actions
+        return (
+            f"coalesce(CAST(assert_true("
+            f"{dcol} < {MAX_DEG} AND {vcol} >= 0 AND {vcol} < {ORD}L, "
+            f"'oriented_edges: degree/id outside BIGINT packing bounds "
+            f"(need degree < 2^23 and 0 <= id < 2^40)') AS BIGINT), "
+            f"{dcol} * {ORD}L + {vcol})"
+        )
+
     withord = (
         e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
         .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
         .select(
             "a",
             "b",
-            F.expr(f"da * {ORD}L + a").alias("orda"),
-            F.expr(f"db * {ORD}L + b").alias("ordb"),
+            F.expr(_pack("da", "a")).alias("orda"),
+            F.expr(_pack("db", "b")).alias("ordb"),
         )
     )
     return withord.select(

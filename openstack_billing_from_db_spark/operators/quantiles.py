@@ -52,6 +52,23 @@ def _validate(bin_width: int, p_micro: Sequence[int]) -> None:
     for p in p_micro:
         if not 0 < p < 1_000_000:
             raise ValueError(f"p_micro values must be in (0, 1e6), got {p}")
+    labels = [_p_label(p) for p in p_micro]
+    if len(set(labels)) != len(labels):
+        # _p_label truncates to centi-percent: probabilities finer than
+        # 0.01% apart would silently collapse to one output column
+        raise ValueError(
+            f"p_micro values produce duplicate column labels {labels}; "
+            "keep probabilities >= 0.01% apart (or deduplicate them)"
+        )
+
+
+def _floor_bin(bin_width: int) -> str:
+    """SQL for ``val`` binned by FLOOR division — pure integer ops (no
+    double round-trip), matching DuckDB ``//`` for negative values too
+    (Spark ``div`` truncates toward zero, which would shift every
+    negative value's bin up by one)."""
+    w = bin_width
+    return f"(val - (((val % {w}) + {w}) % {w})) div {w}"
 
 
 def histogram_cells(
@@ -72,7 +89,7 @@ def histogram_cells(
             F.col(group_col).alias("g"),
             F.col(value_col).cast("long").alias("val"),
         )
-        .select("g", F.expr(f"val div {bin_width}").alias("bin"))
+        .select("g", F.expr(_floor_bin(bin_width)).alias("bin"))
         .groupBy("g", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumnRenamed("g", group_col)
@@ -130,9 +147,10 @@ def histogram_quantiles(
 ) -> DataFrame:
     """Per-group approximate quantiles from a fixed-width histogram.
 
-    ``value_col`` must be a non-negative integer column; estimates are
-    the inclusive upper bin edge ``(bin + 1) · W - 1`` (so
-    ``est >= exact`` always, and ``est - exact < W``). Output:
+    ``value_col`` is an integer column (negatives allowed — binning is
+    floor division on both engines); estimates are the inclusive upper
+    bin edge ``(bin + 1) · W - 1`` (so ``est >= exact`` always, and
+    ``est - exact < W``). Output:
     (group, n_rows, <pXX>_est ..., [<pXX>_exact ...]).
     """
     _validate(bin_width, p_micro)

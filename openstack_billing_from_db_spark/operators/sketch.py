@@ -351,3 +351,142 @@ FROM (
         FROM {from_distinct_cte})
 )
 GROUP BY {group_col}"""
+
+
+# --- HyperLogLog ---------------------------------------------------------------
+
+# Flajolet et al. 2007 ("HyperLogLog: the analysis of a near-optimal
+# cardinality estimation algorithm"): hash each distinct value, use the
+# low b bits as a register index and the position of the highest set
+# bit of the rest as the register value; estimate by the normalized
+# harmonic mean of 2^-register. CONSTANT state (m registers per group,
+# vs KMV's k values) mergeable by per-register MAX — the union law that
+# composes across partitions, files, and days. Engine-exact: the hash
+# is the portable 52-bit md5 family; 2^-rho is computed as
+# 1.0 / (1 << rho) (exact in IEEE double for rho <= 47), and the
+# harmonic sum is a sum of multiples of 2^-46 bounded by m < 2^7 — at
+# m=64 every partial sum fits 53 mantissa bits, so the double sum is
+# EXACT and order-independent: both engines produce identical bits.
+# Only the small-range linear-counting branch uses ln(); its output is
+# milli-rounded (the q76 precedent absorbs libm ulp differences).
+
+HLL_B = 6
+HLL_M = 1 << HLL_B
+HLL_REM_BITS = KMV_BITS - HLL_B  # 46 hash bits feed the register value
+HLL_ALPHA = 0.709  # the standard alpha_64 constant
+
+
+def hll_registers(
+    df: DataFrame, *, group_col: str, value_col: str
+) -> DataFrame:
+    """The mergeable HLL state for one slice: per (group, register), the
+    max leading-zero rank over the slice's DISTINCT values. At most
+    HLL_M rows per group, whatever the slice size. Slices compose by
+    groupBy(group, reg).max(rho) — :func:`hll_merge`;
+    :func:`hll_estimate` turns state into estimates.
+    Output: (group, reg, rho)."""
+    hashed = (
+        df.select(group_col, value_col)
+        .distinct()
+        .select(
+            group_col,
+            kmv_hash(F.col(value_col).cast("string")).alias("h"),
+        )
+    )
+    return (
+        hashed.select(
+            group_col,
+            F.expr(f"h % {HLL_M}").alias("reg"),
+            F.expr(
+                f"{HLL_REM_BITS + 1} - CASE WHEN h div {HLL_M} = 0 THEN 0 "
+                f"ELSE length(bin(h div {HLL_M})) END"
+            ).alias("rho"),
+        )
+        .groupBy(group_col, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(parts: DataFrame, *, group_col: str) -> DataFrame:
+    """Union-of-slices → the union's HLL state: per-register MAX.
+    ``merge(registers(A), registers(B)) ≡ registers(A ∪ B)`` — pinned
+    by test_sketch_ops."""
+    return parts.groupBy(group_col, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(regs: DataFrame, *, group_col: str) -> DataFrame:
+    """HLL state → per-group cardinality estimate
+    (group, n_registers_used, est_milli). Unseen registers contribute
+    2^0 = 1 to the harmonic sum, so they never materialize:
+    Z = (m − seen) + Σ_seen 2^-rho. Small-range (raw ≤ 2.5m with empty
+    registers) switches to linear counting m·ln(m/V)."""
+    m = HLL_M
+    agg = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers_used"),
+        F.sum(F.expr("1.0 / CAST(shiftleft(1L, rho) AS DOUBLE)")).alias("z_seen"),
+    )
+    return agg.select(
+        group_col,
+        "n_registers_used",
+        F.expr(
+            f"CAST(floor(CASE WHEN "
+            f"({HLL_ALPHA} * {m} * {m}) / (({m} - n_registers_used) + z_seen)"
+            f"   <= 2.5 * {m} AND n_registers_used < {m} "
+            f"THEN {m} * ln(CAST({m} AS DOUBLE) / ({m} - n_registers_used)) "
+            f"ELSE ({HLL_ALPHA} * {m} * {m}) / (({m} - n_registers_used) + z_seen) "
+            f"END * 1000 + 0.5) AS BIGINT)"
+        ).alias("est_milli"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, *, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate with the exact count
+    alongside: (group, n_distinct_exact, n_registers_used, est_milli).
+    Same reduced-distinct-stream plan shape as :func:`kmv_distinct`;
+    the state exchange is ≤ m rows per group regardless of volume."""
+    distinct = df.select(group_col, value_col).distinct()
+    exact = distinct.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_exact")
+    )
+    est = hll_estimate(
+        hll_registers(distinct, group_col=group_col, value_col=value_col),
+        group_col=group_col,
+    )
+    return exact.join(est, group_col).select(
+        group_col, "n_distinct_exact", "n_registers_used", "est_milli"
+    )
+
+
+def hll_distinct_sql(
+    *,
+    from_distinct_cte: str,
+    group_col: str,
+) -> str:
+    """DuckDB twin of :func:`hll_distinct`, reading a CTE named
+    ``from_distinct_cte`` with columns (group_col, v) already DISTINCT."""
+    m = HLL_M
+    a = HLL_ALPHA
+    raw = f"({a} * {m} * {m}) / (({m} - n_registers_used) + z_seen)"
+    return f"""
+SELECT e.{group_col}, e.n_distinct_exact, s.n_registers_used,
+       CAST(floor(CASE WHEN {raw} <= 2.5 * {m} AND n_registers_used < {m}
+                  THEN {m} * ln(CAST({m} AS DOUBLE) / ({m} - n_registers_used))
+                  ELSE {raw} END * 1000 + 0.5) AS BIGINT) AS est_milli
+FROM (
+  SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_registers_used,
+         sum(1.0 / CAST((1::BIGINT << rho) AS DOUBLE)) AS z_seen
+  FROM (
+    SELECT {group_col}, reg, max(rho) AS rho FROM (
+      SELECT {group_col}, h % {m} AS reg,
+             {HLL_REM_BITS + 1} - CASE WHEN h // {m} = 0 THEN 0
+                                       ELSE length(bin(h // {m})) END AS rho
+      FROM (SELECT {group_col}, {kmv_hash_sql("CAST(v AS VARCHAR)")} AS h
+            FROM {from_distinct_cte})
+    ) GROUP BY {group_col}, reg
+  ) GROUP BY {group_col}
+) s JOIN (
+  SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_distinct_exact
+  FROM {from_distinct_cte} GROUP BY {group_col}
+) e USING ({group_col})"""

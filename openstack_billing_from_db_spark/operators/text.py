@@ -252,3 +252,124 @@ def lm_quality_score(
             .alias("avg_logp_micro"),
         )
     )
+
+
+def unigram_kl_divergence(
+    docs,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+):
+    """Per-group unigram-distribution KL divergence from the corpus —
+    the domain-shift / slice-drift metric of a pretraining mixture
+    (how far each source's term distribution sits from the blend it
+    feeds): KL(P_g ‖ Q) = Σ_w P_g(w) · ln(P_g(w) / Q(w)) with
+    P_g(w) = C_g(w)/N_g and Q(w) = C(w)/N. Every group term exists in
+    the corpus, so Q(w) > 0 and no smoothing is needed.
+
+    Emitted per group (BIGINTs for exact value-hashing): ``n_tokens``,
+    ``n_terms`` (distinct words), and ``kl_micro`` — the divergence in
+    micro-nats, rounded half-up.
+
+    Engine-exact strategy (registry.py header): each term's
+    contribution C_g(w)·ln(C_g(w)·N / (N_g·C(w))) is a double cast to
+    DECIMAL(38,12) BEFORE the per-group sum — decimal addition is
+    order-independent and cross-engine exact, so partial-aggregation
+    order can't drift the result; the single final division by N_g and
+    micro-rounding happen once per group.
+
+    Plan shape at 100 TB: one explode → (group, word)-keyed partial-agg
+    groupBy (corpus-wide word counts derive from the group counts by a
+    second vocabulary-sized aggregation — the raw token stream is read
+    ONCE); the scoring join is vocabulary-keyed and AQE-sized. Nothing
+    collects; log/sum run in codegen."""
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(words(F.col(text_col))).alias("w"),
+    )
+    csw = toks.groupBy("g", "w").agg(F.count(F.lit(1)).alias("c_gw"))
+    ng = csw.groupBy("g").agg(
+        F.sum("c_gw").cast("long").alias("n_g"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    cw = csw.groupBy("w").agg(F.sum("c_gw").cast("long").alias("c_w"))
+    n_total = cw.agg(F.sum("c_w").cast("long").alias("n_all"))
+    contrib = (
+        csw.join(cw, "w")
+        .join(F.broadcast(ng), "g")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "g",
+            "n_g",
+            "n_terms",
+            F.expr(
+                "CAST(c_gw * ln((CAST(c_gw AS DOUBLE) * n_all) / "
+                "(CAST(n_g AS DOUBLE) * c_w)) AS DECIMAL(38,12)) AS kd"
+            ),
+        )
+    )
+    return (
+        contrib.groupBy("g", "n_g", "n_terms")
+        .agg(F.sum("kd").alias("kd_sum"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_g").alias("n_tokens"),
+            "n_terms",
+            F.expr(
+                "CAST(floor(CAST(kd_sum AS DOUBLE) / n_g * 1e6 + 0.5) AS BIGINT)"
+            ).alias("kl_micro"),
+        )
+    )
+
+
+def token_entropy(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document Shannon entropy of the token distribution — the
+    gibberish/boilerplate signal orthogonal to the LM score
+    (:func:`lm_quality_score`): keyboard mash scores HIGH entropy with a
+    terrible LM score, template spam scores LOW entropy at any LM score.
+
+    H = ln(n) − (1/n)·Σ_w c_w·ln(c_w) (algebraic form: one pass over
+    the per-doc term counts, no per-token probability column). Emitted
+    as BIGINTs for exact value-hashing: ``n_tokens``, ``n_terms``, and
+    ``entropy_micro`` (micro-nats, rounded half-up).
+
+    Engine-exact: c·ln(c) terms are decimal-cast pre-sum
+    (order-independent addition); ln(n) and the final division happen
+    once per doc. Plan shape: explode → (doc, word) partial-agg count →
+    per-doc aggregate; nothing wide, nothing Python."""
+    toks = docs.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("w")
+    )
+    counts = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(
+            F.expr("CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,12))")
+        ).alias("clnc"),
+    )
+    scored = per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_terms",
+        F.expr(
+            "CAST(floor((ln(CAST(n_tokens AS DOUBLE)) "
+            "- CAST(clnc AS DOUBLE) / n_tokens) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("entropy_micro"),
+    )
+    # empty docs (no tokens) ride along with zero entropy
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),
+            F.coalesce("entropy_micro", F.lit(0)).cast("long").alias("entropy_micro"),
+        )
+    )

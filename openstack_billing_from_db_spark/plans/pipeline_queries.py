@@ -1285,3 +1285,40 @@ def q87_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("dropped"))
         .alias("fate"),
     )
+
+
+# --- blocked edit-distance near-duplicates (round 5) -------------------------
+
+
+@register(
+    "q120_edit_distance_dups",
+    oracle="""
+WITH n AS (
+  SELECT doc_id AS did,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+),
+k AS (
+  SELECT did, substr(norm, 1, 96) AS capped, substr(norm, 1, 16) AS pfx,
+         length(norm) // 32 AS lenb
+  FROM n
+),
+ok AS (SELECT pfx, lenb FROM k GROUP BY pfx, lenb HAVING count(*) <= 64),
+kk AS (SELECT k.* FROM k JOIN ok USING (pfx, lenb))
+SELECT a.did AS doc_a, b.did AS doc_b,
+       CAST(levenshtein(a.capped, b.capped) AS BIGINT) AS edit_distance
+FROM kk a JOIN kk b ON a.pfx = b.pfx AND a.lenb = b.lenb AND a.did < b.did
+WHERE levenshtein(a.capped, b.capped) <= 8
+""",
+)
+def q120_edit_distance_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-duplicate pairs
+    (operators/dedup.edit_distance_near_duplicates) — the string-metric
+    dedup member beside exact/MinHash/SimHash/embedding: prefix+length
+    blocking and a block-size cap keep the Levenshtein comparisons off
+    the doc x doc product; distances are unit-cost integers, exact in
+    both engines."""
+    return dedup.edit_distance_near_duplicates(
+        load_table(spark, sf_dir, "documents")
+    )

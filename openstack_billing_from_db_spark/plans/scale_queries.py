@@ -604,26 +604,12 @@ _IVFPQ_CELLS = 4
 _IVFPQ_PROBE = 2
 
 
-def _ivf_pq_oracle() -> str:
-    """Coarse-quantizer Lloyd replay over FULL vectors (namespaced g*)
-    + the per-subspace PQ training CTEs from :func:`_pq_oracle`, then:
-    probe = each query's {_IVFPQ_PROBE} nearest cells, candidates =
-    probed cells' members, distance = the q111 (x−y)² fold."""
-    sd = _PQ_DIMS // _PQ_M
-    train = _pq_oracle()
-    pq_ctes = train.split("WITH ", 1)[1].rsplit("\nSELECT vid AS vec_id", 1)[0]
-
-    coarse = f"""gc0 AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, e AS c
+def _coarse_blocks() -> str:
+    """Coarse-quantizer Lloyd replay over FULL vectors (gc0..gc1) plus
+    the final cell assignment (gcell) — shared by the IVF-PQ oracles."""
+    return f"""gc0 AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, e AS c
   FROM (SELECT vid, e FROM corpus ORDER BY vid LIMIT {_IVFPQ_CELLS})),
-ga1 AS (
-  SELECT vid, cid AS cluster FROM (
-    SELECT co.vid, ce.cid, row_number() OVER (
-      PARTITION BY co.vid
-      ORDER BY list_inner_product(ce.c, ce.c) - 2 * list_inner_product(co.e, ce.c), ce.cid
-    ) AS rn
-    FROM corpus co CROSS JOIN gc0 ce
-  ) WHERE rn = 1
-),
+{_pq_assign_sql("ga1", "corpus", "gc0", "cluster")},
 gu1 AS (
   SELECT cluster AS cid, list(v ORDER BY pos) AS c FROM (
     SELECT cluster, pos, floor(avg(val) * 1e{_PQ_DP} + 0.5) / 1e{_PQ_DP} AS v
@@ -634,15 +620,19 @@ gu1 AS (
   ) GROUP BY cluster
 ),
 gc1 AS (SELECT p.cid, coalesce(u.c, p.c) AS c FROM gc0 p LEFT JOIN gu1 u USING (cid)),
-gcell AS (
-  SELECT vid, cid AS cell FROM (
-    SELECT co.vid, ce.cid, row_number() OVER (
-      PARTITION BY co.vid
-      ORDER BY list_inner_product(ce.c, ce.c) - 2 * list_inner_product(co.e, ce.c), ce.cid
-    ) AS rn
-    FROM corpus co CROSS JOIN gc1 ce
-  ) WHERE rn = 1
-)"""
+{_pq_assign_sql("gcell", "corpus", "gc1", "cell")}"""
+
+
+def _ivf_pq_oracle() -> str:
+    """Coarse-quantizer Lloyd replay over FULL vectors (namespaced g*)
+    + the per-subspace PQ training CTEs from :func:`_pq_oracle`, then:
+    probe = each query's {_IVFPQ_PROBE} nearest cells, candidates =
+    probed cells' members, distance = the q111 (x−y)² fold."""
+    sd = _PQ_DIMS // _PQ_M
+    train = _pq_oracle()
+    pq_ctes = train.split("WITH ", 1)[1].rsplit("\nSELECT vid AS vec_id", 1)[0]
+
+    coarse = _coarse_blocks()
 
     nb_joins = "\n  ".join(
         f"JOIN code_{m} v{m} USING (vid) JOIN c{_PQ_ITER}_{m} b{m} ON b{m}.cid = v{m}.c{m}"
@@ -723,25 +713,6 @@ def q112_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries=_ADC_NQ,
         topk=_ADC_TOPK,
     )
-
-
-def _coarse_blocks() -> str:
-    """Coarse-quantizer Lloyd replay over FULL vectors (gc0..gc1) plus
-    the final cell assignment (gcell) — shared by the IVF-PQ oracles."""
-    return f"""gc0 AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, e AS c
-  FROM (SELECT vid, e FROM corpus ORDER BY vid LIMIT {_IVFPQ_CELLS})),
-{_pq_assign_sql("ga1", "corpus", "gc0", "cluster")},
-gu1 AS (
-  SELECT cluster AS cid, list(v ORDER BY pos) AS c FROM (
-    SELECT cluster, pos, floor(avg(val) * 1e{_PQ_DP} + 0.5) / 1e{_PQ_DP} AS v
-    FROM (
-      SELECT a.cluster, unnest(co.e) AS val, generate_subscripts(co.e, 1) AS pos
-      FROM ga1 a JOIN corpus co USING (vid)
-    ) GROUP BY cluster, pos
-  ) GROUP BY cluster
-),
-gc1 AS (SELECT p.cid, coalesce(u.c, p.c) AS c FROM gc0 p LEFT JOIN gu1 u USING (cid)),
-{_pq_assign_sql("gcell", "corpus", "gc1", "cell")}"""
 
 
 def _ivf_pq_residual_oracle() -> str:
@@ -1054,24 +1025,85 @@ def q115_sq8_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- LSH dedup recall/precision evaluation -----------------------------------
 
 _LSH_EVAL_T = 0.5  # true-pair Jaccard threshold
+# The exact ground-truth side is pair-quadratic per shared shingle, so
+# the registered query BOUNDS it (VERDICT r4 Next #2): evaluate inside a
+# deterministic hash-sample of documents, and drop shingles whose
+# document frequency exceeds a cap before the self-join — the standard
+# df-cap: boilerplate shingles contribute df² pair blowup but almost no
+# Jaccard signal. Candidates are restricted to the same sampled universe
+# so recall/precision stay well-defined.
+_LSH_EVAL_KEEP_BP = 8000  # keep 80% of docs (basis points of 10000)
+_LSH_EVAL_DF_CAP = 64  # max document frequency of a ground-truth shingle
+
+_LSH_SAMPLE_SEED = "q116sample"
 
 
-@register(
-    "q116_lsh_recall",
-    oracle=None,  # set below — needs the q35 CTE chain
+def _lsh_recall_oracle() -> str:
+    from openstack_billing_from_db_spark.functions.hashing import (
+        seeded_hash64_sql,
+    )
+    from openstack_billing_from_db_spark.plans.pipeline_queries import (
+        _MINHASH_JACCARD_CTES,
+    )
+
+    t = _LSH_EVAL_T
+    gate = seeded_hash64_sql("CAST(doc_id AS VARCHAR)", _LSH_SAMPLE_SEED)
+    return f"""
+WITH {_MINHASH_JACCARD_CTES},
+de AS (SELECT doc_id FROM documents WHERE {gate} % 10000 < {_LSH_EVAL_KEEP_BP}),
+pse AS (SELECT ps.* FROM ps JOIN de USING (doc_id)),
+dfok AS (SELECT shingle FROM pse GROUP BY shingle HAVING count(*) <= {_LSH_EVAL_DF_CAP}),
+psc AS (SELECT pse.* FROM pse JOIN dfok USING (shingle)),
+sze AS (SELECT doc_id, count(*) AS n FROM psc GROUP BY doc_id),
+tp AS (
+  SELECT pa.doc_id AS doc_a, pb.doc_id AS doc_b, count(*) AS i
+  FROM psc pa JOIN psc pb ON pb.shingle = pa.shingle AND pa.doc_id < pb.doc_id
+  GROUP BY pa.doc_id, pb.doc_id
+),
+tr AS (
+  SELECT t.doc_a, t.doc_b
+  FROM tp t JOIN sze sa ON sa.doc_id = t.doc_a JOIN sze sb ON sb.doc_id = t.doc_b
+  WHERE CAST(t.i AS DOUBLE) / (sa.n + sb.n - t.i) >= {t}
+),
+ce AS (
+  SELECT jc.* FROM jc
+  JOIN de da ON da.doc_id = jc.doc_a
+  JOIN de db ON db.doc_id = jc.doc_b
+),
+m AS (
+  SELECT
+    (SELECT count(*) FROM tr) AS n_true,
+    (SELECT count(*) FROM ce) AS n_cand,
+    (SELECT count(*) FROM tr JOIN ce c ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b) AS n_caught,
+    (SELECT count(*) FROM ce WHERE jaccard >= {t}) AS n_cand_true
 )
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_caught AS BIGINT) AS n_caught,
+       CAST(CASE WHEN n_true = 0 THEN 10000
+            ELSE n_caught * 10000 // n_true END AS BIGINT) AS recall_bp,
+       CAST(CASE WHEN n_cand = 0 THEN 10000
+            ELSE n_cand_true * 10000 // n_cand END AS BIGINT) AS candidate_precision_bp
+FROM m
+"""
+
+
+@register("q116_lsh_recall", oracle=_lsh_recall_oracle())
 def q116_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall/precision of the MinHash-LSH candidate stage against
-    EXACT Jaccard ≥ {_LSH_EVAL_T} ground truth — the q114-style
+    EXACT Jaccard >= _LSH_EVAL_T ground truth — the q114-style
     evaluation loop for the dedup family: recall tells you whether the
     banding (sized by operators/dedup.tune_banding) catches the true
     near-dups, precision tells you how much exact-verify work the
-    candidates cost. Ground truth is the inverted-index all-pairs
-    Jaccard (any pair with J > 0 shares a shingle, so the shingle join
-    enumerates every qualifying pair without a doc×doc product) — the
-    verification luxury computed at eval scale only.
+    candidates cost. The ground-truth side is BOUNDED by design: a
+    deterministic _LSH_EVAL_KEEP_BP/10000 hash-sample of documents and
+    a shingle document-frequency cap (_LSH_EVAL_DF_CAP) before the
+    pair-quadratic shingle self-join; Jaccard is computed over the
+    capped shingle sets, and candidates are restricted to the sampled
+    universe, so both metrics stay well-defined at any corpus size.
     Output: one row (n_true, n_cand, n_caught, recall_bp,
     candidate_precision_bp)."""
+    from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
     from openstack_billing_from_db_spark.operators import dedup, text
     from openstack_billing_from_db_spark.operators.caching import tracked_persist
     from openstack_billing_from_db_spark.plans.pipeline_queries import (
@@ -1080,6 +1112,11 @@ def q116_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SHINGLE_N,
     )
 
+    def _kept(col):
+        return seeded_hash64(col.cast("string"), _LSH_SAMPLE_SEED) % 10000 < (
+            _LSH_EVAL_KEEP_BP
+        )
+
     docs = load_table(spark, sf_dir, "documents")
     cand = tracked_persist(
         dedup.minhash_near_duplicates(
@@ -1087,10 +1124,14 @@ def q116_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_hashes=_NUM_HASHES,
             rows_per_band=_ROWS_PER_BAND,
             shingle_n=_SHINGLE_N,
-        ).select("doc_a", "doc_b", "jaccard")
+        )
+        .select("doc_a", "doc_b", "jaccard")
+        .filter(_kept(F.col("doc_a")) & _kept(F.col("doc_b")))
     )
     ps = tracked_persist(
-        ensure_map_parallelism(docs.select("doc_id", "text"))
+        ensure_map_parallelism(
+            docs.filter(_kept(F.col("doc_id"))).select("doc_id", "text")
+        )
         .select(
             "doc_id",
             F.explode(
@@ -1099,11 +1140,20 @@ def q116_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sz = ps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # df-cap: a shingle shared by > cap docs contributes up to df² pairs
+    # to the self-join below; drop it from the ground-truth sets
+    df_ok = (
+        ps.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _LSH_EVAL_DF_CAP)
+        .select("shingle")
+    )
+    psc = tracked_persist(ps.join(df_ok, "shingle", "left_semi"))
+    sz = psc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        ps.alias("a")
+        psc.alias("a")
         .join(
-            ps.alias("b"),
+            psc.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -1145,44 +1195,3 @@ def q116_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-
-
-def _lsh_recall_oracle() -> str:
-    from openstack_billing_from_db_spark.plans.pipeline_queries import (
-        _MINHASH_JACCARD_CTES,
-    )
-
-    t = _LSH_EVAL_T
-    return f"""
-WITH {_MINHASH_JACCARD_CTES},
-tp AS (
-  SELECT pa.doc_id AS doc_a, pb.doc_id AS doc_b, count(*) AS i
-  FROM ps pa JOIN ps pb ON pb.shingle = pa.shingle AND pa.doc_id < pb.doc_id
-  GROUP BY pa.doc_id, pb.doc_id
-),
-tr AS (
-  SELECT t.doc_a, t.doc_b
-  FROM tp t JOIN sz sa ON sa.doc_id = t.doc_a JOIN sz sb ON sb.doc_id = t.doc_b
-  WHERE CAST(t.i AS DOUBLE) / (sa.n + sb.n - t.i) >= {t}
-),
-m AS (
-  SELECT
-    (SELECT count(*) FROM tr) AS n_true,
-    (SELECT count(*) FROM jc) AS n_cand,
-    (SELECT count(*) FROM tr JOIN cand c ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b) AS n_caught,
-    (SELECT count(*) FROM jc WHERE jaccard >= {t}) AS n_cand_true
-)
-SELECT CAST(n_true AS BIGINT) AS n_true,
-       CAST(n_cand AS BIGINT) AS n_cand,
-       CAST(n_caught AS BIGINT) AS n_caught,
-       CAST(CASE WHEN n_true = 0 THEN 10000
-            ELSE n_caught * 10000 // n_true END AS BIGINT) AS recall_bp,
-       CAST(CASE WHEN n_cand = 0 THEN 10000
-            ELSE n_cand_true * 10000 // n_cand END AS BIGINT) AS candidate_precision_bp
-FROM m
-"""
-
-
-from openstack_billing_from_db_spark.registry import ORACLE as _ORACLE
-
-_ORACLE["q116_lsh_recall"] = _lsh_recall_oracle()

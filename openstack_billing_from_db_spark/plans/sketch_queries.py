@@ -20,6 +20,8 @@ from openstack_billing_from_db_spark.operators.parallelism import (
     ensure_map_parallelism,
 )
 from openstack_billing_from_db_spark.operators.sketch import (
+    hll_distinct,
+    hll_distinct_sql,
     kmv_distinct,
     kmv_distinct_sql,
 )
@@ -304,4 +306,111 @@ def q100_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bpe_encode(
         load_table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+    )
+
+
+# --- HyperLogLog distinct-count sketch ----------------------------------------
+
+
+@register(
+    "q117_hll_distinct",
+    oracle=f"""
+WITH wrd AS (SELECT source, {_W} AS w FROM documents),
+d AS (SELECT DISTINCT source, unnest(w) AS v FROM wrd)
+{hll_distinct_sql(from_distinct_cte="d", group_col="source")}
+""",
+)
+def q117_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-term cardinality via HyperLogLog
+    (operators/sketch.py, m=64 registers) over the SAME distinct
+    (source, term) stream as the in-gate q98 KMV sketch — the two
+    mergeable-cardinality designs side by side. HLL's state is CONSTANT
+    (m registers per group, merged by per-register max) where KMV's is
+    k values merged by re-truncation: at 100 TB the HLL exchange is
+    <= m rows per group whatever the vocabulary, and daily states
+    compose by groupBy-max. The estimate arithmetic is engine-exact
+    (see the sketch.py HLL header); only the small-range
+    linear-counting branch rounds an ln() to milli-units."""
+    from openstack_billing_from_db_spark.operators import text
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", F.explode(text.words(F.col("text"))).alias("v"))
+    return hll_distinct(toks, group_col="source", value_col="v")
+
+
+# --- per-source distribution divergence ---------------------------------------
+
+
+@register(
+    "q118_source_kl",
+    oracle=f"""
+WITH wrd AS (SELECT source, {_W} AS w FROM documents),
+t AS (SELECT source AS g, unnest(w) AS wd FROM wrd),
+csw AS (SELECT g, wd, count(*) AS c_gw FROM t GROUP BY g, wd),
+ng AS (SELECT g, CAST(sum(c_gw) AS BIGINT) AS n_g,
+              CAST(count(*) AS BIGINT) AS n_terms FROM csw GROUP BY g),
+cw AS (SELECT wd, CAST(sum(c_gw) AS BIGINT) AS c_w FROM csw GROUP BY wd),
+nt AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_all FROM cw),
+con AS (
+  SELECT c.g, ng.n_g, ng.n_terms,
+         CAST(c.c_gw * ln((CAST(c.c_gw AS DOUBLE) * nt.n_all)
+              / (CAST(ng.n_g AS DOUBLE) * cw.c_w)) AS DECIMAL(38,12)) AS kd
+  FROM csw c JOIN cw USING (wd) JOIN ng USING (g) CROSS JOIN nt
+)
+SELECT g AS source, n_g AS n_tokens, n_terms,
+       CAST(floor(CAST(sum(kd) AS DOUBLE) / n_g * 1e6 + 0.5) AS BIGINT) AS kl_micro
+FROM con GROUP BY g, n_g, n_terms
+""",
+)
+def q118_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus blend
+    (operators/text.unigram_kl_divergence) — the domain-shift metric a
+    pretraining mixture monitors per slice/day: a source drifting away
+    from the blend shows up as rising KL before it shows up in
+    downstream evals. Contributions are decimal-cast pre-sum so the
+    per-group total is order-independent and engine-exact; the token
+    stream is read once (corpus counts derive from the per-source
+    counts)."""
+    from openstack_billing_from_db_spark.operators import text
+
+    return text.unigram_kl_divergence(
+        _docs(spark, sf_dir), group_col="source", text_col="text"
+    )
+
+
+# --- per-document token entropy ----------------------------------------------
+
+
+@register(
+    "q119_token_entropy",
+    oracle=f"""
+WITH wrd AS (SELECT doc_id, {_W} AS w FROM documents),
+t AS (SELECT doc_id, unnest(w) AS wd FROM wrd),
+c AS (SELECT doc_id, wd, count(*) AS c FROM t GROUP BY doc_id, wd),
+p AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         sum(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,12))) AS clnc
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_terms, 0) AS BIGINT) AS n_terms,
+       CAST(coalesce(
+         CAST(floor((ln(CAST(p.n_tokens AS DOUBLE))
+              - CAST(p.clnc AS DOUBLE) / p.n_tokens) * 1e6 + 0.5) AS BIGINT),
+         0) AS BIGINT) AS entropy_micro
+FROM documents d LEFT JOIN p USING (doc_id)
+""",
+)
+def q119_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy
+    (operators/text.token_entropy) — the gibberish/boilerplate quality
+    signal orthogonal to the q76 LM score. Engine-exact: c·ln(c)
+    contributions decimal-cast pre-sum; micro-nat rounding."""
+    from openstack_billing_from_db_spark.operators import text
+
+    return text.token_entropy(
+        load_table(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
     )

@@ -144,6 +144,12 @@ DEFERRED: tuple[str, ...] = (
     "q111_pq_adc_topk",  # r4-new; ADC kernel in-gate via q112/q114
     "q113_ivf_pq_residual_topk",  # r4-new; IVF-PQ family in-gate via q112
     "q115_sq8_profile",  # r4-new; compression family in-gate via q110/q114
+    # Round-5 additions (rotate in round 6, within the 2-round ledger
+    # deadline enforced by tests/test_registry_gate.py):
+    "q117_hll_distinct",  # r5-new; cardinality-sketch family in-gate via q98 KMV
+    "q118_source_kl",  # r5-new; corpus-divergence family; term stream in-gate via q98
+    "q119_token_entropy",  # r5-new; quality family in-gate via q76/q81
+    "q120_edit_distance_dups",  # r5-new; dedup family in-gate via q34/q35/q37
 )
 
 

@@ -197,6 +197,14 @@ def run_stream_to_memory(
                         int(s.get("numRowsTotal", 0)) for s in state
                     ),
                     "state_commit_partitions": int(n_state_partitions),
+                    # total source rows ingested across ALL micro-batches
+                    # (recentProgress retains them all at our batch counts)
+                    # — lets bench derive a rows/s throughput that splits
+                    # fixed per-batch overhead from plan cost
+                    "input_rows_total": sum(
+                        int(p.get("numInputRows", 0))
+                        for p in (q.recentProgress or [])
+                    ),
                 }
             )
         finally:

@@ -256,3 +256,82 @@ def read_histogram_quantiles(
         bin_width=bin_width,
         p_micro=p_micro or DEFAULT_P_MICRO,
     )
+
+
+# --- HyperLogLog: streaming cardinality state --------------------------------
+#
+# HLL registers merge by per-register MAX, so the epoch pattern writes at
+# most m rows per (group, epoch) — a CONSTANT-size cardinality state per
+# micro-batch (vs KMV's k values): the natural choice when groups are
+# many and the union law must stay cheap. The live estimate is one
+# groupBy-max over all epochs, then the closed-form finalize.
+
+
+def update_batch_hll(
+    batch_df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One micro-batch → its per-(group, register) max-rank rows
+    (≤ HLL_M per group)."""
+    from openstack_billing_from_db_spark.operators.sketch import hll_registers
+
+    return hll_registers(batch_df, group_col=group_col, value_col=value_col)
+
+
+def run_streaming_hll(
+    spark: SparkSession,
+    stream_dir: str,
+    schema: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    group_col: str,
+    value_col: str,
+) -> None:
+    """Stream files → per-epoch HLL register partitions
+    (processAllAvailable, then stop; the checkpoint resumes new files).
+    Idempotent per epoch (overwrite), mergeable forever (max)."""
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        regs = update_batch_hll(
+            batch_df, group_col=group_col, value_col=value_col
+        )
+        regs.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_hll_estimate(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    group_col: str,
+) -> DataFrame:
+    """The live estimate: per-register max over every epoch, finalized —
+    equals the batch estimate over the union of the streamed data
+    (register-max union law, pinned by test_kmv_stream).
+    Output: (group, n_registers_used, est_milli)."""
+    from openstack_billing_from_db_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+    )
+
+    state = spark.read.parquet(state_dir).select(group_col, "reg", "rho")
+    return hll_estimate(
+        hll_merge(state, group_col=group_col), group_col=group_col
+    )

@@ -241,3 +241,54 @@ def test_streaming_histogram_equals_batch(spark, tmp_path):
     cells = spark.read.parquet(state_dir)
     per_epoch = cells.groupBy("epoch", "event_type").count().collect()
     assert all(r["count"] <= 11 for r in per_epoch)
+
+
+def test_streaming_hll_equals_batch_over_all_files(spark, tmp_path):
+    from openstack_billing_from_db_spark.operators.sketch import (
+        HLL_M,
+        hll_distinct,
+    )
+    from openstack_billing_from_db_spark.streaming.sketch_stream import (
+        read_hll_estimate,
+        run_streaming_hll,
+    )
+
+    stream_dir = str(tmp_path / "events_stream")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [("click", i) for i in range(120)] + [("view", 1), ("view", 2)]
+    b2 = [("click", i) for i in range(60, 200)] + [("view", 2), ("view", 3)]
+    _write_events(f"{stream_dir}/b1.parquet", b1)
+    _write_events(f"{stream_dir}/b2.parquet", b2)
+
+    run_streaming_hll(
+        spark,
+        stream_dir,
+        "event_type string, user_id long",
+        state_dir,
+        ckpt,
+        group_col="event_type",
+        value_col="user_id",
+    )
+    streamed = {
+        r.event_type: r
+        for r in read_hll_estimate(
+            spark, state_dir, group_col="event_type"
+        ).collect()
+    }
+    batch = {
+        r.event_type: r
+        for r in hll_distinct(
+            spark.createDataFrame(b1 + b2, "event_type string, user_id long"),
+            group_col="event_type",
+            value_col="user_id",
+        ).collect()
+    }
+    assert set(streamed) == set(batch) == {"click", "view"}
+    for g in batch:
+        assert streamed[g].n_registers_used == batch[g].n_registers_used
+        assert streamed[g].est_milli == batch[g].est_milli
+    # state is bounded: at most HLL_M rows per group per epoch
+    state = spark.read.parquet(state_dir)
+    per_epoch = state.groupBy("epoch", "event_type").count().collect()
+    assert all(r["count"] <= HLL_M for r in per_epoch)

@@ -172,3 +172,33 @@ def test_histogram_sketch_partial_aggregates(spark, sf_dir):
     the exchange carries cells, not rows."""
     plan = _plan(QUERIES["q103_histogram_quantiles"](spark, sf_dir))
     assert "partial_count" in plan, plan
+
+
+def test_contamination_join_follows_eval_size(spark, sf_dir):
+    """q109: the scoring join is deliberately UNHINTED — AQE picks the
+    strategy from the eval side's actual size. Tiny eval side (this sf)
+    must broadcast; an eval side too big to broadcast (simulated by
+    disabling the thresholds) must fall back to a shuffle join — a
+    forced broadcast hint would OOM on a corpus-scale eval slice."""
+    q = QUERIES["q109_contamination_fraction"]
+    df = q(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()  # finalize AQE
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    athr = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df2 = q(spark, sf_dir)
+        df2.write.mode("overwrite").format("noop").save()
+        plan2 = _plan(df2)
+        assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2, plan2
+        assert "BroadcastHashJoin" not in plan2, plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        if athr is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", athr)

@@ -55,6 +55,11 @@ REGISTRATION_ROUND = {
     "q111_pq_adc_topk": 4,
     "q113_ivf_pq_residual_topk": 4,
     "q115_sq8_profile": 4,
+    # round-5 additions
+    "q117_hll_distinct": 5,
+    "q118_source_kl": 5,
+    "q119_token_entropy": 5,
+    "q120_edit_distance_dups": 5,
 }
 
 

@@ -518,3 +518,40 @@ def test_pq_arrow_path_engages_at_k256(spark):
             cb = np.array(books[m])
             scores = (cb * cb).sum(axis=1) - 2.0 * (cb @ sub)
             assert got[vid][m] == int(np.argmin(scores)), (vid, m)
+
+
+# --- ADVICE r4 guards ---------------------------------------------------------
+
+
+def test_hq_negative_values_floor_consistent(spark):
+    """Binning is floor division on both engines: -1 with width 10 lands
+    in bin -1 (edge -1), not bin 0 — est >= exact still holds."""
+    r = _hq(spark, [-25, -1, 3, 14], bin_width=10, p=(500_000,))
+    # sorted: -25, -1, 3, 14; p50 rank = 2 -> exact -1; floor bin of -1
+    # is -1 -> edge (-1+1)*10-1 = -1
+    assert r["p50_exact"] == -1
+    assert r["p50_est"] == -1
+    assert r["p50_est"] >= r["p50_exact"]
+
+
+def test_hq_duplicate_labels_rejected(spark):
+    df = spark.createDataFrame([("g", 1)], "g string, n long")
+    with pytest.raises(ValueError, match="duplicate column labels"):
+        histogram_quantiles(
+            df, group_col="g", value_col="n", bin_width=10,
+            p_micro=(500_000, 500_050),
+        )
+
+
+def test_oriented_edges_packing_guard(spark):
+    """A vertex id outside [0, 2^40) must fail the job loudly, never
+    silently corrupt the packed total order."""
+    bad = spark.createDataFrame(
+        [(1 << 40, 2), (2, 3)], "src long, dst long"
+    )
+    with pytest.raises(Exception) as exc:
+        oriented_edges(bad).collect()
+    assert "packing bounds" in str(exc.value), exc.value
+    # well-bounded ids still orient fine
+    ok = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert len(oriented_edges(ok).collect()) == 2

@@ -232,3 +232,51 @@ def test_bpe_encode_applies_trained_merges(spark):
     assert rows[1].n_tokens_bpe == 4
     # doc2: 'ab'(1) 'yab'(2 tokens: y,ab) = 3
     assert rows[2].n_tokens_bpe == 3
+
+
+# --- HyperLogLog ---------------------------------------------------------------
+
+
+def test_hll_merge_law(spark):
+    """merge(registers(A), registers(B)) == registers(A ∪ B) — the
+    union law that lets daily HLL states compose by groupBy-max."""
+    from openstack_billing_from_db_spark.operators.sketch import (
+        hll_merge,
+        hll_registers,
+    )
+
+    a = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(40)], "g string, v string"
+    )
+    b = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(20, 70)], "g string, v string"
+    )
+    union = a.union(b)
+    merged = hll_merge(
+        hll_registers(a, group_col="g", value_col="v").union(
+            hll_registers(b, group_col="g", value_col="v")
+        ),
+        group_col="g",
+    )
+    direct = hll_registers(union, group_col="g", value_col="v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_hll_estimate_accuracy_and_exact_small_range(spark):
+    """Small groups take the linear-counting branch; estimates stay
+    within the ~1.04/sqrt(m) ≈ 13% relative-error regime at m=64
+    (loose 3-sigma bound ~40% asserted here to stay seed-stable)."""
+    from openstack_billing_from_db_spark.operators.sketch import hll_distinct
+
+    rows = [("big", f"x{i}") for i in range(2000)] + [
+        ("small", f"y{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r.g: r for r in hll_distinct(df, group_col="g", value_col="v").collect()}
+    assert out["big"].n_distinct_exact == 2000
+    est_big = out["big"].est_milli / 1000.0
+    assert 0.6 * 2000 <= est_big <= 1.4 * 2000, est_big
+    est_small = out["small"].est_milli / 1000.0
+    assert 0.5 * 10 <= est_small <= 2.0 * 10, est_small
