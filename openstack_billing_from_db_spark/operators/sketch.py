@@ -444,18 +444,51 @@ def hll_distinct(
 ) -> DataFrame:
     """Per-group HLL distinct-count estimate with the exact count
     alongside: (group, n_distinct_exact, n_registers_used, est_milli).
-    Same reduced-distinct-stream plan shape as :func:`kmv_distinct`;
-    the state exchange is ≤ m rows per group regardless of volume."""
-    distinct = df.select(group_col, value_col).distinct()
-    exact = distinct.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_distinct_exact")
+
+    ONE pass over the reduced distinct stream: the (group, register)
+    aggregation carries a row count per register, and summing those
+    counts IS the exact distinct count (the stream is distinct by
+    construction) — so exact and estimate come out of the same two
+    cascaded aggregations with no join and no second scan. The final
+    exchange is ≤ m rows per group regardless of volume."""
+    m = HLL_M
+    hashed = (
+        df.select(group_col, value_col)
+        .distinct()
+        .select(
+            group_col,
+            kmv_hash(F.col(value_col).cast("string")).alias("h"),
+        )
     )
-    est = hll_estimate(
-        hll_registers(distinct, group_col=group_col, value_col=value_col),
-        group_col=group_col,
+    regs = (
+        hashed.select(
+            group_col,
+            F.expr(f"h % {m}").alias("reg"),
+            F.expr(
+                f"{HLL_REM_BITS + 1} - CASE WHEN h div {m} = 0 THEN 0 "
+                f"ELSE length(bin(h div {m})) END"
+            ).alias("rho"),
+        )
+        .groupBy(group_col, "reg")
+        .agg(F.max("rho").alias("rho"), F.count(F.lit(1)).alias("nv"))
     )
-    return exact.join(est, group_col).select(
-        group_col, "n_distinct_exact", "n_registers_used", "est_milli"
+    agg = regs.groupBy(group_col).agg(
+        F.sum("nv").cast("long").alias("n_distinct_exact"),
+        F.count(F.lit(1)).cast("long").alias("n_registers_used"),
+        F.sum(F.expr("1.0 / CAST(shiftleft(1L, rho) AS DOUBLE)")).alias("z_seen"),
+    )
+    return agg.select(
+        group_col,
+        "n_distinct_exact",
+        "n_registers_used",
+        F.expr(
+            f"CAST(floor(CASE WHEN "
+            f"({HLL_ALPHA} * {m} * {m}) / (({m} - n_registers_used) + z_seen)"
+            f"   <= 2.5 * {m} AND n_registers_used < {m} "
+            f"THEN {m} * ln(CAST({m} AS DOUBLE) / ({m} - n_registers_used)) "
+            f"ELSE ({HLL_ALPHA} * {m} * {m}) / (({m} - n_registers_used) + z_seen) "
+            f"END * 1000 + 0.5) AS BIGINT)"
+        ).alias("est_milli"),
     )
 
 

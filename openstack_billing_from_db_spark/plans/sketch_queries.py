@@ -414,3 +414,222 @@ def q119_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_entropy(
         load_table(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
     )
+
+
+# --- pairwise source Jensen-Shannon divergence -------------------------------
+
+
+@register(
+    "q121_js_divergence",
+    oracle=f"""
+WITH wrd AS (SELECT source AS g, {_W} AS w FROM documents),
+t AS (SELECT g, unnest(w) AS wd FROM wrd),
+csw AS (SELECT g, wd, count(*) AS c FROM t GROUP BY g, wd),
+ng AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+         sum(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,12))) AS clnc
+  FROM csw GROUP BY g
+),
+hg AS (
+  SELECT g, n, ln(CAST(n AS DOUBLE)) - CAST(clnc AS DOUBLE) / n AS h FROM ng
+),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb FROM (SELECT g FROM ng) a
+  JOIN (SELECT g FROM ng) b ON a.g < b.g
+),
+cswn AS (
+  SELECT c.g, c.wd, CAST(c.c AS DOUBLE) / (2 * n.n) AS p_half
+  FROM csw c JOIN ng n USING (g)
+),
+half AS (
+  SELECT p.ga, p.gb, s.wd, s.p_half FROM cswn s JOIN pairs p ON s.g = p.ga
+  UNION ALL
+  SELECT p.ga, p.gb, s.wd, s.p_half FROM cswn s JOIN pairs p ON s.g = p.gb
+),
+mix AS (
+  SELECT ga, gb, wd, sum(p_half) AS mw FROM half GROUP BY ga, gb, wd
+),
+hm AS (
+  SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_terms_union,
+         sum(CAST(-(mw * ln(mw)) AS DECIMAL(38,12))) AS hm_dec
+  FROM mix GROUP BY ga, gb
+)
+SELECT hm.ga AS source_a, hm.gb AS source_b, hm.n_terms_union,
+       CAST(floor((CAST(hm.hm_dec AS DOUBLE) - (ha.h + hb.h) / 2) * 1e6 + 0.5)
+            AS BIGINT) AS jsd_micro
+FROM hm JOIN hg ha ON ha.g = hm.ga JOIN hg hb ON hb.g = hm.gb
+""",
+)
+def q121_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    unigram distributions — the symmetric, bounded ([0, ln 2]) mixture
+    distance a pretraining pipeline tracks between slices (q118's KL is
+    the per-source-vs-blend view; this is the source×source matrix).
+
+    Computed via the mixture-entropy identity
+    JSD(P,Q) = H((P+Q)/2) − (H(P)+H(Q))/2, which needs NO outer join:
+    the mixture distribution is one groupBy-sum over the two half-
+    weighted count streams, and the per-source entropies reuse the q119
+    algebra. Engine-exact: the only non-integer sums are decimal-cast
+    pre-sum; the half-weights are single deterministic divisions.
+
+    Scale shape: everything after the (source, word) count reduce is
+    vocabulary-sized × a bounded source-pair dimension; the pair
+    explosion multiplies the VOCAB stream, never the corpus."""
+    from openstack_billing_from_db_spark.operators import text
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.col("source").alias("g"),
+        F.explode(text.words(F.col("text"))).alias("wd"),
+    )
+    csw = toks.groupBy("g", "wd").agg(F.count(F.lit(1)).alias("c"))
+    ng = csw.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.expr("CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,12))")).alias(
+            "clnc"
+        ),
+    )
+    hg = ng.select(
+        "g",
+        "n",
+        F.expr("ln(CAST(n AS DOUBLE)) - CAST(clnc AS DOUBLE) / n").alias("h"),
+    )
+    pairs = (
+        ng.select(F.col("g").alias("ga"))
+        .crossJoin(ng.select(F.col("g").alias("gb")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    cswn = csw.join(ng.select("g", "n"), "g").select(
+        "g", "wd", F.expr("CAST(c AS DOUBLE) / (2 * n)").alias("p_half")
+    )
+    half = (
+        cswn.join(F.broadcast(pairs), cswn.g == pairs.ga)
+        .select("ga", "gb", "wd", "p_half")
+        .unionByName(
+            cswn.join(F.broadcast(pairs), cswn.g == pairs.gb).select(
+                "ga", "gb", "wd", "p_half"
+            )
+        )
+    )
+    mix = half.groupBy("ga", "gb", "wd").agg(F.sum("p_half").alias("mw"))
+    hm = mix.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_union"),
+        F.sum(F.expr("CAST(-(mw * ln(mw)) AS DECIMAL(38,12))")).alias("hm_dec"),
+    )
+    ha = hg.select(F.col("g").alias("ga"), F.col("h").alias("h_a"))
+    hb = hg.select(F.col("g").alias("gb"), F.col("h").alias("h_b"))
+    return (
+        hm.join(F.broadcast(ha), "ga")
+        .join(F.broadcast(hb), "gb")
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            "n_terms_union",
+            F.expr(
+                "CAST(floor((CAST(hm_dec AS DOUBLE) - (h_a + h_b) / 2) * 1e6"
+                " + 0.5) AS BIGINT)"
+            ).alias("jsd_micro"),
+        )
+    )
+
+
+# --- count-min sketch error evaluation ---------------------------------------
+
+
+# deliberately UNDERSIZED sketch (d=2, w=16 vs the production 4x256):
+# the synthetic corpus has a ~31-term vocabulary, so the default sketch
+# never collides and the error profile would be trivially zero — the
+# eval needs a load factor > 1 to measure anything, exactly like
+# sizing width for a real vocabulary.
+_CME_DEPTH = 2
+_CME_WIDTH = 16
+
+
+def _countmin_error_oracle() -> str:
+    from openstack_billing_from_db_spark.operators.sketch import (
+        countmin_cell_sql,
+    )
+
+    build_rows = "\n    UNION ALL ".join(
+        f"SELECT {i} AS cm_row, {countmin_cell_sql('term', i, width=_CME_WIDTH)}"
+        f" AS cm_bucket FROM tok"
+        for i in range(_CME_DEPTH)
+    )
+    probe_rows = "\n    UNION ALL ".join(
+        f"SELECT term, exact_count, {i} AS cm_row,"
+        f" {countmin_cell_sql('term', i, width=_CME_WIDTH)} AS cm_bucket FROM exact"
+        for i in range(_CME_DEPTH)
+    )
+    return f"""
+WITH wrd AS (SELECT {_W} AS w FROM documents),
+tok AS (SELECT unnest(w) AS term FROM wrd),
+exact AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_count FROM tok GROUP BY term),
+cells AS (
+  SELECT cm_row, cm_bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+    {build_rows}
+  ) GROUP BY cm_row, cm_bucket
+),
+pb AS (
+    {probe_rows}
+),
+est AS (
+  SELECT term, exact_count, min(cnt) AS est_count
+  FROM pb JOIN cells USING (cm_row, cm_bucket)
+  GROUP BY term, exact_count
+)
+SELECT CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(exact_count) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN est_count > exact_count THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overestimated,
+       CAST(sum(est_count - exact_count) AS BIGINT) AS total_overestimate,
+       CAST(max(est_count - exact_count) AS BIGINT) AS max_overestimate
+FROM est
+"""
+
+
+@register("q122_countmin_error", oracle=_countmin_error_oracle())
+def q122_countmin_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch error profile over the WHOLE vocabulary — the
+    q114/q116-style evaluation loop for the frequency-sketch family:
+    probe every distinct term against a deliberately UNDERSIZED d×w
+    sketch (load factor ~2 on this corpus's vocabulary) and aggregate
+    how often and how badly the estimate overshoots (it can never
+    undershoot — collisions only add; the oracle pins the same
+    invariant). These are the numbers that size width/depth for a
+    target error at a given vocabulary — measured, not guessed.
+    Scale shape: the probe side is the vocabulary-sized exact-count
+    table joining the broadcast d·w sketch; one final 1-row aggregate.
+    Output: (n_values, n_tokens, n_overestimated, total_overestimate,
+    max_overestimate)."""
+    from openstack_billing_from_db_spark.operators import text
+    from openstack_billing_from_db_spark.operators.sketch import (
+        countmin_build,
+        countmin_probe,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(text.words(F.col("text"))).alias("term")
+    )
+    sketch = countmin_build(
+        toks, value_col="term", depth=_CME_DEPTH, width=_CME_WIDTH
+    )
+    exact = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    probed = countmin_probe(
+        sketch, exact, value_col="term", depth=_CME_DEPTH, width=_CME_WIDTH
+    )
+    return probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("exact_count").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("est_count") > F.col("exact_count"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_overestimated"),
+        F.sum(F.col("est_count") - F.col("exact_count"))
+        .cast("long")
+        .alias("total_overestimate"),
+        F.max(F.col("est_count") - F.col("exact_count"))
+        .cast("long")
+        .alias("max_overestimate"),
+    )

@@ -150,6 +150,8 @@ DEFERRED: tuple[str, ...] = (
     "q118_source_kl",  # r5-new; corpus-divergence family; term stream in-gate via q98
     "q119_token_entropy",  # r5-new; quality family in-gate via q76/q81
     "q120_edit_distance_dups",  # r5-new; dedup family in-gate via q34/q35/q37
+    "q121_js_divergence",  # r5-new; divergence family, same CTE base as q118
+    "q122_countmin_error",  # r5-new; sketch-eval family in-gate via q101/q114/q116
 )
 
 

@@ -202,3 +202,22 @@ def test_contamination_join_follows_eval_size(spark, sf_dir):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", athr)
+
+
+def test_hll_single_pass_no_join(spark, sf_dir):
+    """q117: exact count and estimate come out of one cascaded
+    aggregation over one scan — no join, no second Exchange on the raw
+    token stream (the state exchange is register-sized)."""
+    plan = _plan(QUERIES["q117_hll_distinct"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_edit_distance_blocked_join(spark, sf_dir):
+    """q120: the Levenshtein predicate rides the block-keyed join
+    condition (pairs outside the distance bound never materialize), and
+    the whole-block cap aggregation is present."""
+    plan = _plan(QUERIES["q120_edit_distance_dups"](spark, sf_dir))
+    joins = [l for l in plan.splitlines() if "Join" in l and "levenshtein" in l]
+    assert joins, plan
+    assert "partial_count" in plan, plan  # block-size cap aggregation

@@ -60,6 +60,8 @@ REGISTRATION_ROUND = {
     "q118_source_kl": 5,
     "q119_token_entropy": 5,
     "q120_edit_distance_dups": 5,
+    "q121_js_divergence": 5,
+    "q122_countmin_error": 5,
 }
 
 
