@@ -1,5 +1,7 @@
-"""Round-4 sketch/sampling/tokenizer registry entries: KMV distinct-count
-sketching, weighted priority sampling, and corpus BPE encoding.
+"""Sketch/sampling/tokenizer/divergence registry entries: KMV and
+HyperLogLog distinct-count sketching, weighted priority sampling, corpus
+BPE encoding, per-source KL / pairwise Jensen-Shannon divergence, token
+entropy, and the count-min error evaluation.
 
 Each is a (Spark plan, DuckDB oracle) pair with engine-exact integer
 arithmetic (registry.py header). The reference
