@@ -733,16 +733,22 @@ def edit_distance_near_duplicates(
     prefix misses pairs whose FIRST edit sits inside the prefix — the
     standard multi-pass mitigation (a second pass keyed on suffix)
     reuses this operator with a different key expression."""
+    from openstack_billing_from_db_spark.operators.caching import tracked_persist
     from openstack_billing_from_db_spark.operators.text import normalize
 
-    base = docs.select(
-        F.col(id_col).alias("did"),
-        normalize(F.col(text_col)).alias("norm"),
-    ).select(
-        "did",
-        F.substring("norm", 1, cap_chars).alias("capped"),
-        F.substring("norm", 1, prefix_len).alias("pfx"),
-        F.expr(f"length(norm) div {len_bucket}").alias("lenb"),
+    # persisted: the normalize regex chain feeds the block-count
+    # aggregation AND both sides of the self-join — without the persist
+    # the documents scan + normalization would run four times
+    base = tracked_persist(
+        docs.select(
+            F.col(id_col).alias("did"),
+            normalize(F.col(text_col)).alias("norm"),
+        ).select(
+            "did",
+            F.substring("norm", 1, cap_chars).alias("capped"),
+            F.substring("norm", 1, prefix_len).alias("pfx"),
+            F.expr(f"length(norm) div {len_bucket}").alias("lenb"),
+        )
     )
     small_blocks = (
         base.groupBy("pfx", "lenb")
@@ -750,7 +756,7 @@ def edit_distance_near_duplicates(
         .filter(F.col("bn") <= max_block)
         .select("pfx", "lenb")
     )
-    keyed = base.join(small_blocks, ["pfx", "lenb"], "left_semi")
+    keyed = tracked_persist(base.join(small_blocks, ["pfx", "lenb"], "left_semi"))
     pairs = (
         keyed.alias("a")
         .join(

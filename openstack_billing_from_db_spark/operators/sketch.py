@@ -376,6 +376,41 @@ HLL_REM_BITS = KMV_BITS - HLL_B  # 46 hash bits feed the register value
 HLL_ALPHA = 0.709  # the standard alpha_64 constant
 
 
+def _hll_reg_rho(df, *, group_col: str, value_col: str) -> DataFrame:
+    """(group, reg, rho) row per DISTINCT input value — the shared
+    register-construction stage under hll_registers and hll_distinct."""
+    hashed = (
+        df.select(group_col, value_col)
+        .distinct()
+        .select(
+            group_col,
+            kmv_hash(F.col(value_col).cast("string")).alias("h"),
+        )
+    )
+    return hashed.select(
+        group_col,
+        F.expr(f"h % {HLL_M}").alias("reg"),
+        F.expr(
+            f"{HLL_REM_BITS + 1} - CASE WHEN h div {HLL_M} = 0 THEN 0 "
+            f"ELSE length(bin(h div {HLL_M})) END"
+        ).alias("rho"),
+    )
+
+
+# the shared finalize expression over (n_registers_used, z_seen):
+# harmonic-mean raw estimate, or linear counting in the small range —
+# ONE definition so hll_estimate (streaming read) and hll_distinct
+# (batch) cannot drift apart
+_HLL_EST_MILLI_SQL = (
+    f"CAST(floor(CASE WHEN "
+    f"({HLL_ALPHA} * {HLL_M} * {HLL_M}) / (({HLL_M} - n_registers_used) + z_seen)"
+    f"   <= 2.5 * {HLL_M} AND n_registers_used < {HLL_M} "
+    f"THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - n_registers_used)) "
+    f"ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M}) / (({HLL_M} - n_registers_used) + z_seen) "
+    f"END * 1000 + 0.5) AS BIGINT)"
+)
+
+
 def hll_registers(
     df: DataFrame, *, group_col: str, value_col: str
 ) -> DataFrame:
@@ -385,23 +420,8 @@ def hll_registers(
     groupBy(group, reg).max(rho) — :func:`hll_merge`;
     :func:`hll_estimate` turns state into estimates.
     Output: (group, reg, rho)."""
-    hashed = (
-        df.select(group_col, value_col)
-        .distinct()
-        .select(
-            group_col,
-            kmv_hash(F.col(value_col).cast("string")).alias("h"),
-        )
-    )
     return (
-        hashed.select(
-            group_col,
-            F.expr(f"h % {HLL_M}").alias("reg"),
-            F.expr(
-                f"{HLL_REM_BITS + 1} - CASE WHEN h div {HLL_M} = 0 THEN 0 "
-                f"ELSE length(bin(h div {HLL_M})) END"
-            ).alias("rho"),
-        )
+        _hll_reg_rho(df, group_col=group_col, value_col=value_col)
         .groupBy(group_col, "reg")
         .agg(F.max("rho").alias("rho"))
     )
@@ -420,7 +440,6 @@ def hll_estimate(regs: DataFrame, *, group_col: str) -> DataFrame:
     2^0 = 1 to the harmonic sum, so they never materialize:
     Z = (m − seen) + Σ_seen 2^-rho. Small-range (raw ≤ 2.5m with empty
     registers) switches to linear counting m·ln(m/V)."""
-    m = HLL_M
     agg = regs.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_registers_used"),
         F.sum(F.expr("1.0 / CAST(shiftleft(1L, rho) AS DOUBLE)")).alias("z_seen"),
@@ -428,14 +447,7 @@ def hll_estimate(regs: DataFrame, *, group_col: str) -> DataFrame:
     return agg.select(
         group_col,
         "n_registers_used",
-        F.expr(
-            f"CAST(floor(CASE WHEN "
-            f"({HLL_ALPHA} * {m} * {m}) / (({m} - n_registers_used) + z_seen)"
-            f"   <= 2.5 * {m} AND n_registers_used < {m} "
-            f"THEN {m} * ln(CAST({m} AS DOUBLE) / ({m} - n_registers_used)) "
-            f"ELSE ({HLL_ALPHA} * {m} * {m}) / (({m} - n_registers_used) + z_seen) "
-            f"END * 1000 + 0.5) AS BIGINT)"
-        ).alias("est_milli"),
+        F.expr(_HLL_EST_MILLI_SQL).alias("est_milli"),
     )
 
 
@@ -451,24 +463,8 @@ def hll_distinct(
     construction) — so exact and estimate come out of the same two
     cascaded aggregations with no join and no second scan. The final
     exchange is ≤ m rows per group regardless of volume."""
-    m = HLL_M
-    hashed = (
-        df.select(group_col, value_col)
-        .distinct()
-        .select(
-            group_col,
-            kmv_hash(F.col(value_col).cast("string")).alias("h"),
-        )
-    )
     regs = (
-        hashed.select(
-            group_col,
-            F.expr(f"h % {m}").alias("reg"),
-            F.expr(
-                f"{HLL_REM_BITS + 1} - CASE WHEN h div {m} = 0 THEN 0 "
-                f"ELSE length(bin(h div {m})) END"
-            ).alias("rho"),
-        )
+        _hll_reg_rho(df, group_col=group_col, value_col=value_col)
         .groupBy(group_col, "reg")
         .agg(F.max("rho").alias("rho"), F.count(F.lit(1)).alias("nv"))
     )
@@ -481,14 +477,7 @@ def hll_distinct(
         group_col,
         "n_distinct_exact",
         "n_registers_used",
-        F.expr(
-            f"CAST(floor(CASE WHEN "
-            f"({HLL_ALPHA} * {m} * {m}) / (({m} - n_registers_used) + z_seen)"
-            f"   <= 2.5 * {m} AND n_registers_used < {m} "
-            f"THEN {m} * ln(CAST({m} AS DOUBLE) / ({m} - n_registers_used)) "
-            f"ELSE ({HLL_ALPHA} * {m} * {m}) / (({m} - n_registers_used) + z_seen) "
-            f"END * 1000 + 0.5) AS BIGINT)"
-        ).alias("est_milli"),
+        F.expr(_HLL_EST_MILLI_SQL).alias("est_milli"),
     )
 
 

@@ -1066,7 +1066,7 @@ tr AS (
   WHERE CAST(t.i AS DOUBLE) / (sa.n + sb.n - t.i) >= {t}
 ),
 ce AS (
-  SELECT jc.* FROM jc
+  SELECT jc.doc_a, jc.doc_b FROM jc
   JOIN de da ON da.doc_id = jc.doc_a
   JOIN de db ON db.doc_id = jc.doc_b
 ),
@@ -1074,8 +1074,7 @@ m AS (
   SELECT
     (SELECT count(*) FROM tr) AS n_true,
     (SELECT count(*) FROM ce) AS n_cand,
-    (SELECT count(*) FROM tr JOIN ce c ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b) AS n_caught,
-    (SELECT count(*) FROM ce WHERE jaccard >= {t}) AS n_cand_true
+    (SELECT count(*) FROM tr JOIN ce c ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b) AS n_caught
 )
 SELECT CAST(n_true AS BIGINT) AS n_true,
        CAST(n_cand AS BIGINT) AS n_cand,
@@ -1083,7 +1082,7 @@ SELECT CAST(n_true AS BIGINT) AS n_true,
        CAST(CASE WHEN n_true = 0 THEN 10000
             ELSE n_caught * 10000 // n_true END AS BIGINT) AS recall_bp,
        CAST(CASE WHEN n_cand = 0 THEN 10000
-            ELSE n_cand_true * 10000 // n_cand END AS BIGINT) AS candidate_precision_bp
+            ELSE n_caught * 10000 // n_cand END AS BIGINT) AS candidate_precision_bp
 FROM m
 """
 
@@ -1099,8 +1098,10 @@ def q116_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic _LSH_EVAL_KEEP_BP/10000 hash-sample of documents and
     a shingle document-frequency cap (_LSH_EVAL_DF_CAP) before the
     pair-quadratic shingle self-join; Jaccard is computed over the
-    capped shingle sets, and candidates are restricted to the sampled
-    universe, so both metrics stay well-defined at any corpus size.
+    capped shingle sets, candidates are restricted to the sampled
+    universe, and BOTH metrics read the same capped ground truth
+    (precision = caught/candidates), so the pair stays internally
+    consistent at any corpus size.
     Output: one row (n_true, n_cand, n_caught, recall_bp,
     candidate_precision_bp)."""
     from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
@@ -1176,11 +1177,8 @@ def q116_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_true = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
     n_caught = caught.agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
-    n_cand_true = cand.filter(F.col("jaccard") >= _LSH_EVAL_T).agg(
-        F.count(F.lit(1)).cast("long").alias("n_cand_true")
-    )
     return (
-        n_true.crossJoin(n_cand).crossJoin(n_caught).crossJoin(n_cand_true)
+        n_true.crossJoin(n_cand).crossJoin(n_caught)
         .select(
             "n_true",
             "n_cand",
@@ -1190,7 +1188,7 @@ def q116_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_bp"
             ),
             F.expr("CAST(CASE WHEN n_cand = 0 THEN 10000 "
-                   "ELSE n_cand_true * 10000 div n_cand END AS BIGINT)").alias(
+                   "ELSE n_caught * 10000 div n_cand END AS BIGINT)").alias(
                 "candidate_precision_bp"
             ),
         )

@@ -197,13 +197,21 @@ def run_stream_to_memory(
                         int(s.get("numRowsTotal", 0)) for s in state
                     ),
                     "state_commit_partitions": int(n_state_partitions),
-                    # total source rows ingested across ALL micro-batches
-                    # (recentProgress retains them all at our batch counts)
-                    # — lets bench derive a rows/s throughput that splits
-                    # fixed per-batch overhead from plan cost
-                    "input_rows_total": sum(
-                        int(p.get("numInputRows", 0))
-                        for p in (q.recentProgress or [])
+                    # total source rows ingested across ALL micro-batches —
+                    # lets bench derive a rows/s throughput that splits
+                    # fixed per-batch overhead from plan cost. recentProgress
+                    # is a RING BUFFER (spark.sql.streaming.
+                    # numRecentProgressUpdates, default 100): if the run had
+                    # more micro-batches than retained entries the sum would
+                    # silently undercount, so it is omitted (0) instead.
+                    "input_rows_total": (
+                        sum(
+                            int(p.get("numInputRows", 0))
+                            for p in (q.recentProgress or [])
+                        )
+                        if int(last.get("batchId", -1)) + 1
+                        <= len(q.recentProgress or [])
+                        else 0
                     ),
                 }
             )
