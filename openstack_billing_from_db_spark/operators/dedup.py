@@ -776,3 +776,185 @@ def edit_distance_near_duplicates(
     return pairs.filter(F.col("edit_distance") <= max_distance).select(
         "doc_a", "doc_b", F.col("edit_distance").cast("long").alias("edit_distance")
     )
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_bp: int = 6000,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo et al. WWW'07, Xiao et al. WWW'08),
+    the scale path when the pipeline needs *guaranteed* exact near-dup
+    pairs rather than MinHash-LSH's probabilistic candidates (q35).
+
+    Pruning is lossless for Jaccard ≥ t = threshold_bp/10000:
+
+    - order each document's distinct shingle set by ascending document
+      frequency (rarest first) under one global total order (df, shingle);
+    - its *prefix* is the first ``n − ceil(t·n) + 1`` tokens. J(a,b) ≥ t
+      implies ``|a∩b| ≥ t·max(na,nb)`` (since nb ≥ |a∩b|), so the
+      globally-smallest common token cannot sit past either prefix — any
+      qualifying pair shares a token in BOTH prefixes;
+    - pairs must also pass the length filter ``t ≤ na/nb ≤ 1/t``
+      (implied by J ≥ t), applied as integer arithmetic in the join.
+
+    Scale shape (100 TB): prefix tokens are by construction the RAREST
+    tokens of each document, so the candidate join's buckets are the
+    small tail of the df distribution — the skew that kills a naive
+    token self-join (df² pairs on boilerplate) is exactly what the
+    prefix excludes whenever a document has ≥ ceil(t·n) rarer tokens.
+    Verification reuses the narrow exploded (pair, shingle) intersection
+    join — no shingle array crosses a shuffle. The threshold compare is
+    pure-integer (``i·10000 ≥ tb·(na+nb−i)``) so both engines pick
+    identical rows; only the reported jaccard is a final double divide.
+
+    Documents with IDENTICAL shingle sets are collapsed to one
+    representative before the join (map-side md5 set signature) and
+    member pairs are expanded afterwards — semantics-preserving, and on
+    a corpus with duplication factor d it cuts candidate/verify work by
+    d². The output itself is Θ(true pairs) for ANY exact algorithm:
+    on a d-times near-duplicated corpus wall is output-bound by design
+    (the pipeline answer to that corpus is to exact-dedup first — q34 —
+    or to accept q35's probabilistic candidates).
+
+    Output: (doc_a, doc_b, jaccard) for all pairs with exact Jaccard of
+    distinct word-``shingle_n``-shingle sets ≥ t.
+
+    Beyond-reference (reference has no similarity operators); part of
+    the dedup family alongside exact/MinHash/SimHash/embedding/edit.
+    """
+    tb = int(threshold_bp)
+    if not 0 < tb <= 10000:
+        raise ValueError(f"threshold_bp must be in (0, 10000]; got {tb}")
+
+    # EXACT-SET COLLAPSE (semantics-preserving): documents with identical
+    # shingle sets are interchangeable for Jaccard, so the join runs on
+    # one representative per distinct set and member pairs are expanded
+    # afterwards. On a corpus with duplication factor d this cuts the
+    # quadratic candidate/verify work by d² while the output (which is
+    # Θ(true pairs) for ANY exact algorithm) is produced by a plain
+    # linear expansion join. sig is a map-side md5 of the sorted set.
+    base = tracked_persist(
+        ensure_map_parallelism(docs)
+        .select(
+            F.col(id_col).alias("did"),
+            F.array_distinct(word_shingles(words(F.col(text_col)), shingle_n)).alias(
+                "shset"
+            ),
+        )
+        .filter(F.size("shset") > 0)
+        .select(
+            "did",
+            "shset",
+            F.md5(F.concat_ws("\x01", F.sort_array("shset"))).alias("sig"),
+        )
+    )
+    groups = tracked_persist(
+        base.groupBy("sig").agg(
+            F.min("did").alias("rep"), F.count(F.lit(1)).alias("cnt")
+        )
+    )
+    # membership (rep, did) for the final expansion
+    mem = base.select("sig", "did").join(groups, "sig").select("rep", "did")
+    # one distinct (rep, shingle) row per set element of each DISTINCT
+    # set — array_distinct is map-side, so ps needs no dedup shuffle;
+    # persisted because it feeds document frequencies, the ordered-prefix
+    # build, sizes, AND the verify intersection
+    ps = tracked_persist(
+        base.join(
+            groups.select(F.col("rep").alias("did")), "did", "left_semi"
+        ).select("did", F.explode("shset").alias("shingle"))
+    )
+    dfreq = ps.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    # per-doc token list sorted by the global (df, shingle) order; prefix
+    # length p = n − ceil(t·n) + 1 with exact integer ceil
+    pref = (
+        ps.join(dfreq, "shingle")
+        .groupBy("did")
+        .agg(F.sort_array(F.collect_list(F.struct("dfreq", "shingle"))).alias("ord"))
+        .select(
+            "did",
+            F.size("ord").alias("n"),
+            F.expr(
+                f"slice(ord.shingle, 1, "
+                f"size(ord) - (({tb} * size(ord) + 9999) div 10000) + 1)"
+            ).alias("pfx"),
+        )
+        .select("did", "n", F.explode("pfx").alias("tok"))
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.did") < F.col("b.did"))
+            # length filter t ≤ na/nb ≤ 1/t, integer-exact
+            & (F.col("a.n") * 10000 >= F.col("b.n") * tb)
+            & (F.col("b.n") * 10000 >= F.col("a.n") * tb),
+        )
+        # a pair sharing k prefix tokens arrives k times; partial
+        # map-side combine collapses them before the exchange
+        .groupBy(
+            F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_npref"))
+        .select("doc_a", "doc_b")
+    )
+    sz = ps.groupBy("did").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(ps.alias("pa"), F.col("doc_a") == F.col("pa.did"))
+        .join(
+            ps.alias("pb"),
+            (F.col("doc_b") == F.col("pb.did"))
+            & (F.col("pb.shingle") == F.col("pa.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    rep_pairs = (
+        inter.join(sz.alias("sa"), F.col("doc_a") == F.col("sa.did"))
+        .join(sz.alias("sb"), F.col("doc_b") == F.col("sb.did"))
+        .filter(
+            F.col("i") * 10000
+            >= tb * (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+        )
+        .select(
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            (
+                F.col("i").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+            ).alias("jaccard"),
+        )
+    )
+    # expansion: every member pair across the two groups shares the
+    # representatives' jaccard (identical sets); plain output-sized joins
+    across = (
+        rep_pairs.join(mem.alias("ma"), F.col("rep_a") == F.col("ma.rep"))
+        .join(mem.alias("mb"), F.col("rep_b") == F.col("mb.rep"))
+        .select(
+            F.least(F.col("ma.did"), F.col("mb.did")).alias("doc_a"),
+            F.greatest(F.col("ma.did"), F.col("mb.did")).alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # intra-group: identical non-empty sets are exact Jaccard-1.0 pairs
+    # (≥ any threshold); C(cnt, 2) rows per duplicated content
+    within = (
+        mem.alias("wa")
+        .join(
+            mem.alias("wb"),
+            (F.col("wa.rep") == F.col("wb.rep"))
+            & (F.col("wa.did") < F.col("wb.did")),
+        )
+        .select(
+            F.col("wa.did").alias("doc_a"),
+            F.col("wb.did").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return across.unionByName(within)

@@ -157,14 +157,18 @@ _MH_PARAMS = "(VALUES " + ", ".join(
     for j, (a, b) in enumerate(dedup.minhash_coefficients(_NUM_HASHES))
 ) + ")"
 
-_MINHASH_CTES = f"""
+# (doc_id, shingle) stream shared by the minhash pipeline and the exact
+# set-similarity join's brute-force oracle (q123)
+_SHINGLE_CTES = f"""
 wrd AS (SELECT doc_id, {_W} AS w FROM documents),
 sh AS (
   SELECT doc_id,
          unnest(list_transform(range(1, len(w) - {_SHINGLE_N - 2}),
                                i -> array_to_string(w[i:i+{_SHINGLE_N - 1}], ' '))) AS shingle
   FROM wrd WHERE len(w) >= {_SHINGLE_N}
-),
+)"""
+
+_MINHASH_CTES = f"""{_SHINGLE_CTES},
 shh AS (
   SELECT doc_id, shingle, {portable_hash64_sql("shingle")} % {dedup.MINHASH_P} AS hh
   FROM sh
@@ -224,6 +228,43 @@ def q35_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         num_hashes=_NUM_HASHES,
         rows_per_band=_ROWS_PER_BAND,
+        shingle_n=_SHINGLE_N,
+    )
+
+
+_SSJ_T_BP = 6000  # exact-join Jaccard threshold, basis points (0.6)
+
+
+@register(
+    "q123_set_similarity_join",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+ps AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM ps GROUP BY doc_id),
+tp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM ps a JOIN ps b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT tp.doc_a, tp.doc_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM tp
+JOIN sz sa ON sa.doc_id = tp.doc_a
+JOIN sz sb ON sb.doc_id = tp.doc_b
+WHERE i * 10000 >= {_SSJ_T_BP} * (sa.n + sb.n - i)
+""",
+)
+def q123_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin-style EXACT Jaccard ≥ 0.6 self-join: per-doc
+    shingle sets ordered rarest-token-first, prefix + length filtering
+    (both lossless for the threshold), narrow exploded verification.
+    The oracle is the UNPRUNED brute-force shingle self-join, so driver
+    parity doubles as a losslessness proof of the prefix filter on real
+    data. Complements approximate q35 (MinHash-LSH) with the exact
+    scale path; see operators/dedup.set_similarity_join."""
+    return dedup.set_similarity_join(
+        load_table(spark, sf_dir, "documents"),
+        threshold_bp=_SSJ_T_BP,
         shingle_n=_SHINGLE_N,
     )
 

@@ -152,6 +152,7 @@ DEFERRED: tuple[str, ...] = (
     "q120_edit_distance_dups",  # r5-new; dedup family in-gate via q34/q35/q37
     "q121_js_divergence",  # r5-new; divergence family, same CTE base as q118
     "q122_countmin_error",  # r5-new; sketch-eval family in-gate via q101/q114/q116
+    "q123_set_similarity_join",  # r5-new; exact-Jaccard family in-gate via q34/q35/q116
 )
 
 

@@ -252,3 +252,58 @@ def test_quantile_floor_invariants_signed(spark, vals, w):
         est, exact = r[f"{lbl}_est"], r[f"{lbl}_exact"]
         assert est >= exact
         assert est - exact < w
+
+
+# --- exact set-similarity join vs Python brute force -------------------------
+
+
+def _py_set_similarity(texts, tb, n=3):
+    """Independent brute force: distinct word n-shingle sets, exact
+    Jaccard over ALL pairs (no prefix/length pruning)."""
+    sets = {}
+    for i, t in enumerate(texts):
+        w = [x for x in t.strip().split(" ") if x]
+        sh = {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
+        if sh:
+            sets[i] = sh
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 10000 >= tb * union:
+                out[(a, b)] = inter / union
+    return out
+
+
+_ssj_docs = st.lists(
+    st.lists(st.sampled_from("a b c d e".split()), min_size=0, max_size=10).map(
+        " ".join
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=_ssj_docs, tb=st.sampled_from([3000, 5000, 6000, 8000, 10000]))
+def test_set_similarity_join_matches_brute_force(spark, docs, tb):
+    """The prefix + length filters must be LOSSLESS: the pruned join
+    returns exactly the brute-force pair set at every threshold."""
+    from openstack_billing_from_db_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in set_similarity_join(df, threshold_bp=tb).collect()
+    }
+    want = _py_set_similarity(docs, tb)
+    assert set(got) == set(want)
+    for pair, j in want.items():
+        assert abs(got[pair] - j) < 1e-12

@@ -62,6 +62,7 @@ REGISTRATION_ROUND = {
     "q120_edit_distance_dups": 5,
     "q121_js_divergence": 5,
     "q122_countmin_error": 5,
+    "q123_set_similarity_join": 5,
 }
 
 
