@@ -221,3 +221,14 @@ def test_edit_distance_blocked_join(spark, sf_dir):
     joins = [l for l in plan.splitlines() if "Join" in l and "levenshtein" in l]
     assert joins, plan
     assert "partial_count" in plan, plan  # block-size cap aggregation
+
+
+def test_set_similarity_join_shape(spark, sf_dir):
+    """q123: no cartesian product anywhere (every join is keyed — the
+    candidate join on prefix tokens, the verify intersection, the
+    expansion joins), and the persisted base/reps scans are reused via
+    InMemoryTableScan instead of re-reading + re-normalizing parquet."""
+    plan = _plan(QUERIES["q123_set_similarity_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
