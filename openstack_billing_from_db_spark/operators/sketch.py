@@ -512,3 +512,98 @@ FROM (
   SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_distinct_exact
   FROM {from_distinct_cte} GROUP BY {group_col}
 ) e USING ({group_col})"""
+
+
+# --- AMS second-moment (F2 / self-join size) sketch --------------------------
+
+AMS_D = 9  # estimator count; odd so the finalize is an exact median
+
+
+def ams_sign(col: Column, j: int) -> Column:
+    """±1 four-wise-ish sign for estimator ``j`` from the portable
+    hash's parity bit — identical in DuckDB via :func:`ams_sign_sql`."""
+    return 1 - 2 * (
+        kmv_hash(F.concat(col.cast("string"), F.lit(f"#ams{j}"))) % 2
+    )
+
+
+def ams_sign_sql(expr: str, j: int) -> str:
+    hashed = kmv_hash_sql(f"concat(CAST({expr} AS VARCHAR), '#ams{j}')")
+    return f"1 - 2 * ({hashed} % 2)"
+
+
+def ams_f2(df: DataFrame, *, value_col: str) -> DataFrame:
+    """AMS "tug-of-war" estimate of the second frequency moment
+    F2 = Σ_k f_k² (Alon-Matias-Szegedy 1996) next to the exact value —
+    F2 of a join key IS the self-join size, so this is the constant-
+    state answer to "how big would this join get?" *before* paying for
+    the join (the planner-input sibling of the q122 count-min and q114
+    recall evals).
+
+    Each estimator j keeps one running BIGINT Z_j = Σ_rows s_j(key)
+    with s_j ∈ {−1,+1}; E[Z_j²] = F2. All AMS_D partial sums ride ONE
+    map-side aggregation of the scan (no explode — the row fans out
+    into 9 sign columns, each partially summed); the finalize is an
+    exact median of the 9 squares on a single row. The exact side is
+    the vocabulary-sized groupBy it exists to predict.
+
+    Overflow bound: |Z_j| ≤ n_rows, so Z² fits BIGINT up to ~3·10⁹
+    rows per slice; beyond that compute per-slice sketches and merge
+    (Z is additive across slices) before squaring.
+
+    Output: one row (n_rows, f2_exact, f2_est, rel_err_bp)."""
+    src = df.select(F.col(value_col).cast("string").alias("v"))
+    z = src.agg(
+        *[
+            F.sum(ams_sign(F.col("v"), j)).cast("long").alias(f"z{j}")
+            for j in range(AMS_D)
+        ]
+    )
+    mid = AMS_D // 2 + 1  # 1-indexed middle element
+    est = z.select(
+        F.expr(
+            "element_at(sort_array(array("
+            + ", ".join(f"z{j} * z{j}" for j in range(AMS_D))
+            + f")), {mid})"
+        ).alias("f2_est")
+    )
+    exact = (
+        src.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
+        )
+    )
+    # 1-row × 1-row combine
+    return exact.crossJoin(est).select(
+        "n_rows",
+        "f2_exact",
+        "f2_est",
+        F.expr(
+            "CAST(CASE WHEN f2_exact = 0 THEN 0 "
+            "ELSE abs(f2_est - f2_exact) * 10000 div f2_exact END AS BIGINT)"
+        ).alias("rel_err_bp"),
+    )
+
+
+def ams_f2_sql(*, from_cte: str, value_expr: str) -> str:
+    """DuckDB twin of :func:`ams_f2` over ``from_cte`` (any relation)
+    with key expression ``value_expr``."""
+    mid = AMS_D // 2 + 1
+    zsums = ",\n       ".join(
+        f"CAST(sum({ams_sign_sql(value_expr, j)}) AS BIGINT) AS z{j}"
+        for j in range(AMS_D)
+    )
+    squares = ", ".join(f"z{j} * z{j}" for j in range(AMS_D))
+    return f"""
+z AS (SELECT {zsums} FROM {from_cte}),
+ex AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(sum(c * c) AS BIGINT) AS f2_exact
+  FROM (SELECT count(*) AS c FROM {from_cte} GROUP BY CAST({value_expr} AS VARCHAR))
+),
+m AS (SELECT (list_sort([{squares}]))[{mid}] AS f2_est FROM z)
+SELECT n_rows, f2_exact, f2_est,
+       CAST(CASE WHEN f2_exact = 0 THEN 0
+            ELSE abs(f2_est - f2_exact) * 10000 // f2_exact END AS BIGINT) AS rel_err_bp
+FROM ex, m"""

@@ -635,3 +635,32 @@ def q122_countmin_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_overestimate"),
     )
+
+
+# --- AMS F2 / self-join size estimate ----------------------------------------
+
+
+def _ams_oracle() -> str:
+    from openstack_billing_from_db_spark.operators.sketch import ams_f2_sql
+
+    return f"""
+WITH src AS (SELECT o_custkey FROM orders),
+{ams_f2_sql(from_cte="src", value_expr="o_custkey")}
+"""
+
+
+@register("q124_ams_f2", oracle=_ams_oracle())
+def q124_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 estimate vs exact for the orders→customer join
+    key: F2(o_custkey) IS the size of the orders self-join on customer —
+    the constant-state join-size probe a planner consults before
+    committing to an expensive strategy. All 9 estimator sums ride one
+    map-side partial aggregation (1-row exchange); the exact side is
+    the vocabulary-sized groupBy the sketch exists to predict.
+    Beyond-reference; evaluation-loop sibling of q122/q114/q116."""
+    from openstack_billing_from_db_spark.operators.sketch import ams_f2
+
+    return ams_f2(
+        load_table(spark, sf_dir, "orders").select("o_custkey"),
+        value_col="o_custkey",
+    )

@@ -63,6 +63,7 @@ REGISTRATION_ROUND = {
     "q121_js_divergence": 5,
     "q122_countmin_error": 5,
     "q123_set_similarity_join": 5,
+    "q124_ams_f2": 5,
 }
 
 

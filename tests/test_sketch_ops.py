@@ -280,3 +280,43 @@ def test_hll_estimate_accuracy_and_exact_small_range(spark):
     assert 0.6 * 2000 <= est_big <= 1.4 * 2000, est_big
     est_small = out["small"].est_milli / 1000.0
     assert 0.5 * 10 <= est_small <= 2.0 * 10, est_small
+
+
+# --- AMS F2 (self-join size) sketch ------------------------------------------
+
+
+def test_ams_f2_single_key_is_exact(spark):
+    # one key repeated n times: every Z_j = ±n, so each estimator is
+    # exactly n² = F2 — est must equal exact with zero error
+    from openstack_billing_from_db_spark.operators.sketch import ams_f2
+
+    df = spark.createDataFrame([("k",)] * 7, "v string")
+    row = ams_f2(df, value_col="v").collect()[0]
+    assert row.n_rows == 7
+    assert row.f2_exact == 49
+    assert row.f2_est == 49
+    assert row.rel_err_bp == 0
+
+
+def test_ams_f2_matches_independent_python(spark):
+    # the full pipeline (signs → sums → squares → median) against an
+    # independent Python replay of the same md5-derived parity signs
+    import hashlib
+
+    from openstack_billing_from_db_spark.operators.sketch import AMS_D, ams_f2
+
+    vals = [f"u{i % 13}" for i in range(100)] + ["hot"] * 40
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+
+    def sign(v: str, j: int) -> int:
+        h = int(hashlib.md5(f"{v}#ams{j}".encode()).hexdigest()[:13], 16)
+        return 1 - 2 * (h % 2)
+
+    zs = [sum(sign(v, j) for v in vals) for j in range(AMS_D)]
+    want_est = sorted(z * z for z in zs)[AMS_D // 2]
+    from collections import Counter
+
+    want_exact = sum(c * c for c in Counter(vals).values())
+    row = ams_f2(df, value_col="v").collect()[0]
+    assert row.f2_exact == want_exact
+    assert row.f2_est == want_est
