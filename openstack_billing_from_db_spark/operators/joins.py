@@ -74,3 +74,89 @@ def salted_join(
         (seeded_hash64(salt_from.cast("string"), "salt") % n_salts).cast("int"),
     )
     return fact_s.join(dim_rep, [key, "__salt"], how).drop("__salt")
+
+
+def bucketed_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    start_col: str = "s_us",
+    end_col: str = "e_us",
+    bucket_us: int,
+    max_span_buckets: int = 4096,
+) -> DataFrame:
+    """Big-big interval OVERLAP join via fixed-width bucket
+    decomposition — the standard distributed answer when NEITHER
+    interval side fits a broadcast (q26 covers the broadcast case).
+
+    Each half-open interval [s, e) explodes onto the width-``bucket_us``
+    buckets it covers; overlapping pairs then meet on an EQUI-join key
+    (bucket), which Catalyst shuffles/hashes like any other key — no
+    theta-join, no cartesian. Two intervals overlap iff they share
+    every bucket in [floor(max_s/W), floor((min_e−1)/W)], so emitting a
+    pair only where ``bucket == floor(max_s/W)`` (the FIRST common
+    bucket) yields each directed pair EXACTLY once — no output-sized
+    ``distinct`` exchange, the same dedup-free-emission law as the
+    minhash canonical band.
+
+    Cost shape: replication is (len/W + 1) rows per interval (bounded
+    by ``max_span_buckets``, enforced map-side with assert_true); the
+    join intermediate is Σ_b |A_b|·|B_b|, minimized by picking W near
+    the typical interval length — W far above it degrades toward a
+    per-bucket cartesian, far below it pays pure replication. Output
+    rows carry every input column prefixed ``a_``/``b_`` plus
+    ``overlap_us``; self-pair filtering (for self-joins) is the
+    caller's predicate on its own keys.
+
+    Intervals with ``e <= s`` are dropped (empty — can overlap
+    nothing). Beyond-reference scale component; the interval algebra
+    (clamping, state intervals) lives in operators/intervals.py.
+    """
+    W = int(bucket_us)
+    if W <= 0:
+        raise ValueError(f"bucket_us must be positive; got {W}")
+
+    def _side(df: DataFrame, p: str) -> DataFrame:
+        keep = [F.col(c).alias(f"{p}{c}") for c in df.columns]
+        # assert_true yields NULL on pass (coalesce falls through) and
+        # raises on violation — the span guard costs zero extra actions
+        span_ok = (
+            f"coalesce(CAST(assert_true("
+            f"({end_col} - 1) div {W} - {start_col} div {W} < {max_span_buckets}, "
+            f"'bucketed_overlap_join: interval spans >= {max_span_buckets} "
+            f"buckets; raise bucket_us or max_span_buckets') AS BIGINT), 0)"
+        )
+        return (
+            df.filter(F.col(end_col) > F.col(start_col))
+            .select(
+                *keep,
+                F.explode(
+                    F.expr(
+                        f"sequence({start_col} div {W} + {span_ok}, "
+                        f"({end_col} - 1) div {W})"
+                    )
+                ).alias(f"{p}bkt"),
+            )
+        )
+
+    left = _side(a, "a_")
+    right = _side(b, "b_")
+    a_s, a_e = f"a_{start_col}", f"a_{end_col}"
+    b_s, b_e = f"b_{start_col}", f"b_{end_col}"
+    return (
+        left.join(
+            right,
+            (F.col("a_bkt") == F.col("b_bkt"))
+            & (F.col(a_s) < F.col(b_e))
+            & (F.col(b_s) < F.col(a_e))
+            # first common bucket → exactly-once emission per pair
+            & (
+                F.expr(f"greatest({a_s}, {b_s}) div {W}") == F.col("a_bkt")
+            ),
+        )
+        .drop("a_bkt", "b_bkt")
+        .withColumn(
+            "overlap_us",
+            F.expr(f"least({a_e}, {b_e}) - greatest({a_s}, {b_s})"),
+        )
+    )

@@ -591,10 +591,8 @@ _GAP = "30 minutes"
 _GAP_US = 30 * 60 * 1_000_000
 
 
-@register(
-    "q28_gap_sessions",
-    oracle=f"""
-WITH marked AS (
+# gap-and-islands session CTEs, shared by q28 and the q125 overlap join
+_SESSIONS_CTES = f"""marked AS (
   SELECT user_id, ts, epoch_us(ts) AS ts_us,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > {_GAP_US}
@@ -606,7 +604,13 @@ numbered AS (
          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM marked
-)
+)"""
+
+
+@register(
+    "q28_gap_sessions",
+    oracle=f"""
+WITH {_SESSIONS_CTES}
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        min(ts_us) AS session_start_us,
        max(ts_us) + {_GAP_US} AS session_end_us,
@@ -637,6 +641,93 @@ def q28_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_start_us",
         "session_end_us",
         "n_events",
+    )
+
+
+# --- q125: big-big interval overlap join (bucket decomposition) --------------
+
+_CONC_BUCKET_US = 3_600_000_000  # 1h buckets ≈ the typical session length
+
+
+@register(
+    "q125_concurrent_sessions",
+    oracle=f"""
+WITH {_SESSIONS_CTES},
+s AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         min(ts_us) AS s_us, max(ts_us) + {_GAP_US} AS e_us
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT a.user_id, a.session_id,
+       CAST(count(b.user_id) AS BIGINT) AS n_concurrent,
+       CAST(coalesce(sum(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us)), 0)
+            AS BIGINT) AS overlap_us
+FROM s a LEFT JOIN s b
+  ON a.s_us < b.e_us AND b.s_us < a.e_us
+  AND (a.user_id != b.user_id OR a.session_id != b.session_id)
+GROUP BY a.user_id, a.session_id
+""",
+)
+def q125_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session concurrency: how many OTHER sessions overlap each
+    gap-session, and for how long in total — the big-big interval
+    overlap join q26's broadcast path cannot express (both sides here
+    are the full 95k-session table at sf0.1; at 100 TB, billions).
+    Runs on operators/joins.bucketed_overlap_join: intervals explode
+    onto 1-hour buckets, pairs meet on a bucket EQUI-key, and the
+    first-common-bucket rule emits each directed pair exactly once (no
+    distinct). The oracle is DuckDB's native inequality join over the
+    same gap-and-islands sessions — brute force vs bucketed, so parity
+    proves the decomposition emits every overlap exactly once."""
+    from openstack_billing_from_db_spark.operators.caching import tracked_persist
+    from openstack_billing_from_db_spark.operators.joins import (
+        bucketed_overlap_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sw = ev.groupBy(F.session_window("ts", _GAP).alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    flat = sw.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("s_us"),
+        F.unix_micros(F.col("w.end")).alias("e_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s_us")
+    # persisted: feeds both sides of the overlap join AND the final
+    # keep-zero-overlap-sessions left join
+    s = tracked_persist(
+        flat.select(
+            "user_id",
+            (F.row_number().over(w).cast("long") - 1).alias("session_id"),
+            "s_us",
+            "e_us",
+        )
+    )
+    pairs = bucketed_overlap_join(s, s, bucket_us=_CONC_BUCKET_US).filter(
+        (F.col("a_user_id") != F.col("b_user_id"))
+        | (F.col("a_session_id") != F.col("b_session_id"))
+    )
+    agg = pairs.groupBy(
+        F.col("a_user_id").alias("user_id"),
+        F.col("a_session_id").alias("session_id"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_concurrent"),
+        F.sum("overlap_us").cast("long").alias("overlap_us"),
+    )
+    return (
+        s.select("user_id", "session_id")
+        .join(agg, ["user_id", "session_id"], "left")
+        .select(
+            "user_id",
+            "session_id",
+            F.coalesce(F.col("n_concurrent"), F.lit(0)).cast("long").alias(
+                "n_concurrent"
+            ),
+            F.coalesce(F.col("overlap_us"), F.lit(0)).cast("long").alias(
+                "overlap_us"
+            ),
+        )
     )
 
 

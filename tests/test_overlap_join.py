@@ -1,0 +1,85 @@
+"""bucketed_overlap_join (operators/joins.py): the bucket decomposition
+must emit every overlapping directed pair EXACTLY once — pinned against
+a Python brute force over random interval sets, plus the boundary edges
+(touching intervals, empty intervals, bucket-straddling spans)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from openstack_billing_from_db_spark.operators.joins import (
+    bucketed_overlap_join,
+)
+
+W = 10  # tiny bucket width so intervals straddle many buckets
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(rows)],
+        "iid long, s_us long, e_us long",
+    )
+
+
+def _brute(rows_a, rows_b):
+    out = set()
+    for i, (sa, ea) in enumerate(rows_a):
+        if ea <= sa:
+            continue
+        for j, (sb, eb) in enumerate(rows_b):
+            if eb <= sb:
+                continue
+            if sa < eb and sb < ea:
+                out.add((i, j, min(ea, eb) - max(sa, sb)))
+    return out
+
+
+intervals = st.lists(
+    st.tuples(st.integers(0, 100), st.integers(0, 100)), min_size=0, max_size=25
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows_a=intervals, rows_b=intervals)
+def test_overlap_join_matches_brute_force(spark, rows_a, rows_b):
+    got = {
+        (r.a_iid, r.b_iid, r.overlap_us)
+        for r in bucketed_overlap_join(
+            _df(spark, rows_a), _df(spark, rows_b), bucket_us=W
+        ).collect()
+    }
+    assert got == _brute(rows_a, rows_b)
+
+
+def test_touching_intervals_do_not_overlap(spark):
+    # half-open semantics: [0, 10) and [10, 20) share no instant
+    got = bucketed_overlap_join(
+        _df(spark, [(0, 10)]), _df(spark, [(10, 20)]), bucket_us=W
+    ).collect()
+    assert got == []
+
+
+def test_straddling_pair_emitted_once(spark):
+    # both intervals cover many buckets; the pair must appear exactly once
+    rows = bucketed_overlap_join(
+        _df(spark, [(5, 95)]), _df(spark, [(50, 120)]), bucket_us=W
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].overlap_us == 45
+
+
+def test_span_guard_raises(spark):
+    df = _df(spark, [(0, 100)])
+    with pytest.raises(Exception) as ei:
+        bucketed_overlap_join(
+            df, df, bucket_us=W, max_span_buckets=5
+        ).collect()
+    assert "spans" in str(ei.value)
+
+
+def test_bad_bucket_width_rejected(spark):
+    df = _df(spark, [(0, 10)])
+    with pytest.raises(ValueError):
+        bucketed_overlap_join(df, df, bucket_us=0)

@@ -64,6 +64,7 @@ REGISTRATION_ROUND = {
     "q122_countmin_error": 5,
     "q123_set_similarity_join": 5,
     "q124_ams_f2": 5,
+    "q125_concurrent_sessions": 5,
 }
 
 
