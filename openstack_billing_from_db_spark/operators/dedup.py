@@ -710,6 +710,7 @@ def edit_distance_near_duplicates(
     max_block: int = 64,
     cap_chars: int = 96,
     max_distance: int = 8,
+    block_on: str = "prefix",
 ):
     """Blocked edit-distance near-duplicate pairs — the string-metric
     member of the dedup family (exact q34 / MinHash q35 / SimHash q37 /
@@ -717,7 +718,7 @@ def edit_distance_near_duplicates(
     shingles dilute. Classic record-linkage blocking keeps it off the
     doc×doc product:
 
-    - block key = (normalized-prefix[:prefix_len], length div
+    - block key = (normalized-``block_on``[:prefix_len], length div
       len_bucket) — a pair must agree on both to be compared;
     - blocks larger than ``max_block`` are dropped whole (boilerplate
       guard — the same cap law as the LSH bucket and q116 df caps);
@@ -731,11 +732,19 @@ def edit_distance_near_duplicates(
     Scale shape: one map-side normalize+key projection, a block-keyed
     self-join bounded by max_block² pairs per block, zero Python. The
     prefix misses pairs whose FIRST edit sits inside the prefix — the
-    standard multi-pass mitigation (a second pass keyed on suffix)
-    reuses this operator with a different key expression."""
+    standard multi-pass mitigation is ``block_on='suffix'`` (same
+    operator, last-``prefix_len``-chars key), unioned by
+    :func:`edit_distance_near_duplicates_two_pass`."""
     from openstack_billing_from_db_spark.operators.caching import tracked_persist
     from openstack_billing_from_db_spark.operators.text import normalize
 
+    if block_on not in ("prefix", "suffix"):
+        raise ValueError(f"block_on must be 'prefix' or 'suffix'; got {block_on!r}")
+    key_expr = (
+        F.substring("norm", 1, prefix_len)
+        if block_on == "prefix"
+        else F.expr(f"right(norm, {prefix_len})")
+    )
     # persisted: the normalize regex chain feeds the block-count
     # aggregation AND both sides of the self-join — without the persist
     # the documents scan + normalization would run four times
@@ -746,7 +755,7 @@ def edit_distance_near_duplicates(
         ).select(
             "did",
             F.substring("norm", 1, cap_chars).alias("capped"),
-            F.substring("norm", 1, prefix_len).alias("pfx"),
+            key_expr.alias("pfx"),
             F.expr(f"length(norm) div {len_bucket}").alias("lenb"),
         )
     )
@@ -776,6 +785,26 @@ def edit_distance_near_duplicates(
     return pairs.filter(F.col("edit_distance") <= max_distance).select(
         "doc_a", "doc_b", F.col("edit_distance").cast("long").alias("edit_distance")
     )
+
+
+def edit_distance_near_duplicates_two_pass(docs, **kwargs) -> DataFrame:
+    """The standard multi-pass blocking mitigation: a prefix-keyed pass
+    misses pairs whose FIRST edit falls inside the prefix; a suffix-
+    keyed pass misses pairs whose LAST edit falls inside the suffix; a
+    pair within ``max_distance`` edits on a ``cap_chars`` text cannot
+    dodge both keys unless it carries edits in BOTH its first and last
+    ``prefix_len`` chars — the classic recall/cost trade of
+    record-linkage blocking (add more key passes to push recall up).
+    Union of both passes, each pair reported once (the per-pair
+    distance is identical in both passes, so dropDuplicates on the full
+    row is exact; the dedup exchange is output-sized)."""
+    if "block_on" in kwargs:
+        raise ValueError("two_pass picks block_on itself")
+    return edit_distance_near_duplicates(
+        docs, block_on="prefix", **kwargs
+    ).unionByName(
+        edit_distance_near_duplicates(docs, block_on="suffix", **kwargs)
+    ).dropDuplicates(["doc_a", "doc_b", "edit_distance"])
 
 
 def set_similarity_join(

@@ -307,3 +307,50 @@ def test_set_similarity_join_matches_brute_force(spark, docs, tb):
     assert set(got) == set(want)
     for pair, j in want.items():
         assert abs(got[pair] - j) < 1e-12
+
+
+# --- two-pass (prefix + suffix) edit-distance blocking -----------------------
+
+
+def test_edit_distance_two_pass_catches_prefix_edits(spark):
+    """A pair whose only edit sits INSIDE the prefix key is invisible to
+    the prefix pass but caught by the suffix pass (and vice versa); a
+    pair caught by both passes appears exactly once."""
+    from openstack_billing_from_db_spark.operators.dedup import (
+        edit_distance_near_duplicates,
+        edit_distance_near_duplicates_two_pass,
+    )
+
+    b1 = "abcdefghij" * 4
+    b2 = "klmnopqrst" * 4
+    b3 = "uvwxyz0123" * 4
+    docs = spark.createDataFrame(
+        [
+            (1, b1),
+            (2, b1[:2] + "z" + b1[3:]),   # edit at char 3 → inside prefix(16)
+            (3, b2),
+            (4, b2[:-1] + "z"),           # edit at last char → inside suffix(16)
+            (5, b3),
+            (6, b3[:20] + "z" + b3[21:]), # middle edit → both passes catch
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(prefix_len=16, len_bucket=32, max_block=64, cap_chars=96,
+              max_distance=8)
+    prefix_only = {
+        (r.doc_a, r.doc_b)
+        for r in edit_distance_near_duplicates(docs, **kw).collect()
+    }
+    suffix_only = {
+        (r.doc_a, r.doc_b)
+        for r in edit_distance_near_duplicates(
+            docs, block_on="suffix", **kw
+        ).collect()
+    }
+    rows = edit_distance_near_duplicates_two_pass(docs, **kw).collect()
+    both = {(r.doc_a, r.doc_b) for r in rows}
+    assert (1, 2) not in prefix_only and (1, 2) in suffix_only
+    assert (3, 4) in prefix_only and (3, 4) not in suffix_only
+    assert both == {(1, 2), (3, 4), (5, 6)}
+    assert len(rows) == 3  # the doubly-caught (5, 6) deduped
+    assert all(r.edit_distance == 1 for r in rows)
