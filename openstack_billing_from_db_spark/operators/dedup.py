@@ -735,42 +735,65 @@ def edit_distance_near_duplicates(
     standard multi-pass mitigation is ``block_on='suffix'`` (same
     operator, last-``prefix_len``-chars key), unioned by
     :func:`edit_distance_near_duplicates_two_pass`."""
+    if block_on not in ("prefix", "suffix"):
+        raise ValueError(f"block_on must be 'prefix' or 'suffix'; got {block_on!r}")
+    base = _edit_normalized_base(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        cap_chars=cap_chars,
+        prefix_len=prefix_len,
+        len_bucket=len_bucket,
+        keys=(block_on,),
+    )
+    return _edit_blocked_pairs(
+        base, f"k_{block_on}", max_block=max_block, max_distance=max_distance
+    )
+
+
+def _edit_normalized_base(
+    docs, *, id_col, text_col, cap_chars, prefix_len, len_bucket, keys
+):
+    """One persisted (did, capped, lenb, k_<key>...) projection — the
+    normalize regex chain feeds the block-count aggregation AND both
+    sides of the self-join of EVERY pass, so it runs once, not once per
+    consumer."""
     from openstack_billing_from_db_spark.operators.caching import tracked_persist
     from openstack_billing_from_db_spark.operators.text import normalize
 
-    if block_on not in ("prefix", "suffix"):
-        raise ValueError(f"block_on must be 'prefix' or 'suffix'; got {block_on!r}")
-    key_expr = (
-        F.substring("norm", 1, prefix_len)
-        if block_on == "prefix"
-        else F.expr(f"right(norm, {prefix_len})")
-    )
-    # persisted: the normalize regex chain feeds the block-count
-    # aggregation AND both sides of the self-join — without the persist
-    # the documents scan + normalization would run four times
-    base = tracked_persist(
+    key_cols = []
+    if "prefix" in keys:
+        key_cols.append(F.substring("norm", 1, prefix_len).alias("k_prefix"))
+    if "suffix" in keys:
+        key_cols.append(F.expr(f"right(norm, {prefix_len})").alias("k_suffix"))
+    return tracked_persist(
         docs.select(
             F.col(id_col).alias("did"),
             normalize(F.col(text_col)).alias("norm"),
         ).select(
             "did",
             F.substring("norm", 1, cap_chars).alias("capped"),
-            key_expr.alias("pfx"),
             F.expr(f"length(norm) div {len_bucket}").alias("lenb"),
+            *key_cols,
         )
     )
+
+
+def _edit_blocked_pairs(base, key_col, *, max_block, max_distance):
+    from openstack_billing_from_db_spark.operators.caching import tracked_persist
+
     small_blocks = (
-        base.groupBy("pfx", "lenb")
+        base.groupBy(key_col, "lenb")
         .agg(F.count(F.lit(1)).alias("bn"))
         .filter(F.col("bn") <= max_block)
-        .select("pfx", "lenb")
+        .select(key_col, "lenb")
     )
-    keyed = tracked_persist(base.join(small_blocks, ["pfx", "lenb"], "left_semi"))
+    keyed = tracked_persist(base.join(small_blocks, [key_col, "lenb"], "left_semi"))
     pairs = (
         keyed.alias("a")
         .join(
             keyed.alias("b"),
-            (F.col("a.pfx") == F.col("b.pfx"))
+            (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
             & (F.col("a.lenb") == F.col("b.lenb"))
             & (F.col("a.did") < F.col("b.did")),
         )
@@ -789,22 +812,43 @@ def edit_distance_near_duplicates(
 
 def edit_distance_near_duplicates_two_pass(docs, **kwargs) -> DataFrame:
     """The standard multi-pass blocking mitigation: a prefix-keyed pass
-    misses pairs whose FIRST edit falls inside the prefix; a suffix-
-    keyed pass misses pairs whose LAST edit falls inside the suffix; a
-    pair within ``max_distance`` edits on a ``cap_chars`` text cannot
-    dodge both keys unless it carries edits in BOTH its first and last
-    ``prefix_len`` chars — the classic recall/cost trade of
-    record-linkage blocking (add more key passes to push recall up).
-    Union of both passes, each pair reported once (the per-pair
-    distance is identical in both passes, so dropDuplicates on the full
-    row is exact; the dedup exchange is output-sized)."""
+    misses pairs whose FIRST edit falls inside the prefix key; the
+    suffix-keyed pass misses pairs whose LAST edit falls inside the
+    suffix key; the union catches a pair unless it has edits in BOTH
+    its first and last ``prefix_len`` chars, OR its lengths straddle a
+    ``len_bucket`` boundary (both passes share the length-bucket key) —
+    the classic recall/cost trade of record-linkage blocking; push
+    recall further with more key passes or a coarser len_bucket.
+    Both passes read ONE shared persisted normalize projection; each
+    pair is reported once (per-pair distance is identical across
+    passes, so dropDuplicates on the full row is exact; the dedup
+    exchange is output-sized)."""
     if "block_on" in kwargs:
         raise ValueError("two_pass picks block_on itself")
-    return edit_distance_near_duplicates(
-        docs, block_on="prefix", **kwargs
-    ).unionByName(
-        edit_distance_near_duplicates(docs, block_on="suffix", **kwargs)
-    ).dropDuplicates(["doc_a", "doc_b", "edit_distance"])
+    max_block = kwargs.pop("max_block", 64)
+    max_distance = kwargs.pop("max_distance", 8)
+    base = _edit_normalized_base(
+        docs,
+        id_col=kwargs.pop("id_col", "doc_id"),
+        text_col=kwargs.pop("text_col", "text"),
+        cap_chars=kwargs.pop("cap_chars", 96),
+        prefix_len=kwargs.pop("prefix_len", 16),
+        len_bucket=kwargs.pop("len_bucket", 32),
+        keys=("prefix", "suffix"),
+    )
+    if kwargs:
+        raise TypeError(f"unexpected arguments: {sorted(kwargs)}")
+    return (
+        _edit_blocked_pairs(
+            base, "k_prefix", max_block=max_block, max_distance=max_distance
+        )
+        .unionByName(
+            _edit_blocked_pairs(
+                base, "k_suffix", max_block=max_block, max_distance=max_distance
+            )
+        )
+        .dropDuplicates(["doc_a", "doc_b", "edit_distance"])
+    )
 
 
 def set_similarity_join(
@@ -866,7 +910,10 @@ def set_similarity_join(
     # afterwards. On a corpus with duplication factor d this cuts the
     # quadratic candidate/verify work by d² while the output (which is
     # Θ(true pairs) for ANY exact algorithm) is produced by a plain
-    # linear expansion join. sig is a map-side md5 of the sorted set.
+    # linear expansion join. sig is a map-side md5 over SORTED PER-
+    # ELEMENT HASHES — injective up to md5 collision; a raw separator-
+    # joined concat would collapse distinct sets whose tokens contain
+    # the separator byte.
     base = tracked_persist(
         ensure_map_parallelism(docs)
         .select(
@@ -879,24 +926,29 @@ def set_similarity_join(
         .select(
             "did",
             "shset",
-            F.md5(F.concat_ws("\x01", F.sort_array("shset"))).alias("sig"),
+            F.md5(
+                F.concat_ws(
+                    "", F.sort_array(F.transform("shset", lambda s: F.md5(s)))
+                )
+            ).alias("sig"),
         )
     )
     groups = tracked_persist(
-        base.groupBy("sig").agg(
-            F.min("did").alias("rep"), F.count(F.lit(1)).alias("cnt")
-        )
+        base.groupBy("sig").agg(F.min("did").alias("rep"))
     )
     # membership (rep, did) for the final expansion
     mem = base.select("sig", "did").join(groups, "sig").select("rep", "did")
+    # representatives only, sizes taken map-side from the persisted array
+    rep_docs = base.join(
+        groups.select(F.col("rep").alias("did")), "did", "left_semi"
+    )
+    sz = rep_docs.select("did", F.size("shset").cast("long").alias("n"))
     # one distinct (rep, shingle) row per set element of each DISTINCT
     # set — array_distinct is map-side, so ps needs no dedup shuffle;
     # persisted because it feeds document frequencies, the ordered-prefix
-    # build, sizes, AND the verify intersection
+    # build AND the verify intersection
     ps = tracked_persist(
-        base.join(
-            groups.select(F.col("rep").alias("did")), "did", "left_semi"
-        ).select("did", F.explode("shset").alias("shingle"))
+        rep_docs.select("did", F.explode("shset").alias("shingle"))
     )
     dfreq = ps.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
     # per-doc token list sorted by the global (df, shingle) order; prefix
@@ -933,7 +985,6 @@ def set_similarity_join(
         .agg(F.count(F.lit(1)).alias("_npref"))
         .select("doc_a", "doc_b")
     )
-    sz = ps.groupBy("did").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(ps.alias("pa"), F.col("doc_a") == F.col("pa.did"))
         .join(

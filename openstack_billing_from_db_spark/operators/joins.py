@@ -123,8 +123,9 @@ def bucketed_overlap_join(
         span_ok = (
             f"coalesce(CAST(assert_true("
             f"({end_col} - 1) div {W} - {start_col} div {W} < {max_span_buckets}, "
-            f"'bucketed_overlap_join: interval spans >= {max_span_buckets} "
-            f"buckets; raise bucket_us or max_span_buckets') AS BIGINT), 0)"
+            f"'bucketed_overlap_join: interval spans more than "
+            f"{max_span_buckets} buckets; raise bucket_us or "
+            f"max_span_buckets') AS BIGINT), 0)"
         )
         return (
             df.filter(F.col(end_col) > F.col(start_col))

@@ -549,10 +549,16 @@ def ams_f2(df: DataFrame, *, value_col: str) -> DataFrame:
 
     Overflow bound: |Z_j| ≤ n_rows, so Z² fits BIGINT up to ~3·10⁹
     rows per slice; beyond that compute per-slice sketches and merge
-    (Z is additive across slices) before squaring.
+    (Z is additive across slices) before squaring. The error ratio is
+    computed in DOUBLE (est−exact can exceed BIGINT·10⁴ headroom at
+    large F2; a float ratio of two ≤2⁶³ ints is deterministic across
+    engines). NULL keys are EXCLUDED on both sides — a NULL join key
+    matches nothing, so it contributes nothing to self-join size.
 
     Output: one row (n_rows, f2_exact, f2_est, rel_err_bp)."""
-    src = df.select(F.col(value_col).cast("string").alias("v"))
+    src = df.select(F.col(value_col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
     z = src.agg(
         *[
             F.sum(ams_sign(F.col("v"), j)).cast("long").alias(f"z{j}")
@@ -571,8 +577,10 @@ def ams_f2(df: DataFrame, *, value_col: str) -> DataFrame:
         src.groupBy("v")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(
-            F.sum("c").cast("long").alias("n_rows"),
-            F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0))
+            .cast("long")
+            .alias("f2_exact"),
         )
     )
     # 1-row × 1-row combine
@@ -582,7 +590,8 @@ def ams_f2(df: DataFrame, *, value_col: str) -> DataFrame:
         "f2_est",
         F.expr(
             "CAST(CASE WHEN f2_exact = 0 THEN 0 "
-            "ELSE abs(f2_est - f2_exact) * 10000 div f2_exact END AS BIGINT)"
+            "ELSE floor(abs(CAST(f2_est AS DOUBLE) - CAST(f2_exact AS DOUBLE)) "
+            "/ CAST(f2_exact AS DOUBLE) * 10000) END AS BIGINT)"
         ).alias("rel_err_bp"),
     )
 
@@ -597,13 +606,16 @@ def ams_f2_sql(*, from_cte: str, value_expr: str) -> str:
     )
     squares = ", ".join(f"z{j} * z{j}" for j in range(AMS_D))
     return f"""
-z AS (SELECT {zsums} FROM {from_cte}),
+src_nn AS (SELECT * FROM {from_cte} WHERE {value_expr} IS NOT NULL),
+z AS (SELECT {zsums} FROM src_nn),
 ex AS (
-  SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(sum(c * c) AS BIGINT) AS f2_exact
-  FROM (SELECT count(*) AS c FROM {from_cte} GROUP BY CAST({value_expr} AS VARCHAR))
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
+         CAST(coalesce(sum(c * c), 0) AS BIGINT) AS f2_exact
+  FROM (SELECT count(*) AS c FROM src_nn GROUP BY CAST({value_expr} AS VARCHAR))
 ),
 m AS (SELECT (list_sort([{squares}]))[{mid}] AS f2_est FROM z)
 SELECT n_rows, f2_exact, f2_est,
        CAST(CASE WHEN f2_exact = 0 THEN 0
-            ELSE abs(f2_est - f2_exact) * 10000 // f2_exact END AS BIGINT) AS rel_err_bp
+            ELSE floor(abs(CAST(f2_est AS DOUBLE) - CAST(f2_exact AS DOUBLE))
+                 / CAST(f2_exact AS DOUBLE) * 10000) END AS BIGINT) AS rel_err_bp
 FROM ex, m"""

@@ -660,7 +660,12 @@ s AS (
 )
 SELECT a.user_id, a.session_id,
        CAST(count(b.user_id) AS BIGINT) AS n_concurrent,
-       CAST(coalesce(sum(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us)), 0)
+       -- least/greatest SKIP nulls (both engines), so an unmatched left
+       -- row would otherwise contribute its own length; gate on the
+       -- partner's key instead
+       CAST(coalesce(sum(CASE WHEN b.user_id IS NULL THEN NULL
+                         ELSE least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us)
+                         END), 0)
             AS BIGINT) AS overlap_us
 FROM s a LEFT JOIN s b
   ON a.s_us < b.e_us AND b.s_us < a.e_us

@@ -188,29 +188,32 @@ def run_stream_to_memory(
             LAST_STREAM_STATS.clear()
             last = q.lastProgress or {}
             state = last.get("stateOperators") or []
+            # total source rows ingested across ALL micro-batches — lets
+            # bench derive a rows/s throughput that splits fixed per-batch
+            # overhead from plan cost. recentProgress is a RING BUFFER
+            # (spark.sql.streaming.numRecentProgressUpdates, default 100)
+            # that also holds no-data updates (which REPEAT a batchId), so
+            # neither its length nor last.batchId alone proves
+            # completeness: require every real batchId 0..last to still be
+            # present, else omit (0) rather than silently undercount.
+            # Summing all retained entries is then safe — repeated
+            # batchIds are idle updates carrying numInputRows = 0.
+            progress = q.recentProgress or []
+            seen_ids = {int(p.get("batchId", -1)) for p in progress}
+            n_batches = int(last.get("batchId", -1)) + 1
+            complete = set(range(n_batches)) <= seen_ids
             LAST_STREAM_STATS.update(
                 {
                     "name": name,
                     # batchId counts from 0; the last progress is the final batch
-                    "micro_batches": int(last.get("batchId", -1)) + 1,
+                    "micro_batches": n_batches,
                     "state_rows_total": sum(
                         int(s.get("numRowsTotal", 0)) for s in state
                     ),
                     "state_commit_partitions": int(n_state_partitions),
-                    # total source rows ingested across ALL micro-batches —
-                    # lets bench derive a rows/s throughput that splits
-                    # fixed per-batch overhead from plan cost. recentProgress
-                    # is a RING BUFFER (spark.sql.streaming.
-                    # numRecentProgressUpdates, default 100): if the run had
-                    # more micro-batches than retained entries the sum would
-                    # silently undercount, so it is omitted (0) instead.
                     "input_rows_total": (
-                        sum(
-                            int(p.get("numInputRows", 0))
-                            for p in (q.recentProgress or [])
-                        )
-                        if int(last.get("batchId", -1)) + 1
-                        <= len(q.recentProgress or [])
+                        sum(int(p.get("numInputRows", 0)) for p in progress)
+                        if complete
                         else 0
                     ),
                 }

@@ -44,13 +44,16 @@ intervals = st.lists(
 @settings(max_examples=12, deadline=None)
 @given(rows_a=intervals, rows_b=intervals)
 def test_overlap_join_matches_brute_force(spark, rows_a, rows_b):
-    got = {
+    # compared as sorted MULTISETS so a regression of the first-common-
+    # bucket rule (pair emitted once per shared bucket) fails loudly —
+    # a set compare would silently absorb duplicate emissions
+    got = sorted(
         (r.a_iid, r.b_iid, r.overlap_us)
         for r in bucketed_overlap_join(
             _df(spark, rows_a), _df(spark, rows_b), bucket_us=W
         ).collect()
-    }
-    assert got == _brute(rows_a, rows_b)
+    )
+    assert got == sorted(_brute(rows_a, rows_b))
 
 
 def test_touching_intervals_do_not_overlap(spark):

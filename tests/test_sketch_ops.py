@@ -320,3 +320,18 @@ def test_ams_f2_matches_independent_python(spark):
     row = ams_f2(df, value_col="v").collect()[0]
     assert row.f2_exact == want_exact
     assert row.f2_est == want_est
+
+
+def test_ams_f2_null_keys_excluded(spark):
+    # NULL join keys match nothing in a join, so they contribute nothing
+    # to self-join size on either the exact or the estimator side
+    from openstack_billing_from_db_spark.operators.sketch import ams_f2
+
+    df = spark.createDataFrame(
+        [("k",), ("k",), (None,), (None,), (None,)], "v string"
+    )
+    row = ams_f2(df, value_col="v").collect()[0]
+    assert row.n_rows == 2
+    assert row.f2_exact == 4
+    assert row.f2_est == 4  # single key → every estimator exact
+    assert row.rel_err_bp == 0
