@@ -83,11 +83,15 @@ def run_scale(spark, queries, sf_dir: str) -> dict[str, float]:
     times = {}
     for name in QUERIES:
         fn = _q40_adaptive if name == "q40_adaptive" else queries[name]
-        fn(spark, sf_dir).count()  # warm: JIT + file listing + cache fill
+        # noop sink, NOT count(): counting an outer-join-shaped result
+        # lets Catalyst prune the join against a key-distinct aggregate
+        # (hit by q125 — 1.8s "measured" vs 29.6s real); noop forces the
+        # full plan like bench.py
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
         release_operator_caches()
         spark.catalog.clearCache()
         t0 = time.monotonic()
-        fn(spark, sf_dir).count()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         times[name] = round(time.monotonic() - t0, 3)
         release_operator_caches()
         spark.catalog.clearCache()
@@ -110,11 +114,12 @@ import scripts.scaling_bench as sb
 spark = get_spark(app_name='scaling-probe')
 spark.sparkContext.setLogLevel('ERROR')
 fn = sb._q40_adaptive if {name!r} == 'q40_adaptive' else all_queries()[{name!r}]
-fn(spark, {sf_dir!r}).count()
+fn(spark, {sf_dir!r}).write.mode('overwrite').format('noop').save()
 release_operator_caches(); spark.catalog.clearCache()
-t0 = time.monotonic(); n = fn(spark, {sf_dir!r}).count()
+t0 = time.monotonic()
+fn(spark, {sf_dir!r}).write.mode('overwrite').format('noop').save()
 print('ISOLATED_SECONDS', round(time.monotonic() - t0, 3))
-print('ISOLATED_ROWS', n)
+print('ISOLATED_ROWS', fn(spark, {sf_dir!r}).count())
 """
     out = subprocess.run(
         [sys.executable, "-c", code],
