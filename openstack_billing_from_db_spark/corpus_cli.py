@@ -11,6 +11,8 @@ point; the reference has no corpus tooling — beyond-reference surface).
         --path DIR --predicate "user_id % 7 = 0"
     python -m openstack_billing_from_db_spark.corpus_cli zorder \
         --path DIR --cols user_id,ts --output DIR2
+    python -m openstack_billing_from_db_spark.corpus_cli dedup \
+        --path DOCS.parquet --method setsim --threshold 0.6 --output PAIRS
 
 Each subcommand prints one JSON summary line on stdout.
 """
@@ -50,6 +52,24 @@ def build_parser() -> argparse.ArgumentParser:
     zo.add_argument("--cols", required=True, help="comma-separated")
     zo.add_argument("--output", required=True)
     zo.add_argument("--num-files", type=int, default=8)
+
+    dd = sub.add_parser("dedup", help="near-duplicate pair extraction")
+    dd.add_argument("--path", required=True, help="parquet with doc_id,text")
+    dd.add_argument(
+        "--method",
+        choices=["exact", "minhash", "simhash", "setsim", "editdist"],
+        default="minhash",
+    )
+    dd.add_argument("--output", required=True, help="pair parquet destination")
+    dd.add_argument(
+        "--threshold",
+        type=float,
+        default=0.6,
+        help="Jaccard threshold (minhash/setsim)",
+    )
+    dd.add_argument(
+        "--max-distance", type=int, default=8, help="edit distance bound (editdist)"
+    )
     return p
 
 
@@ -111,6 +131,33 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             result = {
                 "command": "delete",
                 **delete_rows(spark, args.path, args.predicate),
+            }
+        elif args.command == "dedup":
+            from openstack_billing_from_db_spark.operators import dedup as dd
+
+            docs = spark.read.parquet(args.path)
+            if args.method == "exact":
+                pairs = dd.exact_duplicates(docs).filter("n_copies > 1")
+            elif args.method == "minhash":
+                pairs = dd.minhash_near_duplicates(docs).filter(
+                    f"jaccard >= {args.threshold}"
+                )
+            elif args.method == "simhash":
+                pairs = dd.simhash_near_duplicates(docs)
+            elif args.method == "setsim":
+                pairs = dd.set_similarity_join(
+                    docs, threshold_bp=int(round(args.threshold * 10000))
+                )
+            else:  # editdist
+                pairs = dd.edit_distance_near_duplicates_two_pass(
+                    docs, max_distance=args.max_distance
+                )
+            pairs.write.mode("overwrite").parquet(args.output)
+            result = {
+                "command": "dedup",
+                "method": args.method,
+                "rows": spark.read.parquet(args.output).count(),
+                "output": args.output,
             }
         else:  # zorder
             from openstack_billing_from_db_spark.sources.zorder import write_zordered

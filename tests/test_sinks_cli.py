@@ -198,3 +198,48 @@ def test_corpus_cli_prepare(spark, sf_dir, tmp_path):
     assert res["rows"] > 0
     back = spark.read.parquet(out)
     assert back.count() == res["rows"]
+
+
+def test_corpus_cli_dedup_methods(spark, sf_dir, tmp_path):
+    from openstack_billing_from_db_spark import corpus_cli
+
+    out1 = str(tmp_path / "pairs_setsim")
+    res = corpus_cli.main(
+        [
+            "dedup",
+            "--path",
+            f"{sf_dir}/documents.parquet",
+            "--method",
+            "setsim",
+            "--threshold",
+            "0.6",
+            "--output",
+            out1,
+        ],
+        spark=spark,
+    )
+    assert res["method"] == "setsim"
+    back = spark.read.parquet(out1)
+    assert set(back.columns) == {"doc_a", "doc_b", "jaccard"}
+    assert back.count() == res["rows"]
+    assert back.filter("jaccard < 0.6").count() == 0
+
+    out2 = str(tmp_path / "pairs_edit")
+    res2 = corpus_cli.main(
+        [
+            "dedup",
+            "--path",
+            f"{sf_dir}/documents.parquet",
+            "--method",
+            "editdist",
+            "--output",
+            out2,
+        ],
+        spark=spark,
+    )
+    assert res2["method"] == "editdist"
+    assert set(spark.read.parquet(out2).columns) == {
+        "doc_a",
+        "doc_b",
+        "edit_distance",
+    }
