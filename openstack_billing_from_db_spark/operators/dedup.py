@@ -910,10 +910,11 @@ def set_similarity_join(
     # afterwards. On a corpus with duplication factor d this cuts the
     # quadratic candidate/verify work by d² while the output (which is
     # Θ(true pairs) for ANY exact algorithm) is produced by a plain
-    # linear expansion join. sig is a map-side md5 over SORTED PER-
-    # ELEMENT HASHES — injective up to md5 collision; a raw separator-
-    # joined concat would collapse distinct sets whose tokens contain
-    # the separator byte.
+    # linear expansion join. sig is one map-side md5 over the sorted
+    # set in NETSTRING encoding (each element length-prefixed) —
+    # injective up to md5 collision with no per-element hashing; a raw
+    # separator-joined concat would collapse distinct sets whose tokens
+    # contain the separator byte.
     base = tracked_persist(
         ensure_map_parallelism(docs)
         .select(
@@ -928,7 +929,11 @@ def set_similarity_join(
             "shset",
             F.md5(
                 F.concat_ws(
-                    "", F.sort_array(F.transform("shset", lambda s: F.md5(s)))
+                    "",
+                    F.transform(
+                        F.sort_array("shset"),
+                        lambda s: F.concat(F.length(s).cast("string"), F.lit(":"), s),
+                    ),
                 )
             ).alias("sig"),
         )
