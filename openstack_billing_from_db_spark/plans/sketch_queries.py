@@ -664,3 +664,105 @@ def q124_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders").select("o_custkey"),
         value_col="o_custkey",
     )
+
+
+# --- pairwise source cosine over tf-idf vectors ------------------------------
+
+
+@register(
+    "q126_source_cosine",
+    oracle=f"""
+WITH wrd AS (SELECT source AS g, {_W} AS w FROM documents),
+t AS (SELECT g, unnest(w) AS wd FROM wrd),
+csw AS (SELECT g, wd, count(*) AS c FROM t GROUP BY g, wd),
+ns AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS s FROM csw),
+dfw AS (SELECT wd, CAST(count(*) AS BIGINT) AS df FROM csw GROUP BY wd),
+wv AS (
+  SELECT g, wd,
+         CAST(c AS DOUBLE) * (1 + ln(CAST(s + 1 AS DOUBLE) / (df + 1))) AS w
+  FROM csw JOIN dfw USING (wd) CROSS JOIN ns
+),
+nrm AS (
+  SELECT g, sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nn
+  FROM wv GROUP BY g
+),
+dots AS (
+  SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS n_shared_terms,
+         CAST(sum(CAST(a.w * b.w AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM wv a JOIN wv b ON b.wd = a.wd AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT d.ga AS source_a, d.gb AS source_b, d.n_shared_terms,
+       CAST(floor(d.dot / (na.nn * nb.nn) * 1e6 + 0.5) AS BIGINT) AS cosine_micro
+FROM dots d JOIN nrm na ON na.g = d.ga JOIN nrm nb ON nb.g = d.gb
+""",
+)
+def q126_source_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between every two sources' tf-idf
+    unigram vectors — the sparse-vector complement to q121's
+    distributional JSD, and the pattern that matters at scale: the dot
+    products come from an INVERTED-INDEX join (term-keyed equi-join of
+    the per-source weight streams), never from materialized dense
+    vectors — per term the join fans out at most sources² pair rows,
+    so the pair dimension multiplies the VOCABULARY, never the corpus.
+
+    Engine-exact: weights are deterministic double products
+    (count × smooth-idf, 1 + ln((S+1)/(df+1)) — never zero, so no
+    zero-norm vectors and no ANSI divide-by-zero); every sum is decimal-cast pre-sum
+    (order-independent); sqrt/ln are the platform libm on both engines
+    (the q121 precedent). Output: (source_a, source_b, n_shared_terms,
+    cosine_micro)."""
+    from openstack_billing_from_db_spark.operators import text
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.col("source").alias("g"),
+        F.explode(text.words(F.col("text"))).alias("wd"),
+    )
+    csw = toks.groupBy("g", "wd").agg(F.count(F.lit(1)).alias("c"))
+    ns = csw.agg(F.count_distinct("g").cast("long").alias("s"))
+    dfw = csw.groupBy("wd").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    wv = (
+        csw.crossJoin(F.broadcast(ns))
+        .join(dfw, "wd")
+        .select(
+            "g",
+            "wd",
+            F.expr(
+                "CAST(c AS DOUBLE) * (1 + ln(CAST(s + 1 AS DOUBLE) / (df + 1)))"
+            ).alias("w"),
+        )
+    )
+    nrm = wv.groupBy("g").agg(
+        F.expr(
+            "sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE))"
+        ).alias("nn")
+    )
+    dots = (
+        wv.alias("a")
+        .join(
+            wv.alias("b"),
+            (F.col("b.wd") == F.col("a.wd")) & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.expr(
+                "CAST(sum(CAST(a.w * b.w AS DECIMAL(38,12))) AS DOUBLE)"
+            ).alias("dot"),
+        )
+    )
+    na = nrm.select(F.col("g").alias("ga"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("g").alias("gb"), F.col("nn").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "ga")
+        .join(F.broadcast(nb), "gb")
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            "n_shared_terms",
+            F.expr(
+                "CAST(floor(dot / (na * nb) * 1e6 + 0.5) AS BIGINT)"
+            ).alias("cosine_micro"),
+        )
+    )

@@ -65,6 +65,7 @@ REGISTRATION_ROUND = {
     "q123_set_similarity_join": 5,
     "q124_ams_f2": 5,
     "q125_concurrent_sessions": 5,
+    "q126_source_cosine": 5,
 }
 
 
