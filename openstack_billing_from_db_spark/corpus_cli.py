@@ -133,11 +133,34 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
                 **delete_rows(spark, args.path, args.predicate),
             }
         elif args.command == "dedup":
+            from pyspark.sql import functions as F
+
             from openstack_billing_from_db_spark.operators import dedup as dd
+            from openstack_billing_from_db_spark.operators.caching import (
+                release_operator_caches,
+            )
 
             docs = spark.read.parquet(args.path)
             if args.method == "exact":
-                pairs = dd.exact_duplicates(docs).filter("n_copies > 1")
+                # true (doc_a, doc_b) pairs like every other method —
+                # the group summary of exact_duplicates would aggregate
+                # the member ids away and couldn't drive deletion
+                h = docs.select(
+                    F.md5(F.col("text")).alias("content_hash"), F.col("doc_id")
+                )
+                pairs = (
+                    h.alias("a")
+                    .join(
+                        h.alias("b"),
+                        (F.col("a.content_hash") == F.col("b.content_hash"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")),
+                    )
+                    .select(
+                        F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"),
+                        F.col("a.content_hash").alias("content_hash"),
+                    )
+                )
             elif args.method == "minhash":
                 pairs = dd.minhash_near_duplicates(docs).filter(
                     f"jaccard >= {args.threshold}"
@@ -153,6 +176,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
                     docs, max_distance=args.max_distance
                 )
             pairs.write.mode("overwrite").parquet(args.output)
+            # the dedup operators tracked_persist their shared
+            # intermediates; release them so repeated invocations on an
+            # injected long-lived session don't accumulate pinned caches
+            release_operator_caches()
             result = {
                 "command": "dedup",
                 "method": args.method,

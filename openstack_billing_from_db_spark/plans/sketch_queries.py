@@ -713,16 +713,22 @@ def q126_source_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the q121 precedent). Output: (source_a, source_b, n_shared_terms,
     cosine_micro)."""
     from openstack_billing_from_db_spark.operators import text
+    from openstack_billing_from_db_spark.operators.caching import tracked_persist
 
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         F.col("source").alias("g"),
         F.explode(text.words(F.col("text"))).alias("wd"),
     )
-    csw = toks.groupBy("g", "wd").agg(F.count(F.lit(1)).alias("c"))
+    # persisted: csw feeds the source count, the df table AND the weight
+    # stream; wv feeds the norms and BOTH sides of the term self-join —
+    # without these the corpus tokenize/count pipeline re-runs ~6x
+    csw = tracked_persist(
+        toks.groupBy("g", "wd").agg(F.count(F.lit(1)).alias("c"))
+    )
     ns = csw.agg(F.count_distinct("g").cast("long").alias("s"))
     dfw = csw.groupBy("wd").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    wv = (
+    wv = tracked_persist(
         csw.crossJoin(F.broadcast(ns))
         .join(dfw, "wd")
         .select(

@@ -92,6 +92,26 @@ def test_dynamic_overwrite_replaces_only_incoming_partitions(
     )
 
 
+def test_files_per_partition_fans_out(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "ev_fpp")
+    ev = _events_with_date(spark, sf_dir)
+    write_partitioned(ev, out, ["event_date"], files_per_partition=4)
+    # at least one busy day actually splits into >1 file, and no day
+    # exceeds the cap
+    per_dir = []
+    for d in os.listdir(out):
+        if not d.startswith("event_date="):
+            continue
+        files = [
+            f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")
+        ]
+        per_dir.append(len(files))
+    assert per_dir and max(per_dir) > 1
+    assert max(per_dir) <= 4
+    # content unchanged
+    assert spark.read.parquet(out).count() == ev.count()
+
+
 def test_partition_cols_required(spark, sf_dir, tmp_path):
     import pytest
 
@@ -100,3 +120,7 @@ def test_partition_cols_required(spark, sf_dir, tmp_path):
         write_partitioned(ev, str(tmp_path / "x"), [])
     with pytest.raises(ValueError):
         overwrite_partitions(ev, str(tmp_path / "y"), [])
+    with pytest.raises(ValueError):
+        write_partitioned(
+            ev, str(tmp_path / "z"), ["event_date"], files_per_partition=0
+        )

@@ -243,3 +243,26 @@ def test_corpus_cli_dedup_methods(spark, sf_dir, tmp_path):
         "doc_b",
         "edit_distance",
     }
+
+
+def test_corpus_cli_dedup_exact_emits_pairs(spark, sf_dir, tmp_path):
+    from openstack_billing_from_db_spark import corpus_cli
+
+    out = str(tmp_path / "pairs_exact")
+    res = corpus_cli.main(
+        [
+            "dedup",
+            "--path",
+            f"{sf_dir}/documents.parquet",
+            "--method",
+            "exact",
+            "--output",
+            out,
+        ],
+        spark=spark,
+    )
+    back = spark.read.parquet(out)
+    # true member pairs, not group summaries
+    assert set(back.columns) == {"doc_a", "doc_b", "content_hash"}
+    assert back.count() == res["rows"]
+    assert back.filter("doc_a >= doc_b").count() == 0
