@@ -181,3 +181,117 @@ def temperature_mixture_sample(
         .filter(bucket < F.col("__rate_bp"))
         .drop("__src", "__n", "__rate_bp")
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    budget_tokens: int,
+    seed: str = "epoch0",
+    pregate_margin: float | None = None,
+) -> DataFrame:
+    """Token-budgeted epoch construction: per source, admit documents in
+    a deterministic seeded-hash order until the cumulative whitespace-
+    token count would exceed ``budget_tokens`` — the data-recipe step
+    where the quota is TOKENS, not a document ratio (q79's temperature
+    mix) or a per-group row count (priority_sample_per_group). Seeding
+    gives reproducible epochs; a new seed is a fresh shuffle.
+
+    Exact path: one exchange on source, a per-source window cumsum over
+    (hash, id) order, keep ``cum_tokens <= budget``.
+
+    Scale path (``pregate_margin``, e.g. 2.0): the admission order IS
+    ascending hash order, so the admitted set is a PREFIX of the hash
+    range — a map-side gate ``hash < frac · 2^60`` with
+    ``frac = margin · budget / total_source_tokens`` keeps a superset
+    of the final epoch, and the window then sorts only ~margin·budget
+    tokens per source instead of the whole source. Output-identical to
+    the exact path whenever the margin holds (pinned by test); the
+    margin is enforced with a runtime assert_true — a gate that
+    retained fewer than ``budget`` tokens while excluding rows fails
+    loudly instead of silently shrinking the epoch.
+
+    Output: (source, id, n_tokens, cum_tokens) for admitted documents.
+    """
+    from openstack_billing_from_db_spark.operators.text import token_count
+
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive; got {budget_tokens}")
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        seeded_hash64(F.col(id_col).cast("string"), seed).alias("__h"),
+    )
+    if pregate_margin is not None:
+        if pregate_margin <= 1.0:
+            raise ValueError(
+                f"pregate_margin must be > 1; got {pregate_margin}"
+            )
+        totals = base.groupBy("source").agg(
+            F.sum("n_tokens").alias("__tot")
+        )
+        # hash space is 60 bits (functions/hashing.seeded_hash64)
+        cut = F.expr(
+            f"CAST(least(1.0, {pregate_margin} * {budget_tokens} / __tot)"
+            f" * CAST({1 << 60} AS DOUBLE) AS BIGINT)"
+        )
+        gated = (
+            base.join(F.broadcast(totals), "source")
+            .withColumn("__cut", cut)
+            .filter((F.col("__h") < F.col("__cut")) | (F.col("__cut") >= (1 << 60)))
+        )
+        w = Window.partitionBy("source").orderBy("__h", "id")
+        from openstack_billing_from_db_spark.operators.caching import (
+            tracked_persist,
+        )
+
+        cum = tracked_persist(
+            gated.withColumn(
+                "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+            )
+        )
+        # the gate must have retained at least the budget for every
+        # source it actually gated, or the prefix property is broken —
+        # checked EAGERLY driver-side (an expression-level assert_true
+        # would ride an otherwise-unused column and be pruned away by
+        # Catalyst). Bounded barrier: ≤ 1 row.
+        bad = (
+            cum.groupBy("source")
+            .agg(
+                F.max("cum_tokens").alias("kept_tok"),
+                F.max(F.col("__cut") < (1 << 60)).alias("gated_flag"),
+            )
+            .filter(F.col("gated_flag") & (F.col("kept_tok") < budget_tokens))
+            .limit(1)
+            .collect()
+        )
+        if not bad:
+            # a source whose EVERY row was gated out leaves no cum row
+            # at all — catch it by anti-joining the source list
+            bad = (
+                totals.join(
+                    cum.select("source").distinct(), "source", "left_anti"
+                )
+                .select("source", F.lit(0).alias("kept_tok"))
+                .limit(1)
+                .collect()
+            )
+        if bad:
+            raise ValueError(
+                f"token_budget_sample: pregate_margin={pregate_margin} too "
+                f"small — gate kept {bad[0].kept_tok} tokens for source "
+                f"{bad[0].source!r}, below budget {budget_tokens}"
+            )
+        return cum.filter(F.col("cum_tokens") <= budget_tokens).select(
+            "source", "id", "n_tokens", "cum_tokens"
+        )
+    w = Window.partitionBy("source").orderBy("__h", "id")
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select("source", "id", "n_tokens", "cum_tokens")
+    )

@@ -1363,3 +1363,51 @@ def q120_edit_distance_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.edit_distance_near_duplicates(
         load_table(spark, sf_dir, "documents")
     )
+
+
+# --- token-budgeted epoch construction ---------------------------------------
+
+_EPOCH_BUDGET = 2000  # tokens per source
+_EPOCH_SEED = "epoch0"
+
+
+@register(
+    "q127_token_budget_epoch",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id AS id,
+         CAST(len({_W}) AS BIGINT) AS n_tokens,
+         {seeded_hash64_sql("CAST(doc_id AS VARCHAR)", _EPOCH_SEED)} AS h
+  FROM documents
+),
+c AS (
+  SELECT source, id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM t
+)
+SELECT source, id AS doc_id, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {_EPOCH_BUDGET}
+""",
+)
+def q127_token_budget_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted epoch construction: per source, admit documents
+    in deterministic seeded-hash order until the cumulative token count
+    reaches {_EPOCH_BUDGET} — the data-recipe step whose quota is
+    TOKENS rather than a document ratio (q79) or a per-group row count
+    (q105). operators/sampling.token_budget_sample; the hash-prefix
+    pre-gate scale path (sort ~margin·budget tokens per source instead
+    of the whole source) is pinned output-identical by test."""
+    from openstack_billing_from_db_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    kept = token_budget_sample(
+        load_table(spark, sf_dir, "documents"),
+        budget_tokens=_EPOCH_BUDGET,
+        seed=_EPOCH_SEED,
+    )
+    return kept.select(
+        "source", F.col("id").alias("doc_id"), "n_tokens", "cum_tokens"
+    )

@@ -156,6 +156,7 @@ DEFERRED: tuple[str, ...] = (
     "q124_ams_f2",  # r5-new; sketch-eval family in-gate via q98/q101/q103
     "q125_concurrent_sessions",  # r5-new; interval family in-gate via q03/q26/q28
     "q126_source_cosine",  # r5-new; divergence family sibling of q118/q121
+    "q127_token_budget_epoch",  # r5-new; sampling family in-gate via q105/q109
 )
 
 

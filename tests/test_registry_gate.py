@@ -66,6 +66,7 @@ REGISTRATION_ROUND = {
     "q124_ams_f2": 5,
     "q125_concurrent_sessions": 5,
     "q126_source_cosine": 5,
+    "q127_token_budget_epoch": 5,
 }
 
 

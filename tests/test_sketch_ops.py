@@ -335,3 +335,86 @@ def test_ams_f2_null_keys_excluded(spark):
     assert row.f2_exact == 4
     assert row.f2_est == 4  # single key → every estimator exact
     assert row.rel_err_bp == 0
+
+
+# --- token-budgeted epoch construction ---------------------------------------
+
+
+def test_token_budget_sample_exact_semantics(spark):
+    from openstack_billing_from_db_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s0", "w " * (10 * (i + 1))) for i in range(6)],
+        "doc_id long, source string, text string",
+    )
+    out = token_budget_sample(
+        docs, budget_tokens=60, seed="t"
+    ).collect()
+    # admitted in hash order until the cumsum would pass 60
+    assert out, "expected at least one admitted doc"
+    assert max(r.cum_tokens for r in out) <= 60
+    # cum is consistent with the per-doc counts
+    assert sum(r.n_tokens for r in out) == max(r.cum_tokens for r in out)
+    import pytest
+
+    with pytest.raises(ValueError):
+        token_budget_sample(docs, budget_tokens=0)
+
+
+def test_token_budget_pregate_identical_to_exact(spark, sf_dir):
+    """The hash-prefix pre-gate (scale path) must be output-identical
+    to the full per-source window whenever the margin holds."""
+    from openstack_billing_from_db_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.source, r.id, r.n_tokens, r.cum_tokens)
+        for r in token_budget_sample(
+            docs, budget_tokens=2000, seed="epoch0"
+        ).collect()
+    }
+    gated = {
+        (r.source, r.id, r.n_tokens, r.cum_tokens)
+        for r in token_budget_sample(
+            docs, budget_tokens=2000, seed="epoch0", pregate_margin=3.0
+        ).collect()
+    }
+    assert exact == gated and exact
+
+
+def test_token_budget_pregate_guard_raises(spark):
+    """A margin whose gate drops enough tokens to undershoot the budget
+    must fail loudly, not silently shrink the epoch. Deterministic
+    construction: one heavy document whose seeded hash sits ABOVE the
+    gate cut carries most of the tokens — the gate excludes it, the
+    light survivors can't reach the budget, the guard fires."""
+    import pytest
+
+    from openstack_billing_from_db_spark.functions.hashing import py_hash64
+    from openstack_billing_from_db_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    # find an id hashing into the top 10% of the 60-bit space under
+    # seed "t" (the cut below lands at 0.9 of the space)
+    heavy = next(
+        i for i in range(10_000) if py_hash64(f"t|{i}") >= int(0.9 * (1 << 60))
+    )
+    light = [i for i in range(10_000) if i != heavy][:50]
+    docs = spark.createDataFrame(
+        [(heavy, "s0", "w " * 150)] + [(i, "s0", "one") for i in light],
+        "doc_id long, source string, text string",
+    )
+    # total = 200 tokens, budget 150, margin 1.2 → frac 0.9: the heavy
+    # doc is gated out, survivors carry ≤ 50 tokens < budget
+    with pytest.raises(Exception) as ei:
+        token_budget_sample(
+            docs, budget_tokens=150, seed="t", pregate_margin=1.2
+        ).collect()
+    assert "pregate_margin" in str(ei.value)
+    with pytest.raises(ValueError):
+        token_budget_sample(docs, budget_tokens=10, pregate_margin=1.0)
