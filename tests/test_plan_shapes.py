@@ -232,3 +232,16 @@ def test_set_similarity_join_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_source_cosine_shape(spark, sf_dir):
+    """q126: the only joins are keyed (term self-join + broadcast norm
+    joins + the tiny source-count cross of one 1-row aggregate); the
+    persisted csw/wv intermediates are reused via InMemoryTableScan
+    instead of re-tokenizing the corpus for each consumer."""
+    plan = _plan(QUERIES["q126_source_cosine"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    # the 1-row source-count side must come in as a broadcast, and the
+    # norm joins too
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
