@@ -158,9 +158,13 @@ _MH_PARAMS = "(VALUES " + ", ".join(
 ) + ")"
 
 # (doc_id, shingle) stream shared by the minhash pipeline and the exact
-# set-similarity join's brute-force oracle (q123)
-_SHINGLE_CTES = f"""
-wrd AS (SELECT doc_id, {_W} AS w FROM documents),
+# set-similarity join's brute-force oracle (q123). Parametrized on the
+# source relation so the q128 recipe can run the same chain over its
+# filtered/deduplicated intermediate; the module constants render the
+# default and keep every existing oracle byte-identical.
+def _shingle_cte_blocks(src: str = "documents") -> str:
+    return f"""
+wrd AS (SELECT doc_id, {_W} AS w FROM {src}),
 sh AS (
   SELECT doc_id,
          unnest(list_transform(range(1, len(w) - {_SHINGLE_N - 2}),
@@ -168,7 +172,11 @@ sh AS (
   FROM wrd WHERE len(w) >= {_SHINGLE_N}
 )"""
 
-_MINHASH_CTES = f"""{_SHINGLE_CTES},
+
+_SHINGLE_CTES = _shingle_cte_blocks()
+
+def _minhash_cte_blocks(src: str = "documents") -> str:
+    return f"""{_shingle_cte_blocks(src)},
 shh AS (
   SELECT doc_id, shingle, {portable_hash64_sql("shingle")} % {dedup.MINHASH_P} AS hh
   FROM sh
@@ -190,9 +198,14 @@ cand AS (
 """
 
 
+_MINHASH_CTES = _minhash_cte_blocks()
+
+
 # _MINHASH_CTES extended with the exact-Jaccard verify stage; shared by
-# q35 (pair emission) and q67 (transitive-closure clustering).
-_MINHASH_JACCARD_CTES = f"""{_MINHASH_CTES},
+# q35 (pair emission), q67 (transitive-closure clustering), and the
+# q128 recipe (over its own filtered source).
+def _minhash_jaccard_blocks(src: str = "documents") -> str:
+    return f"""{_minhash_cte_blocks(src)},
 ps AS (SELECT DISTINCT doc_id, shingle FROM sh),
 sz AS (SELECT doc_id, count(*) AS n FROM ps GROUP BY doc_id),
 inter AS (
@@ -211,6 +224,9 @@ jc AS (
   LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 )
 """
+
+
+_MINHASH_JACCARD_CTES = _minhash_jaccard_blocks()
 
 
 @register(
@@ -1410,4 +1426,86 @@ def q127_token_budget_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kept.select(
         "source", F.col("id").alias("doc_id"), "n_tokens", "cum_tokens"
+    )
+
+
+# --- the composed corpus recipe, oracle-proven end to end --------------------
+
+_RECIPE_MIN_Q = 0.3
+_RECIPE_JACCARD = 0.8
+
+
+def _recipe_oracle() -> str:
+    quality = (
+        f"least(1.0, len({_W}) / 100.0) * 0.4"
+        f" + len(list_filter({_W}, w -> w IN ({_STOP['en']})))"
+        f" / greatest(len({_W}), 1) * 0.4"
+        f" + length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
+        f" / greatest(length(text), 1) * 0.2"
+    )
+    return f"""
+WITH scored AS (
+  SELECT * FROM documents WHERE {quality} >= {_RECIPE_MIN_Q}
+),
+canon AS (
+  SELECT * EXCLUDE (rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM scored)
+  WHERE rn = 1
+),{_minhash_jaccard_blocks("canon")},
+drops AS (SELECT DISTINCT doc_b AS doc_id FROM jc
+          WHERE jaccard >= {_RECIPE_JACCARD}),
+clean AS (SELECT c.* FROM canon c ANTI JOIN drops d ON d.doc_id = c.doc_id),
+lid AS (
+  SELECT doc_id,
+         CAST(len({_W}) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({_W}, w -> w IN ({_STOP['en']}))) AS BIGINT) AS en_hits,
+         CAST(len(list_filter({_W}, w -> w IN ({_STOP['de']}))) AS BIGINT) AS de_hits,
+         CAST(len(list_filter({_W}, w -> w IN ({_STOP['es']}))) AS BIGINT) AS es_hits,
+         CAST(len(list_filter({_W}, w -> w IN ({_STOP['fr']}))) AS BIGINT) AS fr_hits
+  FROM clean
+),
+labeled AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN en_hits + de_hits + es_hits + fr_hits = 0 THEN 'unknown'
+              WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+              WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+              WHEN es_hits >= fr_hits THEN 'es'
+              ELSE 'fr' END AS predicted_lang
+  FROM lid
+)
+SELECT predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM labeled GROUP BY predicted_lang
+"""
+
+
+@register("q128_corpus_recipe", oracle=_recipe_oracle())
+def q128_corpus_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED corpus pipeline (plans/corpus_pipeline.prepare_corpus
+    — quality filter → exact dedup → MinHash near-dedup → language ID →
+    token accounting) proven end to end against one DuckDB oracle that
+    replays every stage: the flagship statement that the operators
+    compose, not just pass in isolation. Per-language summary output so
+    the signal is the pipeline's SURVIVOR SET, not any one stage.
+    Scale shape: the stages are the individually-audited q31/q34/q35/
+    q32 plans chained — map-side scoring, one hash aggregation, the
+    banded LSH join, map-side labeling."""
+    from openstack_billing_from_db_spark.plans.corpus_pipeline import (
+        prepare_corpus,
+    )
+
+    corpus = prepare_corpus(
+        spark,
+        sf_dir,
+        None,
+        min_quality=_RECIPE_MIN_Q,
+        near_dup_jaccard=_RECIPE_JACCARD,
+    )
+    return corpus.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
     )

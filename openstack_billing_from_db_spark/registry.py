@@ -157,6 +157,7 @@ DEFERRED: tuple[str, ...] = (
     "q125_concurrent_sessions",  # r5-new; interval family in-gate via q03/q26/q28
     "q126_source_cosine",  # r5-new; divergence family sibling of q118/q121
     "q127_token_budget_epoch",  # r5-new; sampling family in-gate via q105/q109
+    "q128_corpus_recipe",  # r5-new; composition of in-gate q34/q35 + q31/q32 stages
 )
 
 

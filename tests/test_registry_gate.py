@@ -67,6 +67,7 @@ REGISTRATION_ROUND = {
     "q125_concurrent_sessions": 5,
     "q126_source_cosine": 5,
     "q127_token_budget_epoch": 5,
+    "q128_corpus_recipe": 5,
 }
 
 
