@@ -116,13 +116,22 @@ def bucketed_overlap_join(
     if W <= 0:
         raise ValueError(f"bucket_us must be positive; got {W}")
 
+    def _fdiv(expr: str) -> str:
+        # FLOOR division (pure integer ops), not Spark `div` (truncate
+        # toward zero): with truncation, bucket 0 spans 2W−1 units when
+        # coordinates go negative, skewing the replication bound and
+        # the max_span_buckets guard. Same construction as
+        # quantiles._floor_bin; matches DuckDB `//` for negatives.
+        return f"((({expr}) - (((({expr}) % {W}) + {W}) % {W})) div {W})"
+
     def _side(df: DataFrame, p: str) -> DataFrame:
         keep = [F.col(c).alias(f"{p}{c}") for c in df.columns]
         # assert_true yields NULL on pass (coalesce falls through) and
         # raises on violation — the span guard costs zero extra actions
         span_ok = (
             f"coalesce(CAST(assert_true("
-            f"({end_col} - 1) div {W} - {start_col} div {W} < {max_span_buckets}, "
+            f"{_fdiv(f'{end_col} - 1')} - {_fdiv(start_col)} "
+            f"< {max_span_buckets}, "
             f"'bucketed_overlap_join: interval spans more than "
             f"{max_span_buckets} buckets; raise bucket_us or "
             f"max_span_buckets') AS BIGINT), 0)"
@@ -133,8 +142,8 @@ def bucketed_overlap_join(
                 *keep,
                 F.explode(
                     F.expr(
-                        f"sequence({start_col} div {W} + {span_ok}, "
-                        f"({end_col} - 1) div {W})"
+                        f"sequence({_fdiv(start_col)} + {span_ok}, "
+                        f"{_fdiv(f'{end_col} - 1')})"
                     )
                 ).alias(f"{p}bkt"),
             )
@@ -152,7 +161,7 @@ def bucketed_overlap_join(
             & (F.col(b_s) < F.col(a_e))
             # first common bucket → exactly-once emission per pair
             & (
-                F.expr(f"greatest({a_s}, {b_s}) div {W}") == F.col("a_bkt")
+                F.expr(_fdiv(f"greatest({a_s}, {b_s})")) == F.col("a_bkt")
             ),
         )
         .drop("a_bkt", "b_bkt")

@@ -122,11 +122,19 @@ def _nearest_code_arrow(sub: Column, codebook: list[list[float]]) -> Column:
     the same ties → lowest code rule as the struct-min literal path)."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
-    sc = SparkSession.getActiveSession().sparkContext
-    bc = sc.broadcast([list(map(float, c)) for c in codebook])
+    from openstack_billing_from_db_spark.operators.caching import (
+        cached_broadcast,
+    )
+
+    # content-keyed: repeated encode builds over the same codebook in a
+    # long-lived session reuse one broadcast (released by
+    # release_operator_caches) instead of pinning a new JVM copy per call
+    key = ("pq_nearest", tuple(tuple(map(float, c)) for c in codebook))
+    bc = cached_broadcast(
+        key, lambda: [list(map(float, c)) for c in codebook]
+    )
 
     def _nearest(parr):
         if len(parr) == 0:
@@ -210,11 +218,14 @@ def _sub_dist_arrow(m: int, cb: list[list[float]]) -> Column:
     float64 operation order as the literal path."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
-    sc = SparkSession.getActiveSession().sparkContext
-    bc = sc.broadcast(np.array(cb, dtype=np.float64))
+    from openstack_billing_from_db_spark.operators.caching import (
+        cached_broadcast,
+    )
+
+    key = ("pq_adc", tuple(tuple(map(float, c)) for c in cb))
+    bc = cached_broadcast(key, lambda: np.array(cb, dtype=np.float64))
 
     def _dist(codes, qarr):
         if len(codes) == 0:

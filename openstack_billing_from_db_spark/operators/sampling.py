@@ -254,18 +254,23 @@ def token_budget_sample(
                 "cum_tokens", F.sum("n_tokens").over(w).cast("long")
             )
         )
-        # the gate must have retained at least the budget for every
-        # source it actually gated, or the prefix property is broken —
-        # checked EAGERLY driver-side (an expression-level assert_true
-        # would ride an otherwise-unused column and be pruned away by
-        # Catalyst). Bounded barrier: ≤ 1 row.
+        # the gate must have retained STRICTLY MORE than the budget for
+        # every source it actually gated, or the prefix property is
+        # broken — checked EAGERLY driver-side (an expression-level
+        # assert_true would ride an otherwise-unused column and be
+        # pruned away by Catalyst). Bounded barrier: ≤ 1 row.
+        # Strictly-more (<= not <): at kept_tok == budget exactly, a
+        # zero-token document whose hash fell beyond the cut would be
+        # admitted by the exact path (its cumsum stays == budget) but
+        # dropped by the gate — erring loudly here keeps the documented
+        # "output-identical or fail loudly" contract at that boundary.
         bad = (
             cum.groupBy("source")
             .agg(
                 F.max("cum_tokens").alias("kept_tok"),
                 F.max(F.col("__cut") < (1 << 60)).alias("gated_flag"),
             )
-            .filter(F.col("gated_flag") & (F.col("kept_tok") < budget_tokens))
+            .filter(F.col("gated_flag") & (F.col("kept_tok") <= budget_tokens))
             .limit(1)
             .collect()
         )
@@ -284,7 +289,8 @@ def token_budget_sample(
             raise ValueError(
                 f"token_budget_sample: pregate_margin={pregate_margin} too "
                 f"small — gate kept {bad[0].kept_tok} tokens for source "
-                f"{bad[0].source!r}, below budget {budget_tokens}"
+                f"{bad[0].source!r}, not strictly above budget "
+                f"{budget_tokens}"
             )
         return cum.filter(F.col("cum_tokens") <= budget_tokens).select(
             "source", "id", "n_tokens", "cum_tokens"

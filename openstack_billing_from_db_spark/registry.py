@@ -133,31 +133,35 @@ DEFERRED: tuple[str, ...] = (
     "q68_decontamination",  # r2+r3+r4-green; family in-gate via q109 fraction
     "q73_kmeans_clusters",  # r3+r4-green; kmeans_fit kernel trains in-gate q110 PQ
     "q74_repetition_stats",  # r3+r4-green; quality family in-gate via q76/q81
-    # Round-4 siblings still deferred (rotate in round 6), each pytest-
-    # pinned to a rotated-in family representative:
-    "q97_merge_upsert",  # r4-new; MERGE family in-gate via q96 SCD2
-    "q99_priority_sample",  # r4-new; sampling family in-gate via q105
-    "q100_bpe_encode",  # r4-new; BPE family (training twin q78 in-gate;
-    # the encode oracle replays it verbatim)
-    "q102_kmv_set_overlap",  # r4-new; KMV family in-gate via q98
-    "q108_quantile_trim",  # r4-new; quantile family in-gate via q103
-    "q111_pq_adc_topk",  # r4-new; ADC kernel in-gate via q112/q114
-    "q113_ivf_pq_residual_topk",  # r4-new; IVF-PQ family in-gate via q112
-    "q115_sq8_profile",  # r4-new; compression family in-gate via q110/q114
-    # Round-5 additions (rotate in round 6, within the 2-round ledger
-    # deadline enforced by tests/test_registry_gate.py):
-    "q117_hll_distinct",  # r5-new; cardinality-sketch family in-gate via q98 KMV
-    "q118_source_kl",  # r5-new; corpus-divergence family; term stream in-gate via q98
-    "q119_token_entropy",  # r5-new; quality family in-gate via q76/q81
-    "q120_edit_distance_dups",  # r5-new; dedup family in-gate via q34/q35/q37
-    "q121_js_divergence",  # r5-new; divergence family, same CTE base as q118
-    "q122_countmin_error",  # r5-new; sketch-eval family in-gate via q101/q114/q116
-    "q123_set_similarity_join",  # r5-new; exact-Jaccard family in-gate via q34/q35/q116
-    "q124_ams_f2",  # r5-new; sketch-eval family in-gate via q98/q101/q103
-    "q125_concurrent_sessions",  # r5-new; interval family in-gate via q03/q26/q28
-    "q126_source_cosine",  # r5-new; divergence family sibling of q118/q121
-    "q127_token_budget_epoch",  # r5-new; sampling family in-gate via q105/q109
-    "q128_corpus_recipe",  # r5-new; composition of in-gate q34/q35 + q31/q32 stages
+    # Round-6 rotation (VERDICT r5 Next #1/#2): the 20 never-driver-checked
+    # queries (round-4 siblings q97/q99/q100/q102/q108/q111/q113/q115 —
+    # past their 2-round ledger deadline — plus the 12 round-5 additions
+    # q117-q128) rotate IN. Their slots come from parking the 14 round-5
+    # family representatives that each earned a hard r5-green row, plus
+    # eight multiply-green core queries (each r1+r3+r5 or r3+r4+r5 green,
+    # kernel still exercised by an in-gate sibling):
+    "q12_top_unshipped_orders",  # r1-r5-green; sort/top-k in-gate via q17-family twins parked with pytest pins; O1 exercised by q107 ordering + q105 group top-k
+    "q24_distribution_stats",  # r1-r5-green; distribution aggs in-gate via q103/q108 quantile family
+    "q27_status_priority_cube",  # r1-r5-green; cube/grouping-sets kernel pytest-pinned; unpivot twin q20 r1+r3-green
+    "q28_gap_sessions",  # r1+r3+r4+r5-green; gap sessionization in-gate via q125 concurrency (same interval algebra) + q03/q06
+    "q32_langid",  # r1-r5-green; langid consumed by in-gate q128 corpus recipe stage
+    "q83_variant_json",  # r3+r4+r5-green; JSON parse in-gate via q05/q42 pci path
+    "q84_trailing_window",  # r3+r4+r5-green; RANGE-frame windows in-gate via q108 trim windows
+    "q85_full_outer_join",  # r3+r4+r5-green; outer-join family in-gate via q97 MERGE (full-outer core)
+    "q95_pagerank",  # r5-green; graph family in-gate via q106 twin parked too — PageRank kernel pytest-pinned (fixpoint golden)
+    "q96_scd2_history",  # r5-green; SCD2 in-gate via q97 MERGE sibling
+    "q98_kmv_distinct",  # r5-green; KMV kernel in-gate via q102 set-overlap + q117 HLL
+    "q101_countmin_heavy_hitters",  # r5-green; count-min in-gate via q122 error eval
+    "q103_histogram_quantiles",  # r5-green; quantile kernel in-gate via q108 trim
+    "q104_random_projection",  # r5-green; projection kernel consumed by in-gate q116-family LSH (parked) + q39
+    "q105_group_priority_sample",  # r5-green; sampling family in-gate via q99/q127
+    "q106_triangle_count",  # r5-green; graph family pytest-pinned (orientation goldens)
+    "q107_salted_join_revenue",  # r5-green; skew-join demo, join kernels in-gate via q97/q125
+    "q109_contamination_fraction",  # r5-green; decontamination family r2-r5 multiply-green via q68/q91 parked twins
+    "q110_pq_encode",  # r5-green; PQ encode consumed by in-gate q111/q113 ADC paths
+    "q112_ivf_pq_topk",  # r5-green; IVF-PQ family in-gate via q113 residual + q129 re-rank
+    "q114_pq_recall",  # r5-green; recall eval in-gate via q129 re-rank recall
+    "q116_lsh_recall",  # r5-green; LSH recall eval, kernel shared with in-gate q123 prefix-filter family
 )
 
 
@@ -186,6 +190,22 @@ def load_all() -> None:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
     _loaded = True
+
+
+def registration_rounds() -> dict[str, int]:
+    """Committed append-only ledger: query name -> round it was registered.
+
+    ``tests/test_registry_gate.py`` enforces (a) every registered query has
+    a ledger entry — so a new query cannot be silently mis-dated — and
+    (b) every query receives a driver CORRECTNESS row within two rounds of
+    its ledger round. When adding a query, append it here with the current
+    round; entries are never edited or removed while the query exists.
+    """
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).with_name("registration_ledger.json")
+    return {str(k): int(v) for k, v in json.loads(path.read_text()).items()}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -3,7 +3,13 @@ entries (observed round 1). Pin that every component-bearing query —
 especially those that never got a CORRECTNESS row — sits inside the
 gate, that only DEFERRED redundant twins absorb the overflow, and that
 the rotation policy (every registered query driver-checked within two
-rounds of registration) holds under the current DEFERRED ordering."""
+rounds of registration) holds under the current DEFERRED ordering.
+
+Registration rounds come from the committed append-only ledger
+``openstack_billing_from_db_spark/registration_ledger.json`` (VERDICT r5
+Next #5): a query missing from the ledger is a hard failure here, so a
+round-N addition cannot be silently mis-dated.
+"""
 
 import json
 import re
@@ -13,62 +19,11 @@ from openstack_billing_from_db_spark.registry import (
     DEFERRED,
     all_oracle_sql,
     all_queries,
+    registration_rounds,
 )
 
 GATE_SIZE = 50
 REPO = Path(__file__).resolve().parents[1]
-
-# never driver-checked yet — must sit inside the gate. Round-4's
-# rotated-in set (q82/q86-q94) all got green CORRECTNESS_r04 rows; what
-# remains is the round-4 operator wave (q95-q116), of which one
-# representative per family rotates in for round 5 (VERDICT r4 Next #1).
-# NEW components always take gate priority over multiply-proven twins.
-NEVER_DRIVER_CHECKED = {
-    "q95_pagerank",
-    "q96_scd2_history",
-    "q98_kmv_distinct",
-    "q101_countmin_heavy_hitters",
-    "q103_histogram_quantiles",
-    "q104_random_projection",
-    "q105_group_priority_sample",
-    "q106_triangle_count",
-    "q107_salted_join_revenue",
-    "q109_contamination_fraction",
-    "q110_pq_encode",
-    "q112_ivf_pq_topk",
-    "q114_pq_recall",
-    "q116_lsh_recall",
-}
-
-# Registration round of queries added after round 1 that have not yet
-# been driver-checked at the time of writing (earlier queries are all
-# multiply-green, so their registration round never matters to the
-# ledger). A query missing from this map is treated as registered in
-# round 1 — the strictest assumption.
-REGISTRATION_ROUND = {
-    **{q: 4 for q in NEVER_DRIVER_CHECKED},
-    "q97_merge_upsert": 4,
-    "q99_priority_sample": 4,
-    "q100_bpe_encode": 4,
-    "q102_kmv_set_overlap": 4,
-    "q108_quantile_trim": 4,
-    "q111_pq_adc_topk": 4,
-    "q113_ivf_pq_residual_topk": 4,
-    "q115_sq8_profile": 4,
-    # round-5 additions
-    "q117_hll_distinct": 5,
-    "q118_source_kl": 5,
-    "q119_token_entropy": 5,
-    "q120_edit_distance_dups": 5,
-    "q121_js_divergence": 5,
-    "q122_countmin_error": 5,
-    "q123_set_similarity_join": 5,
-    "q124_ams_f2": 5,
-    "q125_concurrent_sessions": 5,
-    "q126_source_cosine": 5,
-    "q127_token_budget_epoch": 5,
-    "q128_corpus_recipe": 5,
-}
 
 
 def _correctness_history() -> tuple[int, set[str]]:
@@ -89,11 +44,36 @@ def _correctness_history() -> tuple[int, set[str]]:
     return last + 1, green
 
 
+def test_ledger_covers_registry_exactly():
+    """Every registered query has a ledger entry and vice versa — the
+    append-only ledger cannot drift from the registry."""
+    names = set(all_queries())
+    ledger = registration_rounds()
+    missing = names - set(ledger)
+    stale = set(ledger) - names
+    assert not missing, f"queries registered without a ledger entry: {sorted(missing)}"
+    assert not stale, f"ledger entries for unregistered queries: {sorted(stale)}"
+
+
+def test_ledger_rounds_sane():
+    current_round, _ = _correctness_history()
+    for name, rnd in registration_rounds().items():
+        assert 1 <= rnd <= current_round, (name, rnd, current_round)
+
+
 def test_unchecked_queries_inside_gate():
+    """Strong rotation policy: EVERY query that has never received a
+    driver CORRECTNESS row must sit inside the 50-entry gate head NOW,
+    so this round's run checks it. (The 2-round deadline below is the
+    formal backstop; this is the operative forcing function — if a round
+    registers more new queries than free slots, more multiply-green
+    twins must be parked.)"""
+    _, green = _correctness_history()
     names = list(all_queries())
     gate = set(names[:GATE_SIZE])
-    missing = NEVER_DRIVER_CHECKED - gate
-    assert not missing, f"outside the 50-entry driver gate: {sorted(missing)}"
+    never_checked = {q for q in names if q not in green}
+    missing = never_checked - gate
+    assert not missing, f"never driver-checked yet outside the gate: {sorted(missing)}"
 
 
 def test_only_deferred_entries_overflow_gate():
@@ -120,6 +100,7 @@ def test_rotation_ledger_two_round_deadline():
     a new query would be parked past its deadline by the current
     DEFERRED ordering."""
     current_round, green = _correctness_history()
+    reg = registration_rounds()
     names = list(all_queries())
     gate = set(names[:GATE_SIZE])
     overdue = [
@@ -127,7 +108,7 @@ def test_rotation_ledger_two_round_deadline():
         for q in names
         if q not in green
         and q not in gate
-        and current_round >= REGISTRATION_ROUND.get(q, 1) + 2
+        and current_round >= reg.get(q, 1) + 2
     ]
     assert not overdue, (
         f"never driver-checked, past the 2-round deadline, and still "
@@ -139,6 +120,7 @@ def test_ledger_history_is_read():
     """Guard the ledger's own inputs: the history parser must see the
     prior rounds and the multiply-green core queries."""
     current_round, green = _correctness_history()
-    assert current_round >= 5
+    assert current_round >= 6
     assert "q01_billing_invoice" in green
     assert "q94_incremental_dedup" in green  # r4 rotation landed
+    assert "q110_pq_encode" in green  # r5 rotation landed

@@ -94,6 +94,55 @@ def test_release_operator_caches(spark):
     assert release_operator_caches() == 0
 
 
+def test_cached_broadcast_dedupes_and_releases(spark):
+    """ADVICE r5: the Arrow codebook helpers must reuse one broadcast
+    per payload instead of leaking a fresh JVM-pinned copy per call."""
+    from openstack_billing_from_db_spark.operators.caching import (
+        cached_broadcast,
+    )
+
+    calls = {"n": 0}
+
+    def factory():
+        calls["n"] += 1
+        return [1.0, 2.0]
+
+    a = cached_broadcast(("t", (1.0, 2.0)), factory)
+    b = cached_broadcast(("t", (1.0, 2.0)), factory)
+    assert a is b and calls["n"] == 1
+    assert cached_broadcast(("t", (3.0,)), lambda: [3.0]) is not a
+    assert release_operator_caches() >= 2
+    # released → rebuilt on next request, not resurrected
+    c = cached_broadcast(("t", (1.0, 2.0)), factory)
+    assert c is not a and calls["n"] == 2
+    assert c.value == [1.0, 2.0]
+    release_operator_caches()
+
+
+def test_pq_arrow_paths_share_codebook_broadcasts(spark):
+    """Building the same Arrow-path PQ encode twice must not register
+    two broadcasts for the same codebook content."""
+    from openstack_billing_from_db_spark.operators import quantization
+    from openstack_billing_from_db_spark.operators.caching import (
+        _TRACKED_BC,
+        release_operator_caches,
+    )
+
+    release_operator_caches()
+    # force the Arrow path: >LITERAL_CODEBOOK_MAX_CODES total centroids
+    k = quantization.LITERAL_CODEBOOK_MAX_CODES + 1
+    cb = [[float(j), float(j + 1)] for j in range(k)]
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, float(i % 3), 2.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    quantization.pq_encode(emb, [cb, cb]).count()
+    n_after_first = len(_TRACKED_BC)
+    quantization.pq_encode(emb, [cb, cb]).count()
+    assert len(_TRACKED_BC) == n_after_first  # reused, not re-broadcast
+    assert release_operator_caches() >= 1
+
+
 # --- ADVICE/VERDICT: CLI flag round-trip ------------------------------------
 
 

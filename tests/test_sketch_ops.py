@@ -418,3 +418,39 @@ def test_token_budget_pregate_guard_raises(spark):
     assert "pregate_margin" in str(ei.value)
     with pytest.raises(ValueError):
         token_budget_sample(docs, budget_tokens=10, pregate_margin=1.0)
+
+
+def test_token_budget_pregate_guard_fires_at_exact_budget(spark):
+    """kept_tok == budget EXACTLY with an active gate must also error:
+    a zero-token document whose hash fell beyond the cut would be
+    admitted by the exact path (cumsum stays == budget) but dropped by
+    the gate, so the boundary is not provably output-identical — the
+    guard errs loudly (ADVICE r5, sampling.py pregate boundary)."""
+    import pytest
+
+    from openstack_billing_from_db_spark.functions.hashing import py_hash64
+    from openstack_billing_from_db_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    heavy = next(
+        i for i in range(10_000) if py_hash64(f"t|{i}") >= int(0.9 * (1 << 60))
+    )
+    light = [
+        i
+        for i in range(10_000)
+        if i != heavy and py_hash64(f"t|{i}") < int(0.5 * (1 << 60))
+    ][:100]
+    assert len(light) == 100
+    docs = spark.createDataFrame(
+        [(heavy, "s0", "w " * 150)] + [(i, "s0", "one") for i in light],
+        "doc_id long, source string, text string",
+    )
+    # total = 250 tokens, budget 100, margin 1.5 → frac 0.6: heavy
+    # (hash ≥ 0.9) gated out, all light (hash < 0.5) kept → kept_tok
+    # lands EXACTLY on the budget, which is no longer good enough
+    with pytest.raises(Exception) as ei:
+        token_budget_sample(
+            docs, budget_tokens=100, seed="t", pregate_margin=1.5
+        ).collect()
+    assert "not strictly above" in str(ei.value)
