@@ -35,6 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
     prep.add_argument("--output", default=None)
     prep.add_argument("--min-quality", type=float, default=0.3)
     prep.add_argument("--near-dup-jaccard", type=float, default=0.8)
+    prep.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="run the full pipeline without writing output and report "
+        "stage-by-stage survivor counts (rides df.observe on the one "
+        "materializing action — no second scan per stage)",
+    )
 
     st = sub.add_parser("stats", help="one-pass column statistics")
     st.add_argument("--path", required=True)
@@ -82,18 +89,47 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         spark = get_spark(app_name=f"corpus-cli-{args.command}")
     try:
         if args.command == "prepare":
+            from openstack_billing_from_db_spark.operators.caching import (
+                release_operator_caches,
+            )
             from openstack_billing_from_db_spark.plans.corpus_pipeline import (
+                STAGES,
                 prepare_corpus,
             )
 
-            out = prepare_corpus(
-                spark,
-                args.data_dir,
-                args.output,
-                min_quality=args.min_quality,
-                near_dup_jaccard=args.near_dup_jaccard,
-            )
-            result = {"command": "prepare", "rows": out.count(), "output": args.output}
+            if args.dry_run:
+                obs: dict = {}
+                out = prepare_corpus(
+                    spark,
+                    args.data_dir,
+                    None,  # never write on a dry run
+                    min_quality=args.min_quality,
+                    near_dup_jaccard=args.near_dup_jaccard,
+                    observations=obs,
+                )
+                # one action drives the whole pipeline; every stage
+                # count accumulates during this pass
+                out.write.mode("overwrite").format("noop").save()
+                result = {
+                    "command": "prepare",
+                    "dry_run": True,
+                    "stages": {s: int(obs[s].get["n"]) for s in STAGES},
+                    "output": None,
+                }
+            else:
+                out = prepare_corpus(
+                    spark,
+                    args.data_dir,
+                    args.output,
+                    min_quality=args.min_quality,
+                    near_dup_jaccard=args.near_dup_jaccard,
+                )
+                result = {
+                    "command": "prepare",
+                    "rows": out.count(),
+                    "output": args.output,
+                }
+            release_operator_caches()
         elif args.command == "stats":
             from openstack_billing_from_db_spark.sources.stats import table_stats
 

@@ -711,6 +711,8 @@ def edit_distance_near_duplicates(
     cap_chars: int = 96,
     max_distance: int = 8,
     block_on: str = "prefix",
+    block_keep_bp: int | None = None,
+    block_seed: str = "editblocks",
 ):
     """Blocked edit-distance near-duplicate pairs — the string-metric
     member of the dedup family (exact q34 / MinHash q35 / SimHash q37 /
@@ -734,7 +736,17 @@ def edit_distance_near_duplicates(
     prefix misses pairs whose FIRST edit sits inside the prefix — the
     standard multi-pass mitigation is ``block_on='suffix'`` (same
     operator, last-``prefix_len``-chars key), unioned by
-    :func:`edit_distance_near_duplicates_two_pass`."""
+    :func:`edit_distance_near_duplicates_two_pass`.
+
+    ``block_keep_bp`` (basis points of 10000) evaluates only a
+    deterministic seeded-hash sample of the BLOCK universe — the q116
+    bounding recipe for evaluation queries: Levenshtein-per-pair is the
+    costliest verify in the dedup family, and on a pathological corpus
+    where every block is full the full sweep is cap²·|blocks| distance
+    computations; sampling blocks (never individual docs — a sampled
+    block still sees ALL its members, so every emitted pair is a true
+    pair, just from a subset of blocks) bounds the work at any corpus
+    size. None (default) = evaluate every block."""
     if block_on not in ("prefix", "suffix"):
         raise ValueError(f"block_on must be 'prefix' or 'suffix'; got {block_on!r}")
     base = _edit_normalized_base(
@@ -746,6 +758,23 @@ def edit_distance_near_duplicates(
         len_bucket=len_bucket,
         keys=(block_on,),
     )
+    if block_keep_bp is not None:
+        from openstack_billing_from_db_spark.functions.hashing import (
+            seeded_hash64,
+        )
+
+        if not 0 < block_keep_bp <= 10000:
+            raise ValueError(
+                f"block_keep_bp must be in (0, 10000]; got {block_keep_bp}"
+            )
+        # NULL-propagating concat (not concat_ws) so a NULL key hashes
+        # NULL and drops the row — matching SQL `||` in the oracle
+        gate_key = F.concat(
+            F.col(f"k_{block_on}"), F.lit("|"), F.col("lenb").cast("string")
+        )
+        base = base.filter(
+            seeded_hash64(gate_key, block_seed) % 10000 < block_keep_bp
+        )
     return _edit_blocked_pairs(
         base, f"k_{block_on}", max_block=max_block, max_distance=max_distance
     )

@@ -76,6 +76,47 @@ def salted_join(
     return fact_s.join(dim_rep, [key, "__salt"], how).drop("__salt")
 
 
+def auto_bucket_us(
+    intervals: DataFrame,
+    *,
+    start_col: str = "s_us",
+    end_col: str = "e_us",
+    coarse_bin_us: int = 60_000_000,
+) -> int:
+    """Pick :func:`bucketed_overlap_join`'s bucket width from the data
+    instead of making the caller guess: the join's intermediate is
+    minimized with W near the TYPICAL interval length (PLANS.md's
+    measured W-law — far above it degrades toward a per-bucket
+    cartesian, far below it pays pure replication), so estimate the
+    median length with the mergeable histogram machinery
+    (operators/quantiles) and round UP to a whole ``coarse_bin_us``
+    bin. One coarse-binned aggregation (≤ a few thousand cells for any
+    realistic length distribution) and a 1-row driver read — the same
+    bounded-barrier budget as the outage probe. W does not affect the
+    join's OUTPUT (exactly-once emission holds for any W > 0), only its
+    cost, so callers can adopt auto-W without touching oracles."""
+    from openstack_billing_from_db_spark.operators.quantiles import (
+        histogram_cells,
+        quantiles_from_cells,
+    )
+
+    lengths = intervals.filter(F.col(end_col) > F.col(start_col)).select(
+        F.lit(0).alias("g"),
+        (F.col(end_col) - F.col(start_col)).alias("len_us"),
+    )
+    cells = histogram_cells(
+        lengths, group_col="g", value_col="len_us", bin_width=coarse_bin_us
+    )
+    row = quantiles_from_cells(
+        cells, group_col="g", bin_width=coarse_bin_us, p_micro=(500_000,)
+    ).collect()
+    if not row:
+        raise ValueError("auto_bucket_us: no non-empty intervals")
+    # p50_est is the inclusive upper EDGE of the median's bin
+    # ((bin+1)·binw − 1); +1 yields a whole-bin width ≥ the median
+    return int(row[0].p50_est) + 1
+
+
 def bucketed_overlap_join(
     a: DataFrame,
     b: DataFrame,

@@ -396,6 +396,78 @@ def ivf_pq_topk(
     ).filter(F.col("rn") <= topk)
 
 
+def ivf_pq_rerank_topk(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    coarse_centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    n_queries: int = 10,
+    topk: int = 5,
+    rerank: int = 4,
+) -> DataFrame:
+    """IVF-PQ with an exact re-rank stage — the standard last mile of
+    the production ANN pipeline (the refinement FAISS calls RFlat): the
+    compressed scan of :func:`ivf_pq_topk` produces top-``topk·rerank``
+    ADC candidates per query, and ONLY that bounded set (n_queries ·
+    topk · rerank rows) is re-scored against the uncompressed vectors,
+    emitting the exact-distance top-``topk``. Recovers most of the
+    recall PQ compression loses while touching raw embeddings for a
+    candidate set whose size is independent of corpus size — the
+    re-fetch is a broadcast-hash join of the tiny candidate list into
+    the embedding table, never a corpus shuffle.
+
+    Output: (query_id, neighbor_id, rn) with rn 1..topk per query by
+    (exact squared L2, neighbor_id) — same fold arithmetic and tie
+    order as the q114 exact side, so recall eval composes directly.
+    """
+    from pyspark.sql import Window
+
+    if rerank < 1:
+        raise ValueError(f"rerank must be >= 1; got {rerank}")
+    cand = ivf_pq_topk(
+        emb,
+        codebooks,
+        coarse_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_probe=n_probe,
+        n_queries=n_queries,
+        topk=topk * rerank,
+    ).select("query_id", "neighbor_id")
+    base = tracked_persist(_base(emb, id_col, vec_col))
+    queries = (
+        base.orderBy("vid")
+        .limit(n_queries)
+        .select(F.col("vid").alias("query_id"), F.col("e").alias("qe"))
+    )
+    nvec = base.select(
+        F.col("vid").alias("neighbor_id"), F.col("e").alias("ne")
+    )
+    # candidate list is the broadcast side: the corpus-sized vector
+    # table is probed by hash, not shuffled
+    pairs = nvec.join(F.broadcast(cand), "neighbor_id").join(
+        F.broadcast(queries), "query_id"
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ne"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        pairs.withColumn("dist", dist)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= topk)
+    )
+
+
 def residualize(
     base: DataFrame, coarse_centroids: list[list[float]]
 ) -> DataFrame:

@@ -646,7 +646,12 @@ def q28_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q125: big-big interval overlap join (bucket decomposition) --------------
 
-_CONC_BUCKET_US = 3_600_000_000  # 1h buckets ≈ the typical session length
+# fallback/hand-picked width (1h ≈ the typical session length); the
+# registered query now derives W from the data via joins.auto_bucket_us
+# — W affects only cost, never output, so the oracle is untouched.
+# tests/test_overlap_join.py pins auto-W inside this width's measured
+# cost envelope (replication + candidate-pair proxies).
+_CONC_BUCKET_US = 3_600_000_000
 
 
 @register(
@@ -679,13 +684,16 @@ def q125_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap join q26's broadcast path cannot express (both sides here
     are the full 95k-session table at sf0.1; at 100 TB, billions).
     Runs on operators/joins.bucketed_overlap_join: intervals explode
-    onto 1-hour buckets, pairs meet on a bucket EQUI-key, and the
+    onto fixed-width buckets — the width auto-tuned from the session-
+    length distribution (joins.auto_bucket_us; W affects cost only,
+    never output) — pairs meet on a bucket EQUI-key, and the
     first-common-bucket rule emits each directed pair exactly once (no
     distinct). The oracle is DuckDB's native inequality join over the
     same gap-and-islands sessions — brute force vs bucketed, so parity
     proves the decomposition emits every overlap exactly once."""
     from openstack_billing_from_db_spark.operators.caching import tracked_persist
     from openstack_billing_from_db_spark.operators.joins import (
+        auto_bucket_us,
         bucketed_overlap_join,
     )
 
@@ -709,7 +717,9 @@ def q125_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "e_us",
         )
     )
-    pairs = bucketed_overlap_join(s, s, bucket_us=_CONC_BUCKET_US).filter(
+    # W from the interval-length distribution (median, rounded up to a
+    # whole minute bin) — the persisted session table materializes here
+    pairs = bucketed_overlap_join(s, s, bucket_us=auto_bucket_us(s)).filter(
         (F.col("a_user_id") != F.col("b_user_id"))
         | (F.col("a_session_id") != F.col("b_session_id"))
     )

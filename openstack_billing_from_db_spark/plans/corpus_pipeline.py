@@ -16,15 +16,23 @@ At 100 TB: quality filter and langid are map-side; exact dedup is one
 hash aggregation; near-dedup cost tracks duplicate density (PLANS.md);
 the partitioned write gives downstream consumers partition pruning on
 language.
+
+Operational entry point: ``corpus_cli prepare`` (with ``--dry-run`` for
+stage-by-stage survivor counts riding ``df.observe`` — one action, no
+second scan per stage). The registered q128 proves the whole chain
+against a single DuckDB oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from openstack_billing_from_db_spark.operators import dedup, text
 from openstack_billing_from_db_spark.sources.tables import load_table
+
+# stage names, pipeline order — keys of the ``observations`` dict
+STAGES = ("input", "quality_kept", "exact_canon", "near_deduped")
 
 
 def prepare_corpus(
@@ -34,25 +42,56 @@ def prepare_corpus(
     *,
     min_quality: float = 0.3,
     near_dup_jaccard: float = 0.8,
+    observations: dict[str, Observation] | None = None,
 ) -> DataFrame:
     """Returns the cleaned corpus DataFrame (and writes it partitioned by
-    predicted language when ``out_dir`` is given)."""
-    docs = load_table(spark, sf_dir, "documents")
+    predicted language when ``out_dir`` is given).
+
+    Pass an empty dict as ``observations`` to receive one
+    ``pyspark.sql.Observation`` per ``STAGES`` entry: each stage's
+    survivor count rides the SAME action that materializes the result
+    (``df.observe`` accumulates during the pass — no second scan per
+    stage). Read ``observations[stage].get["n"]`` AFTER an action has
+    run the plan; ``corpus_cli prepare --dry-run`` is the packaged
+    consumer."""
+
+    def _observe(df: DataFrame, stage: str) -> DataFrame:
+        if observations is None:
+            return df
+        obs = Observation(f"corpus_{stage}")
+        observations[stage] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("n"))
+
+    docs = _observe(load_table(spark, sf_dir, "documents"), "input")
 
     scored = docs.withColumn("quality_score", text.quality_score(F.col("text")))
-    kept = scored.filter(F.col("quality_score") >= min_quality)
+    kept = _observe(
+        scored.filter(F.col("quality_score") >= min_quality), "quality_kept"
+    )
 
-    # exact dedup: keep the canonical (min doc_id) copy of each content hash
-    canon = (
-        kept.withColumn("content_hash", F.md5("text"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("content_hash").orderBy("doc_id")
-            ),
+    # exact dedup: keep the canonical (min doc_id) copy of each content
+    # hash. Persisted: canon feeds BOTH the minhash pair generation and
+    # the final anti-join (one scan instead of two), and a persisted
+    # node also guarantees the stage observations upstream of it fire
+    # exactly once per action (a re-computed branch would re-accumulate
+    # observe counts). Released by release_operator_caches().
+    from openstack_billing_from_db_spark.operators.caching import (
+        tracked_persist,
+    )
+
+    canon = tracked_persist(
+        _observe(
+            kept.withColumn("content_hash", F.md5("text"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("content_hash").orderBy("doc_id")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn", "content_hash"),
+            "exact_canon",
         )
-        .filter(F.col("rn") == 1)
-        .drop("rn", "content_hash")
     )
 
     # near-dedup: drop the higher-id member of each confirmed near-dup pair
@@ -60,7 +99,7 @@ def prepare_corpus(
         F.col("jaccard") >= near_dup_jaccard
     )
     to_drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    deduped = canon.join(to_drop, "doc_id", "left_anti")
+    deduped = _observe(canon.join(to_drop, "doc_id", "left_anti"), "near_deduped")
 
     enriched = deduped.select(
         "*",

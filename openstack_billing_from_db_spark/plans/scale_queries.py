@@ -938,6 +938,83 @@ def q114_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF-PQ with exact re-rank (round 6) -------------------------------------
+
+_RERANK_R = 4  # ADC candidate factor: re-rank top-(topk·R) exactly
+
+
+def _ivf_pq_rerank_oracle() -> str:
+    """The q112 chain (coarse + PQ train + probe + ADC scoring), its
+    final top-k widened to top-(k·R) candidates, then an exact-L2
+    re-rank of that bounded set against raw vectors — the same (x−y)²
+    fold and (dist, neighbor_id) tie order as q114's exact side."""
+    full = _ivf_pq_oracle()
+    ctes = full.rsplit("\nSELECT query_id, neighbor_id, rn FROM (", 1)[0]
+    edist = (
+        f"list_sum(list_transform(range(1, {_PQ_DIMS + 1}), "
+        f"i -> (q.e[i] - co.e[i]) * (q.e[i] - co.e[i])))"
+    )
+    return f"""{ctes},
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist, neighbor_id) AS rn
+    FROM scored
+  ) WHERE rn <= {_ADC_TOPK * _RERANK_R}
+)
+SELECT query_id, neighbor_id, rn FROM (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(row_number() OVER (PARTITION BY c.query_id
+                                 ORDER BY {edist}, c.neighbor_id) AS BIGINT) AS rn
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN corpus co ON co.vid = c.neighbor_id
+) WHERE rn <= {_ADC_TOPK}"""
+
+
+@register("q129_ivf_pq_rerank", oracle=_ivf_pq_rerank_oracle())
+def q129_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact re-rank top-{_ADC_TOPK}
+    (operators/quantization.ivf_pq_rerank_topk) — the standard last
+    mile the ANN family documents: q112's compressed probe-and-scan
+    yields top-{_ADC_TOPK * _RERANK_R} ADC candidates, and only that
+    bounded set (n_queries · k · R rows, independent of corpus size) is
+    re-scored against uncompressed vectors via a broadcast-hash fetch —
+    recovering the recall PQ loses without ever shuffling raw
+    embeddings. tests/test_scale_ops.py pins recall@{_ADC_TOPK} ≥
+    q112's. The oracle replays coarse training, PQ training, probing,
+    ADC candidate ranking, and the exact re-rank in one CTE chain."""
+    from openstack_billing_from_db_spark.operators.caching import tracked_persist
+    from openstack_billing_from_db_spark.operators.clustering import kmeans_fit
+    from openstack_billing_from_db_spark.operators.quantization import (
+        _base,
+        ivf_pq_rerank_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(
+        emb,
+        dims=_PQ_DIMS,
+        n_subspaces=_PQ_M,
+        k=_PQ_K,
+        n_iter=_PQ_ITER,
+        round_dp=_PQ_DP,
+    )
+    base = tracked_persist(_base(emb, "vec_id", "embedding"))
+    coarse = kmeans_fit(base, k=_IVFPQ_CELLS, n_iter=1, round_dp=_PQ_DP)
+    return ivf_pq_rerank_topk(
+        emb,
+        books,
+        coarse,
+        n_probe=_IVFPQ_PROBE,
+        n_queries=_ADC_NQ,
+        topk=_ADC_TOPK,
+        rerank=_RERANK_R,
+    )
+
+
 # --- int8 scalar quantization profile ----------------------------------------
 
 _SQ_LEVELS = 255

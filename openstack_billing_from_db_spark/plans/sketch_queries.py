@@ -257,13 +257,21 @@ def q101_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast sketch. est ≥ exact always (collisions only add) —
     the oracle pins the exact min-over-rows arithmetic."""
     from openstack_billing_from_db_spark.operators import text
+    from openstack_billing_from_db_spark.operators.caching import (
+        tracked_persist,
+    )
     from openstack_billing_from_db_spark.operators.sketch import (
         countmin_build,
         countmin_probe,
     )
 
-    toks = _docs(spark, sf_dir).select(
-        F.explode(text.words(F.col("text"))).alias("term")
+    # both the sketch build and the exact-count groupBy read this
+    # explode — persist so the scan/tokenize runs once (ADVICE r5; same
+    # convention as q126's shared token stream)
+    toks = tracked_persist(
+        _docs(spark, sf_dir).select(
+            F.explode(text.words(F.col("text"))).alias("term")
+        )
     )
     sketch = countmin_build(toks, value_col="term")
     top = (
@@ -605,13 +613,21 @@ def q122_countmin_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (n_values, n_tokens, n_overestimated, total_overestimate,
     max_overestimate)."""
     from openstack_billing_from_db_spark.operators import text
+    from openstack_billing_from_db_spark.operators.caching import (
+        tracked_persist,
+    )
     from openstack_billing_from_db_spark.operators.sketch import (
         countmin_build,
         countmin_probe,
     )
 
-    toks = _docs(spark, sf_dir).select(
-        F.explode(text.words(F.col("text"))).alias("term")
+    # both the sketch build and the exact-count groupBy read this
+    # explode — persist so the scan/tokenize runs once (ADVICE r5; same
+    # convention as q126's shared token stream)
+    toks = tracked_persist(
+        _docs(spark, sf_dir).select(
+            F.explode(text.words(F.col("text"))).alias("term")
+        )
     )
     sketch = countmin_build(
         toks, value_col="term", depth=_CME_DEPTH, width=_CME_WIDTH

@@ -124,3 +124,84 @@ def test_bad_bucket_width_rejected(spark):
     df = _df(spark, [(0, 10)])
     with pytest.raises(ValueError):
         bucketed_overlap_join(df, df, bucket_us=0)
+
+
+# --- auto-tuned bucket width (VERDICT r5 Next #7) ---------------------------
+
+
+def _cost_proxies(spark, df, w):
+    """Deterministic cost model of the bucket decomposition at width w:
+    (replicated rows after explode, candidate pairs meeting on a
+    bucket) — the two terms the W-law trades off. Timing on this VM has
+    5x run variance; these proxies are exact."""
+    from pyspark.sql import functions as F
+
+    live = df.filter(F.col("e_us") > F.col("s_us"))
+    n_repl = live.select(
+        F.expr(f"((e_us - 1) div {w}) - (s_us div {w}) + 1").alias("nb")
+    ).agg(F.sum("nb")).collect()[0][0]
+    per_bucket = (
+        live.select(F.explode(F.expr(
+            f"sequence(s_us div {w}, (e_us - 1) div {w})"
+        )).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_cand = per_bucket.agg(F.sum(F.col("n") * F.col("n"))).collect()[0][0]
+    return int(n_repl), int(n_cand)
+
+
+def test_auto_bucket_us_median_and_validation(spark):
+    from openstack_billing_from_db_spark.operators.joins import auto_bucket_us
+
+    # lengths 10m/20m/30m (in us): the 20m median lands in the
+    # [20m, 21m) histogram bin, whose upper edge rounds the estimate UP
+    # to a whole 21-minute width (always >= the true median)
+    m = 60_000_000
+    df = _df(spark, [(0, 10 * m), (0, 20 * m), (0, 30 * m)])
+    w = auto_bucket_us(df)
+    assert w == 21 * m
+    with pytest.raises(ValueError):
+        auto_bucket_us(_df(spark, [(5, 5)]))  # no non-empty intervals
+
+
+def test_auto_bucket_within_hand_picked_cost_envelope(spark, sf_dir):
+    """On the real q125 session table, the auto-tuned W must land inside
+    the hand-picked 1h width's cost envelope: neither deterministic cost
+    proxy (replication, per-bucket candidate pairs) more than 4x the
+    hand-picked width's."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from openstack_billing_from_db_spark.operators.joins import auto_bucket_us
+    from openstack_billing_from_db_spark.plans.analytics_queries import (
+        _CONC_BUCKET_US,
+        _GAP,
+    )
+    from openstack_billing_from_db_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sw = ev.groupBy(F.session_window("ts", _GAP).alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = sw.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("s_us"),
+        F.unix_micros(F.col("w.end")).alias("e_us"),
+    )
+    w_auto = auto_bucket_us(s)
+    repl_a, cand_a = _cost_proxies(spark, s, w_auto)
+    repl_h, cand_h = _cost_proxies(spark, s, _CONC_BUCKET_US)
+    assert repl_a <= 4 * repl_h, (w_auto, repl_a, repl_h)
+    assert cand_a <= 4 * cand_h, (w_auto, cand_a, cand_h)
+    # and the join OUTPUT is identical at both widths (W is cost-only)
+    a = sorted(
+        map(tuple, bucketed_overlap_join(s, s, bucket_us=w_auto).collect())
+    )
+    h = sorted(
+        map(
+            tuple,
+            bucketed_overlap_join(s, s, bucket_us=_CONC_BUCKET_US).collect(),
+        )
+    )
+    assert a == h

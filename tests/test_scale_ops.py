@@ -415,6 +415,82 @@ def test_residual_ivf_pq_single_cell_equals_residual_adc(spark):
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_rerank_full_candidates_equals_exact_topk(spark):
+    """With the probe covering every cell and the re-rank window
+    covering the whole corpus, the candidate set IS the corpus — the
+    re-rank output must equal the exact brute-force top-k."""
+    from openstack_billing_from_db_spark.operators.clustering import kmeans_fit
+    from openstack_billing_from_db_spark.operators.quantization import (
+        _base,
+        ivf_pq_rerank_topk,
+        pq_train,
+    )
+
+    rows, df = _pq_corpus(spark)
+    books = pq_train(df, dims=8, n_subspaces=4, k=3, n_iter=1)
+    coarse = kmeans_fit(_base(df, "vec_id", "embedding"), k=3, n_iter=1)
+    got = ivf_pq_rerank_topk(
+        df, books, coarse, n_probe=3, n_queries=3, topk=5, rerank=8
+    ).collect()
+    vecs = dict(rows)
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rn, r.neighbor_id))
+    for qid in (0, 1, 2):
+        expect = sorted(
+            (l2(vecs[qid], vecs[n]), n) for n in vecs if n != qid
+        )[:5]
+        want = [(i + 1, n) for i, (_, n) in enumerate(expect)]
+        assert sorted(by_q[qid]) == want, (qid, sorted(by_q[qid]), want)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ivf_pq_rerank_topk(df, books, coarse, rerank=0)
+
+
+def test_rerank_recall_at_least_adc_recall(spark, sf_dir):
+    """The exact re-rank stage exists to recover recall the compressed
+    ADC scan loses: on the real embeddings table with the registered
+    q112/q129 configs, recall@5 of the re-ranked ranking must be >= the
+    plain IVF-PQ ranking's (VERDICT r5 Next #6)."""
+    from openstack_billing_from_db_spark.plans.scale_queries import (
+        q112_ivf_pq_topk,
+        q129_ivf_pq_rerank,
+    )
+
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def recall_at_5(out_rows):
+        by_q = {}
+        for r in out_rows:
+            by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = total = 0
+        for qid, approx in by_q.items():
+            exact = {
+                n
+                for _, n in sorted(
+                    (l2(emb[qid], emb[n]), n) for n in emb if n != qid
+                )[:5]
+            }
+            hits += len(exact & approx)
+            total += len(exact)
+        return hits / total
+
+    r_adc = recall_at_5(q112_ivf_pq_topk(spark, sf_dir).collect())
+    r_rr = recall_at_5(q129_ivf_pq_rerank(spark, sf_dir).collect())
+    assert r_rr >= r_adc, (r_rr, r_adc)
+
+
 # --- LSH banding auto-tuner ---------------------------------------------------
 
 

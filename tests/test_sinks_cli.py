@@ -200,6 +200,32 @@ def test_corpus_cli_prepare(spark, sf_dir, tmp_path):
     assert back.count() == res["rows"]
 
 
+def test_corpus_cli_prepare_dry_run(spark, sf_dir, tmp_path):
+    """--dry-run reports stage-by-stage survivor counts (df.observe on
+    the one materializing action) and writes nothing. The stage chain
+    can only shrink, and the final count must equal what a real run
+    produces (VERDICT r5 Next #8)."""
+    from openstack_billing_from_db_spark import corpus_cli
+
+    res = corpus_cli.main(
+        ["prepare", "--data-dir", sf_dir, "--dry-run"], spark=spark
+    )
+    st = res["stages"]
+    assert res["output"] is None
+    assert (
+        st["input"]
+        >= st["quality_kept"]
+        >= st["exact_canon"]
+        >= st["near_deduped"]
+        > 0
+    )
+    out = str(tmp_path / "corpus_dry_check")
+    real = corpus_cli.main(
+        ["prepare", "--data-dir", sf_dir, "--output", out], spark=spark
+    )
+    assert real["rows"] == st["near_deduped"]
+
+
 def test_corpus_cli_dedup_methods(spark, sf_dir, tmp_path):
     from openstack_billing_from_db_spark import corpus_cli
 
