@@ -64,7 +64,23 @@ def _dot_lit(e, c: list[float]):
 
 def _assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """(vid, cluster): nearest centroid by squared L2, ties → lowest cid.
-    array_min over (score, cid) structs — no window, no shuffle."""
+    Up to LITERAL_CODEBOOK_MAX_CODES centroids ride the plan as
+    literals (array_min over (score, cid) structs — no shuffle, pure
+    codegen); beyond that the centroid table would explode the plan, so
+    assignment switches to the broadcast+Arrow nearest-centroid kernel
+    shared with the PQ encoder (numpy argmin takes the FIRST minimum —
+    the identical ties → lowest rule; cross-path agreement pinned by
+    test_kmeans_assign_paths_agree). Large k is the SemDeDup regime:
+    k grows with the corpus to keep cluster sizes bounded."""
+    from openstack_billing_from_db_spark.operators.quantization import (
+        LITERAL_CODEBOOK_MAX_CODES,
+        _nearest_code_arrow,
+    )
+
+    if len(centroids) > LITERAL_CODEBOOK_MAX_CODES:
+        return base.withColumn(
+            "cluster", _nearest_code_arrow(F.col("e"), centroids)
+        )
     scored = F.array(
         *[
             F.struct(

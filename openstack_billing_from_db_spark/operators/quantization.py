@@ -104,15 +104,30 @@ def _fold_scores(emat, codebook):
     """Per-code scores |c|² − 2⟨e, c⟩ over a numpy batch, with the dot
     accumulated LEFT-TO-RIGHT per dimension — operation-for-operation
     the same float64 fold as the literal path (clustering._dot_lit), so
-    argmin ties resolve identically on both paths."""
+    argmin ties resolve identically on both paths.
+
+    Vectorized over CODES, not dimensions: the fold walks dimensions in
+    order (each (row, code) element sees the identical IEEE add/mul
+    sequence as a scalar loop would — bit-equality pinned by the
+    paths-agree tests) while every code updates in one numpy op, which
+    is what makes k ≈ 10^4 centroids (the SemDeDup large-k regime and
+    K=256 PQ codebooks) tractable. Rows are sub-chunked so the
+    (rows × codes) accumulator stays ≈ 64 MB regardless of k."""
     import numpy as np
 
-    scores = np.empty((emat.shape[0], len(codebook)))
-    for j, c in enumerate(codebook):
-        acc = np.zeros(emat.shape[0])
-        for i, v in enumerate(c):
-            acc = acc + emat[:, i] * v
-        scores[:, j] = sum(v * v for v in c) - 2.0 * acc
+    cmat = np.asarray(codebook, dtype=np.float64)
+    k, d = cmat.shape
+    # |c|² summed left-to-right in Python floats — same as the literal
+    # path's F.lit(sum(v * v for v in c))
+    cn = np.array([sum(v * v for v in c) for c in codebook])
+    scores = np.empty((emat.shape[0], k))
+    chunk = max(1, 8_000_000 // max(k, 1))
+    for s in range(0, emat.shape[0], chunk):
+        e = emat[s : s + chunk]
+        acc = np.zeros((e.shape[0], k))
+        for i in range(d):
+            acc += e[:, i : i + 1] * cmat[None, :, i]
+        scores[s : s + chunk] = cn[None, :] - 2.0 * acc
     return scores
 
 

@@ -301,3 +301,93 @@ def token_budget_sample(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select("source", "id", "n_tokens", "cum_tokens")
     )
+
+
+def dsir_importance_topk(
+    docs: DataFrame,
+    is_target: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    topk: int = 100,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): rank the RAW pool by
+    how target-like each document's hashed n-gram profile is, so a
+    pretraining mix can be tilted toward a small high-quality target
+    set without training a classifier.
+
+    Hashed bag-of-words features (portable 60-bit hash mod
+    ``n_buckets``) give two multinomials — target vs raw — with add-one
+    smoothing; a raw document's importance weight is
+
+        log w(d) = Σ_b c_db · [ln p_target(b) − ln p_raw(b)]
+
+    Cross-engine exactness: the per-BUCKET log-ratio is rounded once to
+    integer MICRO-units (floor(x·1e6 + 0.5) — ≤ n_buckets ln calls per
+    corpus, each engine's ln within an ulp, absorbed by the micro
+    grid), and everything after is integer arithmetic: per-doc weight =
+    Σ c·r_micro as BIGINT, ties broken by id.
+
+    Scale shape: one token explode feeding (a) the n_buckets-row bucket
+    histogram (map-side partial agg) and (b) per-(doc, bucket) counts;
+    the scoring join is doc-features × the broadcast n_buckets-row
+    ratio table; one global top-k. Nothing pairwise, nothing driver-side
+    but the 1-row totals.
+
+    Output: (id_col, logw_micro, rank) for the top-``topk`` raw docs by
+    (logw_micro DESC, id).
+    """
+    from pyspark.sql import Window
+
+    from openstack_billing_from_db_spark.functions.hashing import (
+        portable_hash64,
+    )
+    from openstack_billing_from_db_spark.operators.caching import (
+        tracked_persist,
+    )
+    from openstack_billing_from_db_spark.operators.text import words
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
+    B = int(n_buckets)
+    toks = tracked_persist(
+        docs.select(
+            F.col(id_col).alias("did"),
+            is_target.alias("tgt"),
+            F.explode(words(F.col(text_col))).alias("w"),
+        ).withColumn("bkt", portable_hash64(F.col("w")) % B)
+    )
+    cnt = toks.groupBy("bkt").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("tgt"), 0).otherwise(1)).alias("cs"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").alias("nt"), F.sum("cs").alias("ns")
+    )
+    r = cnt.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.expr(
+            f"CAST(floor((ln(ct + 1.0) - ln(cs + 1.0)"
+            f" + ln(CAST(ns + {B} AS DOUBLE))"
+            f" - ln(CAST(nt + {B} AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("r_micro"),
+    )
+    feat = (
+        toks.filter(~F.col("tgt"))
+        .groupBy("did", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    logw = (
+        feat.join(F.broadcast(r), "bkt")
+        .groupBy("did")
+        .agg(F.sum(F.col("c") * F.col("r_micro")).cast("long").alias("logw_micro"))
+    )
+    top = logw.orderBy(F.desc("logw_micro"), F.asc("did")).limit(topk)
+    w = Window.orderBy(F.desc("logw_micro"), F.asc("did"))
+    return top.select(
+        F.col("did").alias(id_col),
+        "logw_micro",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

@@ -458,3 +458,106 @@ def random_projection(
         for j in range(out_dims)
     ]
     return emb.select(F.col(id_col), *cols)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    round_dp: int = 6,
+    threshold: float = 0.5,
+    target_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): the
+    embedding-space dedup member whose PAIR SPACE is bounded by
+    clustering instead of hashing — k-means partitions the corpus
+    (operators/clustering.kmeans_fit, the same deterministic Lloyd
+    machinery as q73/q110), and cosine similarity is only ever computed
+    WITHIN a cluster. A vector is dropped when some lower-id vector in
+    its cluster has cosine >= ``threshold`` (greedy keep-lowest-id —
+    the repo's canonical-survivor rule, q87); no transitive closure, so
+    the verdict per vector is a one-pass join decision.
+
+    Scale shape: assignment is map-side over driver-literal centroids;
+    the pair stage is a cluster-keyed self-join (Σ_c n_c² pairs instead
+    of n² — the entire point of clustering first), narrow rows of
+    (vid, e, |e|²). The cosine test is evaluated in SQUARED form
+    (dot >= 0 AND dot² >= t²·|a|²·|b|²) — no sqrt, every operand a
+    left-to-right array fold, cross-engine exact.
+
+    ``target_cluster_size`` is the scale lever (the paper's k ∝ n): when
+    given, k is derived as ceil(n / target) so cluster sizes — and with
+    them the per-cluster pair quadratic — stay BOUNDED as the corpus
+    grows (total pairs ≈ n·target/2, linear in n). Past ~1024 centroids
+    the assignment automatically switches from plan literals to the
+    broadcast+Arrow nearest-centroid kernel (clustering._assign).
+
+    Output: (vec_id, cluster_id, fate) with fate kept|dropped.
+    """
+    from openstack_billing_from_db_spark.operators.clustering import (
+        _assign,
+        kmeans_fit,
+    )
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]; got {threshold}")
+    base = tracked_persist(
+        ensure_map_parallelism(
+            emb.select(
+                F.col(id_col).alias("vid"),
+                _as_double(F.col(vec_col)).alias("e"),
+            )
+        )
+    )
+    if target_cluster_size is not None:
+        if target_cluster_size < 1:
+            raise ValueError(
+                f"target_cluster_size must be >= 1; got {target_cluster_size}"
+            )
+        n = base.count()  # base is persisted; one bounded action
+        k = max(1, -(-n // target_cluster_size))
+    cents = kmeans_fit(base, k=k, n_iter=n_iter, round_dp=round_dp)
+    x = tracked_persist(
+        _assign(base, cents).withColumn("n2", dot(F.col("e"), F.col("e")))
+    )
+    t2 = threshold * threshold
+    a = x.select(
+        F.col("cluster"),
+        F.col("vid").alias("va"),
+        F.col("e").alias("ea"),
+        F.col("n2").alias("n2a"),
+    )
+    b = x.select(
+        F.col("cluster"),
+        F.col("vid").alias("vb"),
+        F.col("e").alias("eb"),
+        F.col("n2").alias("n2b"),
+    )
+    pr = a.join(b, "cluster").filter(F.col("va") < F.col("vb")).withColumn(
+        "dot", dot(F.col("ea"), F.col("eb"))
+    )
+    drops = (
+        pr.filter(
+            (F.col("dot") >= 0)
+            & (
+                F.col("dot") * F.col("dot")
+                >= F.lit(t2) * F.col("n2a") * F.col("n2b")
+            )
+        )
+        .select(F.col("vb").alias("vid"))
+        .distinct()
+    )
+    return (
+        x.select("vid", "cluster")
+        .join(drops.withColumn("hit", F.lit(1)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cluster").cast("long").alias("cluster_id"),
+            F.when(F.col("hit").isNull(), F.lit("kept"))
+            .otherwise(F.lit("dropped"))
+            .alias("fate"),
+        )
+    )

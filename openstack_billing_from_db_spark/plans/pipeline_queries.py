@@ -868,6 +868,141 @@ def q73_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- DSIR importance resampling (round 6) -----------------------------------
+
+_DSIR_B = 4096  # hashed feature buckets
+_DSIR_K = 100
+_DSIR_TARGET = "src0"  # target distribution: one source's documents
+
+
+@register(
+    "q131_dsir_topk",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS did, source = '{_DSIR_TARGET}' AS tgt, unnest({_W}) AS w
+  FROM documents
+),
+bk AS (
+  SELECT did, tgt, {portable_hash64_sql("w")} % {_DSIR_B} AS bkt FROM t
+),
+cnt AS (
+  SELECT bkt,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cs
+  FROM bk GROUP BY bkt
+),
+tot AS (SELECT sum(ct) AS nt, sum(cs) AS ns FROM cnt),
+r AS (
+  SELECT bkt,
+         CAST(floor((ln(ct + 1.0) - ln(cs + 1.0)
+            + ln(CAST(ns + {_DSIR_B} AS DOUBLE))
+            - ln(CAST(nt + {_DSIR_B} AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
+           AS r_micro
+  FROM cnt CROSS JOIN tot
+),
+df AS (
+  SELECT did, bkt, count(*) AS c FROM bk WHERE NOT tgt GROUP BY did, bkt
+),
+lw AS (
+  SELECT did, CAST(sum(c * r_micro) AS BIGINT) AS logw_micro
+  FROM df JOIN r USING (bkt) GROUP BY did
+)
+SELECT did AS doc_id, logw_micro, rank FROM (
+  SELECT did, logw_micro,
+         CAST(row_number() OVER (ORDER BY logw_micro DESC, did) AS BIGINT)
+           AS rank
+  FROM lw
+) WHERE rank <= {_DSIR_K}
+""",
+)
+def q131_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (operators/sampling.dsir_importance_topk;
+    Xie et al. 2023): rank the raw pool ({_DSIR_TARGET} is the target
+    distribution, everything else is raw) by hashed-bag-of-words
+    importance weight log w(d) = Σ_b c_db·[ln p_target(b) − ln p_raw(b)]
+    and keep the top {_DSIR_K} — the classifier-free way to tilt a
+    pretraining mix toward a small high-quality corpus. Engine-exact:
+    each per-bucket log-ratio rounds ONCE to integer micro-units (the
+    only ln calls — ≤{_DSIR_B} per corpus, cross-engine ulp drift
+    absorbed by the 1e-6 grid), after which the per-doc weight is pure
+    BIGINT arithmetic. Scale shape: one token explode feeding the
+    {_DSIR_B}-row histogram and per-(doc,bucket) counts; scoring is a
+    broadcast join of the ratio table; one global top-k
+    (TakeOrderedAndProject). Nothing pairwise."""
+    from openstack_billing_from_db_spark.operators.sampling import (
+        dsir_importance_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance_topk(
+        docs,
+        F.col("source") == _DSIR_TARGET,
+        n_buckets=_DSIR_B,
+        topk=_DSIR_K,
+    )
+
+
+# --- SemDeDup: embedding-cluster semantic dedup (round 6) -------------------
+
+_SEM_T = 0.35  # cosine threshold (same regime as q40's embedding near-dups)
+
+
+def _semantic_dedup_oracle() -> str:
+    """The q73 Lloyd CTE chain (corpus/afinal), then within-cluster
+    squared-form cosine (dot >= 0 AND dot² >= t²·|a|²·|b|² — no sqrt)
+    with the greedy keep-lowest-id survivor rule. Every operand is the
+    same left-to-right list fold Spark computes (q114's parity law)."""
+    km = _kmeans_oracle()
+    ctes = km.split("WITH ", 1)[1].rsplit("\nSELECT vid AS vec_id", 1)[0]
+    t2 = _SEM_T * _SEM_T
+    fold = "list_sum(list_transform(range(1, 65), i -> {a}.e[i] * {b}.e[i]))"
+    return f"""
+WITH {ctes},
+x AS (
+  SELECT f.vid, f.cluster, co.e,
+         {fold.format(a="co", b="co")} AS n2
+  FROM afinal f JOIN corpus co USING (vid)
+),
+pr AS (
+  SELECT a.vid AS va, b.vid AS vb, a.n2 AS n2a, b.n2 AS n2b,
+         {fold.format(a="a", b="b")} AS dot
+  FROM x a JOIN x b ON a.cluster = b.cluster AND a.vid < b.vid
+),
+drp AS (
+  SELECT DISTINCT vb AS vid FROM pr
+  WHERE dot >= 0 AND dot * dot >= {t2!r} * n2a * n2b
+)
+SELECT x.vid AS vec_id, CAST(x.cluster AS BIGINT) AS cluster_id,
+       CASE WHEN d.vid IS NULL THEN 'kept' ELSE 'dropped' END AS fate
+FROM x LEFT JOIN drp d ON d.vid = x.vid
+"""
+
+
+@register("q130_semantic_dedup", oracle=_semantic_dedup_oracle())
+def q130_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication
+    (operators/similarity.semantic_dedup; Abbas et al. 2023): k-means
+    partitions the embedding corpus ({_KM_K} clusters, the q73 Lloyd
+    machinery), then cosine >= {_SEM_T} is tested only WITHIN clusters
+    — Σ_c n_c² pairs instead of n², the clustering-bounded pair space
+    that lets semantic dedup run where global pairwise cosine cannot.
+    A vector is dropped when a lower-id cluster-mate exceeds the
+    threshold (greedy keep-lowest-id, the q87 canonical rule); the
+    cosine test is evaluated in squared form (no sqrt), every operand a
+    left-to-right fold, so both engines agree bit-for-bit."""
+    from openstack_billing_from_db_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        k=_KM_K,
+        n_iter=_KM_ITER,
+        round_dp=_KM_DP,
+        threshold=_SEM_T,
+    )
+
+
 # --- Gopher-style repetition quality counters ------------------------------
 
 

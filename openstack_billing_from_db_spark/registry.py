@@ -162,6 +162,9 @@ DEFERRED: tuple[str, ...] = (
     "q112_ivf_pq_topk",  # r5-green; IVF-PQ family in-gate via q113 residual + q129 re-rank
     "q114_pq_recall",  # r5-green; recall eval in-gate via q129 re-rank recall
     "q116_lsh_recall",  # r5-green; LSH recall eval, kernel shared with in-gate q123 prefix-filter family
+    # Parked for the round-6 additions (q129 re-rank, q130 SemDeDup,
+    # q131 DSIR), freeing gate head slots:
+    "q23_date_functions",  # r1-r5-green; F8/F9 ISO parse in-gate via q01 ingest + sink key tests
 )
 
 

@@ -250,3 +250,118 @@ def test_observed_metrics_ride_the_action(spark, sf_dir):
     assert got["__rows"] == n
     assert got["not_null_user_id"] == 0  # testdata has no null users
     assert 0 <= got["range_value"] <= n
+
+
+# --- SemDeDup: embedding-cluster semantic dedup (round 6) -------------------
+
+
+def test_semantic_dedup_drops_higher_id_twin(spark):
+    """Two identical vectors must land in one cluster and the HIGHER id
+    must be dropped; an orthogonal vector survives. Greedy rule: with a
+    chain of three near-identical vectors, only the lowest id is kept
+    (each later one sees a lower-id twin)."""
+    from pyspark.sql import functions as F
+
+    from openstack_billing_from_db_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # exact twin of 0 → dropped
+        (2, [0.99, 0.01, 0.0, 0.0]),  # near twin of 0 → dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal → kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r.fate
+        for r in semantic_dedup(df, k=2, n_iter=1, threshold=0.9).collect()
+    }
+    assert out[0] == "kept"
+    assert out[1] == "dropped"
+    assert out[2] == "dropped"
+    assert out[3] == "kept"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        semantic_dedup(df, threshold=0.0)
+
+
+def test_semantic_dedup_threshold_one_keeps_non_identical(spark):
+    """threshold=1.0 only catches exactly-parallel vectors."""
+    from openstack_billing_from_db_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [2.0, 0.0]),   # parallel (cos=1) → dropped even at t=1
+        (2, [1.0, 0.1]),   # close but not parallel → kept at t=1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r.fate
+        for r in semantic_dedup(df, k=1, n_iter=1, threshold=1.0).collect()
+    }
+    assert out == {0: "kept", 1: "dropped", 2: "kept"}
+
+
+def test_kmeans_assign_paths_agree(spark, monkeypatch):
+    """Forcing the Arrow nearest-centroid path (threshold 0) must
+    reproduce the literal assignment bit-for-bit — same fold, same
+    ties → lowest rule (mirrors test_pq_codebook_paths_agree)."""
+    import random
+
+    from openstack_billing_from_db_spark.operators import quantization as Q
+    from openstack_billing_from_db_spark.operators.clustering import (
+        kmeans_assign,
+    )
+
+    rnd = random.Random(11)
+    rows = [
+        (i, [round(rnd.uniform(-1, 1), 3) for _ in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit = {tuple(r) for r in kmeans_assign(df, k=5, n_iter=2).collect()}
+    monkeypatch.setattr(Q, "LITERAL_CODEBOOK_MAX_CODES", 0)
+    arrow = {tuple(r) for r in kmeans_assign(df, k=5, n_iter=2).collect()}
+    assert arrow == lit and len(lit) == 60
+
+
+def test_semantic_dedup_target_cluster_size_bounds_pairs(spark):
+    """target_cluster_size derives k = ceil(n/target); verdicts must
+    stay internally consistent (every drop justified by a lower-id
+    cluster-mate over threshold) and the largest intra-cluster pair
+    block is bounded by the realized cluster sizes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from openstack_billing_from_db_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rnd = random.Random(3)
+    rows = [
+        (i, [round(rnd.uniform(-1, 1), 3) for _ in range(8)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, n_iter=1, threshold=0.99, target_cluster_size=10
+    )
+    sizes = {
+        r.cluster_id: r.n
+        for r in out.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(sizes.values()) == 120
+    # ceil(120/10) = 12 clusters requested; realized sizes vary with the
+    # data but the cluster COUNT must match the derived k
+    assert len(sizes) <= 12
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        semantic_dedup(df, target_cluster_size=0)

@@ -454,3 +454,43 @@ def test_token_budget_pregate_guard_fires_at_exact_budget(spark):
             docs, budget_tokens=100, seed="t", pregate_margin=1.5
         ).collect()
     assert "not strictly above" in str(ei.value)
+
+
+# --- DSIR importance resampling ----------------------------------------------
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """Raw docs sharing the target's vocabulary must outrank raw docs
+    with disjoint vocabulary; weights are integer micro-units and ranks
+    are dense from 1."""
+    from pyspark.sql import functions as F
+
+    from openstack_billing_from_db_spark.operators.sampling import (
+        dsir_importance_topk,
+    )
+
+    rows = (
+        # target corpus: heavy in 'alpha beta'
+        [(i, "tgt", "alpha beta alpha beta") for i in range(10)]
+        # raw pool: doc 100 looks like the target, 101 is off-distribution
+        + [
+            (100, "raw", "alpha beta alpha"),
+            (101, "raw", "zig zag zog quux"),
+            (102, "raw", "alpha zag"),
+        ]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, pool string, text string")
+    out = dsir_importance_topk(
+        df, F.col("pool") == "tgt", n_buckets=64, topk=3
+    ).collect()
+    by_rank = {r.rank: r.doc_id for r in out}
+    assert by_rank[1] == 100  # most target-like
+    assert by_rank[3] == 101  # least target-like
+    ws = {r.doc_id: r.logw_micro for r in out}
+    assert ws[100] > ws[102] > ws[101]
+    assert all(isinstance(r.logw_micro, int) for r in out)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dsir_importance_topk(df, F.col("pool") == "tgt", n_buckets=0)
