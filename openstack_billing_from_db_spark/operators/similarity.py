@@ -561,3 +561,63 @@ def semantic_dedup(
             .alias("fate"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) — the
+    standard score-free way to combine heterogeneous retrievers (BM25
+    lexical + embedding vector being THE hybrid-search pairing): each
+    list contributes 1/(k0 + rank) for the items it ranked, absent
+    items contribute 0, and the fused order is by total contribution.
+    Score-free matters: BM25 scores and cosine similarities are not
+    commensurable; ranks are.
+
+    Engine-exact: contributions are integer MICRO-units
+    (1000000 div (k0 + rank) — pure BIGINT, no doubles anywhere), so
+    the fused scores and tie order (total desc, id) replay identically
+    in any engine. For per-query fusion, feed rankings keyed by a
+    composite id (query‖doc) — the fold is key-agnostic.
+
+    Plan shape: every input is already a top-k list (bounded rows), so
+    the outer-join cascade and final top-k are trivially small; the
+    heavy lifting happened in the retrievers.
+
+    Output: (id_col, rrf_micro, rank) for the fused top-``topk``.
+    """
+    from functools import reduce
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k0 < 0:
+        raise ValueError(f"k0 must be >= 0; got {k0}")
+    contribs = [
+        r.select(
+            F.col(id_col).alias("id"),
+            F.expr(f"1000000 div ({k0} + {rank_col})")
+            .cast("long")
+            .alias(f"c{i}"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    joined = reduce(lambda a, b: a.join(b, "id", "full_outer"), contribs)
+    rrf = joined.select(
+        "id",
+        sum(
+            (F.coalesce(F.col(f"c{i}"), F.lit(0)) for i in range(len(contribs))),
+            F.lit(0).cast("long"),
+        ).alias("rrf_micro"),
+    )
+    top = rrf.orderBy(F.desc("rrf_micro"), F.asc("id")).limit(topk)
+    w = Window.orderBy(F.desc("rrf_micro"), F.asc("id"))
+    return top.select(
+        F.col("id").alias(id_col),
+        "rrf_micro",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

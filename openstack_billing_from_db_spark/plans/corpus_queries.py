@@ -362,3 +362,109 @@ def q72_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc_id"),
         )
     )
+
+
+# --- hybrid retrieval: RRF fusion of BM25 + vector top-k (round 6) -----------
+
+_RRF_K0 = 60
+_RRF_TOPK = 10
+_RRF_LIST_K = 20  # depth of each input ranking
+
+
+def _rrf_oracle() -> str:
+    """The q71 BM25 chain (same constants, ranked to _RRF_LIST_K) and
+    the q38 single-query cosine chain (query vec_id < 1), fused by
+    integer-micro reciprocal rank — no doubles past the retrievers."""
+    lex_terms = (
+        f"({_bm25_term_sql(_BM25_TERMS[0])} + {_bm25_term_sql(_BM25_TERMS[1])})"
+        f" + {_bm25_term_sql(_BM25_TERMS[2])}"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         {', '.join(f"len(list_filter({_W}, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS)},
+         len({_W}) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n,
+         CAST(CAST(sum(dl) AS DECIMAL(38,0)) AS DOUBLE) / count(*) AS avgdl,
+         {', '.join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
+  FROM base
+),
+lscored AS (
+  SELECT doc_id, {lex_terms} AS score FROM base CROSS JOIN stats
+),
+lex AS (
+  SELECT doc_id, lrank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrank
+    FROM lscored
+  ) WHERE lrank <= {_RRF_LIST_K}
+),
+corpus AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS e,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS e_norm
+  FROM embeddings
+),
+vq AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS q_norm
+  FROM embeddings WHERE vec_id < 1
+),
+vscored AS (
+  SELECT neighbor_id, list_inner_product(e, q) / (e_norm * q_norm) AS cos
+  FROM corpus, vq WHERE neighbor_id != query_id
+),
+vec AS (
+  SELECT doc_id, vrank FROM (
+    SELECT neighbor_id AS doc_id,
+           row_number() OVER (ORDER BY cos DESC, neighbor_id) AS vrank
+    FROM vscored
+  ) WHERE vrank <= {_RRF_LIST_K}
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         coalesce(1000000 // ({_RRF_K0} + l.lrank), 0)
+           + coalesce(1000000 // ({_RRF_K0} + v.vrank), 0) AS rrf_micro
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro, rank FROM (
+  SELECT doc_id, rrf_micro,
+         CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT)
+           AS rank
+  FROM fused
+) WHERE rank <= {_RRF_TOPK}"""
+
+
+@register("q132_hybrid_rrf", oracle=_rrf_oracle())
+def q132_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion
+    (operators/similarity.rrf_fuse; Cormack et al. 2009): the q71 BM25
+    lexical ranking and the q38 exact-cosine vector ranking (query =
+    doc 0's embedding — documents and embeddings share an id space),
+    each to depth {_RRF_LIST_K}, fused score-free by
+    Σ 1000000 div ({_RRF_K0} + rank) — BM25 scores and cosines are not
+    commensurable, ranks are, and integer micro-contributions make the
+    fused scores and tie order engine-exact. The full-outer fusion join
+    runs over two {_RRF_LIST_K}-row lists; the heavy lifting stays in
+    the retrievers (1-row-broadcast BM25 stats, broadcast query
+    vector), so fusion adds nothing corpus-sized."""
+    from openstack_billing_from_db_spark.operators.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+    )
+
+    # q71's registered body IS the lexical retriever at depth
+    # _BM25_TOPK == _RRF_LIST_K (asserted so a depth drift fails loudly)
+    assert _BM25_TOPK == _RRF_LIST_K
+    lex = q71_bm25_topk(spark, sf_dir).select("doc_id", "rank")
+    vec = brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), n_queries=1, k=_RRF_LIST_K
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rn").alias("rank"))
+    return rrf_fuse(
+        [lex, vec],
+        id_col="doc_id",
+        rank_col="rank",
+        k0=_RRF_K0,
+        topk=_RRF_TOPK,
+    )

@@ -163,8 +163,10 @@ DEFERRED: tuple[str, ...] = (
     "q114_pq_recall",  # r5-green; recall eval in-gate via q129 re-rank recall
     "q116_lsh_recall",  # r5-green; LSH recall eval, kernel shared with in-gate q123 prefix-filter family
     # Parked for the round-6 additions (q129 re-rank, q130 SemDeDup,
-    # q131 DSIR), freeing gate head slots:
+    # q131 DSIR, q132 hybrid RRF), freeing gate head slots:
     "q23_date_functions",  # r1-r5-green; F8/F9 ISO parse in-gate via q01 ingest + sink key tests
+    "q25_asof_join",  # r1+r3+r4+r5-green; interval-join family in-gate via q125; asof kernel pytest-pinned
+    "q26_range_join",  # r1-r5-green; range-overlap family in-gate via q125 (bucketed superset)
 )
 
 

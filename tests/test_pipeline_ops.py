@@ -254,3 +254,37 @@ def test_embedding_bucket_cap(spark):
     assert not any(a < 30 and b < 30 for a, b in capped)
 
     assert pairs(max_bucket_size=10_000) == uncapped
+
+
+# --- RRF fusion (round 6) ----------------------------------------------------
+
+
+def test_rrf_fuse_integer_contributions_and_absent_items(spark):
+    from openstack_billing_from_db_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank long"
+    )
+    vec = spark.createDataFrame(
+        [(11, 1), (13, 2)], "doc_id long, rank long"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([lex, vec], k0=60, topk=10).collect()}
+    # doc 11 appears in both lists: 1e6//62 + 1e6//61
+    assert out[11].rrf_micro == 1_000_000 // 62 + 1_000_000 // 61
+    assert out[10].rrf_micro == 1_000_000 // 61  # lex only
+    assert out[13].rrf_micro == 1_000_000 // 62  # vec only
+    assert out[11].rank == 1  # two medium ranks beat one top rank
+    # tie between 10 (lex rank 1) is broken ... check full order
+    order = sorted(out.values(), key=lambda r: r.rank)
+    assert [r.doc_id for r in order] == [11, 10, 12, 13] or [
+        r.doc_id for r in order
+    ] == [11, 10, 13, 12]
+    # 12 (1e6//63=15873) vs 13 (1e6//62=16129): 13 outranks 12
+    assert out[13].rank < out[12].rank
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rrf_fuse([], topk=5)
+    with pytest.raises(ValueError):
+        rrf_fuse([lex], k0=-1)

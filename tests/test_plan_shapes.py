@@ -245,3 +245,39 @@ def test_source_cosine_shape(spark, sf_dir):
     # the 1-row source-count side must come in as a broadcast, and the
     # norm joins too
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_dsir_scoring_join_broadcasts(spark, sf_dir):
+    """q131: the 4096-row bucket ratio table must broadcast into the
+    doc-feature join (the corpus-sized side never shuffles for scoring)
+    and the final top-k must be TakeOrderedAndProject, not a global
+    sort exchange."""
+    plan = _plan(QUERIES["q131_dsir_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rerank_candidate_fetch_broadcasts(spark, sf_dir):
+    """q129: the bounded ADC candidate list is the broadcast side of the
+    raw-vector re-fetch — the embedding table is probed by hash, never
+    shuffled for the re-rank."""
+    plan = _plan(QUERIES["q129_ivf_pq_rerank"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rrf_retrievers_stay_bounded(spark, sf_dir):
+    """q132: both retrievers' top-k stages are TakeOrderedAndProject
+    (per-partition heaps) and the BM25 stats / query vector ride
+    broadcasts — nothing corpus-sized shuffles."""
+    plan = _plan(QUERIES["q132_hybrid_rrf"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_semantic_dedup_pair_join_is_cluster_keyed(spark, sf_dir):
+    """q130: the pair stage joins on the cluster key (hash-partitioned
+    equi-join) — never a cartesian/nested-loop over the corpus."""
+    plan = _plan(QUERIES["q130_semantic_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # within-cluster self-join resolves to an equi-join strategy
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
