@@ -391,3 +391,60 @@ def dsir_importance_topk(
         "logw_micro",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+def doremi_domain_weights(
+    kl: DataFrame,
+    *,
+    group_col: str = "source",
+    kl_col: str = "kl_micro",
+    eta_per_nat: int = 100,
+    smooth_micro: int = 100_000,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023): exponentiated-
+    gradient update of the training-mixture weights from per-domain
+    excess loss, smoothed with the uniform distribution so no domain is
+    starved. Here the excess-loss proxy is the per-domain unigram KL
+    divergence from the corpus blend (``text.unigram_kl_divergence`` —
+    exactly the cross-entropy(domain‖blend) − entropy(domain) gap a
+    reference/proxy model pair measures), so domains farthest from the
+    blend get upweighted: w_d ∝ exp(η·KL_d), then
+    final_d = (1−c)·w_d + c·(1/n).
+
+    Engine-exact: the ONLY float step is one exp() per domain, rounded
+    ONCE to nano-units (floor(exp(η·kl)·1e9 + 0.5) — BIGINT); the
+    normalization, smoothing, and mix are pure integer arithmetic
+    (floor-div), so ``weight_micro`` replays identically in any engine.
+    Floor-division means Σ weight_micro ≤ 1e6 by at most n micro-units
+    — callers renormalize at consumption if exact unity matters.
+
+    ``eta_per_nat`` is the step size per NAT of excess loss (the
+    corpus-blend KLs here are ~0.01 nat, so η=100 spreads the weights
+    ~2×; DoReMi's η=1 assumes unit-scale losses).
+
+    Plan shape: input is one row per domain (already aggregated), the
+    total is a 1-row broadcast — nothing corpus-sized is touched.
+    """
+    e = kl.select(
+        F.col(group_col),
+        F.col("n_tokens"),
+        F.col(kl_col),
+        F.expr(
+            f"CAST(floor(exp(CAST({kl_col} AS DOUBLE) * {eta_per_nat} / 1000000)"
+            " * 1000000000 + 0.5) AS BIGINT)"
+        ).alias("e"),
+    )
+    tot = e.agg(
+        F.sum("e").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    c = int(smooth_micro)
+    return e.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_tokens",
+        kl_col,
+        F.expr(
+            f"CAST((({1_000_000 - c}) * ((e * 1000000) div s)"
+            f" + {c} * (1000000 div n)) div 1000000 AS BIGINT)"
+        ).alias("weight_micro"),
+    )

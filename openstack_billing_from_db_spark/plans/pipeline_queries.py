@@ -1664,3 +1664,86 @@ def q128_corpus_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
     )
+
+
+# --- leakage-free train/val/test split (round 6) -----------------------------
+
+_CSPLIT_HASH = seeded_hash64_sql("CAST(ck AS VARCHAR)", "cluster-split")
+
+
+@register(
+    "q133_leakage_free_split",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_JACCARD_CTES},
+prs AS (SELECT doc_a, doc_b FROM jc WHERE jaccard >= {_CLUSTER_JACCARD}),
+e AS (
+  SELECT doc_a AS s, doc_b AS d FROM prs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM prs
+),
+reach(v, r) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.v
+),
+cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+k AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS ck
+  FROM documents d LEFT JOIN cl USING (doc_id)
+),
+s AS (
+  SELECT doc_id, ck,
+         CASE WHEN {_CSPLIT_HASH} % 100 < 80 THEN 'train'
+              WHEN {_CSPLIT_HASH} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM k
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT ck) AS BIGINT) AS n_clusters,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM s GROUP BY split
+""",
+)
+def q133_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: membership is a seeded hash of
+    the near-dup CLUSTER canonical id (q35 MinHash pairs at Jaccard ≥
+    0.5 → q67 connected components; singletons key by their own
+    doc_id), so near-duplicate documents can NEVER straddle splits —
+    the eval-contamination failure mode a doc-keyed split (q66) is
+    blind to. Structural guarantee, not a checked property: split is a
+    pure function of the cluster key. The oracle re-derives clusters as
+    a recursive-CTE transitive closure and replays the same seeded
+    80/10/10 hash, so a propagation bug, a wrong canonical id, or a
+    split-hash drift all hash-fail. Scale shape: the pair + CC stages
+    are the audited q35/q67 plans; the split itself adds one doc_id-keyed
+    left join (near-dup labels ≪ corpus) and a map-side projection."""
+    from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
+    from openstack_billing_from_db_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs,
+        num_hashes=_NUM_HASHES,
+        rows_per_band=_ROWS_PER_BAND,
+        shingle_n=_SHINGLE_N,
+    ).filter(F.col("jaccard") >= _CLUSTER_JACCARD)
+    keyed = (
+        docs.select("doc_id")
+        .join(graph.dedup_clusters(pairs), "doc_id", "left")
+        .withColumn("ck", F.coalesce("cluster_id", "doc_id"))
+    )
+    bucket = seeded_hash64(F.col("ck").cast("string"), "cluster-split") % 100
+    return (
+        keyed.withColumn(
+            "split",
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("ck").cast("long").alias("n_clusters"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+    )

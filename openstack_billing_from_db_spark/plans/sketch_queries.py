@@ -351,10 +351,9 @@ def q117_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- per-source distribution divergence ---------------------------------------
 
 
-@register(
-    "q118_source_kl",
-    oracle=f"""
-WITH wrd AS (SELECT source, {_W} AS w FROM documents),
+# Shared by q118 (per-source KL) and q134 (DoReMi reweighting, which
+# consumes the q118 output as its excess-loss proxy).
+_KL_CTES = f"""wrd AS (SELECT source, {_W} AS w FROM documents),
 t AS (SELECT source AS g, unnest(w) AS wd FROM wrd),
 csw AS (SELECT g, wd, count(*) AS c_gw FROM t GROUP BY g, wd),
 ng AS (SELECT g, CAST(sum(c_gw) AS BIGINT) AS n_g,
@@ -366,10 +365,18 @@ con AS (
          CAST(c.c_gw * ln((CAST(c.c_gw AS DOUBLE) * nt.n_all)
               / (CAST(ng.n_g AS DOUBLE) * cw.c_w)) AS DECIMAL(38,12)) AS kd
   FROM csw c JOIN cw USING (wd) JOIN ng USING (g) CROSS JOIN nt
-)
-SELECT g AS source, n_g AS n_tokens, n_terms,
+)"""
+
+_KL_FINAL = """SELECT g AS source, n_g AS n_tokens, n_terms,
        CAST(floor(CAST(sum(kd) AS DOUBLE) / n_g * 1e6 + 0.5) AS BIGINT) AS kl_micro
-FROM con GROUP BY g, n_g, n_terms
+FROM con GROUP BY g, n_g, n_terms"""
+
+
+@register(
+    "q118_source_kl",
+    oracle=f"""
+WITH {_KL_CTES}
+{_KL_FINAL}
 """,
 )
 def q118_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,4 +794,54 @@ def q126_source_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(floor(dot / (na * nb) * 1e6 + 0.5) AS BIGINT)"
             ).alias("cosine_micro"),
         )
+    )
+
+
+# --- DoReMi-style domain reweighting (round 6) --------------------------------
+
+_DOREMI_ETA = 100  # step size per nat (corpus-blend KLs here are ~0.01 nat)
+_DOREMI_SMOOTH = 100_000  # uniform-smoothing mass, micro-units (c = 0.1)
+
+
+@register(
+    "q134_doremi_weights",
+    oracle=f"""
+WITH {_KL_CTES},
+kl AS ({_KL_FINAL}),
+ew AS (
+  SELECT source, n_tokens, kl_micro,
+         CAST(floor(exp(CAST(kl_micro AS DOUBLE) * {_DOREMI_ETA} / 1000000)
+              * 1000000000 + 0.5) AS BIGINT) AS e
+  FROM kl
+),
+tot AS (SELECT CAST(sum(e) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM ew)
+SELECT source, n_tokens, kl_micro,
+       CAST((({1_000_000 - _DOREMI_SMOOTH}) * ((e * 1000000) // s)
+            + {_DOREMI_SMOOTH} * (1000000 // n)) // 1000000 AS BIGINT)
+         AS weight_micro
+FROM ew CROSS JOIN tot
+""",
+)
+def q134_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture domain weights via a DoReMi-style exponentiated-
+    gradient update (operators/sampling.doremi_domain_weights; Xie et
+    al. 2023): per-source unigram KL from the corpus blend (the q118
+    metric) is the excess-loss proxy, w_d ∝ exp(η·KL_d) smoothed 10%
+    with uniform — the data-mixing step between divergence monitoring
+    (q118) and mixture sampling (q79 temperature mix / q131 DSIR). One
+    exp() per domain rounded once to nano-units; everything after is
+    integer floor-arithmetic, so weight_micro is engine-exact. The
+    domain table is ~tens of rows: the corpus is touched only by the
+    audited q118 aggregation chain."""
+    from openstack_billing_from_db_spark.operators import sampling, text
+
+    kl = text.unigram_kl_divergence(
+        _docs(spark, sf_dir), group_col="source", text_col="text"
+    ).drop("n_terms")
+    return sampling.doremi_domain_weights(
+        kl,
+        group_col="source",
+        kl_col="kl_micro",
+        eta_per_nat=_DOREMI_ETA,
+        smooth_micro=_DOREMI_SMOOTH,
     )

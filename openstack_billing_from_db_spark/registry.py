@@ -167,6 +167,11 @@ DEFERRED: tuple[str, ...] = (
     "q23_date_functions",  # r1-r5-green; F8/F9 ISO parse in-gate via q01 ingest + sink key tests
     "q25_asof_join",  # r1+r3+r4+r5-green; interval-join family in-gate via q125; asof kernel pytest-pinned
     "q26_range_join",  # r1-r5-green; range-overlap family in-gate via q125 (bucketed superset)
+    # Parked for q133 (leakage-free cluster split) and q134 (DoReMi
+    # domain reweighting); q02 (r1-green only) stays IN-gate to refresh
+    # its signal:
+    "q34_dedup_exact",  # r1-r5-green; exact-dedup stage replayed verbatim inside in-gate q128 recipe oracle
+    "q35_minhash_near_dups",  # r1-r5-green; minhash chain replayed inside in-gate q133 split + q128 recipe + q123 exact twin
 )
 
 

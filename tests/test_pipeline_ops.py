@@ -288,3 +288,73 @@ def test_rrf_fuse_integer_contributions_and_absent_items(spark):
         rrf_fuse([], topk=5)
     with pytest.raises(ValueError):
         rrf_fuse([lex], k0=-1)
+
+
+# --- DoReMi domain reweighting (round 6) -------------------------------------
+
+
+def test_doremi_weights_exact_integer_arithmetic(spark):
+    import math
+
+    from openstack_billing_from_db_spark.operators.sampling import (
+        doremi_domain_weights,
+    )
+
+    kl = spark.createDataFrame(
+        [("a", 100, 0), ("b", 200, 10_000), ("c", 300, 20_000)],
+        "source string, n_tokens long, kl_micro long",
+    )
+    out = {
+        r.source: r.weight_micro
+        for r in doremi_domain_weights(
+            kl, eta_per_nat=100, smooth_micro=100_000
+        ).collect()
+    }
+    # replay the documented arithmetic: one exp rounded to nano-units,
+    # then pure integer floor-div
+    e = {g: math.floor(math.exp(k * 100 / 1e6) * 1e9 + 0.5)
+         for g, k in (("a", 0), ("b", 10_000), ("c", 20_000))}
+    s = sum(e.values())
+    for g in e:
+        w = e[g] * 1_000_000 // s
+        assert out[g] == (900_000 * w + 100_000 * (1_000_000 // 3)) // 1_000_000
+    # higher KL -> higher weight; smoothing keeps the floor above c/n * (1-eps)
+    assert out["c"] > out["b"] > out["a"]
+    assert sum(out.values()) <= 1_000_000
+
+
+def test_leakage_free_split_no_cluster_straddles(spark, sf_dir):
+    """The q133 property stated structurally: every near-dup cluster's
+    docs land in ONE split (split is a function of the cluster key)."""
+    from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
+    from openstack_billing_from_db_spark.operators import dedup, graph
+    from openstack_billing_from_db_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, num_hashes=16, rows_per_band=4, shingle_n=3
+    ).filter(F.col("jaccard") >= 0.5)
+    clusters = graph.dedup_clusters(pairs)
+    keyed = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("ck", F.coalesce("cluster_id", "doc_id"))
+    )
+    bucket = seeded_hash64(F.col("ck").cast("string"), "cluster-split") % 100
+    per_doc = keyed.withColumn(
+        "split",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+    straddlers = (
+        per_doc.groupBy("ck")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    # and the multi-doc clusters exist at this SF, so the property is
+    # non-vacuous
+    assert clusters.count() > 0

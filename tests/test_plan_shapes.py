@@ -281,3 +281,22 @@ def test_semantic_dedup_pair_join_is_cluster_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     # within-cluster self-join resolves to an equi-join strategy
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_leakage_free_split_label_join_shape(spark, sf_dir):
+    """q133: the cluster-label attach is an equi-join (doc_id-keyed) and
+    nothing in the plan degenerates to a cartesian product; the final
+    rollup is a partial-aggregated groupBy."""
+    plan = _plan(QUERIES["q133_leakage_free_split"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_doremi_total_rides_broadcast(spark, sf_dir):
+    """q134: the 1-row normalization total joins the domain table as a
+    broadcast (BroadcastNestedLoopJoin over the crossJoin), never a
+    shuffle; the corpus is touched only by the q118 KL chain whose
+    ratio join is itself broadcast."""
+    plan = _plan(QUERIES["q134_doremi_weights"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
