@@ -1072,3 +1072,48 @@ def set_similarity_join(
         )
     )
     return across.unionByName(within)
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality_micro",
+) -> DataFrame:
+    """Quality-canonical survivor per near-dup cluster: keep the member
+    with the HIGHEST score (ties → lowest id) instead of the lowest id
+    (q87's rule) — the curation variant where dedup is also a quality
+    upgrade (NeMo-Curator-style "keep best"). ``clusters`` is the
+    (id, cluster_id) table from graph.dedup_clusters; ``scores`` maps
+    id → an INTEGER score (e.g. text.quality_score_micro — a float
+    score would make the argmax engine-dependent at ties).
+
+    Plan shape: one equi-join on id, then ONE partial-aggregable
+    groupBy — the argmax is min(struct(-score, id)), which combines
+    map-side, so no per-cluster window sort and a single exchange on
+    cluster_id. Output: (cluster_id, kept_doc_id, kept_score, n_docs).
+    """
+    joined = clusters.select(
+        F.col(id_col).alias("__id"), F.col(cluster_col).alias("cluster_id")
+    ).join(
+        scores.select(
+            F.col(id_col).alias("__id"), F.col(score_col).alias("__s")
+        ),
+        "__id",
+    )
+    best = joined.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("__s")).alias("ns"), F.col("__id").alias("id")
+            )
+        ).alias("b"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return best.select(
+        "cluster_id",
+        F.col("b.id").alias("kept_doc_id"),
+        (-F.col("b.ns")).cast("long").alias("kept_score"),
+        "n_docs",
+    )

@@ -225,18 +225,46 @@ def token_budget_sample(
         F.col(id_col).alias("id"),
         token_count(F.col(text_col)).alias("n_tokens"),
         seeded_hash64(F.col(id_col).cast("string"), seed).alias("__h"),
+        F.lit(budget_tokens).cast("long").alias("__budget"),
     )
+    return _admit_token_prefix(
+        base, pregate_margin=pregate_margin, caller="token_budget_sample"
+    ).select("source", "id", "n_tokens", "cum_tokens")
+
+
+def _admit_token_prefix(
+    base: DataFrame,
+    *,
+    pregate_margin: float | None,
+    caller: str,
+) -> DataFrame:
+    """Shared admission kernel for token-budgeted epochs. ``base`` has
+    (source, id, n_tokens, __h, __budget) with ``__budget`` constant
+    within a source (a literal for token_budget_sample, a broadcast-
+    joined per-source quota for mixture_epoch_sample). Admits the
+    seeded-hash prefix whose cumulative token count stays within the
+    source's budget; returns the admitted rows plus ``cum_tokens`` and
+    ``__budget``.
+
+    Exact path: one exchange on source, a per-source window cumsum.
+    Gated path (``pregate_margin`` > 1): the admitted set is a PREFIX
+    of the hash range, so a map-side gate ``hash < frac · 2^60`` with
+    ``frac = margin · budget / total_source_tokens`` keeps a superset,
+    and the window sorts only ~margin·budget tokens per source —
+    output-identical to the exact path or a loud ValueError.
+    """
     if pregate_margin is not None:
         if pregate_margin <= 1.0:
             raise ValueError(
                 f"pregate_margin must be > 1; got {pregate_margin}"
             )
         totals = base.groupBy("source").agg(
-            F.sum("n_tokens").alias("__tot")
+            F.sum("n_tokens").alias("__tot"),
+            F.max("__budget").alias("__b"),
         )
         # hash space is 60 bits (functions/hashing.seeded_hash64)
         cut = F.expr(
-            f"CAST(least(1.0, {pregate_margin} * {budget_tokens} / __tot)"
+            f"CAST(least(1.0, {pregate_margin} * __b / __tot)"
             f" * CAST({1 << 60} AS DOUBLE) AS BIGINT)"
         )
         gated = (
@@ -268,9 +296,10 @@ def token_budget_sample(
             cum.groupBy("source")
             .agg(
                 F.max("cum_tokens").alias("kept_tok"),
+                F.max("__budget").alias("bud"),
                 F.max(F.col("__cut") < (1 << 60)).alias("gated_flag"),
             )
-            .filter(F.col("gated_flag") & (F.col("kept_tok") <= budget_tokens))
+            .filter(F.col("gated_flag") & (F.col("kept_tok") <= F.col("bud")))
             .limit(1)
             .collect()
         )
@@ -281,25 +310,103 @@ def token_budget_sample(
                 totals.join(
                     cum.select("source").distinct(), "source", "left_anti"
                 )
-                .select("source", F.lit(0).alias("kept_tok"))
+                .select(
+                    "source",
+                    F.lit(0).alias("kept_tok"),
+                    F.col("__b").alias("bud"),
+                )
                 .limit(1)
                 .collect()
             )
         if bad:
             raise ValueError(
-                f"token_budget_sample: pregate_margin={pregate_margin} too "
+                f"{caller}: pregate_margin={pregate_margin} too "
                 f"small — gate kept {bad[0].kept_tok} tokens for source "
                 f"{bad[0].source!r}, not strictly above budget "
-                f"{budget_tokens}"
+                f"{bad[0].bud}"
             )
-        return cum.filter(F.col("cum_tokens") <= budget_tokens).select(
-            "source", "id", "n_tokens", "cum_tokens"
+        return cum.filter(F.col("cum_tokens") <= F.col("__budget")).select(
+            "source", "id", "n_tokens", "cum_tokens", "__budget"
         )
     w = Window.partitionBy("source").orderBy("__h", "id")
     return (
         base.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
-        .filter(F.col("cum_tokens") <= budget_tokens)
-        .select("source", "id", "n_tokens", "cum_tokens")
+        .filter(F.col("cum_tokens") <= F.col("__budget"))
+        .select("source", "id", "n_tokens", "cum_tokens", "__budget")
+    )
+
+
+def mixture_epoch_sample(
+    docs: DataFrame,
+    weights: DataFrame,
+    *,
+    total_budget_tokens: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    weight_col: str = "weight_micro",
+    seed: str = "epoch0",
+    pregate_margin: float | None = None,
+) -> DataFrame:
+    """Mixture-weighted epoch construction: split a GLOBAL token budget
+    across sources in proportion to a domain-weight table (micro-units,
+    e.g. doremi_domain_weights output), then admit each source's
+    documents in deterministic seeded-hash order until its share is
+    filled — the step that turns a data-mixing policy into an actual
+    epoch. token_budget_sample is the uniform special case (every
+    source gets the same quota); here the quota column rides a
+    broadcast join of the tens-of-rows weight table.
+
+    Per-source budget is exact integer arithmetic:
+    ``budget_d = (total_budget_tokens * weight_micro) div 1e6`` —
+    floor-division, so Σ budget_d ≤ total by at most n_sources partial
+    tokens. Admission replays the q127 kernel (per-source window cumsum
+    over (hash, id); hash-prefix pregate for scale) and is engine-exact.
+
+    Output: (source, id, n_tokens, cum_tokens, budget_tokens) for
+    admitted documents. Sources whose budget rounds below their
+    smallest leading document admit nothing and simply emit no rows.
+    """
+    from openstack_billing_from_db_spark.operators.text import token_count
+
+    if total_budget_tokens <= 0:
+        raise ValueError(
+            f"total_budget_tokens must be positive; got {total_budget_tokens}"
+        )
+    budgets = weights.select(
+        F.col(source_col).alias("source"),
+        F.expr(
+            f"CAST(({total_budget_tokens} * {weight_col}) div 1000000"
+            " AS BIGINT)"
+        ).alias("__budget"),
+    )
+    if pregate_margin is not None:
+        # the gate's superset guarantee needs a positive quota in every
+        # gated source (frac=0 would drop rows the exact path keeps for
+        # zero-token documents) — refuse loudly, tiny driver barrier
+        starved = budgets.filter(F.col("__budget") <= 0).limit(1).collect()
+        if starved:
+            raise ValueError(
+                "mixture_epoch_sample: pregate_margin requires every "
+                f"per-source budget > 0; source {starved[0].source!r} "
+                f"got {starved[0]['__budget']} of "
+                f"{total_budget_tokens} — use the exact path or raise "
+                "the total budget"
+            )
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        seeded_hash64(F.col(id_col).cast("string"), seed).alias("__h"),
+    ).join(F.broadcast(budgets), "source")
+    return _admit_token_prefix(
+        base, pregate_margin=pregate_margin, caller="mixture_epoch_sample"
+    ).select(
+        "source",
+        "id",
+        "n_tokens",
+        "cum_tokens",
+        F.col("__budget").alias("budget_tokens"),
     )
 
 
@@ -447,4 +554,178 @@ def doremi_domain_weights(
             f"CAST((({1_000_000 - c}) * ((e * 1000000) div s)"
             f" + {c} * (1000000 div n)) div 1000000 AS BIGINT)"
         ).alias("weight_micro"),
+    )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    value_col: str = "quality_micro",
+    total_samples: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934): when
+    auditing a corpus metric with a fixed labeling budget, sample each
+    stratum in proportion to n_d·σ_d — high-variance strata get more
+    of the budget than proportional allocation gives them, minimizing
+    the variance of the stratified mean estimator. The QA-design step
+    between quality scoring (q31/q135's integer grid) and human review.
+
+    Engine-exact by the round-once pattern: the per-stratum moment sums
+    (Σv, Σv², n) are exact BIGINT aggregates; σ_d is ONE deterministic
+    double expression (sqrt of the variance identity) rounded ONCE to
+    integer units; every downstream step (weights n_d·σ_d, the two
+    allocations) is BIGINT floor-arithmetic.
+
+    Plan shape: one partial-aggregable groupBy over the corpus, then a
+    1-row grand-total broadcast onto the tens-of-rows stratum table —
+    nothing corpus-sized is exchanged.
+
+    Output: (group, n_docs, mean_value, sd_value, alloc_neyman,
+    alloc_prop) — value columns in the input's integer units.
+    """
+    if total_samples <= 0:
+        raise ValueError(f"total_samples must be positive; got {total_samples}")
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("s"),
+        F.sum(
+            F.col(value_col).cast("long") * F.col(value_col).cast("long")
+        ).cast("long").alias("ss"),
+    )
+    # one double step, rounded once — identical expression text in the
+    # DuckDB oracle (neyman_allocation_sql)
+    sd = g.withColumn(
+        "sd",
+        F.expr(
+            "CAST(floor(sqrt(greatest(CAST(ss AS DOUBLE) / n"
+            " - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),"
+            " 0.0)) + 0.5) AS BIGINT)"
+        ),
+    ).withColumn("w", F.expr("n * sd"))
+    tot = sd.agg(
+        F.sum("w").cast("long").alias("wt"),
+        F.sum("n").cast("long").alias("nt"),
+    )
+    return (
+        sd.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").alias("n_docs"),
+            F.expr("CAST((s - s % n) / n AS BIGINT)").alias("mean_value"),
+            F.col("sd").alias("sd_value"),
+            F.expr(
+                f"CAST(({total_samples} * w) div greatest(wt, 1) AS BIGINT)"
+            ).alias("alloc_neyman"),
+            F.expr(
+                f"CAST(({total_samples} * n) div nt AS BIGINT)"
+            ).alias("alloc_prop"),
+        )
+    )
+
+
+def poisson_bootstrap_thresholds(max_k: int = 8) -> list[int]:
+    """Integer thresholds T_k = floor(CDF_Poisson(1)(k) · 2^60) for
+    k = 0..max_k-1, computed ONCE in Python — both engines replay the
+    bootstrap weights as pure integer comparisons against a 60-bit
+    seeded hash, so the resampling is deterministic and portable (no
+    runtime float, no RNG state). A row's replicate weight is
+    Σ_k [hash ≥ T_k], i.e. the inverse-CDF draw, capped at max_k."""
+    import math
+
+    probs = []
+    p = math.exp(-1.0)
+    for k in range(max_k):
+        probs.append(p)
+        p = p / (k + 1)
+    out, cdf = [], 0.0
+    for p in probs:
+        cdf += p
+        out.append(min(int(cdf * (1 << 60)), (1 << 60) - 1))
+    return out
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    value_col: str = "quality_micro",
+    n_replicas: int = 40,
+    seed: str = "boot",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a corpus mean (Efron
+    1979 via the streaming-friendly Poisson(1) reweighting of Chamandy
+    et al. 2012): each replica b reweights every row by an independent
+    Poisson(1) draw, and the spread of the replica means estimates the
+    sampling uncertainty of the corpus-level metric — the missing error
+    bar on quality dashboards (q31/q118 report point estimates only).
+
+    Distributed shape — the reason Poisson bootstrap beats classical
+    resampling at scale: replica weights are a pure function of
+    (row id, replica index), so ALL replicas accumulate in ONE corpus
+    scan as 2·B partial-aggregable sums (Σw·v, Σw per replica); no
+    explode, no corpus×B blow-up, one 1-row exchange. The draws are
+    seeded-hash inverse-CDF lookups against precomputed integer
+    thresholds (poisson_bootstrap_thresholds), replica means are BIGINT
+    floor-divisions, and the CI bounds are order statistics of the B
+    means — engine-exact end to end.
+
+    Output: one row (n_docs, point_mean, ci_lo, ci_hi, n_replicas)
+    with the CI at the 2nd smallest / 2nd largest replica mean
+    (≈ 95% for B = 40).
+    """
+    if n_replicas < 4:
+        raise ValueError(f"n_replicas must be >= 4; got {n_replicas}")
+    ts = poisson_bootstrap_thresholds()
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("s_all"),
+    ]
+    for b in range(n_replicas):
+        h = seeded_hash64(F.col(id_col).cast("string"), f"{seed}{b}")
+        w = sum(
+            (h >= F.lit(t)).cast("long") for t in ts
+        )
+        aggs.append(
+            F.sum(w * F.col(value_col).cast("long")).cast("long").alias(f"s{b}")
+        )
+        aggs.append(F.sum(w).cast("long").alias(f"n{b}"))
+    one = df.agg(*aggs)
+    means = one.select(
+        "n_rows",
+        "s_all",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("b"),
+                        F.expr(
+                            f"CAST(s{b} div greatest(n{b}, 1) AS BIGINT)"
+                        ).alias("m"),
+                    )
+                    for b in range(n_replicas)
+                ]
+            )
+        ).alias("r"),
+    ).select("n_rows", "s_all", F.col("r.b").alias("b"), F.col("r.m").alias("m"))
+    w = Window.orderBy("m", "b")
+    ranked = means.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("n_rows", "s_all")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+            F.max(
+                F.when(F.col("rn") == n_replicas - 1, F.col("m"))
+            ).alias("ci_hi"),
+            F.count(F.lit(1)).cast("long").alias("n_replicas"),
+        )
+        .select(
+            F.col("n_rows").alias("n_docs"),
+            F.expr("CAST(s_all div greatest(n_rows, 1) AS BIGINT)").alias(
+                "point_mean"
+            ),
+            F.col("ci_lo").cast("long").alias("ci_lo"),
+            F.col("ci_hi").cast("long").alias("ci_hi"),
+            "n_replicas",
+        )
     )

@@ -56,6 +56,39 @@ def quality_score(text: Column) -> Column:
     return length_term * 0.4 + stop_ratio * 0.4 + alpha_ratio * 0.2
 
 
+def quality_score_micro(text: Column) -> Column:
+    """quality_score in integer MICRO-units (BIGINT), engine-exact: the
+    three ratio terms are integer floor-divisions on a 1e-6 grid, so the
+    score is a total order any engine replays bit-identically — the key
+    a quality-canonical dedup (keep BEST per near-dup cluster) needs,
+    where the double-valued quality_score would make argmax ties
+    engine-dependent. Same components and 40/40/20 weights:
+    min(1, n_words/100)·1e6 → least(n_words,100)·10⁴;
+    stop_hits·1e6 div n_words; alpha_chars·1e6 div n_chars."""
+    def idiv(a: Column, b: Column) -> Column:
+        # exact integer floor-div for non-negative longs: the numerator
+        # is made an exact multiple of b first, so the double division
+        # is exact (values stay ≪ 2^53)
+        return ((a - a % b) / b).cast("long")
+
+    w = words(text)
+    n_words = F.size(w).cast("long")
+    stop = stopword_hits(w, LANG_STOPWORDS["en"]).cast("long")
+    alpha_chars = F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("long")
+    n_chars = F.length(text).cast("long")
+    length_term = F.least(n_words, F.lit(100).cast("long")) * F.lit(10_000).cast("long")
+    stop_term = idiv(stop * F.lit(1_000_000).cast("long"),
+                     F.greatest(n_words, F.lit(1).cast("long")))
+    alpha_term = idiv(alpha_chars * F.lit(1_000_000).cast("long"),
+                      F.greatest(n_chars, F.lit(1).cast("long")))
+    return idiv(
+        length_term * F.lit(4).cast("long")
+        + stop_term * F.lit(4).cast("long")
+        + alpha_term * F.lit(2).cast("long"),
+        F.lit(10).cast("long"),
+    )
+
+
 def langid(text: Column) -> Column:
     """Stopword-vote language ID with deterministic tiebreak (LANGS order);
     'unknown' when no lexicon hits."""

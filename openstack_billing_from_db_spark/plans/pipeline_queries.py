@@ -1747,3 +1747,82 @@ def q133_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("min_doc_id"),
         )
     )
+
+
+# --- quality-canonical dedup survivors (round 6) -----------------------------
+
+_QMICRO_SQL = f"""(least(len({_W}), 100) * 10000 * 4
+       + (len(list_filter({_W}, w -> w IN ({_STOP['en']}))) * 1000000
+          // greatest(len({_W}), 1)) * 4
+       + (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1000000
+          // greatest(length(text), 1)) * 2) // 10"""
+
+
+@register(
+    "q135_quality_dedup_survivors",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_JACCARD_CTES},
+prs AS (SELECT doc_a, doc_b FROM jc WHERE jaccard >= {_CLUSTER_JACCARD}),
+e AS (
+  SELECT doc_a AS s, doc_b AS d FROM prs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM prs
+),
+reach(v, r) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.v
+),
+cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+q AS (SELECT doc_id, CAST({_QMICRO_SQL} AS BIGINT) AS qm FROM documents),
+j AS (SELECT cl.cluster_id, cl.doc_id, q.qm FROM cl JOIN q USING (doc_id)),
+r AS (
+  SELECT cluster_id, doc_id, qm,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY qm DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n
+  FROM j
+)
+SELECT cluster_id, doc_id AS kept_doc_id, qm AS kept_quality_micro,
+       CAST(n AS BIGINT) AS n_docs
+FROM r WHERE rn = 1
+""",
+)
+def q135_quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-canonical near-dup survivors: per MinHash cluster (the
+    q67 components) keep the HIGHEST-quality member, ties → lowest
+    doc_id — the curation rule where dedup doubles as a quality upgrade
+    (vs q87's lowest-id canonical). Quality is
+    text.quality_score_micro: the q31 heuristic on a 1e-6 integer grid
+    (floor-div ratios), so the argmax total order is engine-exact —
+    a double-valued score would make ties engine-dependent.
+
+    Plan shape (operators/dedup.keep_best_per_cluster): the audited
+    q35 pair + q67 CC stages, one doc_id equi-join to attach scores,
+    then ONE partial-aggregable groupBy — argmax as min(struct(-q, id))
+    combines map-side; no per-cluster window sort. The oracle re-derives
+    clusters as a recursive-CTE closure and picks survivors by window,
+    so a propagation bug or a score-grid drift hash-fails."""
+    from openstack_billing_from_db_spark.operators import graph
+    from openstack_billing_from_db_spark.operators.text import (
+        quality_score_micro,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs,
+        num_hashes=_NUM_HASHES,
+        rows_per_band=_ROWS_PER_BAND,
+        shingle_n=_SHINGLE_N,
+    ).filter(F.col("jaccard") >= _CLUSTER_JACCARD)
+    scores = docs.select(
+        "doc_id", quality_score_micro(F.col("text")).alias("quality_micro")
+    )
+    return dedup.keep_best_per_cluster(
+        graph.dedup_clusters(pairs), scores
+    ).select(
+        "cluster_id",
+        "kept_doc_id",
+        F.col("kept_score").alias("kept_quality_micro"),
+        "n_docs",
+    )

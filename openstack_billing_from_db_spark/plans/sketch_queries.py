@@ -803,23 +803,32 @@ _DOREMI_ETA = 100  # step size per nat (corpus-blend KLs here are ~0.01 nat)
 _DOREMI_SMOOTH = 100_000  # uniform-smoothing mass, micro-units (c = 0.1)
 
 
-@register(
-    "q134_doremi_weights",
-    oracle=f"""
-WITH {_KL_CTES},
-kl AS ({_KL_FINAL}),
+# The full KL -> exponentiated-gradient -> smoothed-weights chain,
+# shared by q134 (reports the weights) and q136 (spends them as
+# per-source token budgets). Edit in one place only.
+_DOREMI_W_CTES = f"""kl AS ({_KL_FINAL}),
 ew AS (
   SELECT source, n_tokens, kl_micro,
          CAST(floor(exp(CAST(kl_micro AS DOUBLE) * {_DOREMI_ETA} / 1000000)
               * 1000000000 + 0.5) AS BIGINT) AS e
   FROM kl
 ),
-tot AS (SELECT CAST(sum(e) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM ew)
-SELECT source, n_tokens, kl_micro,
-       CAST((({1_000_000 - _DOREMI_SMOOTH}) * ((e * 1000000) // s)
-            + {_DOREMI_SMOOTH} * (1000000 // n)) // 1000000 AS BIGINT)
-         AS weight_micro
-FROM ew CROSS JOIN tot
+tot AS (SELECT CAST(sum(e) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM ew),
+wts AS (
+  SELECT source, n_tokens, kl_micro,
+         CAST((({1_000_000 - _DOREMI_SMOOTH}) * ((e * 1000000) // s)
+              + {_DOREMI_SMOOTH} * (1000000 // n)) // 1000000 AS BIGINT)
+           AS weight_micro
+  FROM ew CROSS JOIN tot
+)"""
+
+
+@register(
+    "q134_doremi_weights",
+    oracle=f"""
+WITH {_KL_CTES},
+{_DOREMI_W_CTES}
+SELECT source, n_tokens, kl_micro, weight_micro FROM wts
 """,
 )
 def q134_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,4 +853,266 @@ def q134_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         kl_col="kl_micro",
         eta_per_nat=_DOREMI_ETA,
         smooth_micro=_DOREMI_SMOOTH,
+    )
+
+
+# --- mixture-weighted epoch construction (round 6) ----------------------------
+
+_MIX_TOTAL_BUDGET = 40_000  # global tokens per epoch (~2k/source uniform)
+_MIX_SEED = "mix-epoch0"
+
+
+def _q136_oracle() -> str:
+    h = seeded_hash64_sql("CAST(doc_id AS VARCHAR)", _MIX_SEED)
+    return f"""
+WITH {_KL_CTES},
+{_DOREMI_W_CTES},
+bud AS (
+  SELECT source, weight_micro,
+         CAST(({_MIX_TOTAL_BUDGET} * weight_micro) // 1000000 AS BIGINT)
+           AS budget_tokens
+  FROM wts
+),
+dt AS (
+  SELECT source, doc_id AS id, CAST(len({_W}) AS BIGINT) AS n_tokens,
+         {h} AS hh
+  FROM documents
+),
+dc AS (
+  SELECT source, id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hh, id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
+  FROM dt
+),
+kept AS (
+  SELECT dc.source, dc.n_tokens
+  FROM dc JOIN bud USING (source)
+  WHERE dc.cum <= bud.budget_tokens
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+  FROM kept GROUP BY source
+)
+SELECT b.source, b.weight_micro, b.budget_tokens,
+       CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(a.tokens_kept, 0) AS BIGINT) AS tokens_kept
+FROM bud b LEFT JOIN agg a USING (source)
+"""
+
+
+@register("q136_mixture_epoch", oracle=_q136_oracle())
+def q136_mixture_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted epoch: the q134 DoReMi weights SPENT as data —
+    a global token budget is split across sources in proportion to
+    weight_micro (budget_d = total·w_d div 1e6, floor-exact), then each
+    source admits documents in seeded-hash order until its share fills
+    (the q127 kernel, per-source quota instead of uniform). This closes
+    the data-mixing loop: divergence (q118) → weights (q134) → epoch.
+    Output is the per-source mixture report (weight, budget, docs and
+    tokens admitted); sources whose floor budget starves below their
+    first document admit zero rows and report zeros.
+
+    Plan shape (operators/sampling.mixture_epoch_sample): the weight
+    table is tens of rows and rides a BROADCAST join onto the corpus
+    scan; admission is one exchange on source + a per-source window
+    cumsum (the hash-prefix pregate bounds the sort at scale); the
+    report is a partial-agg rollup left-joined back to the weights."""
+    from openstack_billing_from_db_spark.operators import sampling, text
+
+    docs = _docs(spark, sf_dir)
+    kl = text.unigram_kl_divergence(
+        docs, group_col="source", text_col="text"
+    ).drop("n_terms")
+    weights = sampling.doremi_domain_weights(
+        kl,
+        group_col="source",
+        kl_col="kl_micro",
+        eta_per_nat=_DOREMI_ETA,
+        smooth_micro=_DOREMI_SMOOTH,
+    )
+    kept = sampling.mixture_epoch_sample(
+        docs,
+        weights,
+        total_budget_tokens=_MIX_TOTAL_BUDGET,
+        seed=_MIX_SEED,
+    )
+    report = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+    )
+    budgets = weights.select(
+        "source",
+        "weight_micro",
+        F.expr(
+            f"CAST(({_MIX_TOTAL_BUDGET} * weight_micro) div 1000000"
+            " AS BIGINT)"
+        ).alias("budget_tokens"),
+    )
+    return budgets.join(F.broadcast(report), "source", "left").select(
+        "source",
+        "weight_micro",
+        "budget_tokens",
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.col("tokens_kept"), F.lit(0)).cast("long").alias("tokens_kept"),
+    )
+
+
+# --- stratified QA design + bootstrap uncertainty (round 6) -------------------
+
+_NEYMAN_BUDGET = 1000  # labeling budget (rows) to allocate across sources
+
+
+def _q137_oracle() -> str:
+    from openstack_billing_from_db_spark.plans.pipeline_queries import (
+        _QMICRO_SQL,
+    )
+
+    return f"""
+WITH qv AS (SELECT source, CAST({_QMICRO_SQL} AS BIGINT) AS qm FROM documents),
+g AS (
+  SELECT source AS grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qm) AS BIGINT) AS s, CAST(sum(qm * qm) AS BIGINT) AS ss
+  FROM qv GROUP BY source
+),
+sdv AS (
+  SELECT *, CAST(floor(sqrt(greatest(CAST(ss AS DOUBLE) / n
+             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0))
+             + 0.5) AS BIGINT) AS sd
+  FROM g
+),
+wv AS (SELECT *, n * sd AS w FROM sdv),
+tt AS (SELECT CAST(sum(w) AS BIGINT) AS wt, CAST(sum(n) AS BIGINT) AS nt FROM wv)
+SELECT grp AS source, n AS n_docs,
+       CAST(s // n AS BIGINT) AS mean_value,
+       sd AS sd_value,
+       CAST(({_NEYMAN_BUDGET} * w) // greatest(wt, 1) AS BIGINT) AS alloc_neyman,
+       CAST(({_NEYMAN_BUDGET} * n) // nt AS BIGINT) AS alloc_prop
+FROM wv CROSS JOIN tt
+"""
+
+
+@register("q137_neyman_allocation", oracle=_q137_oracle())
+def q137_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal labeling-budget allocation across sources
+    (operators/sampling.neyman_allocation; Neyman 1934): each stratum's
+    share of a {_NEYMAN_BUDGET}-row human-QA budget is ∝ n_d·σ_d of its
+    integer quality score (q135's engine-exact grid), with the
+    proportional allocation alongside for contrast — the survey-design
+    step between quality scoring and human review that minimizes the
+    stratified estimator's variance. Moment sums are exact BIGINT
+    partial aggregates; σ_d is one deterministic double expression
+    rounded once to integer units (the round-once pattern); the
+    allocations are pure floor-arithmetic. The corpus is touched by ONE
+    partial-aggregable groupBy; the grand total rides a 1-row
+    broadcast."""
+    from openstack_billing_from_db_spark.operators.sampling import (
+        neyman_allocation,
+    )
+    from openstack_billing_from_db_spark.operators.text import (
+        quality_score_micro,
+    )
+
+    scored = _docs(spark, sf_dir).select(
+        "source", quality_score_micro(F.col("text")).alias("quality_micro")
+    )
+    return neyman_allocation(
+        scored,
+        group_col="source",
+        value_col="quality_micro",
+        total_samples=_NEYMAN_BUDGET,
+    )
+
+
+_BOOT_B = 40
+_BOOT_SEED = "boot"
+
+
+def _q138_oracle() -> str:
+    from openstack_billing_from_db_spark.operators.sampling import (
+        poisson_bootstrap_thresholds,
+    )
+    from openstack_billing_from_db_spark.plans.pipeline_queries import (
+        _QMICRO_SQL,
+    )
+
+    ts = poisson_bootstrap_thresholds()
+    hcols = ",\n         ".join(
+        f"{seeded_hash64_sql('CAST(doc_id AS VARCHAR)', f'{_BOOT_SEED}{b}')} AS h{b}"
+        for b in range(_BOOT_B)
+    )
+    wcols = ",\n         ".join(
+        "("
+        + " + ".join(f"(CASE WHEN h{b} >= {t} THEN 1 ELSE 0 END)" for t in ts)
+        + f") AS w{b}"
+        for b in range(_BOOT_B)
+    )
+    scols = ",\n         ".join(
+        f"CAST(sum(w{b} * qm) AS BIGINT) AS s{b},"
+        f" CAST(sum(w{b}) AS BIGINT) AS n{b}"
+        for b in range(_BOOT_B)
+    )
+    mean_branches = "\n  UNION ALL ".join(
+        f"SELECT {b} AS b, CAST(s{b} // greatest(n{b}, 1) AS BIGINT) AS m FROM agg"
+        for b in range(_BOOT_B)
+    )
+    return f"""
+WITH hv AS (
+  SELECT doc_id, CAST({_QMICRO_SQL} AS BIGINT) AS qm,
+         {hcols}
+  FROM documents
+),
+wv AS (
+  SELECT qm,
+         {wcols}
+  FROM hv
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(qm) AS BIGINT) AS s_all,
+         {scols}
+  FROM wv
+),
+means AS (
+  {mean_branches}
+),
+rk AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS rn FROM means)
+SELECT (SELECT n_rows FROM agg) AS n_docs,
+       (SELECT CAST(s_all // greatest(n_rows, 1) AS BIGINT) FROM agg)
+         AS point_mean,
+       (SELECT m FROM rk WHERE rn = 2) AS ci_lo,
+       (SELECT m FROM rk WHERE rn = {_BOOT_B - 1}) AS ci_hi,
+       CAST({_BOOT_B} AS BIGINT) AS n_replicas
+"""
+
+
+@register("q138_bootstrap_quality_ci", oracle=_q138_oracle())
+def q138_bootstrap_quality_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap confidence interval for the corpus mean
+    quality score (operators/sampling.poisson_bootstrap_mean_ci; Efron
+    1979, Poisson(1) streaming form after Chamandy et al. 2012) — the
+    error bar the point-estimate dashboards (q31/q118/q134) lack. All
+    {_BOOT_B} replicas accumulate in ONE corpus scan as partial-
+    aggregable (Σw·v, Σw) pairs — replica weights are inverse-CDF
+    lookups of a per-(doc, replica) seeded hash against precomputed
+    integer thresholds, so there is no corpus×B explode, no RNG state,
+    and both engines replay the draws bit-identically; replica means
+    are BIGINT floor-divisions and the CI is an order statistic of the
+    {_BOOT_B} means."""
+    from openstack_billing_from_db_spark.operators.sampling import (
+        poisson_bootstrap_mean_ci,
+    )
+    from openstack_billing_from_db_spark.operators.text import (
+        quality_score_micro,
+    )
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", quality_score_micro(F.col("text")).alias("quality_micro")
+    )
+    return poisson_bootstrap_mean_ci(
+        scored,
+        id_col="doc_id",
+        value_col="quality_micro",
+        n_replicas=_BOOT_B,
+        seed=_BOOT_SEED,
     )

@@ -172,6 +172,15 @@ DEFERRED: tuple[str, ...] = (
     # its signal:
     "q34_dedup_exact",  # r1-r5-green; exact-dedup stage replayed verbatim inside in-gate q128 recipe oracle
     "q35_minhash_near_dups",  # r1-r5-green; minhash chain replayed inside in-gate q133 split + q128 recipe + q123 exact twin
+    # Parked for q135 (quality-canonical survivors) and q136 (mixture-
+    # weighted epoch); vector-similarity §2 signal stays in-gate via
+    # q129/q130/q132 (ANN re-rank, cosine dedup, vector top-k in RRF):
+    "q39_ann_topk_lsh",  # r2-r5-green; LSH-bucketed ANN, recall eval twin q116 r5-green
+    "q40_embedding_near_dups",  # r2-r5-green; cosine near-dup superset in-gate via q130 SemDeDup
+    # Parked for q137 (Neyman QA allocation) and q138 (Poisson
+    # bootstrap CI):
+    "q71_bm25_topk",  # r2-r5-green; BM25 chain replayed verbatim inside in-gate q132 RRF oracle
+    "q79_temperature_mix",  # r3-r5-green; mixture-sampling role superseded in-gate by q136 (weights -> per-source quotas)
 )
 
 

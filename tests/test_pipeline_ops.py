@@ -358,3 +358,154 @@ def test_leakage_free_split_no_cluster_straddles(spark, sf_dir):
     # and the multi-doc clusters exist at this SF, so the property is
     # non-vacuous
     assert clusters.count() > 0
+
+
+# --- quality-canonical survivors + mixture epoch (round 6) -------------------
+
+
+def test_quality_score_micro_tracks_double_score(spark, sf_dir):
+    """The integer score is the double heuristic on a 1e-6 floor grid:
+    micro/1e6 must sit within 3 floor-steps of the double score."""
+    from openstack_billing_from_db_spark.operators.text import (
+        quality_score,
+        quality_score_micro,
+    )
+    from openstack_billing_from_db_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    rows = docs.select(
+        quality_score(F.col("text")).alias("qd"),
+        quality_score_micro(F.col("text")).alias("qm"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.qm <= 1_000_000
+        assert abs(r.qm / 1e6 - r.qd) < 3e-6, (r.qm, r.qd)
+
+
+def test_keep_best_per_cluster_argmax_and_ties(spark):
+    from openstack_billing_from_db_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (7, 10), (9, 10)],
+        "doc_id long, quality_micro long",
+    )
+    out = {
+        r.cluster_id: (r.kept_doc_id, r.kept_score, r.n_docs)
+        for r in keep_best_per_cluster(clusters, scores).collect()
+    }
+    # cluster 1: quality tie 90/90 between 2 and 3 -> lowest id wins
+    assert out[1] == (2, 90, 3)
+    # cluster 7: tie at 10 -> doc 7
+    assert out[7] == (7, 10, 2)
+
+
+def test_mixture_epoch_budget_split_and_admission(spark):
+    from openstack_billing_from_db_spark.operators.sampling import (
+        mixture_epoch_sample,
+    )
+    from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
+
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 6 else "b", "w " * (i + 1)) for i in range(12)],
+        "doc_id long, source string, text string",
+    )
+    weights = spark.createDataFrame(
+        [("a", 750_000), ("b", 250_000)], "source string, weight_micro long"
+    )
+    total = 41  # deliberately not a multiple of 1e6/weights
+    kept = mixture_epoch_sample(
+        docs, weights, total_budget_tokens=total, seed="t"
+    ).collect()
+    # floor split: a -> 30, b -> 10
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r)
+        assert r.budget_tokens == (30 if r.source == "a" else 10)
+        assert r.cum_tokens <= r.budget_tokens
+    # replay the admission order driver-side
+    hashes = {
+        r.doc_id: r.h
+        for r in docs.select(
+            "doc_id", seeded_hash64(F.col("doc_id").cast("string"), "t").alias("h")
+        ).collect()
+    }
+    for src, budget in (("a", 30), ("b", 10)):
+        pool = sorted(
+            (r for r in docs.collect() if r.source == src),
+            key=lambda r: (hashes[r.doc_id], r.doc_id),
+        )
+        cum, want = 0, set()
+        for r in pool:
+            n = r.doc_id + 1
+            if cum + n > budget:
+                break
+            cum += n
+            want.add(r.doc_id)
+        got = {r.id for r in by_src.get(src, [])}
+        assert got == want, (src, got, want)
+
+
+def test_mixture_epoch_pregate_identical_to_exact(spark, sf_dir):
+    from openstack_billing_from_db_spark.operators import sampling, text
+    from openstack_billing_from_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kl = text.unigram_kl_divergence(
+        docs, group_col="source", text_col="text"
+    ).drop("n_terms")
+    weights = sampling.doremi_domain_weights(kl)
+    exact = sorted(
+        tuple(r)
+        for r in sampling.mixture_epoch_sample(
+            docs, weights, total_budget_tokens=40_000, seed="mix-epoch0"
+        ).collect()
+    )
+    gated = sorted(
+        tuple(r)
+        for r in sampling.mixture_epoch_sample(
+            docs,
+            weights,
+            total_budget_tokens=40_000,
+            seed="mix-epoch0",
+            pregate_margin=3.0,
+        ).collect()
+    )
+    assert exact == gated
+    assert exact
+
+
+def test_mixture_epoch_pregate_starved_budget_raises(spark):
+    import pytest
+
+    from openstack_billing_from_db_spark.operators.sampling import (
+        mixture_epoch_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "b", "x y")],
+        "doc_id long, source string, text string",
+    )
+    weights = spark.createDataFrame(
+        [("a", 999_999), ("b", 1)], "source string, weight_micro long"
+    )
+    # b's floor budget is 0 -> the gate cannot hold its superset claim
+    with pytest.raises(ValueError, match="budget > 0"):
+        mixture_epoch_sample(
+            docs, weights, total_budget_tokens=100, seed="t",
+            pregate_margin=2.0,
+        )
+    # exact path handles it: b admits nothing, a fills its share
+    out = mixture_epoch_sample(
+        docs, weights, total_budget_tokens=100, seed="t"
+    ).collect()
+    assert {r.source for r in out} == {"a"}

@@ -300,3 +300,49 @@ def test_doremi_total_rides_broadcast(spark, sf_dir):
     plan = _plan(QUERIES["q134_doremi_weights"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_quality_survivors_argmax_is_partial_agg(spark, sf_dir):
+    """q135: the per-cluster argmax must be a partial-aggregable
+    min(struct) — map-side combine, ONE exchange on cluster_id — never
+    a per-cluster window sort; and nothing degenerates to a cartesian."""
+    plan = _plan(QUERIES["q135_quality_dedup_survivors"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_min(struct(ns" in plan, plan
+    # the survivor pick itself runs without a Window operator (the
+    # minhash/CC stages don't introduce one either)
+    assert "Window" not in plan, plan
+
+
+def test_mixture_epoch_weights_ride_broadcasts(spark, sf_dir):
+    """q136: the tens-of-rows weight/budget/report tables join the
+    corpus and each other as broadcasts; exactly one Window (the
+    per-source admission cumsum) touches corpus-sized data."""
+    plan = _plan(QUERIES["q136_mixture_epoch"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_neyman_is_one_groupby_plus_broadcast_total(spark, sf_dir):
+    """q137: the corpus is touched by ONE partial-aggregable groupBy;
+    the grand total attaches as a broadcast (nested-loop over 1 row),
+    and no Window/cartesian appears anywhere."""
+    plan = _plan(QUERIES["q137_neyman_allocation"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_bootstrap_is_single_scan_no_joins(spark, sf_dir):
+    """q138: all 40 replicas ride ONE corpus scan as partial-aggregable
+    sums — no join of any kind, no corpus×B Generate before the
+    aggregate (the only explode runs on the 1-row aggregate output)."""
+    plan = _plan(QUERIES["q138_bootstrap_quality_ci"](spark, sf_dir))
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, (op, plan)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_sum" in plan, plan

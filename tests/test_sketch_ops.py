@@ -494,3 +494,97 @@ def test_dsir_ranks_target_like_docs_first(spark):
 
     with pytest.raises(ValueError):
         dsir_importance_topk(df, F.col("pool") == "tgt", n_buckets=0)
+
+
+# --- Neyman allocation + Poisson bootstrap (round 6) -------------------------
+
+
+def test_neyman_allocation_replays_integer_arithmetic(spark):
+    import math
+
+    from openstack_billing_from_db_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    rows = [("a", v) for v in (100, 100, 100)] \
+         + [("b", v) for v in (0, 500, 1000)] \
+         + [("c", v) for v in (200, 400)]
+    df = spark.createDataFrame(rows, "source string, quality_micro long")
+    out = {r.source: r for r in neyman_allocation(
+        df, total_samples=100).collect()}
+    # replay: exact moment sums, one rounded sqrt, floor allocations
+    import collections
+    groups = collections.defaultdict(list)
+    for s, v in rows:
+        groups[s].append(v)
+    w, ns = {}, {}
+    for s, vs in groups.items():
+        n, ssum, ss = len(vs), sum(vs), sum(v * v for v in vs)
+        sd = math.floor(math.sqrt(max(ss / n - (ssum / n) * (ssum / n), 0.0)) + 0.5)
+        assert out[s].sd_value == sd
+        assert out[s].mean_value == ssum // n
+        assert out[s].n_docs == n
+        w[s], ns[s] = n * sd, n
+    wt, nt = sum(w.values()), sum(ns.values())
+    for s in groups:
+        assert out[s].alloc_neyman == 100 * w[s] // max(wt, 1)
+        assert out[s].alloc_prop == 100 * ns[s] // nt
+    # zero-variance stratum gets nothing from Neyman, something from prop
+    assert out["a"].alloc_neyman == 0
+    assert out["a"].alloc_prop > 0
+
+
+def test_neyman_all_constant_strata_guarded(spark):
+    from openstack_billing_from_db_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 7)], "source string, quality_micro long"
+    )
+    out = neyman_allocation(df, total_samples=10).collect()
+    assert all(r.alloc_neyman == 0 for r in out)  # wt=0 -> guarded, no crash
+    assert sum(r.alloc_prop for r in out) <= 10
+
+
+def test_poisson_bootstrap_thresholds_are_poisson1_cdf():
+    import math
+
+    from openstack_billing_from_db_spark.operators.sampling import (
+        poisson_bootstrap_thresholds,
+    )
+
+    ts = poisson_bootstrap_thresholds()
+    assert ts == sorted(ts) and len(ts) == 8
+    cdf = 0.0
+    for k, t in enumerate(ts):
+        cdf += math.exp(-1.0) / math.factorial(k)
+        assert abs(t / (1 << 60) - cdf) < 1e-9
+    # mean of the truncated draw stays ~1 (inverse-CDF correctness)
+    probs = [math.exp(-1.0) / math.factorial(k) for k in range(8)]
+    mean = sum(k * p for k, p in enumerate(probs)) + 8 * (1 - sum(probs))
+    assert abs(mean - 1.0) < 1e-4
+
+
+def test_poisson_bootstrap_ci_shape_and_determinism(spark, sf_dir):
+    from openstack_billing_from_db_spark.operators.sampling import (
+        poisson_bootstrap_mean_ci,
+    )
+    from openstack_billing_from_db_spark.operators.text import (
+        quality_score_micro,
+    )
+    from openstack_billing_from_db_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    scored = load_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_score_micro(F.col("text")).alias("quality_micro")
+    )
+    a = poisson_bootstrap_mean_ci(scored, n_replicas=40).collect()
+    b = poisson_bootstrap_mean_ci(scored, n_replicas=40).collect()
+    assert a == b and len(a) == 1
+    r = a[0]
+    assert r.n_replicas == 40
+    assert r.ci_lo <= r.ci_hi
+    # the interval brackets the point estimate on a real corpus
+    assert r.ci_lo <= r.point_mean <= r.ci_hi
+    assert 0 < r.point_mean < 1_000_000
