@@ -676,6 +676,33 @@ def poisson_bootstrap_mean_ci(
     """
     if n_replicas < 4:
         raise ValueError(f"n_replicas must be >= 4; got {n_replicas}")
+    return bootstrap_finalize(
+        bootstrap_partial(
+            df,
+            id_col=id_col,
+            value_col=value_col,
+            n_replicas=n_replicas,
+            seed=seed,
+        ),
+        n_replicas=n_replicas,
+    )
+
+
+def bootstrap_partial(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    value_col: str = "quality_micro",
+    n_replicas: int = 40,
+    seed: str = "boot",
+) -> DataFrame:
+    """The bootstrap's MERGEABLE state for one slice of data: long-form
+    rows (b, s, n) — replica b's Σw·v and Σw, plus the b = -1 row
+    carrying the unweighted (Σv, count). Because every component is a
+    sum, partials from disjoint slices merge by addition
+    (:func:`bootstrap_merge` — the same partial/merge/finalize contract
+    as the KMV/count-min/HLL sketches), which is what lets the CI
+    accumulate over a stream with ~(B+1)-row state per micro-batch."""
     ts = poisson_bootstrap_thresholds()
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -683,49 +710,69 @@ def poisson_bootstrap_mean_ci(
     ]
     for b in range(n_replicas):
         h = seeded_hash64(F.col(id_col).cast("string"), f"{seed}{b}")
-        w = sum(
-            (h >= F.lit(t)).cast("long") for t in ts
-        )
+        w = sum((h >= F.lit(t)).cast("long") for t in ts)
         aggs.append(
             F.sum(w * F.col(value_col).cast("long")).cast("long").alias(f"s{b}")
         )
         aggs.append(F.sum(w).cast("long").alias(f"n{b}"))
     one = df.agg(*aggs)
-    means = one.select(
-        "n_rows",
-        "s_all",
+    return one.select(
         F.explode(
             F.array(
+                F.struct(
+                    F.lit(-1).cast("long").alias("b"),
+                    F.coalesce(F.col("s_all"), F.lit(0)).cast("long").alias("s"),
+                    F.col("n_rows").cast("long").alias("n"),
+                ),
                 *[
                     F.struct(
                         F.lit(b).cast("long").alias("b"),
-                        F.expr(
-                            f"CAST(s{b} div greatest(n{b}, 1) AS BIGINT)"
-                        ).alias("m"),
+                        F.coalesce(F.col(f"s{b}"), F.lit(0))
+                        .cast("long")
+                        .alias("s"),
+                        F.coalesce(F.col(f"n{b}"), F.lit(0))
+                        .cast("long")
+                        .alias("n"),
                     )
                     for b in range(n_replicas)
-                ]
+                ],
             )
-        ).alias("r"),
-    ).select("n_rows", "s_all", F.col("r.b").alias("b"), F.col("r.m").alias("m"))
-    w = Window.orderBy("m", "b")
-    ranked = means.withColumn("rn", F.row_number().over(w))
-    return (
-        ranked.groupBy("n_rows", "s_all")
-        .agg(
-            F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
-            F.max(
-                F.when(F.col("rn") == n_replicas - 1, F.col("m"))
-            ).alias("ci_hi"),
-            F.count(F.lit(1)).cast("long").alias("n_replicas"),
-        )
-        .select(
-            F.col("n_rows").alias("n_docs"),
-            F.expr("CAST(s_all div greatest(n_rows, 1) AS BIGINT)").alias(
-                "point_mean"
-            ),
-            F.col("ci_lo").cast("long").alias("ci_lo"),
-            F.col("ci_hi").cast("long").alias("ci_hi"),
-            "n_replicas",
-        )
+        ).alias("r")
+    ).select("r.b", "r.s", "r.n")
+
+
+def bootstrap_merge(partials: DataFrame) -> DataFrame:
+    """Union of bootstrap partials → one state row per replica: plain
+    addition, the sketch merge law."""
+    return partials.groupBy("b").agg(
+        F.sum("s").cast("long").alias("s"), F.sum("n").cast("long").alias("n")
+    )
+
+
+def bootstrap_finalize(partials: DataFrame, *, n_replicas: int) -> DataFrame:
+    """Merged state → the one-row CI report (n_docs, point_mean, ci_lo,
+    ci_hi, n_replicas). Joins nothing: the b = -1 total rides the same
+    (B+1)-row frame through one tiny window + one aggregate — the
+    ordering key (b ≥ 0, m, b) puts the total at rank 1 and the replica
+    order statistics at ranks 2..B+1."""
+    merged = bootstrap_merge(partials)
+    rows = merged.select(
+        "b",
+        "n",
+        F.expr("CAST(s div greatest(n, 1) AS BIGINT)").alias("m"),
+    )
+    w = Window.orderBy(F.col("b") >= 0, "m", "b")
+    ranked = rows.withColumn("rn", F.row_number().over(w))
+    return ranked.agg(
+        F.max(F.when(F.col("b") == -1, F.col("n"))).cast("long").alias(
+            "n_docs"
+        ),
+        F.max(F.when(F.col("b") == -1, F.col("m"))).cast("long").alias(
+            "point_mean"
+        ),
+        F.max(F.when(F.col("rn") == 3, F.col("m"))).cast("long").alias("ci_lo"),
+        F.max(F.when(F.col("rn") == n_replicas, F.col("m")))
+        .cast("long")
+        .alias("ci_hi"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_replicas"),
     )

@@ -335,3 +335,91 @@ def read_hll_estimate(
     return hll_estimate(
         hll_merge(state, group_col=group_col), group_col=group_col
     )
+
+
+# --- Poisson-bootstrap CI: streaming uncertainty state ------------------------
+
+
+def update_batch_bootstrap(
+    batch_df: DataFrame,
+    *,
+    id_col: str,
+    value_col: str,
+    n_replicas: int = 40,
+    seed: str = "boot",
+) -> DataFrame:
+    """One micro-batch → its (B+1) bootstrap sum rows (b, s, n)."""
+    from openstack_billing_from_db_spark.operators.sampling import (
+        bootstrap_partial,
+    )
+
+    return bootstrap_partial(
+        batch_df,
+        id_col=id_col,
+        value_col=value_col,
+        n_replicas=n_replicas,
+        seed=seed,
+    )
+
+
+def run_streaming_bootstrap(
+    spark: SparkSession,
+    stream_dir: str,
+    schema: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str,
+    value_col: str,
+    n_replicas: int = 40,
+    seed: str = "boot",
+) -> None:
+    """Stream files → per-epoch bootstrap sum partitions: the corpus
+    quality CI (operators/sampling.poisson_bootstrap_mean_ci) kept live
+    over an unbounded stream with (B+1)-row state per epoch. Replica
+    weights are a pure function of (row id, replica) — seeded-hash
+    inverse-CDF draws — so a replayed micro-batch recomputes the exact
+    same sums and the epoch-partition overwrite stays idempotent
+    (exactly-once without a transactional format, the dedup_stream
+    pattern). Because every state component is a SUM, the live CI over
+    all epochs equals the batch CI over the union of the streamed data
+    (merge-by-addition law, pinned by test_kmv_stream)."""
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        part = update_batch_bootstrap(
+            batch_df,
+            id_col=id_col,
+            value_col=value_col,
+            n_replicas=n_replicas,
+            seed=seed,
+        )
+        part.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_bootstrap_ci(
+    spark: SparkSession, state_dir: str, *, n_replicas: int = 40
+) -> DataFrame:
+    """The live CI: every epoch's sums merged by addition, then the
+    batch finalizer — identical output to running the batch operator
+    over all streamed rows."""
+    from openstack_billing_from_db_spark.operators.sampling import (
+        bootstrap_finalize,
+    )
+
+    state = spark.read.parquet(state_dir).select("b", "s", "n")
+    return bootstrap_finalize(state, n_replicas=n_replicas)

@@ -292,3 +292,55 @@ def test_streaming_hll_equals_batch_over_all_files(spark, tmp_path):
     state = spark.read.parquet(state_dir)
     per_epoch = state.groupBy("epoch", "event_type").count().collect()
     assert all(r["count"] <= HLL_M for r in per_epoch)
+
+
+def test_streaming_bootstrap_ci_equals_batch(spark, tmp_path):
+    """The Poisson-bootstrap CI accumulated over micro-batches equals
+    the batch CI over the union of all streamed rows — the sums-merge
+    law operationalized (streaming/sketch_stream.run_streaming_bootstrap)."""
+    from openstack_billing_from_db_spark.operators.sampling import (
+        poisson_bootstrap_mean_ci,
+    )
+    from openstack_billing_from_db_spark.streaming.sketch_stream import (
+        read_bootstrap_ci,
+        run_streaming_bootstrap,
+    )
+
+    stream_dir = str(tmp_path / "docs_stream")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    batches = [
+        [(i, (i * 37) % 1000) for i in range(0, 40)],
+        [(i, (i * 91) % 1000) for i in range(40, 90)],
+        [(i, (i * 13) % 1000) for i in range(90, 100)],
+    ]
+    os.makedirs(stream_dir, exist_ok=True)
+    for j, rows in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "quality_micro": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            ),
+            f"{stream_dir}/b{j}.parquet",
+        )
+
+    run_streaming_bootstrap(
+        spark,
+        stream_dir,
+        "doc_id long, quality_micro long",
+        state_dir,
+        ckpt,
+        id_col="doc_id",
+        value_col="quality_micro",
+        n_replicas=16,
+    )
+    streamed = read_bootstrap_ci(spark, state_dir, n_replicas=16).collect()
+    all_rows = [r for rows in batches for r in rows]
+    batch = poisson_bootstrap_mean_ci(
+        spark.createDataFrame(all_rows, "doc_id long, quality_micro long"),
+        n_replicas=16,
+    ).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+    assert streamed[0].n_replicas == 16
