@@ -13,6 +13,12 @@ point; the reference has no corpus tooling — beyond-reference surface).
         --path DIR --cols user_id,ts --output DIR2
     python -m openstack_billing_from_db_spark.corpus_cli dedup \
         --path DOCS.parquet --method setsim --threshold 0.6 --output PAIRS
+    python -m openstack_billing_from_db_spark.corpus_cli epoch \
+        --path DOCS.parquet --total-tokens 40000 --output EPOCH0
+    python -m openstack_billing_from_db_spark.corpus_cli qa-alloc \
+        --path DOCS.parquet --budget 1000
+    python -m openstack_billing_from_db_spark.corpus_cli quality-ci \
+        --path DOCS.parquet --replicas 40
 
 Each subcommand prints one JSON summary line on stdout.
 """
@@ -77,6 +83,36 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument(
         "--max-distance", type=int, default=8, help="edit distance bound (editdist)"
     )
+
+    ep = sub.add_parser(
+        "epoch",
+        help="mixture-weighted training epoch (KL -> DoReMi weights -> "
+        "per-source token quotas -> seeded-hash admission)",
+    )
+    ep.add_argument("--path", required=True, help="parquet with doc_id,text,source")
+    ep.add_argument("--total-tokens", type=int, required=True)
+    ep.add_argument("--seed", default="epoch0")
+    ep.add_argument("--eta", type=int, default=100, help="DoReMi step per nat")
+    ep.add_argument(
+        "--smooth-micro", type=int, default=100_000, help="uniform smoothing mass"
+    )
+    ep.add_argument(
+        "--output", default=None, help="write admitted (source,id,...) parquet"
+    )
+
+    qa = sub.add_parser(
+        "qa-alloc",
+        help="Neyman-optimal labeling-budget allocation over quality scores",
+    )
+    qa.add_argument("--path", required=True, help="parquet with text,source")
+    qa.add_argument("--budget", type=int, required=True, help="rows to label")
+
+    ci = sub.add_parser(
+        "quality-ci",
+        help="Poisson-bootstrap CI for the corpus mean quality score",
+    )
+    ci.add_argument("--path", required=True, help="parquet with doc_id,text")
+    ci.add_argument("--replicas", type=int, default=40)
     return p
 
 
@@ -221,6 +257,99 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
                 "method": args.method,
                 "rows": spark.read.parquet(args.output).count(),
                 "output": args.output,
+            }
+        elif args.command == "epoch":
+            from openstack_billing_from_db_spark.operators import sampling, text
+            from openstack_billing_from_db_spark.operators.caching import (
+                release_operator_caches,
+            )
+            from pyspark.sql import functions as F
+
+            docs = spark.read.parquet(args.path)
+            kl = text.unigram_kl_divergence(
+                docs, group_col="source", text_col="text"
+            ).drop("n_terms")
+            weights = sampling.doremi_domain_weights(
+                kl, eta_per_nat=args.eta, smooth_micro=args.smooth_micro
+            )
+            kept = sampling.mixture_epoch_sample(
+                docs,
+                weights,
+                total_budget_tokens=args.total_tokens,
+                seed=args.seed,
+            )
+            if args.output:
+                kept.write.mode("overwrite").parquet(args.output)
+                kept = spark.read.parquet(args.output)
+            report = {
+                r.source: {
+                    "budget_tokens": r.budget_tokens,
+                    "n_docs": r.n_docs,
+                    "tokens_kept": r.tokens_kept,
+                }
+                for r in kept.groupBy("source", "budget_tokens")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum("n_tokens").cast("long").alias("tokens_kept"),
+                )
+                .collect()
+            }
+            release_operator_caches()
+            result = {
+                "command": "epoch",
+                "total_tokens": args.total_tokens,
+                "sources": report,
+                "output": args.output,
+            }
+        elif args.command == "qa-alloc":
+            from openstack_billing_from_db_spark.operators.sampling import (
+                neyman_allocation,
+            )
+            from openstack_billing_from_db_spark.operators.text import (
+                quality_score_micro,
+            )
+            from pyspark.sql import functions as F
+
+            scored = spark.read.parquet(args.path).select(
+                "source", quality_score_micro(F.col("text")).alias("quality_micro")
+            )
+            rows = neyman_allocation(scored, total_samples=args.budget).collect()
+            result = {
+                "command": "qa-alloc",
+                "budget": args.budget,
+                "strata": {
+                    r.source: {
+                        "n_docs": r.n_docs,
+                        "mean_quality_micro": r.mean_value,
+                        "sd_quality_micro": r.sd_value,
+                        "alloc_neyman": r.alloc_neyman,
+                        "alloc_prop": r.alloc_prop,
+                    }
+                    for r in rows
+                },
+            }
+        elif args.command == "quality-ci":
+            from openstack_billing_from_db_spark.operators.sampling import (
+                poisson_bootstrap_mean_ci,
+            )
+            from openstack_billing_from_db_spark.operators.text import (
+                quality_score_micro,
+            )
+            from pyspark.sql import functions as F
+
+            scored = spark.read.parquet(args.path).select(
+                "doc_id", quality_score_micro(F.col("text")).alias("quality_micro")
+            )
+            r = poisson_bootstrap_mean_ci(
+                scored, n_replicas=args.replicas
+            ).collect()[0]
+            result = {
+                "command": "quality-ci",
+                "n_docs": r.n_docs,
+                "point_mean_micro": r.point_mean,
+                "ci_lo_micro": r.ci_lo,
+                "ci_hi_micro": r.ci_hi,
+                "n_replicas": r.n_replicas,
             }
         else:  # zorder
             from openstack_billing_from_db_spark.sources.zorder import write_zordered

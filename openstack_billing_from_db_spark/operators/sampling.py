@@ -262,10 +262,15 @@ def _admit_token_prefix(
             F.sum("n_tokens").alias("__tot"),
             F.max("__budget").alias("__b"),
         )
-        # hash space is 60 bits (functions/hashing.seeded_hash64)
+        # hash space is 60 bits (functions/hashing.seeded_hash64). A
+        # source with zero total tokens (every doc empty) gets the
+        # full range — nothing to gate, and the exact path admits all
+        # its rows at cum = 0 (found by the hypothesis kernel test:
+        # ANSI mode turns budget/__tot into a DIVIDE_BY_ZERO there).
         cut = F.expr(
-            f"CAST(least(1.0, {pregate_margin} * __b / __tot)"
-            f" * CAST({1 << 60} AS DOUBLE) AS BIGINT)"
+            f"CASE WHEN __tot <= 0 THEN CAST({1 << 60} AS BIGINT)"
+            f" ELSE CAST(least(1.0, {pregate_margin} * __b / __tot)"
+            f" * CAST({1 << 60} AS DOUBLE) AS BIGINT) END"
         )
         gated = (
             base.join(F.broadcast(totals), "source")

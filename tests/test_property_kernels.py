@@ -354,3 +354,50 @@ def test_edit_distance_two_pass_catches_prefix_edits(spark):
     assert both == {(1, 2), (3, 4), (5, 6)}
     assert len(rows) == 3  # the doubly-caught (5, 6) deduped
     assert all(r.edit_distance == 1 for r in rows)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    budget=st.integers(min_value=1, max_value=120),
+    margin=st.sampled_from([1.5, 2.0, 4.0]),
+)
+def test_token_prefix_gate_identical_or_loud(spark, data, budget, margin):
+    """The shared admission kernel's contract (token_budget_sample AND
+    mixture_epoch_sample ride it): for ANY corpus/budget/margin, the
+    hash-prefix pregate either returns exactly the exact-path epoch or
+    raises — it never silently shrinks the admitted set."""
+    import pytest
+
+    from openstack_billing_from_db_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [
+        (i, src, "w " * n_tok) for i, (src, n_tok) in enumerate(data)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    exact = sorted(
+        tuple(r)
+        for r in token_budget_sample(
+            docs, budget_tokens=budget, seed="prop"
+        ).collect()
+    )
+    try:
+        gated = sorted(
+            tuple(r)
+            for r in token_budget_sample(
+                docs, budget_tokens=budget, seed="prop", pregate_margin=margin
+            ).collect()
+        )
+    except ValueError as e:
+        assert "pregate_margin" in str(e)
+        return
+    assert gated == exact

@@ -292,3 +292,37 @@ def test_corpus_cli_dedup_exact_emits_pairs(spark, sf_dir, tmp_path):
     assert set(back.columns) == {"doc_a", "doc_b", "content_hash"}
     assert back.count() == res["rows"]
     assert back.filter("doc_a >= doc_b").count() == 0
+
+
+def test_corpus_cli_epoch_qa_and_ci(spark, sf_dir, tmp_path):
+    """The round-6 estimation subcommands: epoch (DoReMi-weighted
+    admission), qa-alloc (Neyman), quality-ci (bootstrap) — each one
+    JSON summary consistent with the underlying operators."""
+    from openstack_billing_from_db_spark import corpus_cli
+
+    docs = f"{sf_dir}/documents.parquet"
+    out = str(tmp_path / "epoch0")
+    res = corpus_cli.main(
+        ["epoch", "--path", docs, "--total-tokens", "40000",
+         "--output", out],
+        spark=spark,
+    )
+    assert res["command"] == "epoch" and res["sources"]
+    for s, row in res["sources"].items():
+        assert row["tokens_kept"] <= row["budget_tokens"]
+    written = spark.read.parquet(out)
+    assert written.count() == sum(r["n_docs"] for r in res["sources"].values())
+
+    res = corpus_cli.main(
+        ["qa-alloc", "--path", docs, "--budget", "500"], spark=spark
+    )
+    allocs = res["strata"]
+    assert sum(r["alloc_neyman"] for r in allocs.values()) <= 500
+    assert sum(r["alloc_prop"] for r in allocs.values()) <= 500
+    assert any(r["alloc_neyman"] > 0 for r in allocs.values())
+
+    res = corpus_cli.main(
+        ["quality-ci", "--path", docs, "--replicas", "16"], spark=spark
+    )
+    assert res["n_replicas"] == 16
+    assert res["ci_lo_micro"] <= res["point_mean_micro"] <= res["ci_hi_micro"]
