@@ -167,3 +167,71 @@ def kmeans_assign(
     return _assign(base, centroids).select(
         F.col("vid").alias("vec_id"), F.col("cluster").alias("cluster_id")
     )
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset (farthest-point traversal — the 2-approx
+    of Gonzalez 1985, the selection rule behind diversity-based data
+    pruning): start from the lowest-id vector, then repeatedly add the
+    vector FARTHEST from the current set (squared L2, ties → lowest
+    id). The selected rows maximize coverage radius — a tiny
+    inspection/finetuning subset that spans the embedding space, where
+    random or quality-top-k sampling collapses onto dense modes.
+
+    Engine parity: distances are the exact q73 arithmetic —
+    ``(⟨e,e⟩ − 2⟨e,c⟩) + ⟨c,c⟩`` with every inner product a
+    left-to-right fold (``list_inner_product`` ≡ the zip_with fold,
+    bit-parity pinned since round 3), so the argmax replays
+    identically in the oracle's chained CTE selection.
+
+    Scale shape: k−1 rounds, each ONE map-side distance projection
+    against ≤ k driver-literal centers + a TakeOrdered(1) — bounded
+    1-row collects (the BPE/k-means barrier pattern); the corpus never
+    shuffles. Output: (sel_rank, vec_id, min_dist) — min_dist is the
+    selection-time distance to the previously selected set (0.0 for
+    the seed), i.e. the coverage radius sequence.
+    """
+    from openstack_billing_from_db_spark.operators.similarity import dot
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    base = tracked_persist(
+        ensure_map_parallelism(
+            emb.select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).cast("array<double>").alias("e"),
+            )
+        )
+    )
+    seed_rows = base.orderBy("vid").limit(1).collect()
+    if not seed_rows:
+        raise ValueError("kcenter_coreset: input has no vectors")
+    picked = [(1, seed_rows[0].vid, 0.0)]
+    centers = [list(seed_rows[0].e)]
+    for rank in range(2, k + 1):
+        dists = [
+            (dot(F.col("e"), F.col("e")) - 2.0 * _dot_lit(F.col("e"), c))
+            + F.lit(sum(v * v for v in c))
+            for c in centers
+        ]
+        mind = F.least(*dists) if len(dists) > 1 else dists[0]
+        nxt = (
+            base.filter(~F.col("vid").isin([p[1] for p in picked]))
+            .select("vid", "e", mind.alias("mind"))
+            .orderBy(F.desc("mind"), "vid")
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break  # fewer than k vectors: the traversal is complete
+        picked.append((rank, nxt[0].vid, float(nxt[0].mind)))
+        centers.append(list(nxt[0].e))
+    return emb.sparkSession.createDataFrame(
+        picked, "sel_rank long, vec_id long, min_dist double"
+    )

@@ -1826,3 +1826,68 @@ def q135_quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept_score").alias("kept_quality_micro"),
         "n_docs",
     )
+
+
+# --- greedy k-center coreset (round 6) ---------------------------------------
+
+_KC_K = 8
+
+
+def _kcenter_oracle(k: int = _KC_K) -> str:
+    """Chained-CTE farthest-point traversal mirroring
+    operators/clustering.kcenter_coreset: every distance is the q73
+    arithmetic ((e·e − 2 e·c) + c·c, left-to-right list_inner_product
+    folds — bit-parity with the Spark zip_with fold pinned since round
+    3), selection is ORDER BY mind DESC, vid LIMIT 1 per round."""
+    blocks = [
+        "corpus AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings)",
+        "sel1 AS (SELECT vid, e, 1 AS rnk, 0.0 AS mind FROM corpus ORDER BY vid LIMIT 1)",
+    ]
+    for i in range(2, k + 1):
+        prev = f"sel{i - 1}"
+        blocks.append(
+            f"""cand{i} AS (
+  SELECT co.vid, co.e,
+         min((list_inner_product(co.e, co.e) - 2 * list_inner_product(co.e, s.e))
+             + list_inner_product(s.e, s.e)) AS mind
+  FROM corpus co CROSS JOIN {prev} s
+  WHERE co.vid NOT IN (SELECT vid FROM {prev})
+  GROUP BY co.vid, co.e
+)"""
+        )
+        blocks.append(
+            f"pick{i} AS (SELECT vid, e, {i} AS rnk, mind FROM cand{i} "
+            f"ORDER BY mind DESC, vid LIMIT 1)"
+        )
+        blocks.append(
+            f"sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})"
+        )
+    ctes = ",\n".join(blocks)
+    return f"""
+WITH {ctes}
+SELECT CAST(rnk AS BIGINT) AS sel_rank, vid AS vec_id, mind AS min_dist
+FROM sel{k}
+"""
+
+
+@register("q139_kcenter_coreset", oracle=_kcenter_oracle())
+def q139_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus
+    (operators/clustering.kcenter_coreset; Gonzalez 1985 farthest-point
+    traversal, the diversity-pruning selection rule): {_KC_K} vectors
+    that span the embedding space, with the coverage-radius sequence
+    (each pick's distance to the already-selected set). The diversity
+    counterpart of the density-seeking selectors in-gate (q130 SemDeDup
+    drops redundancy, q131 DSIR seeks target-likeness; this maximizes
+    coverage). k−1 bounded 1-row collects; the corpus never shuffles —
+    each round is a map-side distance projection against driver-literal
+    centers + TakeOrdered(1). The oracle replays the traversal as
+    chained CTEs with bit-identical fold arithmetic, so a wrong argmax
+    tie-break or a drifted distance expression hash-fails."""
+    from openstack_billing_from_db_spark.operators.clustering import (
+        kcenter_coreset,
+    )
+
+    return kcenter_coreset(
+        load_table(spark, sf_dir, "embeddings"), k=_KC_K
+    )

@@ -181,6 +181,8 @@ DEFERRED: tuple[str, ...] = (
     # bootstrap CI):
     "q71_bm25_topk",  # r2-r5-green; BM25 chain replayed verbatim inside in-gate q132 RRF oracle
     "q79_temperature_mix",  # r3-r5-green; mixture-sampling role superseded in-gate by q136 (weights -> per-source quotas)
+    # Parked for q139 (k-center coreset):
+    "q67_dedup_clusters",  # r2-r5-green; CC closure replayed verbatim inside in-gate q133 AND q135 oracles
 )
 
 

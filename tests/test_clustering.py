@@ -365,3 +365,45 @@ def test_semantic_dedup_target_cluster_size_bounds_pairs(spark):
 
     with pytest.raises(ValueError):
         semantic_dedup(df, target_cluster_size=0)
+
+
+# --- greedy k-center coreset (round 6) ---------------------------------------
+
+
+def test_kcenter_picks_farthest_with_tiebreak(spark):
+    from openstack_billing_from_db_spark.operators.clustering import (
+        kcenter_coreset,
+    )
+
+    # seed = id 1 at origin; ids 2 and 3 both at distance 16 (tie ->
+    # lowest id); id 4 nearer
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [4.0, 0.0]),
+        (3, [0.0, 4.0]),
+        (4, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kcenter_coreset(df, k=3).collect()
+    assert [(r.sel_rank, r.vec_id) for r in out] == [(1, 1), (2, 2), (3, 3)]
+    assert out[0].min_dist == 0.0
+    assert out[1].min_dist == 16.0
+    # third pick: id 3 is 16 from seed but 32 from id 2 -> min is 16
+    assert out[2].min_dist == 16.0
+
+
+def test_kcenter_radii_non_increasing_and_k_cap(spark, sf_dir):
+    from openstack_billing_from_db_spark.operators.clustering import (
+        kcenter_coreset,
+    )
+    from openstack_billing_from_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kcenter_coreset(emb, k=6).collect()
+    assert len(out) == 6
+    radii = [r.min_dist for r in out[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert len({r.vec_id for r in out}) == 6
+    # k beyond the corpus: traversal stops at n rows
+    tiny = emb.limit(3)
+    assert kcenter_coreset(tiny, k=10).count() == 3
