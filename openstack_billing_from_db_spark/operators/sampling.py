@@ -617,7 +617,10 @@ def neyman_allocation(
         .select(
             F.col("grp").alias(group_col),
             F.col("n").alias("n_docs"),
-            F.expr("CAST((s - s % n) / n AS BIGINT)").alias("mean_value"),
+            # BIGINT div, not (s - s%n)/n double division: for corpus-scale
+            # sums s > 2^53 the double rounds and breaks oracle parity
+            # (values are nonnegative, so Spark div ≡ DuckDB //).
+            F.expr("s div n").alias("mean_value"),
             F.col("sd").alias("sd_value"),
             F.expr(
                 f"CAST(({total_samples} * w) div greatest(wt, 1) AS BIGINT)"
@@ -759,7 +762,13 @@ def bootstrap_finalize(partials: DataFrame, *, n_replicas: int) -> DataFrame:
     ci_hi, n_replicas). Joins nothing: the b = -1 total rides the same
     (B+1)-row frame through one tiny window + one aggregate — the
     ordering key (b ≥ 0, m, b) puts the total at rank 1 and the replica
-    order statistics at ranks 2..B+1."""
+    order statistics at ranks 2..B+1.
+
+    The order statistics are derived from the STATE's replica count
+    (window count − 1), not the ``n_replicas`` argument, so a caller
+    passing a B that disagrees with the merged state cannot silently
+    shift the CI ranks; the mismatch raises at execution instead
+    (ADVICE r6)."""
     merged = bootstrap_merge(partials)
     rows = merged.select(
         "b",
@@ -767,16 +776,32 @@ def bootstrap_finalize(partials: DataFrame, *, n_replicas: int) -> DataFrame:
         F.expr("CAST(s div greatest(n, 1) AS BIGINT)").alias("m"),
     )
     w = Window.orderBy(F.col("b") >= 0, "m", "b")
-    ranked = rows.withColumn("rn", F.row_number().over(w))
+    wall = Window.partitionBy(F.lit(1))
+    ranked = rows.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wall)
+    )
+    # assert_true returns NULL when the predicate holds (coalesced to a
+    # +0 on point_mean) and throws when the merged state's replica count
+    # disagrees with the caller's n_replicas.
+    chk = F.coalesce(
+        F.assert_true(
+            F.col("cnt") == F.lit(n_replicas + 1),
+            F.lit(
+                "bootstrap_finalize: merged state replica count != "
+                f"n_replicas={n_replicas}"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
     return ranked.agg(
         F.max(F.when(F.col("b") == -1, F.col("n"))).cast("long").alias(
             "n_docs"
         ),
-        F.max(F.when(F.col("b") == -1, F.col("m"))).cast("long").alias(
+        F.max(F.when(F.col("b") == -1, F.col("m") + chk)).cast("long").alias(
             "point_mean"
         ),
         F.max(F.when(F.col("rn") == 3, F.col("m"))).cast("long").alias("ci_lo"),
-        F.max(F.when(F.col("rn") == n_replicas, F.col("m")))
+        F.max(F.when(F.col("rn") == F.col("cnt") - 1, F.col("m")))
         .cast("long")
         .alias("ci_hi"),
         (F.count(F.lit(1)) - 1).cast("long").alias("n_replicas"),

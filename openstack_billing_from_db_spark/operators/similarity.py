@@ -595,12 +595,21 @@ def rrf_fuse(
 
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
-    if k0 < 0:
-        raise ValueError(f"k0 must be >= 0; got {k0}")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1; got {k0}")
+    # Ranks are 1-based by contract (Window.row_number output). A 0- or
+    # negative-valued rank would make the denominator 0/negative —
+    # silently nulled under non-ANSI — so it raises at execution instead
+    # (assert_true yields NULL when the rank is valid → +0) (ADVICE r6).
     contribs = [
         r.select(
             F.col(id_col).alias("id"),
-            F.expr(f"1000000 div ({k0} + {rank_col})")
+            F.expr(
+                f"(1000000 div ({k0} + {rank_col}))"
+                f" + CAST(coalesce(assert_true({rank_col} >= 1,"
+                f" 'rrf_fuse: ranks must be 1-based (rank >= 1)'), 0)"
+                f" AS BIGINT)"
+            )
             .cast("long")
             .alias(f"c{i}"),
         )
