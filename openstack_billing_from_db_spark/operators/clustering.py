@@ -190,17 +190,35 @@ def kcenter_coreset(
     bit-parity pinned since round 3), so the argmax replays
     identically in the oracle's chained CTE selection.
 
-    Scale shape: k−1 rounds, each ONE map-side distance projection
-    against ≤ k driver-literal centers + a TakeOrdered(1) — bounded
-    1-row collects (the BPE/k-means barrier pattern); the corpus never
-    shuffles. Output: (sel_rank, vec_id, min_dist) — min_dist is the
-    selection-time distance to the previously selected set (0.0 for
-    the seed), i.e. the coverage radius sequence.
+    Scale shape — the RUNNING-MIN Gonzalez formulation: a persisted
+    ``(vid, e, mind)`` state frame carries each vector's distance to
+    the selected set; each round updates it with ONE distance fold
+    against only the NEWEST center (``mind = least(mind, dist(e,
+    newest))``) and takes the argmax via TakeOrdered(1) — O(k·n·d)
+    total arithmetic and a constant-size per-round physical plan (an
+    InMemoryTableScan + one projection), vs the naive rebuild-all-
+    distances loop whose round-r plan folds r centers (O(k²·n·d) and
+    quadratically growing expression trees). At most two state
+    snapshots are cached at once: each round's TakeOrdered fully
+    materializes the new snapshot before the previous one is released,
+    so lineage never replays. k−1 bounded 1-row collects (the
+    BPE/k-means barrier pattern); the corpus never shuffles.
+
+    Output: (sel_rank, vec_id, min_dist) — ``vec_id`` keeps the INPUT
+    id column's type (string ids work); min_dist is the selection-time
+    distance to the previously selected set (0.0 for the seed), i.e.
+    the coverage radius sequence. Selection is bit-identical to the
+    naive loop: ``least`` over running doubles equals the min over the
+    same per-center distance values (pinned by
+    test_kcenter_running_min_matches_naive_rebuild).
     """
+    from pyspark.sql import types as T
+
     from openstack_billing_from_db_spark.operators.similarity import dot
 
     if k < 1:
         raise ValueError(f"k must be >= 1; got {k}")
+    id_type = emb.schema[id_col].dataType
     base = tracked_persist(
         ensure_map_parallelism(
             emb.select(
@@ -213,25 +231,47 @@ def kcenter_coreset(
     if not seed_rows:
         raise ValueError("kcenter_coreset: input has no vectors")
     picked = [(1, seed_rows[0].vid, 0.0)]
-    centers = [list(seed_rows[0].e)]
-    for rank in range(2, k + 1):
-        dists = [
-            (dot(F.col("e"), F.col("e")) - 2.0 * _dot_lit(F.col("e"), c))
-            + F.lit(sum(v * v for v in c))
-            for c in centers
-        ]
-        mind = F.least(*dists) if len(dists) > 1 else dists[0]
-        nxt = (
-            base.filter(~F.col("vid").isin([p[1] for p in picked]))
-            .select("vid", "e", mind.alias("mind"))
-            .orderBy(F.desc("mind"), "vid")
-            .limit(1)
-            .collect()
+
+    def _dist_to(c: list[float]):
+        return (dot(F.col("e"), F.col("e")) - 2.0 * _dot_lit(F.col("e"), c)) + F.lit(
+            sum(v * v for v in c)
         )
-        if not nxt:
-            break  # fewer than k vectors: the traversal is complete
-        picked.append((rank, nxt[0].vid, float(nxt[0].mind)))
-        centers.append(list(nxt[0].e))
-    return emb.sparkSession.createDataFrame(
-        picked, "sel_rank long, vec_id long, min_dist double"
+
+    state = base.filter(F.col("vid") != F.lit(seed_rows[0].vid)).select(
+        "vid", "e", _dist_to(list(seed_rows[0].e)).alias("mind")
+    ).persist()
+    prev: DataFrame | None = None
+    try:
+        for rank in range(2, k + 1):
+            # TakeOrderedAndProject scans every partition, so this
+            # collect fully populates `state`'s cache — only then is
+            # the previous snapshot safe to release without lineage
+            # replay.
+            nxt = state.orderBy(F.desc("mind"), "vid").limit(1).collect()
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not nxt:
+                break  # fewer than k vectors: the traversal is complete
+            picked.append((rank, nxt[0].vid, float(nxt[0].mind)))
+            if rank == k:
+                break
+            prev, state = state, state.filter(
+                F.col("vid") != F.lit(nxt[0].vid)
+            ).select(
+                "vid",
+                "e",
+                F.least(F.col("mind"), _dist_to(list(nxt[0].e))).alias("mind"),
+            ).persist()
+    finally:
+        state.unpersist()
+        if prev is not None:
+            prev.unpersist()
+    schema = T.StructType(
+        [
+            T.StructField("sel_rank", T.LongType(), False),
+            T.StructField("vec_id", id_type, False),
+            T.StructField("min_dist", T.DoubleType(), False),
+        ]
     )
+    return emb.sparkSession.createDataFrame(picked, schema)

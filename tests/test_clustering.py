@@ -407,3 +407,79 @@ def test_kcenter_radii_non_increasing_and_k_cap(spark, sf_dir):
     # k beyond the corpus: traversal stops at n rows
     tiny = emb.limit(3)
     assert kcenter_coreset(tiny, k=10).count() == 3
+
+
+def _kcenter_naive_rebuild(emb, *, k):
+    """In-test replay of the pre-round-8 quadratic formulation (rebuild
+    ALL per-center distances each round, filter by a growing isin
+    list) — kept here solely to pin that the running-min rewrite
+    selects the identical sequence with identical radii."""
+    from openstack_billing_from_db_spark.operators.clustering import _dot_lit
+    from openstack_billing_from_db_spark.operators.similarity import dot
+
+    base = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    ).persist()
+    seed = base.orderBy("vid").limit(1).collect()[0]
+    picked = [(1, seed.vid, 0.0)]
+    centers = [list(seed.e)]
+    for rank in range(2, k + 1):
+        dists = [
+            (dot(F.col("e"), F.col("e")) - 2.0 * _dot_lit(F.col("e"), c))
+            + F.lit(sum(v * v for v in c))
+            for c in centers
+        ]
+        mind = F.least(*dists) if len(dists) > 1 else dists[0]
+        nxt = (
+            base.filter(~F.col("vid").isin([p[1] for p in picked]))
+            .select("vid", "e", mind.alias("mind"))
+            .orderBy(F.desc("mind"), "vid")
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break
+        picked.append((rank, nxt[0].vid, float(nxt[0].mind)))
+        centers.append(list(nxt[0].e))
+    base.unpersist()
+    return picked
+
+
+def test_kcenter_running_min_matches_naive_rebuild(spark, sf_dir):
+    """old ≡ new pin (round-8 rewrite): the running-min Gonzalez plan
+    must reproduce the quadratic rebuild's selection sequence AND
+    radii bit-for-bit on a real corpus (the driver oracle replays the
+    naive formulation as chained CTEs, so any drift hash-fails)."""
+    from openstack_billing_from_db_spark.operators.clustering import (
+        kcenter_coreset,
+    )
+    from openstack_billing_from_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 8
+    new = [
+        (r.sel_rank, r.vec_id, r.min_dist)
+        for r in kcenter_coreset(emb, k=k).orderBy("sel_rank").collect()
+    ]
+    old = _kcenter_naive_rebuild(emb, k=k)
+    assert new == old
+
+
+def test_kcenter_preserves_string_id_type(spark):
+    """ADVICE r6 #3: the output vec_id column carries the INPUT id
+    type instead of a hardcoded long — string ids must round-trip."""
+    from openstack_billing_from_db_spark.operators.clustering import (
+        kcenter_coreset,
+    )
+
+    rows = [
+        ("a", [0.0, 0.0]),
+        ("b", [4.0, 0.0]),
+        ("c", [0.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = kcenter_coreset(df, k=2)
+    assert dict(out.dtypes)["vec_id"] == "string"
+    got = [(r.sel_rank, r.vec_id, r.min_dist) for r in out.collect()]
+    assert got == [(1, "a", 0.0), (2, "b", 16.0)]
