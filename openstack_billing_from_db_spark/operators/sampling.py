@@ -781,23 +781,33 @@ def bootstrap_finalize(partials: DataFrame, *, n_replicas: int) -> DataFrame:
         "cnt", F.count(F.lit(1)).over(wall)
     )
     # assert_true returns NULL when the predicate holds (coalesced to a
-    # +0 on point_mean) and throws when the merged state's replica count
-    # disagrees with the caller's n_replicas.
+    # +0 folded into EVERY row's mean below — not gated on any CASE
+    # branch, so it fires even when the b = -1 total row is absent from
+    # a malformed state; ADVICE r7) and throws when the merged state
+    # disagrees with the caller's n_replicas. The replica-id bounds
+    # (min b = -1, max b = B-1) close the heterogeneous-B merge hole:
+    # b is distinct after bootstrap_merge's groupBy, so count = B+1
+    # with those bounds means the ids are exactly {-1, 0 .. B-1}
+    # (ADVICE r7 — a B=40 ∪ B=20 merge also has 41 distinct ids but
+    # max b = 39 only when every replica came from the same B).
     chk = F.coalesce(
         F.assert_true(
-            F.col("cnt") == F.lit(n_replicas + 1),
+            (F.col("cnt") == F.lit(n_replicas + 1))
+            & (F.min("b").over(wall) == F.lit(-1))
+            & (F.max("b").over(wall) == F.lit(n_replicas - 1)),
             F.lit(
-                "bootstrap_finalize: merged state replica count != "
-                f"n_replicas={n_replicas}"
+                "bootstrap_finalize: merged state replica ids != "
+                f"{{-1, 0 .. {n_replicas - 1}}} (n_replicas={n_replicas})"
             ),
         ).cast("long"),
         F.lit(0),
     )
+    ranked = ranked.withColumn("m", F.col("m") + chk)
     return ranked.agg(
         F.max(F.when(F.col("b") == -1, F.col("n"))).cast("long").alias(
             "n_docs"
         ),
-        F.max(F.when(F.col("b") == -1, F.col("m") + chk)).cast("long").alias(
+        F.max(F.when(F.col("b") == -1, F.col("m"))).cast("long").alias(
             "point_mean"
         ),
         F.max(F.when(F.col("rn") == 3, F.col("m"))).cast("long").alias("ci_lo"),

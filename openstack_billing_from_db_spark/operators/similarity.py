@@ -595,8 +595,13 @@ def rrf_fuse(
 
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
-    if k0 < 1:
-        raise ValueError(f"k0 must be >= 1; got {k0}")
+    # k0 = 0 is valid RRF (the rank assert below keeps every
+    # denominator >= 1); only negative k0 could zero a denominator.
+    # Restores the original k0 >= 0 contract (ADVICE r7 — the r6 fix
+    # briefly narrowed this to k0 >= 1, which the rank assert makes
+    # unnecessary).
+    if k0 < 0:
+        raise ValueError(f"k0 must be >= 0; got {k0}")
     # Ranks are 1-based by contract (Window.row_number output). A 0- or
     # negative-valued rank would make the denominator 0/negative —
     # silently nulled under non-ANSI — so it raises at execution instead

@@ -509,3 +509,14 @@ def test_mixture_epoch_pregate_starved_budget_raises(spark):
         docs, weights, total_budget_tokens=100, seed="t"
     ).collect()
     assert {r.source for r in out} == {"a"}
+
+
+def test_rrf_fuse_accepts_k0_zero(spark):
+    """ADVICE r7: k0 = 0 is mathematically valid RRF (the 1-based rank
+    assert keeps every denominator >= 1) — the k0 >= 1 narrowing from
+    the r6 fix is reverted."""
+    from openstack_billing_from_db_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame([(10, 1), (11, 2)], "doc_id long, rank long")
+    out = {r.doc_id: r.rrf_micro for r in rrf_fuse([lex], k0=0, topk=5).collect()}
+    assert out == {10: 1_000_000 // 1, 11: 1_000_000 // 2}

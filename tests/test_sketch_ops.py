@@ -588,3 +588,45 @@ def test_poisson_bootstrap_ci_shape_and_determinism(spark, sf_dir):
     # the interval brackets the point estimate on a real corpus
     assert r.ci_lo <= r.point_mean <= r.ci_hi
     assert 0 < r.point_mean < 1_000_000
+
+
+def test_bootstrap_finalize_guards_fire_on_malformed_state(spark):
+    """ADVICE r7: the replica-count/ids assert must fire on EVERY
+    malformed merged state — including one missing the b = -1 total
+    row (previously the check rode a CASE branch that never evaluated
+    then), and a heterogeneous-B merge whose 41 distinct ids pass a
+    bare count check."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from openstack_billing_from_db_spark.operators.sampling import (
+        bootstrap_finalize,
+    )
+
+    def rows(bs):
+        return spark.createDataFrame(
+            [(b, 100 + b, 10) for b in bs], "b long, s long, n long"
+        )
+
+    # well-formed: {-1, 0..3} with n_replicas=4 finalizes
+    ok = bootstrap_finalize(rows(range(-1, 4)), n_replicas=4).collect()
+    assert len(ok) == 1 and ok[0].n_replicas == 4
+
+    # missing the b = -1 total row: must RAISE, not return nulls
+    with pytest.raises((Py4JJavaError, PythonException, Exception)) as e1:
+        bootstrap_finalize(rows(range(0, 5)), n_replicas=4).collect()
+    assert "replica ids" in str(e1.value)
+
+    # heterogeneous-B merge: B=4 state union a stray b=5 replica gives
+    # 6 distinct ids — count matches n_replicas=5 but max b = 5 != 4
+    with pytest.raises((Py4JJavaError, PythonException, Exception)) as e2:
+        bootstrap_finalize(
+            rows([-1, 0, 1, 2, 3, 5]), n_replicas=5
+        ).collect()
+    assert "replica ids" in str(e2.value)
+
+    # wrong caller B against a well-formed state still raises
+    with pytest.raises((Py4JJavaError, PythonException, Exception)) as e3:
+        bootstrap_finalize(rows(range(-1, 4)), n_replicas=40).collect()
+    assert "replica ids" in str(e3.value)
