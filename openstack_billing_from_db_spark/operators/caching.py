@@ -14,13 +14,22 @@ plans, so re-persisting the same lineage later is cheap.
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
 from collections.abc import Callable, Hashable
 from typing import Any
 
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
-_TRACKED_BC: dict[tuple, Any] = {}
+_TRACKED_BC: OrderedDict[tuple, Any] = OrderedDict()
+_BC_LOCK = threading.Lock()
+
+# Upper bound on live cached broadcasts (LRU evict-and-destroy past it).
+# Codebook payloads are kilobytes each, so the cap is about bounding a
+# pathological many-distinct-codebooks session, not memory pressure from
+# normal use; an evicted broadcast is rebuilt on the next operator build.
+BROADCAST_CACHE_MAX = 64
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
@@ -36,16 +45,36 @@ def cached_broadcast(key: Hashable, factory: Callable[[], Any]):
     of leaking a fresh copy per call; ``release_operator_caches``
     destroys them. Keys are content-derived (hashable), never ``id()``
     — a gc'd object's id can be reused — and are scoped to the active
-    SparkContext so a restarted session never sees a stale handle."""
+    SparkContext so a restarted session never sees a stale handle.
+
+    Bounded and thread-safe (ADVICE r6): a lock serializes get-or-create
+    so concurrent builders of the same key share one broadcast instead
+    of leaking a racer's copy, and entries beyond
+    ``BROADCAST_CACHE_MAX`` are LRU-evicted and destroyed. The factory
+    runs under the lock — payload construction is driver-side list
+    shaping (never a Spark action), so the hold is microseconds."""
     from pyspark.sql import SparkSession
 
-    sc = SparkSession.getActiveSession().sparkContext
+    # getActiveSession() is thread-local (None in a worker thread);
+    # fall back to the process-wide default session so concurrent
+    # builders resolve the same SparkContext.
+    session = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    sc = session.sparkContext
     full_key = (sc.applicationId, key)
-    bc = _TRACKED_BC.get(full_key)
-    if bc is None:
+    with _BC_LOCK:
+        bc = _TRACKED_BC.get(full_key)
+        if bc is not None:
+            _TRACKED_BC.move_to_end(full_key)
+            return bc
         bc = sc.broadcast(factory())
         _TRACKED_BC[full_key] = bc
-    return bc
+        while len(_TRACKED_BC) > BROADCAST_CACHE_MAX:
+            _, old = _TRACKED_BC.popitem(last=False)
+            try:
+                old.destroy()
+            except Exception:  # session already stopped — nothing to free
+                pass
+        return bc
 
 
 def release_operator_caches() -> int:
@@ -61,11 +90,12 @@ def release_operator_caches() -> int:
             n += 1
         except Exception:  # session already stopped — nothing to release
             pass
-    while _TRACKED_BC:
-        _, bc = _TRACKED_BC.popitem()
-        try:
-            bc.destroy()
-            n += 1
-        except Exception:  # session already stopped — nothing to release
-            pass
+    with _BC_LOCK:
+        while _TRACKED_BC:
+            _, bc = _TRACKED_BC.popitem()
+            try:
+                bc.destroy()
+                n += 1
+            except Exception:  # session already stopped — nothing to release
+                pass
     return n

@@ -395,3 +395,51 @@ def test_or_amplified_plans_have_no_distinct_exchange(spark):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "Deduplicate" not in plan
     release_operator_caches()
+
+
+def test_cached_broadcast_concurrent_and_lru_bounded(spark):
+    """ADVICE r6 #5: get-or-create is serialized (concurrent builders of
+    one key share a single broadcast — no leaked racer copies) and the
+    cache is LRU-bounded (insertions past BROADCAST_CACHE_MAX destroy
+    the least-recently-used entry)."""
+    import threading
+
+    from openstack_billing_from_db_spark.operators import caching
+    from openstack_billing_from_db_spark.operators.caching import (
+        BROADCAST_CACHE_MAX,
+        cached_broadcast,
+        release_operator_caches,
+    )
+
+    release_operator_caches()
+    builds = []
+    results = []
+
+    def factory():
+        builds.append(1)
+        return [1.0]
+
+    def worker():
+        results.append(cached_broadcast(("race", "k"), factory))
+
+    threads = [threading.Thread(target=worker) for _ in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(builds) == 1  # exactly one construction under the lock
+    assert all(r is results[0] for r in results)
+
+    # LRU bound: fill past the cap; the oldest entries are evicted and
+    # destroyed, the newest + the re-touched survivor stay live
+    release_operator_caches()
+    first = cached_broadcast(("lru", 0), lambda: [0.0])
+    for i in range(1, BROADCAST_CACHE_MAX):
+        cached_broadcast(("lru", i), lambda: [float(i)])
+    cached_broadcast(("lru", 0), lambda: [0.0])  # touch key 0 -> MRU
+    cached_broadcast(("lru", BROADCAST_CACHE_MAX), lambda: [-1.0])  # evicts key 1
+    assert len(caching._TRACKED_BC) == BROADCAST_CACHE_MAX
+    assert cached_broadcast(("lru", 0), lambda: [9.9]) is first  # survived
+    live_keys = {k[1] for k in caching._TRACKED_BC}
+    assert ("lru", 1) not in live_keys  # the true LRU was evicted
+    release_operator_caches()
