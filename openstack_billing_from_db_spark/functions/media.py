@@ -281,6 +281,52 @@ def synth_image_pixels(doc_id: int) -> np.ndarray:
     return np.full((h, w, 3), rgb, dtype=np.uint8)
 
 
+def synth_textured_pixels(doc_id: int) -> np.ndarray:
+    """16×16 grayscale-gradient RGB image built from 2×2 constant cells,
+    every cell value a closed-form fn of doc_id — the perceptual-hash
+    dedup fixture (q141). Docs share a FAMILY gradient (doc_id // 5:
+    per-family slopes so distinct families get distinct dHashes) and
+    differ within a family by one +128 cell bump at (var, var)
+    (var = doc_id % 5), so family members land within a small hamming
+    distance of each other — real near-duplicate structure, exactly
+    replayable in SQL."""
+    fam, var = doc_id // 5, doc_id % 5
+    u = np.arange(8)
+    r = np.arange(8)
+    cell = (
+        fam * 31
+        + u[None, :] * (11 + 2 * (fam % 13))
+        + r[:, None] * (57 + fam % 29)
+        + ((u[None, :] == var) & (r[:, None] == var)) * 128
+    ) % 256
+    px = np.repeat(np.repeat(cell.astype(np.uint8), 2, axis=0), 2, axis=1)
+    return np.stack([px, px, px], axis=2)
+
+
+def dhash_pixels(pixels: np.ndarray, *, grid: int = 8) -> int:
+    """Difference hash (dHash) of an RGB uint8 image: pool the channel-sum
+    intensity onto a ``grid × grid`` mesh, then one bit per horizontal
+    neighbor comparison (right cell brighter than left), packed
+    row-major into ``grid·(grid−1)`` bits — 56 for the default grid,
+    which keeps the fingerprint strictly positive in a signed 64-bit
+    BIGINT (no sign-extension hazards in banding or SQL replays).
+
+    Pooling is EXACT integer area summation when both dimensions divide
+    by ``grid`` (comparing block sums ≡ comparing block means — equal
+    block sizes); otherwise it falls back to the deterministic
+    nearest-neighbor resample (media.resize_nearest), the standard
+    small-image path."""
+    h, w = pixels.shape[:2]
+    gs = pixels.astype(np.int64).sum(axis=2)
+    if h % grid == 0 and w % grid == 0:
+        pooled = gs.reshape(grid, h // grid, grid, w // grid).sum(axis=(1, 3))
+    else:
+        pooled = resize_nearest(gs[:, :, None], grid, grid)[:, :, 0]
+    bits = (pooled[:, 1:] > pooled[:, :-1]).astype(np.int64)
+    k = np.arange(grid)[:, None] * (grid - 1) + np.arange(grid - 1)[None, :]
+    return int((bits << k).sum())
+
+
 def synth_wav_samples(doc_id: int) -> np.ndarray:
     """Constant-amplitude PCM block: n divisible by the 8 kHz ms-rate so
     duration_ms is an exact integer; amplitude exact under mean/peak."""

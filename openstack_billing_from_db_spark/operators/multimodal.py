@@ -247,6 +247,65 @@ def synthesize_image_payloads(
     )
 
 
+def synthesize_textured_image_payloads(
+    docs: DataFrame, id_col: str = "doc_id", fmt: str = "bmp"
+) -> DataFrame:
+    """Deterministic TEXTURED image corpus (media.synth_textured_pixels):
+    per-family gradients with a one-cell per-member bump — the
+    perceptual-hash dedup fixture. Same payload plumbing as
+    synthesize_image_payloads; the pixel content is what differs
+    (structured, not solid-color — a solid image dHashes to 0)."""
+    if fmt == "bmp":
+        def enc(i: int) -> bytes:  # noqa: E306
+            return media.encode_bmp(media.synth_textured_pixels(i))
+    elif fmt == "png":
+        def enc(i: int) -> bytes:
+            return media.encode_png(
+                media.synth_textured_pixels(i), filter_type=i % 5
+            )
+    else:
+        def enc(i: int) -> bytes:
+            return media.encode_ppm(media.synth_textured_pixels(i))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [enc(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return ensure_map_parallelism(docs.select(id_col)).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def dhash_images(
+    df: DataFrame, payload_col: str = "payload", *, grid: int = 8
+) -> DataFrame:
+    """Perceptual difference-hash over encoded image payloads: decode
+    (BMP/PPM/PNG — the byte-level codecs in functions/media.py), pool
+    channel-sum intensity to a ``grid × grid`` mesh, pack the
+    horizontal-neighbor comparisons into a ``grid·(grid−1)``-bit
+    BIGINT (media.dhash_pixels). Arrow-batched mapInPandas — the
+    decode+hash is embarrassingly parallel and the output is one narrow
+    (doc_id, dhash) row per image, so the expensive pixel data never
+    shuffles. Feed the result to dedup.simhash_near_duplicates
+    (bits=grid·(grid−1)) for hamming-banded near-duplicate pairs —
+    dHash and SimHash share the banded-hamming join kernel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for data in pdf[payload_col]:
+                _mime, _w, _h, px = _decode_one_image(bytes(data))
+                hashes.append(media.dhash_pixels(px, grid=grid))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "dhash": hashes})
+
+    return df.mapInPandas(batches, "doc_id long, dhash long")
+
+
 def synthesize_audio_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic WAV corpus (16-bit PCM mono at media.WAV_SAMPLE_RATE);
     sample count and amplitude are closed-form functions of doc_id."""

@@ -63,126 +63,104 @@ STREAMING: frozenset[str] = frozenset(
 # overlapping-semantics tests) and was driver-green in round 1 — so they
 # are ordered last and absorb the overflow.
 DEFERRED: tuple[str, ...] = (
-    "q02_instance_runtime",  # r1-green; sessionize core in-gate via q03/q06 (supersets)
-    "q09_invoice_wide",  # r1-green; invoice via q01, wide-form pivot via q20/q27
-    "q11_regional_revenue",  # r1-green; multi-join agg covered by q12/q58-family
-    "q17_top_orders_per_customer",  # r1-green; per-group top-k covered by q12
-    "q19_priority_pivot",  # r1-green; pivot/unpivot pair covered by q20 (+q27 cube)
-    "q21_event_props_stats",  # r1-green; JSON parse (F1) in-gate via q05/q42 pci path
-    "q04b_state_intervals_bucketed",  # output-identical to q04 (pytest-pinned)
-    "q10_pricing_summary",  # rates dim covered by q01/q05
-    "q13_late_shipment_priority",  # sort/top-k covered by q12/q17
-    "q16b_bag_set_operations",  # set ops covered by q16
-    "q18_order_rollup",  # grouping sets covered by q27 cube
-    "q29b_order_digest",  # windows covered by q29
-    "q43_small_quantity_parts",  # scan+filter covered throughout
-    "q47_data_quality",  # sanity rules covered by q08
-    "q48_customer_order_analytics",  # overlaps q17/q29
-    "q58_nation_revenue_share",  # window share, overlaps q29/q11
-    "q61_null_semantics",  # beyond-reference; r1-green
-    "q62_map_functions",  # beyond-reference; r1-green
-    "q55_weekly_cohort_retention",  # r1-green; date/window/agg covered by q23/q29/q54
-    "q56_hopping_window_counts",  # r1-green; windowed counts covered by q28/q50/q54
-    "q60_fingerprint_pandas_udf",  # r1-green; oracle-identical twin of q33 (pytest-pinned)
-    "q49_array_functions",  # r1-green; array exprs exercised by q38-q40/q62 oracles
-    "q53_crossmodal_near_dups",  # r2-green; composition of in-gate q37+q40
-    "q64_audio_features",  # r2-green; media-codec twin of in-gate q63
-    "q46_top_bigrams",  # r2-green; n-gram counting in-gate via q45 + q74
-    "q36_simhash",  # r2-green; fingerprint stage consumed by in-gate q37
-    "q45_term_stats",  # r2-green; corpus counting in-gate via q71/q74/q76
-    "q63_image_decode",  # r2-green; BMP decode in-gate via q77 frame sampling
-    "q70_stratified_sample",  # r2-green; hash-gate sampling in-gate via q66 + q79
-    "q66_hash_split",  # r2-green; seeded-hash gating in-gate via q79
-    "q30_token_stats",  # r2-green; tokenization consumed by in-gate q74/q76/q81
-    "q33_fingerprint",  # r2-green; md5 hashing in-gate via q34, normalize via q69
-    "q15_distinct_brand_sizes",  # r1/r2-green; A1 distinct in-gate via q05
-    "q54_signup_purchase_funnel",  # r1/r2-green; event windows in-gate via q25/q28/q29/q84
-    # Round-4 rotation (VERDICT r3 Next #1), kept parked in round 5: each
-    # twin is r1+r3-green and pytest-pinned to an in-gate sibling.
-    "q14_customers_without_orders",  # r1+r3-green; anti-join in-gate via q13-family/q85
-    "q16_set_operations",  # r1+r3-green; set ops twin q16b (pytest-pinned)
-    "q20_priority_unpivot",  # r1+r3-green; pivot/unpivot in-gate via q27 cube
-    "q41_multimodal_meta",  # r1+r3-green; payload plumbing in-gate via q77
-    "q22_scalar_functions",  # r1+r3-green; scalar F-chains in-gate via q05/q42/q23
-    "q29_running_totals",  # r1+r3-green; window aggs in-gate via q84 (RANGE frame) + q28
-    "q31_quality_score",  # r1+r3-green; same operator composed in-gate by q81
-    "q38_ann_topk_bruteforce",  # r1+r3-green; ANN in-gate via q39 LSH +
-    # the rotated-in q112 IVF-PQ (brute-force kernel pytest-pinned)
-    "q52_streaming_dedup",  # r1+r3-green; pytest-pinned ≡ q82 (r4-green)
-    "q04_state_intervals",  # r1+r3-green; E1-E6 in-gate via q03/q06 supersets,
-    # and q04b (pytest-pinned output-identical) covers the bucketed variant
-    # Round-5 rotation (VERDICT r4 Next #1): the ten components rotated IN
-    # for round 4 all came back green in CORRECTNESS_r04, so they park for
-    # one round and their slots go to the 14 never-driver-checked round-4
-    # family representatives (q95, q96, q98, q101, q103, q104, q105, q106,
-    # q107, q109, q110, q112, q114, q116). Remaining siblings
-    # (q97/q99/q100/q102/q108/q111/q113/q115) rotate in round 6.
-    "q82_streaming_dedup_watermarked",  # r4-green; pytest-pinned ≡ q52 (r1+r3-green)
-    "q86_ngram_udtf",  # r4-green; UDTF demo, n-gram semantics in-gate via q71/q74
-    "q87_dedup_survivors",  # r4-green; keep-list composes in-gate q34/q67
-    "q88_png_decode",  # r4-green; codec family in-gate via q77 frame sampling
-    "q89_doc_chunks",  # r4-green; chunking consumed by in-gate q72 packing
-    "q90_tfidf_topk",  # r4-green; term weighting in-gate via q71 BM25
-    "q91_bloom_decontaminate",  # r4-green; decontamination in-gate via q109 fraction
-    "q92_segment_dedup",  # r4-green; segment dedup in-gate via q80 span dedup
-    "q93_quality_classifier",  # r4-green; quality family in-gate via q76/q81
-    "q94_incremental_dedup",  # r4-green; incremental layer over in-gate q34/q35
-    # Four multiply-green siblings absorb the rest of the overflow, each
-    # with its kernel exercised by an in-gate (or rotating-in) query:
-    "q65_ivf_ann",  # r2+r3+r4-green; IVF coarse quantizer in-gate via q112 IVF-PQ
-    "q68_decontamination",  # r2+r3+r4-green; family in-gate via q109 fraction
-    "q73_kmeans_clusters",  # r3+r4-green; kmeans_fit kernel trains in-gate q110 PQ
-    "q74_repetition_stats",  # r3+r4-green; quality family in-gate via q76/q81
-    # Round-6 rotation (VERDICT r5 Next #1/#2): the 20 never-driver-checked
-    # queries (round-4 siblings q97/q99/q100/q102/q108/q111/q113/q115 —
-    # past their 2-round ledger deadline — plus the 12 round-5 additions
-    # q117-q128) rotate IN. Their slots come from parking the 14 round-5
-    # family representatives that each earned a hard r5-green row, plus
-    # eight multiply-green core queries (each r1+r3+r5 or r3+r4+r5 green,
-    # kernel still exercised by an in-gate sibling):
-    "q12_top_unshipped_orders",  # r1-r5-green; sort/top-k in-gate via q17-family twins parked with pytest pins; O1 exercised by q107 ordering + q105 group top-k
-    "q24_distribution_stats",  # r1-r5-green; distribution aggs in-gate via q103/q108 quantile family
-    "q27_status_priority_cube",  # r1-r5-green; cube/grouping-sets kernel pytest-pinned; unpivot twin q20 r1+r3-green
-    "q28_gap_sessions",  # r1+r3+r4+r5-green; gap sessionization in-gate via q125 concurrency (same interval algebra) + q03/q06
-    "q32_langid",  # r1-r5-green; langid consumed by in-gate q128 corpus recipe stage
-    "q83_variant_json",  # r3+r4+r5-green; JSON parse in-gate via q05/q42 pci path
-    "q84_trailing_window",  # r3+r4+r5-green; RANGE-frame windows in-gate via q108 trim windows
-    "q85_full_outer_join",  # r3+r4+r5-green; outer-join family in-gate via q97 MERGE (full-outer core)
-    "q95_pagerank",  # r5-green; graph family in-gate via q106 twin parked too — PageRank kernel pytest-pinned (fixpoint golden)
-    "q96_scd2_history",  # r5-green; SCD2 in-gate via q97 MERGE sibling
-    "q98_kmv_distinct",  # r5-green; KMV kernel in-gate via q102 set-overlap + q117 HLL
-    "q101_countmin_heavy_hitters",  # r5-green; count-min in-gate via q122 error eval
-    "q103_histogram_quantiles",  # r5-green; quantile kernel in-gate via q108 trim
-    "q104_random_projection",  # r5-green; projection kernel consumed by in-gate q116-family LSH (parked) + q39
-    "q105_group_priority_sample",  # r5-green; sampling family in-gate via q99/q127
-    "q106_triangle_count",  # r5-green; graph family pytest-pinned (orientation goldens)
-    "q107_salted_join_revenue",  # r5-green; skew-join demo, join kernels in-gate via q97/q125
-    "q109_contamination_fraction",  # r5-green; decontamination family r2-r5 multiply-green via q68/q91 parked twins
-    "q110_pq_encode",  # r5-green; PQ encode consumed by in-gate q111/q113 ADC paths
-    "q112_ivf_pq_topk",  # r5-green; IVF-PQ family in-gate via q113 residual + q129 re-rank
-    "q114_pq_recall",  # r5-green; recall eval in-gate via q129 re-rank recall
-    "q116_lsh_recall",  # r5-green; LSH recall eval, kernel shared with in-gate q123 prefix-filter family
-    # Parked for the round-6 additions (q129 re-rank, q130 SemDeDup,
-    # q131 DSIR, q132 hybrid RRF), freeing gate head slots:
-    "q23_date_functions",  # r1-r5-green; F8/F9 ISO parse in-gate via q01 ingest + sink key tests
-    "q25_asof_join",  # r1+r3+r4+r5-green; interval-join family in-gate via q125; asof kernel pytest-pinned
-    "q26_range_join",  # r1-r5-green; range-overlap family in-gate via q125 (bucketed superset)
-    # Parked for q133 (leakage-free cluster split) and q134 (DoReMi
-    # domain reweighting); q02 (r1-green only) stays IN-gate to refresh
-    # its signal:
-    "q34_dedup_exact",  # r1-r5-green; exact-dedup stage replayed verbatim inside in-gate q128 recipe oracle
-    "q35_minhash_near_dups",  # r1-r5-green; minhash chain replayed inside in-gate q133 split + q128 recipe + q123 exact twin
-    # Parked for q135 (quality-canonical survivors) and q136 (mixture-
-    # weighted epoch); vector-similarity §2 signal stays in-gate via
-    # q129/q130/q132 (ANN re-rank, cosine dedup, vector top-k in RRF):
-    "q39_ann_topk_lsh",  # r2-r5-green; LSH-bucketed ANN, recall eval twin q116 r5-green
-    "q40_embedding_near_dups",  # r2-r5-green; cosine near-dup superset in-gate via q130 SemDeDup
-    # Parked for q137 (Neyman QA allocation) and q138 (Poisson
-    # bootstrap CI):
-    "q71_bm25_topk",  # r2-r5-green; BM25 chain replayed verbatim inside in-gate q132 RRF oracle
-    "q79_temperature_mix",  # r3-r5-green; mixture-sampling role superseded in-gate by q136 (weights -> per-source quotas)
-    # Parked for q139 (k-center coreset):
-    "q67_dedup_clusters",  # r2-r5-green; CC closure replayed verbatim inside in-gate q133 AND q135 oracles
+# Round-8 rotation (VERDICT r7 Next #2): the 21 round-1-stale queries
+# (q04b/q09-q11/q13/q16b-q19/q21/q29b/q43/q47-q49/q55/q56/q58/q60-q62),
+# the 18 r5-parked twins (q12/q23-q28/q32/q34/q35/q39/q40/q67/q71/q79/
+# q83-q85), the §2 core (q01-q08/q42), q139 (re-certifying the round-8
+# running-min plan), and the new q140 (SemDeDup k ∝ n + Arrow path)
+# form the gate head. Everything r6/r7-green parks; per-line notes give
+# each parked query's driver-green rounds and its in-gate coverage.
+  "q138_bootstrap_quality_ci",  # r6/r7-green; state guards re-hardened r8 (ADVICE r7), pytest parity + guard tests pin it; first in line if a head slot frees
+  "q132_hybrid_rrf",  # r6/r7-green; k0 precondition re-widened r8 (ADVICE r7); BM25 chain replayed inside its own r6/r7-green oracle
+  "q125_concurrent_sessions",  # r6/r7-green; interval algebra in-gate via q03/q06/q28
+  "q123_set_similarity_join",  # r6/r7-green; losslessness proof vs q35's banding (in-gate)
+  "q37_simhash_near_dups",  # r2/r3/r4/r5/r6/r7-green; SimHash banding kernel shared with in-gate q35 minhash banding; q36 twin
+  "q131_dsir_topk",  # r6/r7-green
+  "q130_semantic_dedup",  # r6/r7-green; fixed-k shape; the k ∝ n + Arrow production path is in-gate via q140
+  "q76_lm_quality",  # r3/r4/r5/r6/r7-green
+  "q77_video_frame_sample",  # r3/r4/r5/r6/r7-green
+  "q78_bpe_train",  # r3/r4/r5/r6/r7-green
+  "q80_span_dedup",  # r3/r4/r5/r6/r7-green
+  "q81_quality_filter",  # r3/r4/r5/r6/r7-green
+  "q120_edit_distance_dups",  # r6/r7-green
+  "q127_token_budget_epoch",  # r6/r7-green
+  "q128_corpus_recipe",  # r6/r7-green; end-to-end composition of in-gate q34/q35 + parked stages
+  "q133_leakage_free_split",  # r6/r7-green; composition of in-gate q35 + parked q67's CC (replayed in its oracle)
+  "q135_quality_dedup_survivors",  # r6/r7-green; argmax survivors over in-gate q35 pairs + q67 CC
+  "q69_text_scrub",  # r2/r3/r4/r5/r6/r7-green
+  "q72_sequence_pack",  # r2/r3/r4/r5/r6/r7-green
+  "q97_merge_upsert",  # r6/r7-green
+  "q50_streaming_windowed_counts",  # r3/r4/r5/r6/r7-green
+  "q51_streaming_state_intervals",  # r2/r3/r4/r5/r6/r7-green
+  "q75_stream_stream_join",  # r3/r4/r5/r6/r7-green
+  "q99_priority_sample",  # r6/r7-green
+  "q102_kmv_set_overlap",  # r6/r7-green
+  "q100_bpe_encode",  # r6/r7-green
+  "q117_hll_distinct",  # r6/r7-green
+  "q118_source_kl",  # r6/r7-green
+  "q119_token_entropy",  # r6/r7-green
+  "q121_js_divergence",  # r6/r7-green
+  "q122_countmin_error",  # r6/r7-green
+  "q124_ams_f2",  # r6/r7-green
+  "q126_source_cosine",  # r6/r7-green
+  "q134_doremi_weights",  # r6/r7-green
+  "q136_mixture_epoch",  # r6/r7-green
+  "q137_neyman_allocation",  # r6/r7-green
+  "q108_quantile_trim",  # r6/r7-green
+  "q111_pq_adc_topk",  # r6/r7-green
+  "q113_ivf_pq_residual_topk",  # r6/r7-green
+  "q129_ivf_pq_rerank",  # r6/r7-green
+  "q115_sq8_profile",  # r6/r7-green
+  "q53_crossmodal_near_dups",  # r2-green
+  "q64_audio_features",  # r2-green
+  "q46_top_bigrams",  # r2-green
+  "q36_simhash",  # r2-green
+  "q45_term_stats",  # r2-green
+  "q63_image_decode",  # r2-green
+  "q70_stratified_sample",  # r2-green
+  "q66_hash_split",  # r2-green
+  "q30_token_stats",  # r1/r2-green
+  "q33_fingerprint",  # r1/r2-green
+  "q15_distinct_brand_sizes",  # r1/r2-green
+  "q54_signup_purchase_funnel",  # r1/r2-green
+  "q14_customers_without_orders",  # r1/r2/r3-green
+  "q16_set_operations",  # r1/r2/r3-green
+  "q20_priority_unpivot",  # r1/r2/r3-green
+  "q41_multimodal_meta",  # r2/r3-green
+  "q22_scalar_functions",  # r1/r2/r3-green
+  "q29_running_totals",  # r1/r2/r3-green
+  "q31_quality_score",  # r1/r2/r3-green
+  "q38_ann_topk_bruteforce",  # r2/r3-green
+  "q52_streaming_dedup",  # r2/r3-green; pytest-pinned ≡ q82
+  "q04_state_intervals",  # r1/r3-green; pytest-pinned output-identical to in-gate q04b
+  "q82_streaming_dedup_watermarked",  # r4-green; pytest-pinned ≡ q52
+  "q86_ngram_udtf",  # r4-green
+  "q87_dedup_survivors",  # r4-green
+  "q88_png_decode",  # r4-green
+  "q89_doc_chunks",  # r4-green
+  "q90_tfidf_topk",  # r4-green
+  "q91_bloom_decontaminate",  # r4-green
+  "q92_segment_dedup",  # r4-green
+  "q93_quality_classifier",  # r4-green
+  "q94_incremental_dedup",  # r4-green
+  "q65_ivf_ann",  # r2/r3/r4-green
+  "q68_decontamination",  # r2/r3/r4-green
+  "q73_kmeans_clusters",  # r3/r4-green; Lloyd kernel trains in-gate q140's k ∝ n path
+  "q74_repetition_stats",  # r3/r4-green
+  "q95_pagerank",  # r5-green
+  "q96_scd2_history",  # r5-green
+  "q98_kmv_distinct",  # r5-green
+  "q101_countmin_heavy_hitters",  # r5-green
+  "q103_histogram_quantiles",  # r5-green
+  "q104_random_projection",  # r5-green
+  "q105_group_priority_sample",  # r5-green
+  "q106_triangle_count",  # r5-green
+  "q107_salted_join_revenue",  # r5-green
+  "q109_contamination_fraction",  # r5-green
+  "q110_pq_encode",  # r5-green; Arrow/literal codebook kernel in-gate via q140 assignment
+  "q112_ivf_pq_topk",  # r5-green
+  "q114_pq_recall",  # r5-green
+  "q116_lsh_recall",  # r5-green
 )
 
 

@@ -483,3 +483,31 @@ def test_kcenter_preserves_string_id_type(spark):
     assert dict(out.dtypes)["vec_id"] == "string"
     got = [(r.sel_rank, r.vec_id, r.min_dist) for r in out.collect()]
     assert got == [(1, "a", 0.0), (2, "b", 16.0)]
+
+
+def test_semantic_dedup_scaled_uses_arrow_path_end_to_end(spark, sf_dir):
+    """q130 scale-path certification (VERDICT r7 #3): the registered
+    q140 drives target_cluster_size (k ∝ n) with a derived k above the
+    1024-code literal cap, so assignment must run the broadcast+Arrow
+    kernel — pinned here by the ArrowEvalPython node in the physical
+    plan — and the fate column must show exactly the replica casualties
+    (every non-first replica of a vector is an exact dup of a lower id
+    in its cluster)."""
+    from openstack_billing_from_db_spark.registry import all_queries
+
+    df = all_queries()["q140_semantic_dedup_scaled"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, "expected the broadcast+Arrow kernel"
+    rows = df.collect()
+    n = len(rows)
+    assert n % 5 == 0 and n > 0
+    fates = {r.vec_id: r.fate for r in rows}
+    base_ids = [v for v in fates if v < 1_000_000]
+    # replicas (shifted ids) are exact duplicates of a lower id in the
+    # same cluster -> dropped; the originals are the survivors
+    assert all(fates[v] == "kept" for v in base_ids)
+    assert all(
+        fates[r * 1_000_000 + v] == "dropped"
+        for v in base_ids
+        for r in range(1, 5)
+    )

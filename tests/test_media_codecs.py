@@ -291,3 +291,81 @@ def test_sample_video_frames_spark(spark):
         assert r.frame_idx == r.n_frames * (0 if r.frame_idx == 0 else 1) // 2
         assert r.width == 4 + r.doc_id % 3
         assert r.mean_r == (r.doc_id + 11 * r.frame_idx) % 256
+
+
+# --- perceptual dHash (round 8) ----------------------------------------------
+
+
+def test_dhash_closed_form_replay():
+    """dhash_pixels over the textured fixture equals a direct cell-level
+    replay of the closed form (the q141 oracle's arithmetic)."""
+    for doc_id in [0, 1, 4, 5, 37, 123, 499]:
+        fam, var = doc_id // 5, doc_id % 5
+        expect = 0
+        cells = [
+            [
+                (fam * 31 + u * (11 + 2 * (fam % 13)) + r * (57 + fam % 29)
+                 + (128 if (u == var and r == var) else 0)) % 256
+                for u in range(8)
+            ]
+            for r in range(8)
+        ]
+        for r in range(8):
+            for u in range(7):
+                if cells[r][u + 1] > cells[r][u]:
+                    expect |= 1 << (r * 7 + u)
+        got = media.dhash_pixels(media.synth_textured_pixels(doc_id))
+        assert got == expect, doc_id
+        assert 0 <= got < 1 << 56  # sign-safe packing
+
+
+@given(st.integers(min_value=0, max_value=10_000), st.sampled_from(["bmp", "ppm", "png"]))
+@settings(max_examples=25, deadline=None)
+def test_dhash_encode_decode_roundtrip_all_codecs(doc_id, fmt):
+    """The hash is a pure function of pixels: encode → byte-level decode
+    → dhash agrees across every codec (decode losslessness + hash
+    determinism in one property)."""
+    px = media.synth_textured_pixels(doc_id)
+    direct = media.dhash_pixels(px)
+    blob = {
+        "bmp": media.encode_bmp,
+        "ppm": media.encode_ppm,
+        "png": lambda p: media.encode_png(p, filter_type=doc_id % 5),
+    }[fmt](px)
+    if fmt == "bmp":
+        _w, _h, back = media.decode_bmp(blob)
+    elif fmt == "ppm":
+        _w, _h, back = media.decode_ppm(blob)
+    else:
+        _w, _h, back = media.decode_png(blob)
+    assert media.dhash_pixels(back) == direct
+
+
+def test_dhash_resize_fallback_and_family_hamming():
+    """Non-grid-divisible images take the deterministic nearest-neighbor
+    fallback; family members of the textured fixture stay within the
+    q141 hamming budget while the bump cell guarantees SOME variation."""
+    rng = np.random.RandomState(7)
+    odd = rng.randint(0, 256, size=(13, 11, 3)).astype(np.uint8)
+    a = media.dhash_pixels(odd)
+    assert a == media.dhash_pixels(odd)  # deterministic
+    assert 0 <= a < 1 << 56
+
+    for fam in [0, 9, 61]:
+        hashes = [media.dhash_pixels(media.synth_textured_pixels(fam * 5 + v)) for v in range(5)]
+        for i in range(5):
+            for j in range(i + 1, 5):
+                d = bin(hashes[i] ^ hashes[j]).count("1")
+                assert d <= 4, (fam, i, j, d)
+
+
+def test_dhash_images_spark_matches_local(spark):
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    out = {
+        r.doc_id: r.dhash
+        for r in multimodal.dhash_images(
+            multimodal.synthesize_textured_image_payloads(docs)
+        ).collect()
+    }
+    for i in range(40):
+        assert out[i] == media.dhash_pixels(media.synth_textured_pixels(i))
