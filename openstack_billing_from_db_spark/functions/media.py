@@ -282,23 +282,31 @@ def synth_image_pixels(doc_id: int) -> np.ndarray:
 
 
 def synth_textured_pixels(doc_id: int) -> np.ndarray:
-    """16×16 grayscale-gradient RGB image built from 2×2 constant cells,
-    every cell value a closed-form fn of doc_id — the perceptual-hash
-    dedup fixture (q141). Docs share a FAMILY gradient (doc_id // 5:
-    per-family slopes so distinct families get distinct dHashes) and
-    differ within a family by one +128 cell bump at (var, var)
-    (var = doc_id % 5), so family members land within a small hamming
-    distance of each other — real near-duplicate structure, exactly
-    replayable in SQL."""
+    """16×16 textured RGB image built from 2×2 constant cells, every
+    cell value a closed-form fn of doc_id — the perceptual-hash dedup
+    fixture (q141). Docs in a FAMILY (doc_id // 5) share a per-cell
+    hash texture and differ only by one +128 cell bump at (var, var)
+    (var = doc_id % 5), so family members sit within hamming ≤ 4 of
+    each other while distinct families get near-independent dHash bits.
+
+    The per-cell value is the portable md5 hash of "cell|fam:u:r"
+    (functions/hashing.py_hash64 mod 256) — genuinely i.i.d.-uniform
+    cells. Weaker closed forms were measured and rejected: gradient
+    cells collapse dHash bits to near-identical corpus-wide patterns
+    (~10⁶ hamming-≤4 cross-family pairs at 5k docs vs the ~10k true
+    family pairs), and even middle-square mixing of a linear cell index
+    leaves enough bit correlation for ~160k cross pairs at 50k docs.
+    md5 cells put cross-family hamming at ~Binomial(56, ½)
+    (P[≤4] ≈ 5e-12), so the pair output is the family structure —
+    linear in the corpus."""
+    from openstack_billing_from_db_spark.functions.hashing import py_hash64
+
     fam, var = doc_id // 5, doc_id % 5
-    u = np.arange(8)
-    r = np.arange(8)
-    cell = (
-        fam * 31
-        + u[None, :] * (11 + 2 * (fam % 13))
-        + r[:, None] * (57 + fam % 29)
-        + ((u[None, :] == var) & (r[:, None] == var)) * 128
-    ) % 256
+    cell = np.empty((8, 8), dtype=np.int64)
+    for rr in range(8):
+        for uu in range(8):
+            cell[rr, uu] = py_hash64(f"cell|{fam}:{uu}:{rr}") % 256
+    cell[var, var] = (cell[var, var] + 128) % 256
     px = np.repeat(np.repeat(cell.astype(np.uint8), 2, axis=0), 2, axis=1)
     return np.stack([px, px, px], axis=2)
 

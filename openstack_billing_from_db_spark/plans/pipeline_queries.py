@@ -2030,12 +2030,17 @@ _DH_GRID = 8  # 8×8 mesh -> 56-bit dHash (sign-safe in BIGINT)
 _DH_MAX_HAMMING = 4
 
 # closed-form pooled-cell intensity of media.synth_textured_pixels:
-# family gradient (per-family slopes) + the one-cell +128 member bump
+# portable md5 cell hash (the repo's cross-engine hash family) + the
+# one-cell +128 member bump
 _DH_CELL_SQL = (
-    "(d.doc_id // 5 * 31 + u.u * (11 + 2 * (d.doc_id // 5 % 13))"
-    " + r.r * (57 + d.doc_id // 5 % 29)"
-    " + CASE WHEN u.u = d.doc_id % 5 AND r.r = d.doc_id % 5"
-    " THEN 128 ELSE 0 END) % 256"
+    "("
+    + portable_hash64_sql(
+        "concat('cell|', CAST(d.doc_id // 5 AS VARCHAR), ':', "
+        "CAST(u.u AS VARCHAR), ':', CAST(r.r AS VARCHAR))"
+    )
+    + " % 256"
+    + " + CASE WHEN u.u = d.doc_id % 5 AND r.r = d.doc_id % 5"
+    + " THEN 128 ELSE 0 END) % 256"
 )
 
 

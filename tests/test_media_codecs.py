@@ -299,17 +299,18 @@ def test_sample_video_frames_spark(spark):
 def test_dhash_closed_form_replay():
     """dhash_pixels over the textured fixture equals a direct cell-level
     replay of the closed form (the q141 oracle's arithmetic)."""
-    for doc_id in [0, 1, 4, 5, 37, 123, 499]:
+    for doc_id in [0, 1, 4, 5, 37, 123, 499, 12345]:
         fam, var = doc_id // 5, doc_id % 5
         expect = 0
-        cells = [
-            [
-                (fam * 31 + u * (11 + 2 * (fam % 13)) + r * (57 + fam % 29)
-                 + (128 if (u == var and r == var) else 0)) % 256
-                for u in range(8)
-            ]
-            for r in range(8)
-        ]
+        import hashlib
+
+        def _cell(u, r):
+            v = int(
+                hashlib.md5(f"cell|{fam}:{u}:{r}".encode()).hexdigest()[:15], 16
+            ) % 256
+            return (v + (128 if (u == var and r == var) else 0)) % 256
+
+        cells = [[_cell(u, r) for u in range(8)] for r in range(8)]
         for r in range(8):
             for u in range(7):
                 if cells[r][u + 1] > cells[r][u]:
