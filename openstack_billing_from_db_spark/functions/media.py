@@ -281,7 +281,7 @@ def synth_image_pixels(doc_id: int) -> np.ndarray:
     return np.full((h, w, 3), rgb, dtype=np.uint8)
 
 
-def synth_textured_pixels(doc_id: int) -> np.ndarray:
+def synth_textured_pixels(doc_id: int, *, grid: int = 8) -> np.ndarray:
     """16×16 textured RGB image built from 2×2 constant cells, every
     cell value a closed-form fn of doc_id — the perceptual-hash dedup
     fixture (q141). Docs in a FAMILY (doc_id // 5) share a per-cell
@@ -298,13 +298,18 @@ def synth_textured_pixels(doc_id: int) -> np.ndarray:
     leaves enough bit correlation for ~160k cross pairs at 50k docs.
     md5 cells put cross-family hamming at ~Binomial(56, ½)
     (P[≤4] ≈ 5e-12), so the pair output is the family structure —
-    linear in the corpus."""
+    linear in the corpus.
+
+    ``grid`` sizes the cell mesh (image is 2·grid × 2·grid); cells at
+    the same (u, r) are identical across grids, so a larger grid is a
+    superset texture (the 72-bit q142 fixture extends the 56-bit q141
+    one)."""
     from openstack_billing_from_db_spark.functions.hashing import py_hash64
 
     fam, var = doc_id // 5, doc_id % 5
-    cell = np.empty((8, 8), dtype=np.int64)
-    for rr in range(8):
-        for uu in range(8):
+    cell = np.empty((grid, grid), dtype=np.int64)
+    for rr in range(grid):
+        for uu in range(grid):
             cell[rr, uu] = py_hash64(f"cell|{fam}:{uu}:{rr}") % 256
     cell[var, var] = (cell[var, var] + 128) % 256
     px = np.repeat(np.repeat(cell.astype(np.uint8), 2, axis=0), 2, axis=1)
@@ -330,9 +335,24 @@ def dhash_pixels(pixels: np.ndarray, *, grid: int = 8) -> int:
         pooled = gs.reshape(grid, h // grid, grid, w // grid).sum(axis=(1, 3))
     else:
         pooled = resize_nearest(gs[:, :, None], grid, grid)[:, :, 0]
-    bits = (pooled[:, 1:] > pooled[:, :-1]).astype(np.int64)
+    bits = pooled[:, 1:] > pooled[:, :-1]
     k = np.arange(grid)[:, None] * (grid - 1) + np.arange(grid - 1)[None, :]
-    return int((bits << k).sum())
+    # pack in Python ints: grid >= 9 exceeds 63 bits, where an int64
+    # shift would overflow
+    return sum(1 << int(v) for v in k[bits])
+
+
+def dhash_words(h: int, *, bits: int, word_bits: int) -> list[int]:
+    """Split a packed dHash into sign-safe BIGINT words (little-endian:
+    word i carries bits [i·word_bits, (i+1)·word_bits)). Fingerprints
+    past 63 bits (grid ≥ 9) cannot ride one BIGINT; aligning word_bits
+    to a multiple of the banding's band_bits keeps every band inside
+    one word (dedup.multiword_hamming_pairs relies on this)."""
+    if word_bits < 1 or word_bits > 63:
+        raise ValueError(f"word_bits must be in [1, 63]; got {word_bits}")
+    n = -(-bits // word_bits)
+    mask = (1 << word_bits) - 1
+    return [(h >> (i * word_bits)) & mask for i in range(n)]
 
 
 def synth_wav_samples(doc_id: int) -> np.ndarray:

@@ -448,6 +448,100 @@ def simhash_near_duplicates(
     )
 
 
+def multiword_hamming_pairs(
+    fingerprints: DataFrame,
+    *,
+    n_words: int,
+    word_bits: int,
+    band_bits: int,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Banded hamming join over MULTI-WORD fingerprints (doc_id, w0 ..
+    w{n-1}) — the wide-hash companion of :func:`simhash_near_duplicates`
+    for fingerprints past 63 bits (e.g. the 72-bit grid=9 dHash,
+    media.dhash_words packing). ``band_bits`` must divide ``word_bits``
+    so every band lives inside one word: band b reads bits
+    [band_bits·(b mod bpw), …) of word b div bpw. Wider bands are the
+    bucket-saturation lever — 12-bit bands give 4096 buckets/band vs
+    256 at 8 bits — while keeping the pigeonhole recall guarantee
+    whenever n_bands > max_hamming (a qualifying pair always shares at
+    least one clean band).
+
+    Candidates share an exact band; the verify is the full hamming
+    distance Σᵢ bit_count(wᵢᵃ xor wᵢᵇ) ≤ max_hamming. Pairs colliding
+    in several bands are emitted once via the same canonical-band
+    (no-earlier-band-matches) map-side test simhash_near_duplicates
+    uses, so no distinct shuffle. Output: (doc_a, doc_b, hamming)."""
+    if word_bits % band_bits:
+        raise ValueError(
+            f"band_bits ({band_bits}) must divide word_bits ({word_bits})"
+        )
+    bpw = word_bits // band_bits
+    n_bands = n_words * bpw
+    mask = (1 << band_bits) - 1
+    wcols = [f"w{i}" for i in range(n_words)]
+    fingerprints = tracked_persist(fingerprints)
+
+    def bucket_expr(col_prefix: str, b: int):
+        word = f"{col_prefix}{b // bpw}"
+        return (
+            F.expr(f"shiftright({word}, {band_bits * (b % bpw)})")
+            .bitwiseAND(F.lit(mask))
+        )
+
+    melted = fingerprints.select(
+        "doc_id",
+        *wcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        bucket_expr("w", b).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        *wcols,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+    def _side(suffix: str) -> DataFrame:
+        cols = [F.col("band"), F.col("bucket"), F.col("doc_id").alias(f"doc_{suffix}")]
+        cols += [F.col(w).alias(f"{w}{suffix}") for w in wcols]
+        return melted.select(*cols)
+
+    a, b_ = _side("a"), _side("b")
+    first_band_only = F.lit(True)
+    for j in range(n_bands):
+        word_a, word_b = f"w{j // bpw}a", f"w{j // bpw}b"
+        sh = band_bits * (j % bpw)
+        eq_j = (
+            F.expr(f"shiftright({word_a}, {sh})").bitwiseAND(F.lit(mask))
+            == F.expr(f"shiftright({word_b}, {sh})").bitwiseAND(F.lit(mask))
+        )
+        first_band_only = first_band_only & ~((F.col("band") > F.lit(j)) & eq_j)
+
+    hamming = sum(
+        (
+            F.bit_count(F.col(f"{w}a").bitwiseXOR(F.col(f"{w}b")))
+            for w in wcols
+        ),
+        F.lit(0),
+    ).cast("integer")
+    return (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(first_band_only)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def cross_doc_span_stats(
     docs,
     *,

@@ -248,7 +248,7 @@ def synthesize_image_payloads(
 
 
 def synthesize_textured_image_payloads(
-    docs: DataFrame, id_col: str = "doc_id", fmt: str = "bmp"
+    docs: DataFrame, id_col: str = "doc_id", fmt: str = "bmp", *, grid: int = 8
 ) -> DataFrame:
     """Deterministic TEXTURED image corpus (media.synth_textured_pixels):
     per-family gradients with a one-cell per-member bump — the
@@ -257,15 +257,15 @@ def synthesize_textured_image_payloads(
     (structured, not solid-color — a solid image dHashes to 0)."""
     if fmt == "bmp":
         def enc(i: int) -> bytes:  # noqa: E306
-            return media.encode_bmp(media.synth_textured_pixels(i))
+            return media.encode_bmp(media.synth_textured_pixels(i, grid=grid))
     elif fmt == "png":
         def enc(i: int) -> bytes:
             return media.encode_png(
-                media.synth_textured_pixels(i), filter_type=i % 5
+                media.synth_textured_pixels(i, grid=grid), filter_type=i % 5
             )
     else:
         def enc(i: int) -> bytes:
-            return media.encode_ppm(media.synth_textured_pixels(i))
+            return media.encode_ppm(media.synth_textured_pixels(i, grid=grid))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -304,6 +304,43 @@ def dhash_images(
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "dhash": hashes})
 
     return df.mapInPandas(batches, "doc_id long, dhash long")
+
+
+def dhash_multiword_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    grid: int = 9,
+    word_bits: int = 36,
+) -> DataFrame:
+    """Wide perceptual dHash for corpora past the single-BIGINT regime:
+    decode + pool exactly like :func:`dhash_images`, but with
+    ``grid·(grid−1)`` bits (72 at the default grid=9) split into
+    sign-safe BIGINT words (media.dhash_words). Feed the result to
+    dedup.multiword_hamming_pairs with band_bits dividing word_bits —
+    wider bands mean exponentially more buckets per band (4096 at 12
+    bits vs 256 at 8), which is what defers the banded join's bucket
+    saturation from ~10⁵ to ~10⁶⁺ images while 6 bands > max_hamming=4
+    keeps the pigeonhole recall guarantee. Output: (doc_id, w0, w1, …)."""
+    bits = grid * (grid - 1)
+    n_words = -(-bits // word_bits)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f"w{i}": [] for i in range(n_words)}
+            for data in pdf[payload_col]:
+                _mime, _w, _h, px = _decode_one_image(bytes(data))
+                ws = media.dhash_words(
+                    media.dhash_pixels(px, grid=grid),
+                    bits=bits,
+                    word_bits=word_bits,
+                )
+                for i in range(n_words):
+                    rows[f"w{i}"].append(ws[i])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
+
+    schema = "doc_id long, " + ", ".join(f"w{i} long" for i in range(n_words))
+    return df.mapInPandas(batches, schema)
 
 
 def synthesize_audio_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

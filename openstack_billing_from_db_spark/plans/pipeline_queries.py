@@ -2102,3 +2102,87 @@ def q141_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_bits=8,
         max_hamming=_DH_MAX_HAMMING,
     )
+
+
+# --- 72-bit wide-band perceptual dedup (round 8) -------------------------------
+#
+# The scale lever q141's x100 sweep names: at 500k images the 56-bit /
+# 8-bit-band (256-bucket) guaranteed-recall banding saturates (~3.4e9
+# candidate pairs, measured 63× wall). grid=9 gives 72 dHash bits in TWO
+# sign-safe 36-bit BIGINT words; 6 bands × 12 bits keeps the pigeonhole
+# guarantee (6 > max_hamming=4) with 4096 buckets per band — 16× the
+# bucket space, deferring saturation by the same factor.
+
+_DH9_GRID = 9
+_DH9_WORD_BITS = 36
+_DH9_BAND_BITS = 12
+
+
+def _dh9_oracle() -> str:
+    bits = _DH9_GRID * (_DH9_GRID - 1)
+    bpw = _DH9_WORD_BITS // _DH9_BAND_BITS
+    n_bands = (bits // _DH9_WORD_BITS + (1 if bits % _DH9_WORD_BITS else 0)) * bpw
+    mask = (1 << _DH9_BAND_BITS) - 1
+    return f"""
+WITH g AS (
+  SELECT d.doc_id, r.r, u.u, {_DH_CELL_SQL} AS v
+  FROM documents d, range({_DH9_GRID}) r(r), range({_DH9_GRID}) u(u)
+),
+bits AS (
+  SELECT a.doc_id, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit,
+         a.r * {_DH9_GRID - 1} + a.u AS k
+  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.r = a.r AND b.u = a.u + 1
+  WHERE a.u < {_DH9_GRID - 1}
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN k < {_DH9_WORD_BITS}
+                       THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS w0,
+         CAST(sum(CASE WHEN k >= {_DH9_WORD_BITS}
+                       THEN bit * (CAST(1 AS BIGINT) << (k - {_DH9_WORD_BITS})) ELSE 0 END) AS BIGINT) AS w1
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, w0, w1, b.b,
+         ((CASE WHEN b.b < {bpw} THEN w0 ELSE w1 END)
+          >> ({_DH9_BAND_BITS} * (b.b % {bpw}))) & {mask} AS bucket
+  FROM fp, range({n_bands}) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         a.w0 AS a0, a.w1 AS a1, b.w0 AS b0, b.w1 AS b1
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= {_DH_MAX_HAMMING}
+"""
+
+
+@register("q142_image_phash72_dedup", oracle=_dh9_oracle())
+def q142_image_phash72_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-band perceptual-hash dedup — q141's documented scale lever
+    implemented: 18×18 textured BMPs (the same md5 cell texture, grid=9
+    superset), byte-level decode in Arrow mapInPandas, 72-bit dHash
+    split into two 36-bit BIGINT words (media.dhash_words), pairs via
+    dedup.multiword_hamming_pairs with 6 bands × 12 bits — pigeonhole
+    recall guarantee intact (6 > hamming budget 4) with 4096 buckets
+    per band (16× q141's 256), deferring banded-join bucket saturation
+    by the same factor. The oracle replays synthesis → pooling →
+    two-word packing → per-word band extraction → the summed-xor
+    hamming verify in closed form."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = multimodal.dhash_multiword_images(
+        multimodal.synthesize_textured_image_payloads(docs, grid=_DH9_GRID),
+        grid=_DH9_GRID,
+        word_bits=_DH9_WORD_BITS,
+    )
+    return dedup.multiword_hamming_pairs(
+        fp,
+        n_words=2,
+        word_bits=_DH9_WORD_BITS,
+        band_bits=_DH9_BAND_BITS,
+        max_hamming=_DH_MAX_HAMMING,
+    )

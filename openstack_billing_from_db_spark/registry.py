@@ -71,6 +71,7 @@ DEFERRED: tuple[str, ...] = (
 # form the gate head. Everything r6/r7-green parks; per-line notes give
 # each parked query's driver-green rounds and its in-gate coverage.
   "q138_bootstrap_quality_ci",  # r6/r7-green; state guards re-hardened r8 (ADVICE r7), pytest parity + guard tests pin it; first in line if a head slot frees
+  "q71_bm25_topk",  # r2/r3/r4/r5-green; BM25 chain replayed verbatim inside q132's oracle (r6/r7-green); parked for the round-8-new q142 wide-band dedup
   "q132_hybrid_rrf",  # r6/r7-green; k0 precondition re-widened r8 (ADVICE r7); BM25 chain replayed inside its own r6/r7-green oracle
   "q125_concurrent_sessions",  # r6/r7-green; interval algebra in-gate via q03/q06/q28
   "q123_set_similarity_join",  # r6/r7-green; losslessness proof vs q35's banding (in-gate)

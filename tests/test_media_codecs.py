@@ -370,3 +370,77 @@ def test_dhash_images_spark_matches_local(spark):
     }
     for i in range(40):
         assert out[i] == media.dhash_pixels(media.synth_textured_pixels(i))
+
+
+def test_dhash_grid9_two_words_and_superset(spark):
+    """grid=9 packs 72 bits into two sign-safe 36-bit words; the shared
+    (u, r) cells make the grid-9 texture a superset of grid-8's."""
+    px8 = media.synth_textured_pixels(42)
+    px9 = media.synth_textured_pixels(42, grid=9)
+    assert px9.shape == (18, 18, 3)
+    assert (px9[:16, :16] == px8).all()
+    h9 = media.dhash_pixels(px9, grid=9)
+    w0, w1 = media.dhash_words(h9, bits=72, word_bits=36)
+    assert 0 <= w0 < 1 << 36 and 0 <= w1 < 1 << 36
+    assert (w1 << 36) | w0 == h9
+    import pytest
+
+    with pytest.raises(ValueError):
+        media.dhash_words(h9, bits=72, word_bits=64)
+
+
+def test_multiword_hamming_pairs_matches_bruteforce(spark):
+    """The banded multi-word join finds EXACTLY the brute-force
+    hamming <= 4 pairs whenever n_bands > max_hamming (pigeonhole)."""
+    import itertools
+    import random
+
+    from openstack_billing_from_db_spark.operators.dedup import (
+        multiword_hamming_pairs,
+    )
+
+    rng = random.Random(11)
+    base = rng.getrandbits(72)
+    fps = {}
+    for i in range(40):
+        h = base if i % 3 == 0 else rng.getrandbits(72)
+        # flip up to 6 random bits so some pairs straddle the threshold
+        for _ in range(rng.randrange(0, 7)):
+            h ^= 1 << rng.randrange(72)
+        fps[i] = h
+    rows = [
+        (i, h & ((1 << 36) - 1), h >> 36) for i, h in fps.items()
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w0 long, w1 long")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multiword_hamming_pairs(
+            df, n_words=2, word_bits=36, band_bits=12, max_hamming=4
+        ).collect()
+    }
+    want = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 4
+    }
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        multiword_hamming_pairs(df, n_words=2, word_bits=36, band_bits=10)
+
+
+def test_dhash_multiword_images_spark_matches_local(spark):
+    docs = spark.createDataFrame([(i,) for i in range(25)], "doc_id long")
+    out = {
+        r.doc_id: (r.w0, r.w1)
+        for r in multimodal.dhash_multiword_images(
+            multimodal.synthesize_textured_image_payloads(docs, grid=9),
+            grid=9,
+            word_bits=36,
+        ).collect()
+    }
+    for i in range(25):
+        h = media.dhash_pixels(media.synth_textured_pixels(i, grid=9), grid=9)
+        assert out[i] == tuple(media.dhash_words(h, bits=72, word_bits=36))

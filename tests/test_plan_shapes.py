@@ -70,6 +70,9 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         "q77_video_frame_sample",  # media codec (Arrow-batched container walk)
         "q82_streaming_dedup_watermarked",  # streaming (memory-sink table scan)
         "q86_ngram_udtf",  # the sanctioned UDTF slow-path demo (≡ q74 native)
+        "q140_semantic_dedup_scaled",  # Arrow nearest-centroid kernel IS the certified surface (>1024 codes)
+        "q141_image_phash_dedup",  # media codec + dHash (Arrow-batched mapInPandas)
+        "q142_image_phash72_dedup",  # media codec + two-word dHash (Arrow-batched mapInPandas)
     }
     for name, fn in QUERIES.items():
         if name in python_ok:
