@@ -349,3 +349,16 @@ def test_bootstrap_is_single_scan_no_joins(spark, sf_dir):
         assert op not in plan, (op, plan)
     assert plan.count("Scan parquet") == 1, plan
     assert "partial_sum" in plan, plan
+
+
+def test_multiword_banded_join_shape(spark, sf_dir):
+    """q142: the wide-band hamming join must be an equi-join on
+    (band, bucket) — no cartesian/nested-loop fallback — and the
+    canonical-band single-emission test must stay a map-side filter
+    (no distinct exchange after the join)."""
+    plan = _plan(QUERIES["q142_image_phash72_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # no post-join distinct: dedup is the first-band-only filter
+    after_join = plan.split("Join", 1)[-1]
+    assert "HashAggregate(keys=[doc_a" not in after_join, plan
