@@ -25,7 +25,7 @@ _TRACKED: list[DataFrame] = []
 _TRACKED_BC: OrderedDict[tuple, Any] = OrderedDict()
 _BC_LOCK = threading.Lock()
 
-# Upper bound on live cached broadcasts (LRU evict-and-destroy past it).
+# Upper bound on live cached broadcasts (LRU evict-and-unpersist past it).
 # Codebook payloads are kilobytes each, so the cap is about bounding a
 # pathological many-distinct-codebooks session, not memory pressure from
 # normal use; an evicted broadcast is rebuilt on the next operator build.
@@ -50,7 +50,9 @@ def cached_broadcast(key: Hashable, factory: Callable[[], Any]):
     Bounded and thread-safe (ADVICE r6): a lock serializes get-or-create
     so concurrent builders of the same key share one broadcast instead
     of leaking a racer's copy, and entries beyond
-    ``BROADCAST_CACHE_MAX`` are LRU-evicted and destroyed. The factory
+    ``BROADCAST_CACHE_MAX`` are LRU-evicted (unpersisted — executor
+    copies drop; a plan still holding the handle lazily
+    re-broadcasts). The factory
     runs under the lock — payload construction is driver-side list
     shaping (never a Spark action), so the hold is microseconds."""
     from pyspark.sql import SparkSession
@@ -71,7 +73,12 @@ def cached_broadcast(key: Hashable, factory: Callable[[], Any]):
         while len(_TRACKED_BC) > BROADCAST_CACHE_MAX:
             _, old = _TRACKED_BC.popitem(last=False)
             try:
-                old.destroy()
+                # unpersist, NOT destroy: an un-executed plan may still
+                # hold the evicted handle — unpersist drops executor
+                # copies and lets any such plan lazily re-broadcast,
+                # while destroy would make it fail. destroy stays
+                # reserved for the explicit release barrier below.
+                old.unpersist(blocking=False)
             except Exception:  # session already stopped — nothing to free
                 pass
         return bc

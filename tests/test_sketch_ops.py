@@ -630,3 +630,11 @@ def test_bootstrap_finalize_guards_fire_on_malformed_state(spark):
     with pytest.raises((Py4JJavaError, PythonException, Exception)) as e3:
         bootstrap_finalize(rows(range(-1, 4)), n_replicas=40).collect()
     assert "replica ids" in str(e3.value)
+
+    # degenerate 1-row state where NO output CASE branch fires (no
+    # b = -1, no rank-3, no rank-(cnt-1) row): the fold must still
+    # evaluate per row — pins that Catalyst does not collapse the
+    # assert into the branch-gated CASE expressions
+    with pytest.raises((Py4JJavaError, PythonException, Exception)) as e4:
+        bootstrap_finalize(rows([0]), n_replicas=0).collect()
+    assert "replica ids" in str(e4.value)
