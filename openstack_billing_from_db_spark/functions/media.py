@@ -16,6 +16,7 @@ SQL oracle computing the same closed form (pipeline_queries q63/q64).
 
 from __future__ import annotations
 
+import functools as _functools
 import struct
 import wave
 from io import BytesIO
@@ -281,6 +282,21 @@ def synth_image_pixels(doc_id: int) -> np.ndarray:
     return np.full((h, w, 3), rgb, dtype=np.uint8)
 
 
+@_functools.lru_cache(maxsize=4096)
+def _family_cells(fam: int, grid: int) -> np.ndarray:
+    """Shared family texture (all 5 members differ only by the bump
+    cell): cached per (fam, grid) so corpus synthesis pays the grid²
+    md5 draws once per family, not once per doc. Callers must .copy()
+    before mutating."""
+    from openstack_billing_from_db_spark.functions.hashing import py_hash64
+
+    cell = np.empty((grid, grid), dtype=np.int64)
+    for rr in range(grid):
+        for uu in range(grid):
+            cell[rr, uu] = py_hash64(f"cell|{fam}:{uu}:{rr}") % 256
+    return cell
+
+
 def synth_textured_pixels(doc_id: int, *, grid: int = 8) -> np.ndarray:
     """16×16 textured RGB image built from 2×2 constant cells, every
     cell value a closed-form fn of doc_id — the perceptual-hash dedup
@@ -304,13 +320,8 @@ def synth_textured_pixels(doc_id: int, *, grid: int = 8) -> np.ndarray:
     the same (u, r) are identical across grids, so a larger grid is a
     superset texture (the 72-bit q142 fixture extends the 56-bit q141
     one)."""
-    from openstack_billing_from_db_spark.functions.hashing import py_hash64
-
     fam, var = doc_id // 5, doc_id % 5
-    cell = np.empty((grid, grid), dtype=np.int64)
-    for rr in range(grid):
-        for uu in range(grid):
-            cell[rr, uu] = py_hash64(f"cell|{fam}:{uu}:{rr}") % 256
+    cell = _family_cells(fam, grid).copy()
     cell[var, var] = (cell[var, var] + 128) % 256
     px = np.repeat(np.repeat(cell.astype(np.uint8), 2, axis=0), 2, axis=1)
     return np.stack([px, px, px], axis=2)

@@ -251,10 +251,10 @@ def synthesize_textured_image_payloads(
     docs: DataFrame, id_col: str = "doc_id", fmt: str = "bmp", *, grid: int = 8
 ) -> DataFrame:
     """Deterministic TEXTURED image corpus (media.synth_textured_pixels):
-    per-family gradients with a one-cell per-member bump — the
+    per-family md5 cell textures with a one-cell per-member bump — the
     perceptual-hash dedup fixture. Same payload plumbing as
     synthesize_image_payloads; the pixel content is what differs
-    (structured, not solid-color — a solid image dHashes to 0)."""
+    (textured, not solid-color — a solid image dHashes to 0)."""
     if fmt == "bmp":
         def enc(i: int) -> bytes:  # noqa: E306
             return media.encode_bmp(media.synth_textured_pixels(i, grid=grid))
@@ -294,6 +294,12 @@ def dhash_images(
     shuffles. Feed the result to dedup.simhash_near_duplicates
     (bits=grid·(grid−1)) for hamming-banded near-duplicate pairs —
     dHash and SimHash share the banded-hamming join kernel."""
+
+    if grid * (grid - 1) > 63:
+        raise ValueError(
+            f"grid={grid} packs {grid * (grid - 1)} bits — past a single "
+            "sign-safe BIGINT; use dhash_multiword_images"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -785,11 +785,16 @@ def bootstrap_finalize(partials: DataFrame, *, n_replicas: int) -> DataFrame:
     # branch, so it fires even when the b = -1 total row is absent from
     # a malformed state; ADVICE r7) and throws when the merged state
     # disagrees with the caller's n_replicas. The replica-id bounds
-    # (min b = -1, max b = B-1) close the heterogeneous-B merge hole:
-    # b is distinct after bootstrap_merge's groupBy, so count = B+1
-    # with those bounds means the ids are exactly {-1, 0 .. B-1}
-    # (ADVICE r7 — a B=40 ∪ B=20 merge also has 41 distinct ids but
-    # max b = 39 only when every replica came from the same B).
+    # (min b = -1, max b = B-1) pin ID-SET EQUALITY: b is distinct
+    # after bootstrap_merge's groupBy, so count = B+1 with those
+    # bounds means the ids are exactly {-1, 0 .. B-1} (ADVICE r7 —
+    # this catches a stray replica id from a DIFFERENT B, e.g. a
+    # B=41-sliced partial leaking b=40). What no (b, s, n) state can
+    # witness is provenance: a B=20 partial's ids nest inside a
+    # B=40 partial's, so that merge passes and double-counts replicas
+    # 0..19 — merging partials built with different n_replicas is
+    # caller-contract UB, the same rule every mergeable sketch here
+    # has (KMV k, count-min (d, w), HLL p must match across slices).
     chk = F.coalesce(
         F.assert_true(
             (F.col("cnt") == F.lit(n_replicas + 1))

@@ -2071,7 +2071,7 @@ cand AS (
     ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 )
 SELECT da AS doc_a, db AS doc_b,
-       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= {_DH_MAX_HAMMING}
 """,
 )

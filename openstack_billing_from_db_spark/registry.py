@@ -65,10 +65,10 @@ STREAMING: frozenset[str] = frozenset(
 DEFERRED: tuple[str, ...] = (
 # Round-8 rotation (VERDICT r7 Next #2): the 21 round-1-stale queries
 # (q04b/q09-q11/q13/q16b-q19/q21/q29b/q43/q47-q49/q55/q56/q58/q60-q62),
-# the 18 r5-parked twins (q12/q23-q28/q32/q34/q35/q39/q40/q67/q71/q79/
-# q83-q85), the §2 core (q01-q08/q42), q139 (re-certifying the round-8
-# running-min plan), and the new q140 (SemDeDup k ∝ n + Arrow path)
-# form the gate head. Everything r6/r7-green parks; per-line notes give
+# 17 of the 18 r5-parked twins (q12/q23-q28/q32/q34/q35/q39/q40/q67/
+# q79/q83-q85 — q71 stays parked below, its slot went to q142), the §2
+# core (q01-q08/q42), q139 (re-certifying the round-8 running-min
+# plan), and the round-8-new q140/q141/q142 form the gate head. Everything r6/r7-green parks; per-line notes give
 # each parked query's driver-green rounds and its in-gate coverage.
   "q138_bootstrap_quality_ci",  # r6/r7-green; state guards re-hardened r8 (ADVICE r7), pytest parity + guard tests pin it; first in line if a head slot frees
   "q71_bm25_topk",  # r2/r3/r4/r5-green; BM25 chain replayed verbatim inside q132's oracle (r6/r7-green); parked for the round-8-new q142 wide-band dedup

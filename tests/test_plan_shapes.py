@@ -359,6 +359,8 @@ def test_multiword_banded_join_shape(spark, sf_dir):
     plan = _plan(QUERIES["q142_image_phash72_dedup"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    # no post-join distinct: dedup is the first-band-only filter
-    after_join = plan.split("Join", 1)[-1]
-    assert "HashAggregate(keys=[doc_a" not in after_join, plan
+    # no distinct anywhere: pair dedup is the map-side first-band-only
+    # filter, so the plan must contain NO aggregate keyed on the pair
+    # (plan strings print root-first, so the whole text is checked —
+    # a parent distinct would print BEFORE the join node)
+    assert "HashAggregate(keys=[doc_a" not in plan, plan

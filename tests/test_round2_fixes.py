@@ -430,8 +430,8 @@ def test_cached_broadcast_concurrent_and_lru_bounded(spark):
     assert len(builds) == 1  # exactly one construction under the lock
     assert all(r is results[0] for r in results)
 
-    # LRU bound: fill past the cap; the oldest entries are evicted and
-    # destroyed, the newest + the re-touched survivor stay live
+    # LRU bound: fill past the cap; the oldest entries are evicted
+    # (unpersisted), the newest + the re-touched survivor stay live
     release_operator_caches()
     first = cached_broadcast(("lru", 0), lambda: [0.0])
     for i in range(1, BROADCAST_CACHE_MAX):
