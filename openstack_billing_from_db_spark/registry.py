@@ -63,37 +63,82 @@ STREAMING: frozenset[str] = frozenset(
 # overlapping-semantics tests) and was driver-green in round 1 — so they
 # are ordered last and absorb the overflow.
 DEFERRED: tuple[str, ...] = (
-# Round-8 rotation (VERDICT r7 Next #2): the 21 round-1-stale queries
-# (q04b/q09-q11/q13/q16b-q19/q21/q29b/q43/q47-q49/q55/q56/q58/q60-q62),
-# 17 of the 18 r5-parked twins (q12/q23-q28/q32/q34/q35/q39/q40/q67/
-# q79/q83-q85 — q71 stays parked below, its slot went to q142), the §2
-# core (q01-q08/q42), q139 (re-certifying the round-8 running-min
-# plan), and the round-8-new q140/q141/q142 form the gate head. Everything r6/r7-green parks; per-line notes give
-# each parked query's driver-green rounds and its in-gate coverage.
-  "q138_bootstrap_quality_ci",  # r6/r7-green; state guards re-hardened r8 (ADVICE r7), pytest parity + guard tests pin it; first in line if a head slot frees
-  "q71_bm25_topk",  # r2/r3/r4/r5-green; BM25 chain replayed verbatim inside q132's oracle (r6/r7-green); parked for the round-8-new q142 wide-band dedup
-  "q132_hybrid_rrf",  # r6/r7-green; k0 precondition re-widened r8 (ADVICE r7); BM25 chain replayed inside its own r6/r7-green oracle
-  "q125_concurrent_sessions",  # r6/r7-green; interval algebra in-gate via q03/q06/q28
-  "q123_set_similarity_join",  # r6/r7-green; losslessness proof vs q35's banding (in-gate)
-  "q37_simhash_near_dups",  # r2/r3/r4/r5/r6/r7-green; SimHash banding kernel shared with in-gate q35 minhash banding; q36 twin
+# Round-9 rotation (VERDICT r8 Next #1): the gate head leads with q138
+# and q132 — the only queries whose operator code changed in round 8
+# (bootstrap guards sampling.py:760, rrf k0 similarity.py:598) AFTER
+# their last driver row — then all 35 remaining r2-r4-stale queries
+# (q14-q16/q20/q22/q29-q31/q33/q36/q38/q41/q45/q46/q52-q54/q63-q66/
+# q68/q70/q73/q74/q82/q86-q94), the §2 core (q01-q08/q42, with q04
+# replacing its pytest-pinned-identical bucketed twin q04b so the
+# stale original gets the row), and the oldest r5-stale fills
+# (q71 — parked for q142's slot last round — q95, q96, q98).
+# Everything r8-greened parks; per-line notes give each parked
+# query's driver-green rounds and its in-gate coverage.
+  # -- r8-green fresh parks (rotated out this round) --
+  "q04b_state_intervals_bucketed",  # r1/r8-green; pytest-pinned output-identical to in-gate q04
+  "q09_invoice_wide",  # r1/r8-green; U1 wide path; q20 unpivot twin in-gate
+  "q10_pricing_summary",  # r1/r8-green; F12/F13 money in-gate via q01
+  "q11_regional_revenue",  # r1/r8-green
+  "q12_top_unshipped_orders",  # r5/r8-green; O1 top-k in-gate via q90's WindowGroupLimit
+  "q13_late_shipment_priority",  # r1/r8-green
+  "q16b_bag_set_operations",  # r1/r8-green; q16 set-ops twin in-gate
+  "q17_top_orders_per_customer",  # r1/r8-green
+  "q18_order_rollup",  # r1/r8-green
+  "q19_priority_pivot",  # r1/r8-green; q20 unpivot twin in-gate
+  "q21_event_props_stats",  # r1/r8-green; F1 JSON parse in-gate via q05/q42
+  "q23_date_functions",  # r5/r8-green
+  "q24_distribution_stats",  # r5/r8-green
+  "q25_asof_join",  # r5/r8-green
+  "q26_range_join",  # r5/r8-green
+  "q27_status_priority_cube",  # r5/r8-green
+  "q28_gap_sessions",  # r5/r8-green
+  "q29b_order_digest",  # r1/r8-green; q29 running-totals twin in-gate
+  "q32_langid",  # r5/r8-green
+  "q34_dedup_exact",  # r5/r8-green; exact-dedup kernel replayed in in-gate q87's oracle
+  "q35_minhash_near_dups",  # r5/r8-green; banding kernel shared with in-gate q36/q94
+  "q39_ann_topk_lsh",  # r5/r8-green; sign-LSH kernel shared with in-gate q38/q65
+  "q40_embedding_near_dups",  # r5/r8-green
+  "q43_small_quantity_parts",  # r1/r8-green
+  "q47_data_quality",  # r1/r8-green
+  "q48_customer_order_analytics",  # r1/r8-green
+  "q49_array_functions",  # r1/r8-green
+  "q55_weekly_cohort_retention",  # r1/r8-green
+  "q56_hopping_window_counts",  # r1/r8-green
+  "q58_nation_revenue_share",  # r1/r8-green
+  "q60_fingerprint_pandas_udf",  # r1/r8-green; pinned ≡ native q33 (in-gate)
+  "q61_null_semantics",  # r1/r8-green
+  "q62_map_functions",  # r1/r8-green
+  "q67_dedup_clusters",  # r5/r8-green; CC kernel replayed in q133/q135 oracles
+  "q79_temperature_mix",  # r5/r8-green
+  "q83_variant_json",  # r5/r8-green
+  "q84_trailing_window",  # r5/r8-green
+  "q85_full_outer_join",  # r5/r8-green
+  "q139_kcenter_coreset",  # r7/r8-green (r8 row certifies the running-min plan)
+  "q140_semantic_dedup_scaled",  # r8-green (k ∝ n Arrow production path)
+  "q141_image_phash_dedup",  # r8-green; 56-bit banding behind the r9 width selector
+  "q142_image_phash72_dedup",  # r8-green; wide-band scale path, now the selector default
+  # -- r6/r7-green parks (code unchanged since their rows) --
+  "q125_concurrent_sessions",  # r6/r7-green; interval algebra in-gate via q03/q06
+  "q123_set_similarity_join",  # r6/r7-green; losslessness proof vs q35's banding
+  "q37_simhash_near_dups",  # r2-r7-green; banding kernel shared with in-gate q36
   "q131_dsir_topk",  # r6/r7-green
-  "q130_semantic_dedup",  # r6/r7-green; fixed-k shape; the k ∝ n + Arrow production path is in-gate via q140
-  "q76_lm_quality",  # r3/r4/r5/r6/r7-green
-  "q77_video_frame_sample",  # r3/r4/r5/r6/r7-green
-  "q78_bpe_train",  # r3/r4/r5/r6/r7-green
-  "q80_span_dedup",  # r3/r4/r5/r6/r7-green
-  "q81_quality_filter",  # r3/r4/r5/r6/r7-green
+  "q130_semantic_dedup",  # r6/r7-green; fixed-k shape; k ∝ n path r8-green via q140
+  "q76_lm_quality",  # r3-r7-green
+  "q77_video_frame_sample",  # r3-r7-green
+  "q78_bpe_train",  # r3-r7-green
+  "q80_span_dedup",  # r3-r7-green
+  "q81_quality_filter",  # r3-r7-green
   "q120_edit_distance_dups",  # r6/r7-green
   "q127_token_budget_epoch",  # r6/r7-green
-  "q128_corpus_recipe",  # r6/r7-green; end-to-end composition of in-gate q34/q35 + parked stages
-  "q133_leakage_free_split",  # r6/r7-green; composition of in-gate q35 + parked q67's CC (replayed in its oracle)
-  "q135_quality_dedup_survivors",  # r6/r7-green; argmax survivors over in-gate q35 pairs + q67 CC
-  "q69_text_scrub",  # r2/r3/r4/r5/r6/r7-green
-  "q72_sequence_pack",  # r2/r3/r4/r5/r6/r7-green
+  "q128_corpus_recipe",  # r6/r7-green; text recipe; r9 image stage gated via q143
+  "q133_leakage_free_split",  # r6/r7-green
+  "q135_quality_dedup_survivors",  # r6/r7-green
+  "q69_text_scrub",  # r2-r7-green
+  "q72_sequence_pack",  # r2-r7-green
   "q97_merge_upsert",  # r6/r7-green
-  "q50_streaming_windowed_counts",  # r3/r4/r5/r6/r7-green
-  "q51_streaming_state_intervals",  # r2/r3/r4/r5/r6/r7-green
-  "q75_stream_stream_join",  # r3/r4/r5/r6/r7-green
+  "q50_streaming_windowed_counts",  # r3-r7-green
+  "q51_streaming_state_intervals",  # r2-r7-green
+  "q75_stream_stream_join",  # r3-r7-green; streaming set covered in-gate by q52/q82
   "q99_priority_sample",  # r6/r7-green
   "q102_kmv_set_overlap",  # r6/r7-green
   "q100_bpe_encode",  # r6/r7-green
@@ -112,45 +157,7 @@ DEFERRED: tuple[str, ...] = (
   "q113_ivf_pq_residual_topk",  # r6/r7-green
   "q129_ivf_pq_rerank",  # r6/r7-green
   "q115_sq8_profile",  # r6/r7-green
-  "q53_crossmodal_near_dups",  # r2-green
-  "q64_audio_features",  # r2-green
-  "q46_top_bigrams",  # r2-green
-  "q36_simhash",  # r2-green
-  "q45_term_stats",  # r2-green
-  "q63_image_decode",  # r2-green
-  "q70_stratified_sample",  # r2-green
-  "q66_hash_split",  # r2-green
-  "q30_token_stats",  # r1/r2-green
-  "q33_fingerprint",  # r1/r2-green
-  "q15_distinct_brand_sizes",  # r1/r2-green
-  "q54_signup_purchase_funnel",  # r1/r2-green
-  "q14_customers_without_orders",  # r1/r2/r3-green
-  "q16_set_operations",  # r1/r2/r3-green
-  "q20_priority_unpivot",  # r1/r2/r3-green
-  "q41_multimodal_meta",  # r2/r3-green
-  "q22_scalar_functions",  # r1/r2/r3-green
-  "q29_running_totals",  # r1/r2/r3-green
-  "q31_quality_score",  # r1/r2/r3-green
-  "q38_ann_topk_bruteforce",  # r2/r3-green
-  "q52_streaming_dedup",  # r2/r3-green; pytest-pinned ≡ q82
-  "q04_state_intervals",  # r1/r3-green; pytest-pinned output-identical to in-gate q04b
-  "q82_streaming_dedup_watermarked",  # r4-green; pytest-pinned ≡ q52
-  "q86_ngram_udtf",  # r4-green
-  "q87_dedup_survivors",  # r4-green
-  "q88_png_decode",  # r4-green
-  "q89_doc_chunks",  # r4-green
-  "q90_tfidf_topk",  # r4-green
-  "q91_bloom_decontaminate",  # r4-green
-  "q92_segment_dedup",  # r4-green
-  "q93_quality_classifier",  # r4-green
-  "q94_incremental_dedup",  # r4-green
-  "q65_ivf_ann",  # r2/r3/r4-green
-  "q68_decontamination",  # r2/r3/r4-green
-  "q73_kmeans_clusters",  # r3/r4-green; Lloyd kernel trains in-gate q140's k ∝ n path
-  "q74_repetition_stats",  # r3/r4-green
-  "q95_pagerank",  # r5-green
-  "q96_scd2_history",  # r5-green
-  "q98_kmv_distinct",  # r5-green
+  # -- r5-green stale remainder: first in line for the r10 rotation --
   "q101_countmin_heavy_hitters",  # r5-green
   "q103_histogram_quantiles",  # r5-green
   "q104_random_projection",  # r5-green
@@ -158,7 +165,7 @@ DEFERRED: tuple[str, ...] = (
   "q106_triangle_count",  # r5-green
   "q107_salted_join_revenue",  # r5-green
   "q109_contamination_fraction",  # r5-green
-  "q110_pq_encode",  # r5-green; Arrow/literal codebook kernel in-gate via q140 assignment
+  "q110_pq_encode",  # r5-green; Arrow/literal codebook kernel r8-green via q140
   "q112_ivf_pq_topk",  # r5-green
   "q114_pq_recall",  # r5-green
   "q116_lsh_recall",  # r5-green
