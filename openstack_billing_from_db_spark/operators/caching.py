@@ -77,7 +77,10 @@ def cached_broadcast(key: Hashable, factory: Callable[[], Any]):
                 # hold the evicted handle — unpersist drops executor
                 # copies and lets any such plan lazily re-broadcast,
                 # while destroy would make it fail. destroy stays
-                # reserved for the explicit release barrier below.
+                # reserved for the explicit release barrier below; an
+                # evicted handle leaves _TRACKED_BC, so its FINAL
+                # teardown relies on Python GC + Spark's ContextCleaner
+                # (acceptable: payloads are kilobyte codebooks).
                 old.unpersist(blocking=False)
             except Exception:  # session already stopped — nothing to free
                 pass

@@ -455,6 +455,7 @@ def multiword_hamming_pairs(
     word_bits: int,
     band_bits: int,
     max_hamming: int = 4,
+    bits: int | None = None,
 ) -> DataFrame:
     """Banded hamming join over MULTI-WORD fingerprints (doc_id, w0 ..
     w{n-1}) — the wide-hash companion of :func:`simhash_near_duplicates`
@@ -467,6 +468,15 @@ def multiword_hamming_pairs(
     whenever n_bands > max_hamming (a qualifying pair always shares at
     least one clean band).
 
+    ``bits`` is the fingerprint's real width (default: the full
+    ``n_words·word_bits``). When the packing leaves the top of the last
+    word as zero padding (say 60 bits in 2×36 words), any band lying
+    ENTIRELY in padding would put every doc in bucket 0 and silently
+    degenerate the banded join to all-pairs — those bands are skipped;
+    only bands whose bit range intersects [0, bits) participate, on
+    both the melt and the canonical-band test. The pigeonhole guarantee
+    then needs the SURVIVING band count > max_hamming, which is checked.
+
     Candidates share an exact band; the verify is the full hamming
     distance Σᵢ bit_count(wᵢᵃ xor wᵢᵇ) ≤ max_hamming. Pairs colliding
     in several bands are emitted once via the same canonical-band
@@ -477,7 +487,23 @@ def multiword_hamming_pairs(
             f"band_bits ({band_bits}) must divide word_bits ({word_bits})"
         )
     bpw = word_bits // band_bits
-    n_bands = n_words * bpw
+    full_bands = n_words * bpw
+    if bits is None:
+        bits = n_words * word_bits
+    if not 0 < bits <= n_words * word_bits:
+        raise ValueError(
+            f"bits ({bits}) must be in (0, {n_words * word_bits}]"
+        )
+    # a band whose start bit is past the fingerprint width is pure
+    # padding (constant bucket 0 for every doc) — drop it from both the
+    # melt and the canonical-band dedup test (ADVICE r8)
+    n_bands = min(full_bands, -(-bits // band_bits))
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"only {n_bands} non-padding bands at band_bits={band_bits} "
+            f"over a {bits}-bit fingerprint — pigeonhole recall needs "
+            f"more than max_hamming={max_hamming}; narrow the bands"
+        )
     mask = (1 << band_bits) - 1
     wcols = [f"w{i}" for i in range(n_words)]
     fingerprints = tracked_persist(fingerprints)
@@ -792,6 +818,52 @@ def tune_banding(
             f"{max_catch_below} at s={s_lo}; loosen a constraint"
         )
     return best
+
+
+def tune_hamming_band_bits(
+    n_docs: int,
+    *,
+    bits: int,
+    word_bits: int | None = None,
+    max_hamming: int = 4,
+    max_mean_bucket: int = 64,
+) -> int:
+    """Pick ``band_bits`` for a banded hamming join from the corpus size —
+    the hamming-space counterpart of :func:`tune_banding`'s Jaccard
+    S-curve contract (refuse or widen instead of silently saturating).
+
+    Returns the WIDEST band width that still pigeonhole-covers the
+    hamming budget (``bits // band_bits`` bands must exceed
+    ``max_hamming`` so a qualifying pair always shares one clean band)
+    subject to expected uniform bucket occupancy staying workable:
+    ``n_docs / 2**band_bits ≤ max_mean_bucket``. Widest wins because
+    buckets grow exponentially with width (4096 at 12 bits vs 256 at 8)
+    while per-band candidate work shrinks by the same factor — the
+    saturation q141's 56-bit/8-bit banding measured at 63× wall on a
+    500k-image sweep is exactly the occupancy this constraint bounds.
+
+    ``word_bits`` (the multi-word path) additionally requires
+    ``band_bits`` to divide the word so a band never straddles words
+    (:func:`multiword_hamming_pairs`' contract).
+
+    Raises ValueError when even the widest admissible band saturates —
+    the caller must move to a wider fingerprint (more bits/words, e.g.
+    grid=8 dHash → grid=9 two-word) or shard the corpus; returning a
+    saturating width would hide an O(n²/buckets) blow-up."""
+    if n_docs < 0:
+        raise ValueError(f"n_docs must be >= 0, got {n_docs}")
+    widest = bits // (max_hamming + 1)
+    for bb in range(min(widest, 62), 0, -1):
+        if word_bits is not None and word_bits % bb:
+            continue
+        if n_docs <= max_mean_bucket * (1 << bb):
+            return bb
+    raise ValueError(
+        f"no band width over a {bits}-bit fingerprint keeps "
+        f"{max_hamming + 1}-band pigeonhole recall with expected bucket "
+        f"occupancy <= {max_mean_bucket} at n_docs={n_docs}; widen the "
+        "fingerprint (more bits/words) or shard the corpus"
+    )
 
 
 def edit_distance_near_duplicates(

@@ -349,6 +349,73 @@ def dhash_multiword_images(
     return df.mapInPandas(batches, schema)
 
 
+def phash_near_duplicates(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    n_docs: int | None = None,
+    max_hamming: int = 4,
+    max_mean_bucket: int = 64,
+) -> DataFrame:
+    """Corpus-size-driven perceptual-hash image dedup (VERDICT r8 Next
+    #2): decode → dHash → banded hamming pairs, with the banding WIDTH
+    AND the fingerprint WIDTH both chosen from the corpus size via
+    dedup.tune_hamming_band_bits instead of a fixed default that
+    silently saturates.
+
+    Path choice: the 8×8 / 56-bit single-BIGINT dHash (q141's shape,
+    cheapest decode + one hash column) while a band width exists whose
+    expected uniform bucket occupancy stays ≤ ``max_mean_bucket``;
+    past that (~``max_mean_bucket · 2^11`` docs — 131k at the default,
+    matching the ~10⁵ saturation q141's x100 sweep measured at 63×
+    wall) the 9×9 / 72-bit two-word wide-band path (q142's shape,
+    dedup.multiword_hamming_pairs) takes over with its own tuned width.
+    If even 12-bit wide bands saturate (≳256k docs at the default) the
+    tuner raises rather than hand back an O(n²/buckets) plan — the
+    documented escalation is more words or corpus sharding.
+
+    The two paths hash different meshes, so pair sets differ at the
+    margin (both honor ``max_hamming``; the wide path sees 72 bits of
+    texture instead of 56) — the trade is recall granularity vs bucket
+    space, same contract as minhash's tune_banding. ``n_docs`` skips
+    the count scan when the caller already knows the cardinality.
+    Output: (doc_a, doc_b, hamming)."""
+    from . import dedup
+
+    if n_docs is None:
+        n_docs = df.count()
+    try:
+        band_bits = dedup.tune_hamming_band_bits(
+            n_docs,
+            bits=8 * 7,
+            max_hamming=max_hamming,
+            max_mean_bucket=max_mean_bucket,
+        )
+    except ValueError:
+        band_bits = dedup.tune_hamming_band_bits(
+            n_docs,
+            bits=9 * 8,
+            word_bits=36,
+            max_hamming=max_hamming,
+            max_mean_bucket=max_mean_bucket,
+        )
+        fp = dhash_multiword_images(df, payload_col, grid=9, word_bits=36)
+        return dedup.multiword_hamming_pairs(
+            fp,
+            n_words=2,
+            word_bits=36,
+            band_bits=band_bits,
+            max_hamming=max_hamming,
+        )
+    fp = dhash_images(df, payload_col, grid=8)
+    return dedup.simhash_near_duplicates(
+        fp.select("doc_id", F.col("dhash").alias("simhash")),
+        bits=8 * 7,
+        band_bits=band_bits,
+        max_hamming=max_hamming,
+    )
+
+
 def synthesize_audio_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic WAV corpus (16-bit PCM mono at media.WAV_SAMPLE_RATE);
     sample count and amplitude are closed-form functions of doc_id."""

@@ -2078,8 +2078,9 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= {_DH_MAX_HAMMING}
 def q141_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image deduplication (VERDICT r6 #6 / r7 #7): a
     REAL decode→dHash→banded-hamming-join chain. Each doc gets a genuine
-    16×16 BMP (media.synth_textured_pixels — per-family gradients with
-    a one-cell member bump, so families are true near-duplicates), the
+    16×16 BMP (media.synth_textured_pixels — per-family md5 cell
+    textures with a one-cell member bump, so families are true
+    near-duplicates; gradient cells were measured and rejected), the
     byte-level BMP codec decodes it back inside Arrow-batched
     mapInPandas, media.dhash_pixels pools intensity to an 8×8 mesh and
     packs the 56 horizontal-neighbor comparisons into a BIGINT, and
@@ -2091,7 +2092,11 @@ def q141_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-extraction bug hash-fails. Scale shape: pixels never shuffle
     (narrow (doc_id, dhash) rows after the map stage); the pair space is
     band-bucketed with the shared kernel's bucket caps available for
-    skewed corpora."""
+    skewed corpora. The FIXED 56-bit/8-bit banding registered here
+    saturates past ~131k uniform images (63× wall measured at x100) —
+    multimodal.phash_near_duplicates is the corpus-size-driven entry
+    point (dedup.tune_hamming_band_bits) that auto-widens to q142's
+    two-word wide bands instead."""
     docs = load_table(spark, sf_dir, "documents")
     fp = multimodal.dhash_images(
         multimodal.synthesize_textured_image_payloads(docs), grid=_DH_GRID

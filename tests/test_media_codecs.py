@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from openstack_billing_from_db_spark.functions import media
 from openstack_billing_from_db_spark.operators import multimodal
@@ -444,3 +445,118 @@ def test_dhash_multiword_images_spark_matches_local(spark):
     for i in range(25):
         h = media.dhash_pixels(media.synth_textured_pixels(i, grid=9), grid=9)
         assert out[i] == tuple(media.dhash_words(h, bits=72, word_bits=36))
+
+
+def test_tune_hamming_band_bits_boundaries():
+    """Corpus-size-driven band-width selection (VERDICT r8 Next #2):
+    widest pigeonhole-safe width wins; occupancy past the widest
+    admissible band REFUSES instead of silently saturating."""
+    from openstack_billing_from_db_spark.operators import dedup
+
+    # single-word 56-bit dHash: widest width keeping > 4 bands is 11
+    assert dedup.tune_hamming_band_bits(50, bits=56) == 11
+    assert dedup.tune_hamming_band_bits(64 * 2048, bits=56) == 11
+    with pytest.raises(ValueError, match="widen the fingerprint"):
+        dedup.tune_hamming_band_bits(64 * 2048 + 1, bits=56)
+    # multiword 72-bit: width must divide word_bits (14, 13 skipped)
+    assert dedup.tune_hamming_band_bits(50, bits=72, word_bits=36) == 12
+    assert dedup.tune_hamming_band_bits(64 * 4096, bits=72, word_bits=36) == 12
+    with pytest.raises(ValueError, match="widen the fingerprint"):
+        dedup.tune_hamming_band_bits(64 * 4096 + 1, bits=72, word_bits=36)
+    # tighter hamming budget narrows the widest admissible band
+    assert dedup.tune_hamming_band_bits(50, bits=56, max_hamming=6) == 8
+
+
+def test_multiword_hamming_pairs_padding_bands(spark):
+    """ADVICE r8: fingerprints narrower than n_words*word_bits leave
+    all-zero padding bands that would bucket EVERY doc together. With
+    ``bits`` given, padding bands are skipped (output still exactly the
+    brute-force pairs) and losing pigeonhole coverage is a hard error."""
+    import itertools
+    import random
+
+    from openstack_billing_from_db_spark.operators.dedup import (
+        multiword_hamming_pairs,
+    )
+
+    rng = random.Random(7)
+    base = rng.getrandbits(60)
+    fps = {}
+    for i in range(30):
+        h = base if i % 3 == 0 else rng.getrandbits(60)
+        for _ in range(rng.randrange(0, 7)):
+            h ^= 1 << rng.randrange(60)
+        fps[i] = h
+    rows = [(i, h & ((1 << 36) - 1), h >> 36) for i, h in fps.items()]
+    df = spark.createDataFrame(rows, "doc_id long, w0 long, w1 long")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multiword_hamming_pairs(
+            df, n_words=2, word_bits=36, band_bits=12, max_hamming=4,
+            bits=60,
+        ).collect()
+    }
+    want = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 4
+    }
+    assert got == want
+    # 48 real bits at 12-bit bands = 4 non-padding bands: pigeonhole
+    # coverage of max_hamming=4 is gone -> refuse, don't under-recall
+    with pytest.raises(ValueError, match="pigeonhole"):
+        multiword_hamming_pairs(
+            df, n_words=2, word_bits=36, band_bits=12, bits=48
+        )
+    with pytest.raises(ValueError, match="bits"):
+        multiword_hamming_pairs(
+            df, n_words=2, word_bits=36, band_bits=12, bits=80
+        )
+
+
+def test_phash_near_duplicates_selects_by_corpus_size(spark):
+    """The composed perceptual-dedup entry point picks its fingerprint
+    and band width from the corpus size: single-BIGINT 56-bit dHash
+    while occupancy allows, the two-word 72-bit wide-band path past the
+    ~131k saturation boundary, hard refusal past the wide path's own
+    bound (VERDICT r8 Next #2 'make the scale lever the default')."""
+    from openstack_billing_from_db_spark.operators import dedup
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    pay = multimodal.synthesize_textured_image_payloads(docs)
+
+    def pairs(df):
+        return {(r.doc_a, r.doc_b): r.hamming for r in df.collect()}
+
+    # small corpus -> 56-bit single-word path at the tuned width (11)
+    got_small = pairs(multimodal.phash_near_duplicates(pay, n_docs=40))
+    want_small = pairs(
+        dedup.simhash_near_duplicates(
+            multimodal.dhash_images(pay, grid=8).select(
+                "doc_id", F.col("dhash").alias("simhash")
+            ),
+            bits=56,
+            band_bits=11,
+            max_hamming=4,
+        )
+    )
+    assert got_small == want_small and got_small
+    # n_docs=None counts the corpus itself -> same small-path output
+    assert pairs(multimodal.phash_near_duplicates(pay)) == want_small
+
+    # past the single-word boundary -> 72-bit two-word wide bands
+    got_big = pairs(multimodal.phash_near_duplicates(pay, n_docs=200_000))
+    want_big = pairs(
+        dedup.multiword_hamming_pairs(
+            multimodal.dhash_multiword_images(pay, grid=9, word_bits=36),
+            n_words=2,
+            word_bits=36,
+            band_bits=12,
+            max_hamming=4,
+        )
+    )
+    assert got_big == want_big and got_big
+
+    # past the wide path's own occupancy bound -> explicit refusal
+    with pytest.raises(ValueError, match="widen the fingerprint"):
+        multimodal.phash_near_duplicates(pay, n_docs=300_000)
