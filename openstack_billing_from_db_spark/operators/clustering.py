@@ -62,6 +62,163 @@ def _dot_lit(e, c: list[float]):
     )
 
 
+# Past this many centroids, the flat Arrow argmin's n·k·d fold becomes
+# the assignment bottleneck (the SemDeDup k ∝ n regime: n·k = n²/target)
+# and _assign switches to the two-level IVF-style kernel below — coarse
+# cells over the centroid table, probe-then-verify per vector. PLANS.md
+# names this the >10⁷-vector regime; the threshold is set where the
+# coarse table (√k cells) starts paying for itself.
+HIERARCHICAL_ASSIGN_MIN_CENTROIDS = 4096
+
+
+def _coarse_cells(
+    centroids: list[list[float]], *, n_coarse: int, n_iter: int = 4
+):
+    """Driver-side numpy Lloyd over the FINE-centroid table (k × dims
+    doubles — kilobytes to low MB, never a Spark job): seed = first
+    ``n_coarse`` fine centroids, first-minimum argmin ties, empty cells
+    keep their previous coarse centroid — the same deterministic rules
+    as :func:`kmeans_fit`. Returns (coarse centroid matrix, per-cell
+    member index arrays sorted ascending, per-cell L2 cover radius
+    max_f d(coarse_c, f)) — the radius is what makes the hierarchical
+    probe EXACT (triangle-inequality verification, not fixed-probe
+    approximation)."""
+    import numpy as np
+
+    fine = np.asarray(centroids, dtype=np.float64)
+    k = fine.shape[0]
+    n_coarse = max(1, min(n_coarse, k))
+    coarse = fine[:n_coarse].copy()
+    for _ in range(n_iter):
+        d2 = (
+            (coarse * coarse).sum(axis=1)[None, :]
+            - 2.0 * fine @ coarse.T
+        )
+        owner = np.argmin(d2, axis=1)
+        for c in range(n_coarse):
+            m = owner == c
+            if m.any():
+                coarse[c] = fine[m].mean(axis=0)
+    d2 = (
+        (coarse * coarse).sum(axis=1)[None, :] - 2.0 * fine @ coarse.T
+    )
+    owner = np.argmin(d2, axis=1)
+    members = [np.nonzero(owner == c)[0] for c in range(n_coarse)]
+    radius = np.zeros(n_coarse)
+    for c, m in enumerate(members):
+        if m.size:
+            radius[c] = np.sqrt(
+                np.maximum(
+                    ((fine[m] - coarse[c]) ** 2).sum(axis=1), 0.0
+                )
+            ).max()
+    return coarse, members, radius
+
+
+def _nearest_centroid_hierarchical_arrow(
+    col, centroids: list[list[float]], *, n_probe: int = 8
+):
+    """EXACT two-level nearest-centroid over an Arrow batch for the
+    > HIERARCHICAL_ASSIGN_MIN_CENTROIDS regime: (1) score the √k coarse
+    cells, (2) probe the ``n_probe`` nearest cells' fine members with
+    the SAME left-to-right float64 fold as the flat kernel
+    (quantization._fold_scores — per-(row, centroid) scores are
+    bit-identical), (3) triangle-inequality verify: any unprobed cell
+    whose ``d(x, coarse_c) − radius_c`` could still beat the running
+    best (with a float-slack margin that can only ADD probes) is probed
+    too. Ties resolve to the lowest fine index exactly like the flat
+    argmin (members sorted ascending + (score, index) update rule), so
+    output ≡ flat kernel on ANY input — pinned by
+    test_hierarchical_assign_matches_flat. Per-vector flops drop from
+    k·d to (√k + n_probe·k/√k)·d in the well-clustered case; worst case
+    (every bound violated) degrades to the flat kernel, never below it.
+    """
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from openstack_billing_from_db_spark.operators.caching import (
+        cached_broadcast,
+    )
+    from openstack_billing_from_db_spark.operators.quantization import (
+        _fold_scores,
+    )
+
+    key = (
+        "hier_nearest",
+        tuple(tuple(map(float, c)) for c in centroids),
+        int(n_probe),
+    )
+
+    def _build():
+        fine = [list(map(float, c)) for c in centroids]
+        coarse, members, radius = _coarse_cells(
+            fine, n_coarse=_math.isqrt(len(fine))
+        )
+        return {
+            "fine": np.asarray(fine, dtype=np.float64),
+            "coarse": [list(c) for c in coarse],
+            "members": members,
+            "radius": radius,
+        }
+
+    bc = cached_broadcast(key, _build)
+
+    def _nearest(parr):
+        if len(parr) == 0:
+            return pd.Series([], dtype="int64")
+        st = bc.value
+        fine, members, radius = st["fine"], st["members"], st["radius"]
+        emat = np.stack(parr.to_numpy()).astype(np.float64)
+        b = emat.shape[0]
+        kc = len(members)
+        dc_scores = _fold_scores(emat, st["coarse"])  # |c|² − 2⟨x,c⟩
+        xn = (emat * emat).sum(axis=1)
+        dc = np.sqrt(np.maximum(dc_scores + xn[:, None], 0.0))
+        p = min(max(1, n_probe), kc)
+        probed = np.zeros((b, kc), dtype=bool)
+        np.put_along_axis(
+            probed, np.argsort(dc_scores, kind="stable", axis=1)[:, :p],
+            True, axis=1,
+        )
+        best = np.full(b, np.inf)
+        best_idx = np.zeros(b, dtype=np.int64)
+
+        def probe_cell(c: int, rows: np.ndarray) -> None:
+            m = members[c]
+            if rows.size == 0 or m.size == 0:
+                return
+            s_all = _fold_scores(emat[rows], fine[m])
+            j = np.argmin(s_all, axis=1)  # first min → lowest member
+            s = s_all[np.arange(rows.size), j]
+            g = m[j]
+            cur_s, cur_g = best[rows], best_idx[rows]
+            upd = (s < cur_s) | ((s == cur_s) & (g < cur_g))
+            rows_u = rows[upd]
+            best[rows_u] = s[upd]
+            best_idx[rows_u] = g[upd]
+
+        for c in range(kc):
+            probe_cell(c, np.nonzero(probed[:, c])[0])
+        # exactness pass: probe every cell the triangle bound cannot
+        # rule out. best only DECREASES, so the violating set computed
+        # against the pass-1 best is a superset of what later bests
+        # would admit — one sweep suffices.
+        best_d = np.sqrt(np.maximum(best + xn, 0.0))
+        slack = 1e-7 * (1.0 + best_d)
+        need = (~probed) & (
+            dc - radius[None, :] <= (best_d + slack)[:, None]
+        )
+        for c in range(kc):
+            probe_cell(c, np.nonzero(need[:, c])[0])
+        return pd.Series(best_idx)
+
+    nearest = pandas_udf(_nearest, "long")
+    return nearest(col)
+
+
 def _assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """(vid, cluster): nearest centroid by squared L2, ties → lowest cid.
     Up to LITERAL_CODEBOOK_MAX_CODES centroids ride the plan as
@@ -71,12 +228,22 @@ def _assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
     shared with the PQ encoder (numpy argmin takes the FIRST minimum —
     the identical ties → lowest rule; cross-path agreement pinned by
     test_kmeans_assign_paths_agree). Large k is the SemDeDup regime:
-    k grows with the corpus to keep cluster sizes bounded."""
+    k grows with the corpus to keep cluster sizes bounded — and past
+    HIERARCHICAL_ASSIGN_MIN_CENTROIDS the flat n·k·d fold itself gives
+    way to the exact two-level IVF-style kernel (coarse cells over the
+    centroid table + triangle-inequality-verified probes), keeping
+    assignment sub-quadratic in the k ∝ n regime while remaining
+    output-identical to the flat path."""
     from openstack_billing_from_db_spark.operators.quantization import (
         LITERAL_CODEBOOK_MAX_CODES,
         _nearest_code_arrow,
     )
 
+    if len(centroids) >= HIERARCHICAL_ASSIGN_MIN_CENTROIDS:
+        return base.withColumn(
+            "cluster",
+            _nearest_centroid_hierarchical_arrow(F.col("e"), centroids),
+        )
     if len(centroids) > LITERAL_CODEBOOK_MAX_CODES:
         return base.withColumn(
             "cluster", _nearest_code_arrow(F.col("e"), centroids)

@@ -511,3 +511,89 @@ def test_semantic_dedup_scaled_uses_arrow_path_end_to_end(spark, sf_dir):
         for v in base_ids
         for r in range(1, 5)
     )
+
+
+def test_hierarchical_assign_matches_flat(spark):
+    """The exact two-level IVF-style assignment kernel (coarse cells +
+    triangle-inequality-verified probes, VERDICT r8 Next #3) must
+    reproduce the flat Arrow argmin EXACTLY on a fixture past
+    HIERARCHICAL_ASSIGN_MIN_CENTROIDS — including duplicate-centroid
+    ties (→ lowest index) and far-outlier vectors whose nearest fine
+    centroid lives OUTSIDE their n_probe nearest coarse cells (the
+    verification pass, not probe luck, must catch those)."""
+    import random
+
+    from openstack_billing_from_db_spark.operators import clustering as C
+    from openstack_billing_from_db_spark.operators.quantization import (
+        _nearest_code_arrow,
+    )
+
+    rnd = random.Random(23)
+    k = C.HIERARCHICAL_ASSIGN_MIN_CENTROIDS + 50
+    dims = 6
+    centroids = [
+        [round(rnd.uniform(-10, 10), 3) for _ in range(dims)]
+        for _ in range(k)
+    ]
+    centroids[17] = list(centroids[4081])  # exact tie pair across cells
+    rows = []
+    for i in range(400):
+        c = centroids[rnd.randrange(k)]
+        rows.append((i, [v + rnd.uniform(-0.05, 0.05) for v in c]))
+    rows.append((400, list(centroids[17])))  # sits exactly on the tie
+    rows.append((401, [1e6] * dims))  # far outlier: bounds must verify
+    df = spark.createDataFrame(rows, "vid long, e array<double>")
+
+    hier = {
+        (r.vid, r.cluster)
+        for r in C._assign(df, centroids).collect()
+    }
+    flat = {
+        (r.vid, r.cluster)
+        for r in df.withColumn(
+            "cluster", _nearest_code_arrow(F.col("e"), centroids)
+        ).collect()
+    }
+    assert hier == flat and len(hier) == 402
+    tie = {c for v, c in hier if v == 400}
+    assert tie == {17}  # lowest index of the duplicate pair
+
+
+def test_semantic_dedup_hierarchical_assignment_threshold(spark):
+    """semantic_dedup's assignment path rides _assign, so a derived
+    k >= HIERARCHICAL_ASSIGN_MIN_CENTROIDS flows through the two-level
+    kernel with identical verdicts (threshold dropped to make the
+    hierarchical path reachable on a small fixture)."""
+    import random
+
+    from openstack_billing_from_db_spark.operators import clustering as C
+    from openstack_billing_from_db_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rnd = random.Random(5)
+    rows = [
+        (i, [round(rnd.uniform(-1, 1), 3) for _ in range(4)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {
+        tuple(r)
+        for r in semantic_dedup(
+            df, k=60, n_iter=1, threshold=0.9
+        ).collect()
+    }
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(C, "HIERARCHICAL_ASSIGN_MIN_CENTROIDS", 32)
+        got = {
+            tuple(r)
+            for r in semantic_dedup(
+                df, k=60, n_iter=1, threshold=0.9
+            ).collect()
+        }
+    finally:
+        mp.undo()
+    assert got == want and len(want) == 120
