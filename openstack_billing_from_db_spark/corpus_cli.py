@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     prep.add_argument("--min-quality", type=float, default=0.3)
     prep.add_argument("--near-dup-jaccard", type=float, default=0.8)
     prep.add_argument(
+        "--image-dedup",
+        action="store_true",
+        help="add the perceptual image-dedup stage (corpus-size-tuned "
+        "hamming banding; drops the higher-id member of each pair)",
+    )
+    prep.add_argument(
         "--dry-run",
         action="store_true",
         help="run the full pipeline without writing output and report "
@@ -129,7 +135,6 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
                 release_operator_caches,
             )
             from openstack_billing_from_db_spark.plans.corpus_pipeline import (
-                STAGES,
                 prepare_corpus,
             )
 
@@ -141,6 +146,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
                     None,  # never write on a dry run
                     min_quality=args.min_quality,
                     near_dup_jaccard=args.near_dup_jaccard,
+                    image_dedup=args.image_dedup,
                     observations=obs,
                 )
                 # one action drives the whole pipeline; every stage
@@ -149,7 +155,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
                 result = {
                     "command": "prepare",
                     "dry_run": True,
-                    "stages": {s: int(obs[s].get["n"]) for s in STAGES},
+                    "stages": {s: int(obs[s].get["n"]) for s in obs},
                     "output": None,
                 }
             else:
@@ -159,6 +165,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
                     args.output,
                     min_quality=args.min_quality,
                     near_dup_jaccard=args.near_dup_jaccard,
+                    image_dedup=args.image_dedup,
                 )
                 result = {
                     "command": "prepare",

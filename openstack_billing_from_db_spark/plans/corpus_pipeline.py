@@ -6,6 +6,10 @@ individual operators exist for.
       → exact dedup               (keep canonical doc per content hash)
       → MinHash near-dedup        (drop the higher-id doc of any pair with
                                    Jaccard ≥ threshold)
+      → [image near-dedup]        (optional: decode → dHash → banded
+                                   hamming pairs with corpus-size-tuned
+                                   band width, drop the higher-id member —
+                                   multimodal.phash_near_duplicates)
       → language ID               (operators/text.langid)
       → token accounting
       → write parquet partitioned by predicted language
@@ -33,6 +37,36 @@ from openstack_billing_from_db_spark.sources.tables import load_table
 
 # stage names, pipeline order — keys of the ``observations`` dict
 STAGES = ("input", "quality_kept", "exact_canon", "near_deduped")
+# appended to the observation keys when image_dedup=True
+IMAGE_STAGE = "image_deduped"
+
+
+def image_dedup_stage(
+    corpus: DataFrame,
+    *,
+    max_hamming: int = 4,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Perceptual image-dedup stage for the composed recipe (VERDICT r8
+    Next #4): synthesize each surviving doc's image payload, decode →
+    dHash → banded hamming pairs via multimodal.phash_near_duplicates —
+    the corpus-size-driven entry point, so the recipe gets the 56-bit
+    single-word banding on small corpora and the 72-bit two-word
+    wide-band path (q142's scale lever) automatically past the
+    saturation boundary — then drop the higher-id member of every
+    verified pair (the same canonical-survivor rule as the text
+    stages). Payloads live only inside the stage's map tasks (narrow
+    (doc_id, hash) rows after decode; pixels never shuffle)."""
+    from openstack_billing_from_db_spark.operators import multimodal
+
+    pay = multimodal.synthesize_textured_image_payloads(
+        corpus.select("doc_id")
+    )
+    pairs = multimodal.phash_near_duplicates(
+        pay, n_docs=n_docs, max_hamming=max_hamming
+    )
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return corpus.join(drops, "doc_id", "left_anti")
 
 
 def prepare_corpus(
@@ -42,6 +76,8 @@ def prepare_corpus(
     *,
     min_quality: float = 0.3,
     near_dup_jaccard: float = 0.8,
+    image_dedup: bool = False,
+    image_max_hamming: int = 4,
     observations: dict[str, Observation] | None = None,
 ) -> DataFrame:
     """Returns the cleaned corpus DataFrame (and writes it partitioned by
@@ -100,6 +136,15 @@ def prepare_corpus(
     )
     to_drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     deduped = _observe(canon.join(to_drop, "doc_id", "left_anti"), "near_deduped")
+
+    if image_dedup:
+        # persisted: the stage input feeds the count() the banding
+        # tuner needs, the payload synthesis, and the anti-join
+        deduped = tracked_persist(deduped)
+        deduped = _observe(
+            image_dedup_stage(deduped, max_hamming=image_max_hamming),
+            IMAGE_STAGE,
+        )
 
     enriched = deduped.select(
         "*",

@@ -1590,7 +1590,11 @@ _RECIPE_MIN_Q = 0.3
 _RECIPE_JACCARD = 0.8
 
 
-def _recipe_oracle() -> str:
+def _recipe_text_ctes() -> str:
+    """The q128 text-stage CTE chain (scored → canon → minhash jc →
+    drops → clean), shared byte-identically by q128 and q143 so the
+    composed-with-images recipe replays EXACTLY the audited text
+    stages."""
     quality = (
         f"least(1.0, len({_W}) / 100.0) * 0.4"
         f" + len(list_filter({_W}, w -> w IN ({_STOP['en']})))"
@@ -1598,8 +1602,7 @@ def _recipe_oracle() -> str:
         f" + length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
         f" / greatest(length(text), 1) * 0.2"
     )
-    return f"""
-WITH scored AS (
+    return f"""scored AS (
   SELECT * FROM documents WHERE {quality} >= {_RECIPE_MIN_Q}
 ),
 canon AS (
@@ -1610,15 +1613,19 @@ canon AS (
 ),{_minhash_jaccard_blocks("canon")},
 drops AS (SELECT DISTINCT doc_b AS doc_id FROM jc
           WHERE jaccard >= {_RECIPE_JACCARD}),
-clean AS (SELECT c.* FROM canon c ANTI JOIN drops d ON d.doc_id = c.doc_id),
-lid AS (
+clean AS (SELECT c.* FROM canon c ANTI JOIN drops d ON d.doc_id = c.doc_id)"""
+
+
+def _recipe_lang_summary(src: str) -> str:
+    """The q128 langid + per-language summary tail over ``src``."""
+    return f"""lid AS (
   SELECT doc_id,
          CAST(len({_W}) AS BIGINT) AS n_tokens,
          CAST(len(list_filter({_W}, w -> w IN ({_STOP['en']}))) AS BIGINT) AS en_hits,
          CAST(len(list_filter({_W}, w -> w IN ({_STOP['de']}))) AS BIGINT) AS de_hits,
          CAST(len(list_filter({_W}, w -> w IN ({_STOP['es']}))) AS BIGINT) AS es_hits,
          CAST(len(list_filter({_W}, w -> w IN ({_STOP['fr']}))) AS BIGINT) AS fr_hits
-  FROM clean
+  FROM {src}
 ),
 labeled AS (
   SELECT doc_id, n_tokens,
@@ -1635,6 +1642,12 @@ SELECT predicted_lang,
        CAST(min(doc_id) AS BIGINT) AS min_doc_id
 FROM labeled GROUP BY predicted_lang
 """
+
+
+def _recipe_oracle() -> str:
+    return f"""
+WITH {_recipe_text_ctes()},
+{_recipe_lang_summary("clean")}"""
 
 
 @register("q128_corpus_recipe", oracle=_recipe_oracle())
@@ -2190,4 +2203,85 @@ def q142_image_phash72_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_bits=_DH9_WORD_BITS,
         band_bits=_DH9_BAND_BITS,
         max_hamming=_DH_MAX_HAMMING,
+    )
+
+
+# --- composed corpus recipe with the image-dedup stage (round 9) --------------
+
+
+def _recipe_images_oracle() -> str:
+    """q128's text chain + the perceptual image-dedup stage. The Spark
+    side sizes the hamming banding from the stage input's cardinality
+    (multimodal.phash_near_duplicates → dedup.tune_hamming_band_bits);
+    through sf0.1 that cardinality is far below the 131k single-word
+    boundary, so the tuner deterministically picks the 56-bit dHash at
+    band_bits=11 (widest width keeping 56//11 = 5 > max_hamming bands)
+    — which is exactly the banding this oracle replays."""
+    band_bits = 11
+    n_bands = (_DH_GRID * (_DH_GRID - 1)) // band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH {_recipe_text_ctes()},
+g AS (
+  SELECT d.doc_id, r.r, u.u, {_DH_CELL_SQL} AS v
+  FROM clean d, range({_DH_GRID}) r(r), range({_DH_GRID}) u(u)
+),
+hbits AS (
+  SELECT a.doc_id, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit,
+         a.r * {_DH_GRID - 1} + a.u AS k
+  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.r = a.r AND b.u = a.u + 1
+  WHERE a.u < {_DH_GRID - 1}
+),
+fp AS (
+  SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS h
+  FROM hbits GROUP BY doc_id
+),
+ibands AS (
+  SELECT doc_id, h, b.b, (h >> (b.b * {band_bits})) & {mask} AS bucket
+  FROM fp, range({n_bands}) b(b)
+),
+icand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.h AS ha, b.h AS hb
+  FROM ibands a JOIN ibands b
+    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+idrops AS (
+  SELECT DISTINCT db AS doc_id FROM icand
+  WHERE bit_count(xor(ha, hb)) <= {_DH_MAX_HAMMING}
+),
+final AS (SELECT c.* FROM clean c ANTI JOIN idrops i ON i.doc_id = c.doc_id),
+{_recipe_lang_summary("final")}"""
+
+
+@register("q143_corpus_recipe_images", oracle=_recipe_images_oracle())
+def q143_corpus_recipe_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus recipe WITH the multimodal dedup stage
+    (VERDICT r8 Next #4): q128's audited text chain (quality filter →
+    exact dedup → MinHash near-dedup), then each survivor's image
+    payload is synthesized, byte-decoded, dHashed, and near-dup pairs
+    drop the higher-id member — via multimodal.phash_near_duplicates,
+    so the recipe inherits the corpus-size-driven band selection (the
+    72-bit wide-band q142 path automatically past the 56-bit boundary;
+    the oracle replays the small-corpus branch the tuner provably picks
+    through sf0.1). Same per-language summary as q128 — the signal is
+    the composed survivor set across BOTH modalities. Scale shape:
+    every stage is the audited operator plan; pixels live only inside
+    the decode map stage."""
+    from openstack_billing_from_db_spark.plans.corpus_pipeline import (
+        prepare_corpus,
+    )
+
+    corpus = prepare_corpus(
+        spark,
+        sf_dir,
+        None,
+        min_quality=_RECIPE_MIN_Q,
+        near_dup_jaccard=_RECIPE_JACCARD,
+        image_dedup=True,
+        image_max_hamming=_DH_MAX_HAMMING,
+    )
+    return corpus.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
     )

@@ -71,9 +71,11 @@ DEFERRED: tuple[str, ...] = (
 # q68/q70/q73/q74/q82/q86-q94), the §2 core (q01-q08/q42, with q04
 # replacing its pytest-pinned-identical bucketed twin q04b so the
 # stale original gets the row), and the oldest r5-stale fills
-# (q71 — parked for q142's slot last round — q95, q96, q98).
+# (q71 — parked for q142's slot last round — q95, q96; q98's slot
+# went to the round-9-new q143 composed image-dedup recipe).
 # Everything r8-greened parks; per-line notes give each parked
 # query's driver-green rounds and its in-gate coverage.
+  "q98_kmv_distinct",  # r5-green; parked for the round-9-new q143; first r10 rotation target with the r5 block below
   # -- r8-green fresh parks (rotated out this round) --
   "q04b_state_intervals_bucketed",  # r1/r8-green; pytest-pinned output-identical to in-gate q04
   "q09_invoice_wide",  # r1/r8-green; U1 wide path; q20 unpivot twin in-gate
