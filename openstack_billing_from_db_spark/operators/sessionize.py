@@ -310,14 +310,14 @@ def _probe_outage_literals(
     max_rows+1 narrow rows — trivial for a real outage dim, and the
     limit caps the work if the dimension is huge. When the probe fits,
     the collected rows ARE the literals (no second job)."""
-    try:
-        size = int(
-            outages_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        if size > _LITERAL_OUTAGES_MAX_BYTES and size < (1 << 62):
-            return None  # known-big: skip the probe
-    except Exception:
-        pass  # unknown size: fall through to the bounded probe
+    from openstack_billing_from_db_spark.operators.parallelism import (
+        plan_size_estimate,
+    )
+
+    size = plan_size_estimate(outages_df)
+    if size is not None and size > _LITERAL_OUTAGES_MAX_BYTES:
+        return None  # known-big: skip the probe
+    # unknown size (None): fall through to the bounded probe
     rows = (
         outages_df.select("outage_start", "outage_end")
         .limit(_LITERAL_OUTAGES_MAX_ROWS + 1)

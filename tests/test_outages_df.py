@@ -105,3 +105,43 @@ def test_auto_select_picks_by_dimension_size(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_plan_size_estimate_version_gate(spark, tmp_path, monkeypatch):
+    """The private queryExecution() size probe is wrapped behind an
+    explicit Spark-major gate (VERDICT r8 Next #5): file-backed sources
+    give a real byte estimate on a verified major; an UNVERIFIED major
+    degrades to None, and both consumers fall back to their
+    conservative/probe paths with correct results."""
+    from openstack_billing_from_db_spark.operators import parallelism as P
+    from openstack_billing_from_db_spark.operators.dedup import (
+        _pick_verify_path,
+    )
+    from openstack_billing_from_db_spark.operators.sessionize import (
+        _probe_outage_literals,
+    )
+
+    spark.range(200).write.parquet(str(tmp_path / "sz"))
+    fdf = spark.read.parquet(str(tmp_path / "sz"))
+    est = P.plan_size_estimate(fdf)
+    assert isinstance(est, int) and 0 < est < (1 << 40)
+
+    monkeypatch.setattr(P, "_PLAN_STATS_VERIFIED_MAJORS", frozenset())
+    assert P.plan_size_estimate(fdf) is None
+    # dedup verify chooser: unknown -> assume big (exploded verify)
+    assert _pick_verify_path(fdf) == "exploded"
+    # outage literal probe: unknown -> bounded row probe, correct
+    # literals for a small dim, None (broadcast) past the cap
+    tiny = outages_df(spark, OUTAGES)
+    assert _probe_outage_literals(tiny) == OUTAGES
+    big = outages_df(
+        spark,
+        [
+            (
+                datetime(2000, 3, 1) + timedelta(hours=i),
+                datetime(2000, 3, 1) + timedelta(hours=i, minutes=30),
+            )
+            for i in range(200)
+        ],
+    )
+    assert _probe_outage_literals(big) is None
