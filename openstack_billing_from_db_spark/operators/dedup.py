@@ -571,6 +571,118 @@ def multiword_hamming_pairs(
     )
 
 
+def multiword_hamming_matches(
+    existing: DataFrame,
+    new: DataFrame,
+    *,
+    n_words: int,
+    word_bits: int,
+    band_bits: int,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Probe NEW multi-word fingerprints against a persisted index PLUS
+    the new batch itself — the incremental companion of
+    :func:`multiword_hamming_pairs` (mirrors what
+    ``incremental_near_duplicates`` is to ``minhash_near_duplicates``).
+    Both inputs are (doc_id, w0 .. w{n-1}); candidates share an exact
+    band between a NEW fingerprint and any index-or-batch fingerprint
+    (self excluded), the verify is the full summed-xor hamming, and the
+    canonical-band (no-earlier-band-matches) test keeps one row per
+    ordered (new_id, match_id) with no distinct shuffle. Unlike the
+    batch join there is NO ``doc_a < doc_b`` cut: a verdict is per NEW
+    doc, so a new-new family pair appears in both directions (each
+    member sees its mate). Per-epoch work is (batch bands) × (index
+    bucket occupancy) — the index side carries only narrow
+    ``1 + n_words`` BIGINT rows.
+
+    Output: (new_id, match_id, hamming, match_in_new)."""
+    if word_bits % band_bits:
+        raise ValueError(
+            f"band_bits ({band_bits}) must divide word_bits ({word_bits})"
+        )
+    bpw = word_bits // band_bits
+    n_bands = n_words * bpw
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"only {n_bands} bands at band_bits={band_bits} — pigeonhole "
+            f"recall needs more than max_hamming={max_hamming}"
+        )
+    mask = (1 << band_bits) - 1
+    wcols = [f"w{i}" for i in range(n_words)]
+    new = tracked_persist(new)
+    union = existing.select(
+        "doc_id", *wcols, F.lit(False).alias("__new")
+    ).unionByName(new.select("doc_id", *wcols, F.lit(True).alias("__new")))
+
+    def melt(df: DataFrame, keep: list) -> DataFrame:
+        return df.select(
+            *keep,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.expr(
+                                f"shiftright(w{b // bpw}, "
+                                f"{band_bits * (b % bpw)})"
+                            )
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bucket"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            *keep,
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+
+    a = melt(new, ["doc_id", *wcols]).select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(w).alias(f"{w}a") for w in wcols],
+        "band",
+        "bucket",
+    )
+    b = melt(union, ["doc_id", *wcols, "__new"]).select(
+        F.col("doc_id").alias("match_id"),
+        *[F.col(w).alias(f"{w}b") for w in wcols],
+        F.col("__new").alias("match_in_new"),
+        "band",
+        "bucket",
+    )
+    first_band_only = F.lit(True)
+    for j in range(n_bands):
+        sh = band_bits * (j % bpw)
+        eq_j = (
+            F.expr(f"shiftright(w{j // bpw}a, {sh})").bitwiseAND(F.lit(mask))
+            == F.expr(f"shiftright(w{j // bpw}b, {sh})").bitwiseAND(
+                F.lit(mask)
+            )
+        )
+        first_band_only = first_band_only & ~((F.col("band") > F.lit(j)) & eq_j)
+    hamming = sum(
+        (
+            F.bit_count(F.col(f"{w}a").bitwiseXOR(F.col(f"{w}b")))
+            for w in wcols
+        ),
+        F.lit(0),
+    ).cast("integer")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("match_id"))
+        .filter(first_band_only)
+        .select(
+            "new_id",
+            "match_id",
+            hamming.alias("hamming"),
+            "match_in_new",
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def cross_doc_span_stats(
     docs,
     *,

@@ -146,3 +146,122 @@ def run_streaming_dedup_index(
 def read_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """The live index: union of all epoch partitions."""
     return spark.read.parquet(index_dir)
+
+
+# --- streaming perceptual (image) dedup (round 9, VERDICT r8 Next #7) ---------
+
+
+def admit_image_batch(
+    spark: SparkSession,
+    batch_pay: DataFrame,
+    index_dir: str,
+    *,
+    grid: int = 9,
+    word_bits: int = 36,
+    band_bits: int = 12,
+    max_hamming: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """One image micro-batch against the persisted fingerprint index:
+    decode → multi-word dHash (72-bit wide bands by default — the q142
+    scale path), probe via dedup.multiword_hamming_matches, admit a doc
+    iff it has NO near-dup in the index and NO lower-id near-dup in its
+    own batch (min-id canonical survivor — the image counterpart of
+    :func:`admit_batch`'s rule). Returns ``(verdicts, additions)``;
+    ``verdicts`` is (doc_id, n_matches, best_hamming, admitted),
+    ``additions`` the fingerprint rows to fold into the index. The
+    index holds only (doc_id, w0..w{n-1}) BIGINTs — pixels never leave
+    the decode map stage, ~24 B/doc state."""
+    from openstack_billing_from_db_spark.operators import multimodal
+    from openstack_billing_from_db_spark.operators.dedup import (
+        multiword_hamming_matches,
+    )
+
+    bits = grid * (grid - 1)
+    n_words = -(-bits // word_bits)
+    new_fp = multimodal.dhash_multiword_images(
+        batch_pay, grid=grid, word_bits=word_bits
+    )
+    existing = _existing_index(spark, index_dir, new_fp)
+    matches = multiword_hamming_matches(
+        existing,
+        new_fp,
+        n_words=n_words,
+        word_bits=word_bits,
+        band_bits=band_bits,
+        max_hamming=max_hamming,
+    )
+    blocking = F.when(
+        (~F.col("match_in_new")) | (F.col("match_id") < F.col("new_id")),
+        1,
+    ).otherwise(0)
+    per_doc = matches.groupBy(F.col("new_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("hamming").alias("best_hamming"),
+        (F.sum(blocking) == 0).alias("admitted"),
+    )
+    verdicts = (
+        new_fp.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "best_hamming",
+            F.coalesce("admitted", F.lit(True)).alias("admitted"),
+        )
+    )
+    additions = new_fp.join(
+        verdicts.filter("admitted").select("doc_id"), "doc_id", "left_semi"
+    )
+    return verdicts, additions
+
+
+def run_streaming_image_dedup(
+    spark: SparkSession,
+    images_stream_dir: str,
+    index_dir: str,
+    verdicts_dir: str,
+    checkpoint_dir: str,
+    **dedup_kwargs,
+) -> None:
+    """Stream image-payload files → per-epoch perceptual-dedup verdicts
+    + fingerprint-index additions, with the same ``epoch=<id>``
+    overwrite idempotency as :func:`run_streaming_dedup_index` (a
+    replayed micro-batch rewrites its own partition)."""
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(images_stream_dir)
+    )
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        verdicts, additions = admit_image_batch(
+            spark,
+            batch_df.select("doc_id", "payload"),
+            index_dir,
+            **dedup_kwargs,
+        )
+        verdicts = verdicts.persist()
+        additions = additions.persist()
+        try:
+            # materialize BOTH against the pre-epoch index snapshot
+            # BEFORE the epoch write lands in index_dir
+            verdicts.count(), additions.count()
+            verdicts.write.mode("overwrite").parquet(
+                f"{verdicts_dir}/epoch={epoch_id}"
+            )
+            additions.write.mode("overwrite").parquet(
+                f"{index_dir}/epoch={epoch_id}"
+            )
+        finally:
+            verdicts.unpersist()
+            additions.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

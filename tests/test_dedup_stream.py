@@ -81,3 +81,99 @@ def test_streaming_dedup_index_grows_by_uniques_only(spark, tmp_path):
     assert v10.is_dup and v10.match_id == 1 and not v10.admitted
     # epoch partitioning present (idempotent overwrite layout)
     assert verdicts.select("epoch").distinct().count() >= 2
+
+
+def _write_images(spark, path, doc_ids):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from openstack_billing_from_db_spark.functions import media
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(doc_ids), pa.int64()),
+                "payload": pa.array(
+                    [
+                        media.encode_bmp(
+                            media.synth_textured_pixels(i, grid=9)
+                        )
+                        for i in doc_ids
+                    ],
+                    pa.binary(),
+                ),
+            }
+        ),
+        path,
+    )
+
+
+def test_admit_image_batch_bootstrap_and_within_batch_family(spark, tmp_path):
+    """Image counterpart of admit_batch: min-id member of a perceptual
+    near-dup family is the canonical survivor, cross-family uniques
+    admitted, only survivors' fingerprints become index additions."""
+    from openstack_billing_from_db_spark.streaming.dedup_stream import (
+        admit_image_batch,
+    )
+
+    pay = spark.createDataFrame(
+        [(i,) for i in (0, 1, 10)], "doc_id long"
+    )
+    from openstack_billing_from_db_spark.operators import multimodal
+
+    batch = multimodal.synthesize_textured_image_payloads(pay, grid=9)
+    verdicts, additions = admit_image_batch(
+        spark, batch, str(tmp_path / "iidx")
+    )
+    v = {r.doc_id: r for r in verdicts.collect()}
+    # 0 and 1 are family 0 near-dups: 0 survives, 1 blocked by 0
+    assert v[0].admitted and v[0].n_matches >= 1
+    assert not v[1].admitted and v[1].best_hamming <= 4
+    assert v[10].admitted and v[10].n_matches == 0
+    assert {
+        r.doc_id for r in additions.select("doc_id").distinct().collect()
+    } == {0, 10}
+
+
+def test_streaming_image_dedup_index_grows_by_uniques_only(spark, tmp_path):
+    """Multi-batch pin (VERDICT r8 Next #7): an image whose perceptual
+    family is already INDEXED is rejected on a later epoch; a fresh
+    family is admitted with its min-id canonical; epoch partitions give
+    idempotent verdicts — the q94 contract on the q142 wide-band
+    fingerprints."""
+    from openstack_billing_from_db_spark.streaming.dedup_stream import (
+        read_index,
+        run_streaming_image_dedup,
+    )
+
+    imgs_dir = str(tmp_path / "imgs_stream")
+    index_dir = str(tmp_path / "iidx")
+    verdicts_dir = str(tmp_path / "iverdicts")
+    ckpt = str(tmp_path / "ickpt")
+
+    _write_images(spark, f"{imgs_dir}/b1.parquet", [0, 5])
+    run_streaming_image_dedup(spark, imgs_dir, index_dir, verdicts_dir, ckpt)
+    assert {
+        r.doc_id
+        for r in read_index(spark, index_dir).select("doc_id").distinct().collect()
+    } == {0, 5}
+
+    # 1 is family 0 (indexed via doc 0) -> rejected; 10/11/12 are a NEW
+    # family -> min-id 10 admitted, 11/12 rejected within-batch
+    _write_images(spark, f"{imgs_dir}/b2.parquet", [1, 10, 11, 12])
+    run_streaming_image_dedup(spark, imgs_dir, index_dir, verdicts_dir, ckpt)
+    idx_ids = {
+        r.doc_id
+        for r in read_index(spark, index_dir).select("doc_id").distinct().collect()
+    }
+    assert idx_ids == {0, 5, 10}
+
+    verdicts = spark.read.parquet(verdicts_dir)
+    v = {r.doc_id: r for r in verdicts.collect()}
+    assert not v[1].admitted and v[1].best_hamming <= 4
+    assert v[10].admitted and v[10].n_matches >= 2  # sees 11 and 12
+    assert not v[11].admitted and not v[12].admitted
+    assert verdicts.select("epoch").distinct().count() >= 2
