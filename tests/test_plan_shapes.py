@@ -73,6 +73,7 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         "q140_semantic_dedup_scaled",  # Arrow nearest-centroid kernel IS the certified surface (>1024 codes)
         "q141_image_phash_dedup",  # media codec + dHash (Arrow-batched mapInPandas)
         "q142_image_phash72_dedup",  # media codec + two-word dHash (Arrow-batched mapInPandas)
+        "q143_corpus_recipe_images",  # composed recipe's image stage (Arrow-batched decode+dHash)
     }
     for name, fn in QUERIES.items():
         if name in python_ok:
