@@ -941,11 +941,17 @@ def tune_hamming_band_bits(
     bits: int,
     word_bits: int | None = None,
     max_hamming: int = 4,
-    max_mean_bucket: int = 64,
+    max_mean_bucket: int = 128,
 ) -> int:
     """Pick ``band_bits`` for a banded hamming join from the corpus size —
     the hamming-space counterpart of :func:`tune_banding`'s Jaccard
     S-curve contract (refuse or widen instead of silently saturating).
+
+    ``max_mean_bucket`` = 128 is empirically anchored: q142's 12-bit
+    banding measured 4.2× wall at 100× data on 500k uniformly-hashed
+    images — occupancy ≈ 122/bucket — while q141's 8-bit banding at
+    ~2000/bucket measured 63× (the saturation this bound exists to
+    refuse).
 
     Returns the WIDEST band width that still pigeonhole-covers the
     hamming budget (``bits // band_bits`` bands must exceed

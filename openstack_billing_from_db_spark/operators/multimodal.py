@@ -355,7 +355,7 @@ def phash_near_duplicates(
     *,
     n_docs: int | None = None,
     max_hamming: int = 4,
-    max_mean_bucket: int = 64,
+    max_mean_bucket: int = 128,
 ) -> DataFrame:
     """Corpus-size-driven perceptual-hash image dedup (VERDICT r8 Next
     #2): decode → dHash → banded hamming pairs, with the banding WIDTH
@@ -366,11 +366,11 @@ def phash_near_duplicates(
     Path choice: the 8×8 / 56-bit single-BIGINT dHash (q141's shape,
     cheapest decode + one hash column) while a band width exists whose
     expected uniform bucket occupancy stays ≤ ``max_mean_bucket``;
-    past that (~``max_mean_bucket · 2^11`` docs — 131k at the default,
-    matching the ~10⁵ saturation q141's x100 sweep measured at 63×
-    wall) the 9×9 / 72-bit two-word wide-band path (q142's shape,
+    past that (``max_mean_bucket · 2^11`` docs — 262k at the
+    empirically-anchored default, see tune_hamming_band_bits) the
+    9×9 / 72-bit two-word wide-band path (q142's shape,
     dedup.multiword_hamming_pairs) takes over with its own tuned width.
-    If even 12-bit wide bands saturate (≳256k docs at the default) the
+    If even 12-bit wide bands saturate (≳524k docs at the default) the
     tuner raises rather than hand back an O(n²/buckets) plan — the
     documented escalation is more words or corpus sharding.
 

@@ -453,16 +453,18 @@ def test_tune_hamming_band_bits_boundaries():
     admissible band REFUSES instead of silently saturating."""
     from openstack_billing_from_db_spark.operators import dedup
 
-    # single-word 56-bit dHash: widest width keeping > 4 bands is 11
+    # single-word 56-bit dHash: widest width keeping > 4 bands is 11;
+    # occupancy default 128 (the q142-measured anchor) bounds it at
+    # 128 * 2^11 docs
     assert dedup.tune_hamming_band_bits(50, bits=56) == 11
-    assert dedup.tune_hamming_band_bits(64 * 2048, bits=56) == 11
+    assert dedup.tune_hamming_band_bits(128 * 2048, bits=56) == 11
     with pytest.raises(ValueError, match="widen the fingerprint"):
-        dedup.tune_hamming_band_bits(64 * 2048 + 1, bits=56)
+        dedup.tune_hamming_band_bits(128 * 2048 + 1, bits=56)
     # multiword 72-bit: width must divide word_bits (14, 13 skipped)
     assert dedup.tune_hamming_band_bits(50, bits=72, word_bits=36) == 12
-    assert dedup.tune_hamming_band_bits(64 * 4096, bits=72, word_bits=36) == 12
+    assert dedup.tune_hamming_band_bits(128 * 4096, bits=72, word_bits=36) == 12
     with pytest.raises(ValueError, match="widen the fingerprint"):
-        dedup.tune_hamming_band_bits(64 * 4096 + 1, bits=72, word_bits=36)
+        dedup.tune_hamming_band_bits(128 * 4096 + 1, bits=72, word_bits=36)
     # tighter hamming budget narrows the widest admissible band
     assert dedup.tune_hamming_band_bits(50, bits=56, max_hamming=6) == 8
 
@@ -545,7 +547,7 @@ def test_phash_near_duplicates_selects_by_corpus_size(spark):
     assert pairs(multimodal.phash_near_duplicates(pay)) == want_small
 
     # past the single-word boundary -> 72-bit two-word wide bands
-    got_big = pairs(multimodal.phash_near_duplicates(pay, n_docs=200_000))
+    got_big = pairs(multimodal.phash_near_duplicates(pay, n_docs=300_000))
     want_big = pairs(
         dedup.multiword_hamming_pairs(
             multimodal.dhash_multiword_images(pay, grid=9, word_bits=36),
@@ -559,4 +561,4 @@ def test_phash_near_duplicates_selects_by_corpus_size(spark):
 
     # past the wide path's own occupancy bound -> explicit refusal
     with pytest.raises(ValueError, match="widen the fingerprint"):
-        multimodal.phash_near_duplicates(pay, n_docs=300_000)
+        multimodal.phash_near_duplicates(pay, n_docs=600_000)
