@@ -89,21 +89,36 @@ def _coarse_cells(
     k = fine.shape[0]
     n_coarse = max(1, min(n_coarse, k))
     coarse = fine[:n_coarse].copy()
+
+    def owners(cur: np.ndarray) -> np.ndarray:
+        # chunk the fine side: a full (k × √k) distance matrix is
+        # 8 GB at k=10⁶ — the exact regime this kernel exists for
+        cn = (cur * cur).sum(axis=1)[None, :]
+        out = np.empty(k, dtype=np.int64)
+        step = max(1, 32_000_000 // max(n_coarse, 1))
+        for s in range(0, k, step):
+            blk = fine[s : s + step]
+            out[s : s + blk.shape[0]] = np.argmin(
+                cn - 2.0 * blk @ cur.T, axis=1
+            )
+        return out
+
     for _ in range(n_iter):
-        d2 = (
-            (coarse * coarse).sum(axis=1)[None, :]
-            - 2.0 * fine @ coarse.T
-        )
-        owner = np.argmin(d2, axis=1)
-        for c in range(n_coarse):
-            m = owner == c
-            if m.any():
-                coarse[c] = fine[m].mean(axis=0)
-    d2 = (
-        (coarse * coarse).sum(axis=1)[None, :] - 2.0 * fine @ coarse.T
-    )
-    owner = np.argmin(d2, axis=1)
-    members = [np.nonzero(owner == c)[0] for c in range(n_coarse)]
+        owner = owners(coarse)
+        # vectorized per-cell means (O(k·d), not O(k·√k) boolean scans)
+        sums = np.zeros_like(coarse)
+        np.add.at(sums, owner, fine)
+        counts = np.bincount(owner, minlength=n_coarse)
+        nonempty = counts > 0
+        coarse[nonempty] = sums[nonempty] / counts[nonempty, None]
+    owner = owners(coarse)
+    # stable index sort groups members per cell with ascending global
+    # index inside each group (the tie-break order the probe relies on)
+    order = np.argsort(owner, kind="stable")
+    bounds = np.searchsorted(owner[order], np.arange(n_coarse + 1))
+    members = [
+        order[bounds[c] : bounds[c + 1]] for c in range(n_coarse)
+    ]
     radius = np.zeros(n_coarse)
     for c, m in enumerate(members):
         if m.size:
