@@ -73,11 +73,21 @@ def build_parser() -> argparse.ArgumentParser:
     zo.add_argument("--num-files", type=int, default=8)
 
     dd = sub.add_parser("dedup", help="near-duplicate pair extraction")
-    dd.add_argument("--path", required=True, help="parquet with doc_id,text")
+    dd.add_argument(
+        "--path",
+        required=True,
+        help="parquet with doc_id,text (phash: doc_id,payload)",
+    )
     dd.add_argument(
         "--method",
-        choices=["exact", "minhash", "simhash", "setsim", "editdist"],
+        choices=["exact", "minhash", "simhash", "setsim", "editdist", "phash"],
         default="minhash",
+    )
+    dd.add_argument(
+        "--max-hamming",
+        type=int,
+        default=4,
+        help="hamming budget (phash)",
     )
     dd.add_argument("--output", required=True, help="pair parquet destination")
     dd.add_argument(
@@ -249,6 +259,16 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             elif args.method == "setsim":
                 pairs = dd.set_similarity_join(
                     docs, threshold_bp=int(round(args.threshold * 10000))
+                )
+            elif args.method == "phash":
+                # perceptual image pairs over a binary payload column;
+                # fingerprint + band width auto-selected from corpus size
+                from openstack_billing_from_db_spark.operators import (
+                    multimodal,
+                )
+
+                pairs = multimodal.phash_near_duplicates(
+                    docs, max_hamming=args.max_hamming
                 )
             else:  # editdist
                 pairs = dd.edit_distance_near_duplicates_two_pass(

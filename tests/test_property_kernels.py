@@ -401,3 +401,38 @@ def test_token_prefix_gate_identical_or_loud(spark, data, budget, margin):
         assert "pregate_margin" in str(e)
         return
     assert gated == exact
+
+
+@given(
+    n=st.integers(0, 10**8),
+    bits=st.sampled_from([32, 56, 64, 72, 128]),
+    mh=st.integers(1, 8),
+    mmb=st.sampled_from([16, 64, 128, 512]),
+)
+@settings(max_examples=200, deadline=None)
+def test_tune_hamming_band_bits_invariants(n, bits, mh, mmb):
+    """Whatever the tuner returns satisfies BOTH constraints (pigeonhole
+    band count and expected occupancy); a refusal means NO width in
+    range satisfies them — never a silent saturating fallback."""
+    from openstack_billing_from_db_spark.operators.dedup import (
+        tune_hamming_band_bits,
+    )
+
+    def feasible(bb: int) -> bool:
+        return bits // bb > mh and n <= mmb * (1 << bb)
+
+    try:
+        bb = tune_hamming_band_bits(
+            n, bits=bits, max_hamming=mh, max_mean_bucket=mmb
+        )
+    except ValueError:
+        assert not any(
+            feasible(w) for w in range(1, min(bits // (mh + 1), 62) + 1)
+        )
+    else:
+        assert feasible(bb)
+        # widest-wins: no wider admissible width exists
+        assert not any(
+            feasible(w)
+            for w in range(bb + 1, min(bits // (mh + 1), 62) + 1)
+        )

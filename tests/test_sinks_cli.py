@@ -326,3 +326,37 @@ def test_corpus_cli_epoch_qa_and_ci(spark, sf_dir, tmp_path):
     )
     assert res["n_replicas"] == 16
     assert res["ci_lo_micro"] <= res["point_mean_micro"] <= res["ci_hi_micro"]
+
+
+def test_corpus_cli_dedup_phash(spark, sf_dir, tmp_path):
+    """`dedup --method phash` runs the corpus-size-tuned perceptual
+    pipeline over a (doc_id, payload) parquet and writes verified
+    hamming pairs."""
+    from openstack_billing_from_db_spark import corpus_cli
+    from openstack_billing_from_db_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    pay_path = str(tmp_path / "payloads")
+    multimodal.synthesize_textured_image_payloads(docs).write.mode(
+        "overwrite"
+    ).parquet(pay_path)
+
+    out = str(tmp_path / "pairs_phash")
+    res = corpus_cli.main(
+        [
+            "dedup",
+            "--path",
+            pay_path,
+            "--method",
+            "phash",
+            "--output",
+            out,
+        ],
+        spark=spark,
+    )
+    assert res["method"] == "phash"
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"doc_a", "doc_b", "hamming"}
+    assert back.count() == res["rows"] > 0
+    assert back.filter("hamming > 4").count() == 0
+    assert back.filter("doc_a >= doc_b").count() == 0
