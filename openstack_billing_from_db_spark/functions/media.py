@@ -374,6 +374,64 @@ def synth_wav_samples(doc_id: int) -> np.ndarray:
     return np.full(n, amp, dtype=np.int16)
 
 
+# frame layout of the audio near-dup fixture + fingerprint: 57 frames
+# of 16 samples → 56 delta bits, sign-safe in a BIGINT (the same width
+# budget as the grid=8 image dHash, so the two modalities share the
+# banded-hamming kernels end to end)
+AUDIO_FRAMES = 57
+AUDIO_FRAME_LEN = 16
+
+
+@_functools.lru_cache(maxsize=4096)
+def _family_frame_amps(fam: int) -> np.ndarray:
+    """Shared family amplitude profile: one md5 draw per frame (the
+    audio analogue of _family_cells — i.i.d.-uniform frame levels, so
+    cross-family delta bits are ~Binomial(56, ½)). Callers must .copy()
+    before mutating."""
+    from openstack_billing_from_db_spark.functions.hashing import py_hash64
+
+    return np.array(
+        [py_hash64(f"awave|{fam}:{k}") % 2048 for k in range(AUDIO_FRAMES)],
+        dtype=np.int64,
+    )
+
+
+def synth_family_wav_samples(doc_id: int) -> np.ndarray:
+    """Piecewise-constant PCM with family structure (the audio twin of
+    synth_textured_pixels): docs in a FAMILY (doc_id // 5) share the
+    57-frame md5 amplitude profile and differ only by ONE +4096 frame
+    bump at frame doc_id % 5 — a bump frame is strictly louder than any
+    base frame (base < 2048), flipping at most the two delta bits it
+    touches, so family members sit within hamming ≤ 4 of each other
+    while distinct families get near-independent bits. Amplitudes stay
+    inside int16 (≤ 2047 + 4096)."""
+    fam, var = doc_id // 5, doc_id % 5
+    amps = _family_frame_amps(fam).copy()
+    amps[var] += 4096
+    return np.repeat(amps, AUDIO_FRAME_LEN).astype(np.int16)
+
+
+def audio_delta_hash(samples: np.ndarray, *, n_frames: int = AUDIO_FRAMES) -> int:
+    """Delta-energy audio fingerprint — dHash for PCM: split the signal
+    into ``n_frames`` equal frames (trailing remainder dropped), take
+    each frame's |amplitude| sum (equal frame lengths make sum
+    comparisons ≡ mean comparisons, exact in int64), and emit one bit
+    per consecutive-frame comparison (next frame louder), packed
+    LSB-first into ``n_frames − 1`` bits. 56 sign-safe BIGINT bits at
+    the default, so the output drops straight into
+    dedup.simhash_near_duplicates / the tuned phash banding — audio
+    near-dup reuses the image path's verified join kernels."""
+    x = np.abs(samples.astype(np.int64))
+    per = x.shape[0] // n_frames
+    if per == 0:
+        raise ValueError(
+            f"need at least {n_frames} samples, got {x.shape[0]}"
+        )
+    frames = x[: per * n_frames].reshape(n_frames, per).sum(axis=1)
+    bits = frames[1:] > frames[:-1]
+    return sum(1 << int(i) for i in np.nonzero(bits)[0])
+
+
 # --- minimal video container (length-prefixed BMP frames) -------------------
 
 VIDEO_MAGIC = b"RVID"

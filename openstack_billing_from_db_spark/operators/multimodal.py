@@ -416,6 +416,58 @@ def phash_near_duplicates(
     )
 
 
+def synthesize_family_audio_payloads(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic WAV corpus WITH near-dup family structure
+    (media.synth_family_wav_samples — shared 57-frame md5 amplitude
+    profile per doc_id//5 family, one member-specific frame bump):
+    the audio-dedup fixture, one real RIFF/WAV payload per doc."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        media.encode_wav(
+                            media.synth_family_wav_samples(int(i)),
+                            media.WAV_SAMPLE_RATE,
+                        )
+                        for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def audio_dhash(
+    df: DataFrame, payload_col: str = "payload", *, n_frames: int | None = None
+) -> DataFrame:
+    """Delta-energy audio fingerprints over encoded WAV payloads: real
+    RIFF parse (media.decode_wav) + media.audio_delta_hash inside
+    Arrow-batched mapInPandas — the audio twin of :func:`dhash_images`.
+    Output is one narrow (doc_id, ahash) row per clip (PCM never
+    shuffles); feed it to dedup.simhash_near_duplicates — audio and
+    image near-dup share the banded-hamming join kernels."""
+    kw = {} if n_frames is None else {"n_frames": n_frames}
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for data in pdf[payload_col]:
+                _ch, _rate, samples = media.decode_wav(bytes(data))
+                hashes.append(
+                    media.audio_delta_hash(samples.reshape(-1), **kw)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": hashes})
+
+    return df.mapInPandas(batches, "doc_id long, ahash long")
+
+
 def synthesize_audio_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic WAV corpus (16-bit PCM mono at media.WAV_SAMPLE_RATE);
     sample count and amplitude are closed-form functions of doc_id."""

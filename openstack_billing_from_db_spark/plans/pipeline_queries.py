@@ -2285,3 +2285,84 @@ def q143_corpus_recipe_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
     )
+
+
+# --- audio near-duplicate dedup (round 9) --------------------------------------
+#
+# The audio member of the perceptual-dedup family: real RIFF/WAV decode
+# → 56-bit delta-energy fingerprint (media.audio_delta_hash) → the SAME
+# banded-hamming join kernel the image path certifies. Fixture families
+# mirror the image texture design (shared md5 frame profile + one
+# member frame bump ⇒ within-family hamming ≤ 4, cross-family
+# ~Binomial(56, ½)). band_bits=11 is the width the hamming tuner picks
+# for any corpus through 262k docs (widest keeping 5 > max_hamming
+# bands).
+
+_AW_BAND_BITS = 11
+_AW_AMP_SQL = (
+    portable_hash64_sql(
+        "concat('awave|', CAST(d.doc_id // 5 AS VARCHAR), ':', "
+        "CAST(k.k AS VARCHAR))"
+    )
+    + " % 2048 + CASE WHEN k.k = d.doc_id % 5 THEN 4096 ELSE 0 END"
+)
+
+
+@register(
+    "q144_audio_phash_dedup",
+    oracle=f"""
+WITH amps AS (
+  SELECT d.doc_id, k.k, {_AW_AMP_SQL} AS amp
+  FROM documents d, range(57) k(k)
+),
+abits AS (
+  SELECT a.doc_id, CASE WHEN b.amp > a.amp THEN 1 ELSE 0 END AS bit, a.k
+  FROM amps a JOIN amps b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+  WHERE a.k < 56
+),
+fp AS (
+  SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS h
+  FROM abits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, h, b.b,
+         (h >> (b.b * {_AW_BAND_BITS})) & {(1 << _AW_BAND_BITS) - 1} AS bucket
+  FROM fp, range({56 // _AW_BAND_BITS}) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.h AS ha, b.h AS hb
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {_DH_MAX_HAMMING}
+""",
+)
+def q144_audio_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection — a REAL decode→fingerprint→
+    banded-hamming chain over WAV payloads: each doc gets a genuine
+    RIFF/WAV clip (media.synth_family_wav_samples — shared md5
+    frame-amplitude profile per family, one member frame bump),
+    media.decode_wav parses it back inside Arrow-batched mapInPandas,
+    media.audio_delta_hash sums |PCM| per equal frame and packs the 56
+    consecutive-frame comparisons into a BIGINT, and
+    dedup.simhash_near_duplicates — the SAME kernel the image dHash
+    path uses (q141/q142), at the width the hamming tuner picks for
+    this corpus size — emits verified pairs at hamming ≤ 4. The oracle
+    replays frame amplitudes (portable md5 hash family), delta-bit
+    packing, banding, and the hamming verify in closed form — a codec,
+    framing, packing, or banding bug hash-fails. Scale shape: PCM never
+    shuffles (narrow (doc_id, ahash) rows after the map stage); the
+    pair space is band-bucketed with pigeonhole recall (5 bands >
+    hamming budget 4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = multimodal.audio_dhash(
+        multimodal.synthesize_family_audio_payloads(docs)
+    )
+    return dedup.simhash_near_duplicates(
+        fp.select("doc_id", F.col("ahash").alias("simhash")),
+        bits=56,
+        band_bits=_AW_BAND_BITS,
+        max_hamming=_DH_MAX_HAMMING,
+    )

@@ -562,3 +562,35 @@ def test_phash_near_duplicates_selects_by_corpus_size(spark):
     # past the wide path's own occupancy bound -> explicit refusal
     with pytest.raises(ValueError, match="widen the fingerprint"):
         multimodal.phash_near_duplicates(pay, n_docs=600_000)
+
+
+def test_audio_family_hamming_and_spark_matches_local(spark):
+    """The audio fixture mirrors the image one: within-family delta-hash
+    hamming <= 4, cross-family far apart; the Spark decode+hash kernel
+    equals the local closed form; WAV round-trip is lossless."""
+    for fam in range(4):
+        hs = [
+            media.audio_delta_hash(media.synth_family_wav_samples(fam * 5 + v))
+            for v in range(5)
+        ]
+        for i in range(5):
+            for j in range(i + 1, 5):
+                assert bin(hs[i] ^ hs[j]).count("1") <= 4
+    cross = media.audio_delta_hash(
+        media.synth_family_wav_samples(0)
+    ) ^ media.audio_delta_hash(media.synth_family_wav_samples(95))
+    assert bin(cross).count("1") > 10
+
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    out = {
+        r.doc_id: r.ahash
+        for r in multimodal.audio_dhash(
+            multimodal.synthesize_family_audio_payloads(docs)
+        ).collect()
+    }
+    for i in range(30):
+        assert out[i] == media.audio_delta_hash(
+            media.synth_family_wav_samples(i)
+        )
+    with pytest.raises(ValueError, match="samples"):
+        media.audio_delta_hash(np.zeros(10, dtype=np.int16))
