@@ -473,6 +473,45 @@ def extract_video_frame(data: bytes, idx: int) -> "tuple[int, int, np.ndarray]":
     raise ValueError("corrupt RVID index")
 
 
+VIDEO_FAMILY_FRAMES = 3
+
+
+def synth_family_video_frames(doc_id: int) -> "list[np.ndarray]":
+    """Closed-form clip WITH near-dup family structure (the video twin
+    of synth_textured_pixels): 3 textured 16×16 frames. Docs in a
+    FAMILY (doc_id // 5) share per-frame md5 cell textures
+    ("vcell|fam:f:u:r") and differ by the one-cell member bump — so
+    each frame pair sits within hamming ≤ 4 — EXCEPT that member
+    var=4 replaces frame 0 and member var=3 replaces frame 1 with an
+    independent texture ("vdist|fam:var:u:r", ~Binomial(56, ½) away):
+    family pairs then match on 3 frames (neither member distorted-
+    against the other), 2 frames (one distorted frame between them),
+    or just 1 frame for the (var=3, var=4) pair — the fixture that
+    makes a ≥2-of-3 frame-majority dedup rule discriminative."""
+    from openstack_billing_from_db_spark.functions.hashing import py_hash64
+
+    fam, var = doc_id // 5, doc_id % 5
+    frames = []
+    for f in range(VIDEO_FAMILY_FRAMES):
+        cell = np.empty((8, 8), dtype=np.int64)
+        if (var == 4 and f == 0) or (var == 3 and f == 1):
+            for rr in range(8):
+                for uu in range(8):
+                    cell[rr, uu] = (
+                        py_hash64(f"vdist|{fam}:{var}:{uu}:{rr}") % 256
+                    )
+        else:
+            for rr in range(8):
+                for uu in range(8):
+                    cell[rr, uu] = (
+                        py_hash64(f"vcell|{fam}:{f}:{uu}:{rr}") % 256
+                    )
+            cell[var, var] = (cell[var, var] + 128) % 256
+        px = np.repeat(np.repeat(cell.astype(np.uint8), 2, axis=0), 2, axis=1)
+        frames.append(np.stack([px, px, px], axis=2))
+    return frames
+
+
 def synth_video_frames(doc_id: int) -> "list[np.ndarray]":
     """Closed-form synthetic clip: 2+id%4 constant-color frames of
     (2+id%2)×(4+id%3) px; frame f is RGB ((id+11f)%256, (3id+5f)%256,

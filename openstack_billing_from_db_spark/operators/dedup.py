@@ -571,6 +571,106 @@ def multiword_hamming_pairs(
     )
 
 
+def framewise_hamming_pairs(
+    fingerprints: DataFrame,
+    *,
+    bits: int,
+    band_bits: int,
+    max_hamming: int = 4,
+    min_frames: int = 2,
+    frame_col: str = "frame_idx",
+    fp_col: str = "dhash",
+) -> DataFrame:
+    """Frame-majority near-dup join for MULTI-FINGERPRINT entities
+    (videos as sets of per-frame hashes): input is one
+    (doc_id, frame_idx, fp) row per sampled frame; two docs pair iff at
+    least ``min_frames`` frame positions match at hamming ≤
+    ``max_hamming``. The banded join keys on (frame, band, bucket) — a
+    candidate must share a band WITHIN the same frame position — and
+    the canonical-band test keeps exactly one row per
+    (pair, frame), so the majority count is a plain count(1) per pair,
+    no distinct shuffle. Per-frame recall keeps the pigeonhole
+    guarantee whenever bits//band_bits > max_hamming; the frame melt is
+    narrow (doc, frame, fp, band, bucket) rows.
+
+    Output: (doc_a, doc_b, n_frames_matched ≥ min_frames)."""
+    n_bands = bits // band_bits
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"only {n_bands} bands at band_bits={band_bits} — pigeonhole "
+            f"recall needs more than max_hamming={max_hamming}"
+        )
+    if min_frames < 1:
+        raise ValueError(f"min_frames must be >= 1, got {min_frames}")
+    mask = (1 << band_bits) - 1
+    fingerprints = tracked_persist(
+        fingerprints.select(
+            "doc_id",
+            F.col(frame_col).alias("__f"),
+            F.col(fp_col).alias("__fp"),
+        )
+    )
+    melted = fingerprints.select(
+        "doc_id",
+        "__f",
+        "__fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.expr(f"shiftright(__fp, {k * band_bits})")
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        "__f",
+        "__fp",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+    def _side(suffix: str) -> DataFrame:
+        return melted.select(
+            F.col("doc_id").alias(f"doc_{suffix}"),
+            F.col("__fp").alias(f"fp_{suffix}"),
+            "__f",
+            "band",
+            "bucket",
+        )
+
+    a, b = _side("a"), _side("b")
+    first_band_only = F.lit(True)
+    for j in range(n_bands):
+        eq_j = (
+            F.expr(f"shiftright(fp_a, {j * band_bits})").bitwiseAND(F.lit(mask))
+            == F.expr(f"shiftright(fp_b, {j * band_bits})").bitwiseAND(
+                F.lit(mask)
+            )
+        )
+        first_band_only = first_band_only & ~((F.col("band") > F.lit(j)) & eq_j)
+    frame_matches = (
+        a.join(b, ["__f", "band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(first_band_only)
+        .filter(
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            <= F.lit(max_hamming)
+        )
+        .select("doc_a", "doc_b", "__f")
+    )
+    return (
+        frame_matches.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frames_matched"))
+        .filter(F.col("n_frames_matched") >= min_frames)
+    )
+
+
 def multiword_hamming_matches(
     existing: DataFrame,
     new: DataFrame,

@@ -530,6 +530,66 @@ VIDEO_FRAME_SCHEMA = (
 )
 
 
+def synthesize_family_video_payloads(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per doc: a real RVID container of the 3 family-textured frames
+    (media.synth_family_video_frames) — the video-dedup fixture."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        media.encode_video(
+                            media.synth_family_video_frames(int(i))
+                        )
+                        for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def video_frame_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    n_samples: int = 3,
+    grid: int = 8,
+) -> DataFrame:
+    """Per-frame perceptual hashes over video payloads: walk the RVID
+    index to ``n_samples`` evenly spaced frames (idx_j = ⌊n·j/k⌋ —
+    skipped frames never decode, same contract as sample_video_frames),
+    BMP-decode only those, dHash each. Output: one narrow
+    (doc_id, frame_idx, dhash) row per sampled frame — the input to
+    dedup.framewise_hamming_pairs' frame-majority video dedup."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(data)
+                n = media.video_frame_count(data)
+                for j in range(n_samples):
+                    idx = n * j // n_samples
+                    _w, _h, px = media.extract_video_frame(data, idx)
+                    rows.append(
+                        (doc_id, j, media.dhash_pixels(px, grid=grid))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "dhash"]
+            )
+
+    return df.mapInPandas(
+        batches, "doc_id long, frame_idx int, dhash long"
+    )
+
+
 def sample_video_frames(
     df: DataFrame, payload_col: str = "payload", n_samples: int = 2
 ) -> DataFrame:

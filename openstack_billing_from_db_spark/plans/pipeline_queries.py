@@ -2366,3 +2366,105 @@ def q144_audio_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_bits=_AW_BAND_BITS,
         max_hamming=_DH_MAX_HAMMING,
     )
+
+
+# --- video near-duplicate dedup (round 9) --------------------------------------
+#
+# The video member of the perceptual family, and a NEW join shape:
+# entities carry one fingerprint PER SAMPLED FRAME, and a pair is a
+# near-dup iff a frame MAJORITY (>= 2 of 3) matches at hamming <= 4.
+# The fixture (media.synth_family_video_frames) makes the majority rule
+# discriminative: within a family, member var=4 carries an independent
+# frame 0 and var=3 an independent frame 1, so pairs match on 3, 2, or
+# (for the (3,4) pair, dropped) 1 frame positions.
+
+_VW_BAND_BITS = 11
+_VW_MIN_FRAMES = 2
+_VW_CELL_SQL = (
+    "CASE WHEN (d.doc_id % 5 = 4 AND f.f = 0) OR (d.doc_id % 5 = 3 AND f.f = 1) THEN "
+    + portable_hash64_sql(
+        "concat('vdist|', CAST(d.doc_id // 5 AS VARCHAR), ':', "
+        "CAST(d.doc_id % 5 AS VARCHAR), ':', CAST(u.u AS VARCHAR), ':', "
+        "CAST(r.r AS VARCHAR))"
+    )
+    + " % 256 ELSE ("
+    + portable_hash64_sql(
+        "concat('vcell|', CAST(d.doc_id // 5 AS VARCHAR), ':', "
+        "CAST(f.f AS VARCHAR), ':', CAST(u.u AS VARCHAR), ':', "
+        "CAST(r.r AS VARCHAR))"
+    )
+    + " % 256"
+    + " + CASE WHEN u.u = d.doc_id % 5 AND r.r = d.doc_id % 5"
+    + " THEN 128 ELSE 0 END) % 256 END"
+)
+
+
+@register(
+    "q145_video_phash_dedup",
+    oracle=f"""
+WITH g AS (
+  SELECT d.doc_id, f.f, r.r, u.u, {_VW_CELL_SQL} AS v
+  FROM documents d, range(3) f(f), range(8) r(r), range(8) u(u)
+),
+vbits AS (
+  SELECT a.doc_id, a.f, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit,
+         a.r * 7 + a.u AS k
+  FROM g a JOIN g b
+    ON b.doc_id = a.doc_id AND b.f = a.f AND b.r = a.r AND b.u = a.u + 1
+  WHERE a.u < 7
+),
+fp AS (
+  SELECT doc_id, f,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS h
+  FROM vbits GROUP BY doc_id, f
+),
+bands AS (
+  SELECT doc_id, f, h, b.b,
+         (h >> (b.b * {_VW_BAND_BITS})) & {(1 << _VW_BAND_BITS) - 1} AS bucket
+  FROM fp, range({56 // _VW_BAND_BITS}) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.f AS f,
+         a.h AS ha, b.h AS hb
+  FROM bands a JOIN bands b
+    ON a.f = b.f AND a.b = b.b AND a.bucket = b.bucket
+   AND a.doc_id < b.doc_id
+),
+fmatch AS (
+  SELECT da, db, f FROM cand
+  WHERE bit_count(xor(ha, hb)) <= {_DH_MAX_HAMMING}
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_frames_matched
+FROM fmatch GROUP BY da, db
+HAVING count(*) >= {_VW_MIN_FRAMES}
+""",
+)
+def q145_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection — frame-majority matching over
+    per-frame perceptual hashes: each doc gets a real RVID container of
+    3 family-textured BMP frames (media.synth_family_video_frames), the
+    container index walk decodes exactly the sampled frames
+    (multimodal.video_frame_dhash — skipped frames never decode, the
+    100 TB property), each frame gets the q141 dHash, and
+    dedup.framewise_hamming_pairs joins banded WITHIN frame position
+    and keeps pairs matching on >= {_VW_MIN_FRAMES} of 3 frames. The
+    fixture's distorted-frame members make the majority rule
+    discriminative (family pairs match 3 or 2 frames; the doubly-
+    distorted pair matches 1 and is dropped). The oracle replays
+    texture synthesis, per-frame packing, frame-scoped banding, the
+    hamming verify, and the majority count in closed form. Scale
+    shape: video bytes never shuffle (narrow (doc, frame, hash) rows
+    after the map stage); the pair space is banded per frame position
+    with the pigeonhole guarantee intact (5 bands > hamming 4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = multimodal.video_frame_dhash(
+        multimodal.synthesize_family_video_payloads(docs), n_samples=3
+    )
+    return dedup.framewise_hamming_pairs(
+        fp,
+        bits=56,
+        band_bits=_VW_BAND_BITS,
+        max_hamming=_DH_MAX_HAMMING,
+        min_frames=_VW_MIN_FRAMES,
+    )

@@ -77,6 +77,7 @@ DEFERRED: tuple[str, ...] = (
 # query's driver-green rounds and its in-gate coverage.
   "q98_kmv_distinct",  # r5-green; parked for the round-9-new q143; first r10 rotation target with the r5 block below
   "q96_scd2_history",  # r5-green; parked for the round-9-new q144; r10 rotation target
+  "q95_pagerank",  # r5-green; parked for the round-9-new q145; r10 rotation target
   # -- r8-green fresh parks (rotated out this round) --
   "q04b_state_intervals_bucketed",  # r1/r8-green; pytest-pinned output-identical to in-gate q04
   "q09_invoice_wide",  # r1/r8-green; U1 wide path; q20 unpivot twin in-gate

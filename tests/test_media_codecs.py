@@ -594,3 +594,43 @@ def test_audio_family_hamming_and_spark_matches_local(spark):
         )
     with pytest.raises(ValueError, match="samples"):
         media.audio_delta_hash(np.zeros(10, dtype=np.int16))
+
+
+def test_video_family_frame_majority(spark):
+    """The family video fixture + framewise join implement the >= 2-of-3
+    frame-majority rule: undistorted member pairs match 3 frames,
+    pairs touching one distorted frame match 2, and the
+    (var=3, var=4) doubly-distorted pair is dropped."""
+    from openstack_billing_from_db_spark.operators.dedup import (
+        framewise_hamming_pairs,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    fp = multimodal.video_frame_dhash(
+        multimodal.synthesize_family_video_payloads(docs), n_samples=3
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.n_frames_matched
+        for r in framewise_hamming_pairs(
+            fp, bits=56, band_bits=11, max_hamming=4, min_frames=2
+        ).collect()
+    }
+    for fam_base in (0, 5):
+        m = lambda v: fam_base + v  # noqa: E731
+        for x in range(3):
+            for y in range(x + 1, 3):
+                assert got[(m(x), m(y))] == 3
+        for x in range(3):
+            assert got[(m(x), m(3))] == 2
+            assert got[(m(x), m(4))] == 2
+        assert (m(3), m(4)) not in got
+    # no cross-family pairs on this fixture
+    assert all(a // 5 == b // 5 for a, b in got)
+    # per-frame Spark hash equals the local closed form
+    out = {
+        (r.doc_id, r.frame_idx): r.dhash for r in fp.collect()
+    }
+    for i in (0, 3, 4, 7):
+        frames = media.synth_family_video_frames(i)
+        for f in range(3):
+            assert out[(i, f)] == media.dhash_pixels(frames[f])

@@ -75,6 +75,7 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         "q142_image_phash72_dedup",  # media codec + two-word dHash (Arrow-batched mapInPandas)
         "q143_corpus_recipe_images",  # composed recipe's image stage (Arrow-batched decode+dHash)
         "q144_audio_phash_dedup",  # media codec + delta-energy hash (Arrow-batched mapInPandas)
+        "q145_video_phash_dedup",  # container walk + per-frame dHash (Arrow-batched mapInPandas)
     }
     for name, fn in QUERIES.items():
         if name in python_ok:
