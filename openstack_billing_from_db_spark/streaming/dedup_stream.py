@@ -151,36 +151,25 @@ def read_index(spark: SparkSession, index_dir: str) -> DataFrame:
 # --- streaming perceptual (image) dedup (round 9, VERDICT r8 Next #7) ---------
 
 
-def admit_image_batch(
+def _admit_fingerprint_batch(
     spark: SparkSession,
-    batch_pay: DataFrame,
+    new_fp: DataFrame,
     index_dir: str,
     *,
-    grid: int = 9,
-    word_bits: int = 36,
-    band_bits: int = 12,
-    max_hamming: int = 4,
+    n_words: int,
+    word_bits: int,
+    band_bits: int,
+    max_hamming: int,
 ) -> tuple[DataFrame, DataFrame]:
-    """One image micro-batch against the persisted fingerprint index:
-    decode → multi-word dHash (72-bit wide bands by default — the q142
-    scale path), probe via dedup.multiword_hamming_matches, admit a doc
-    iff it has NO near-dup in the index and NO lower-id near-dup in its
-    own batch (min-id canonical survivor — the image counterpart of
-    :func:`admit_batch`'s rule). Returns ``(verdicts, additions)``;
-    ``verdicts`` is (doc_id, n_matches, best_hamming, admitted),
-    ``additions`` the fingerprint rows to fold into the index. The
-    index holds only (doc_id, w0..w{n-1}) BIGINTs — pixels never leave
-    the decode map stage, ~24 B/doc state."""
-    from openstack_billing_from_db_spark.operators import multimodal
+    """Shared admission core for hamming-fingerprint streams (image,
+    audio): probe ``new_fp`` — (doc_id, w0..w{n-1}) — against the
+    persisted index plus the batch itself, admit a doc iff it has NO
+    near-dup in the index and NO lower-id near-dup in its own batch
+    (min-id canonical survivor — :func:`admit_batch`'s rule)."""
     from openstack_billing_from_db_spark.operators.dedup import (
         multiword_hamming_matches,
     )
 
-    bits = grid * (grid - 1)
-    n_words = -(-bits // word_bits)
-    new_fp = multimodal.dhash_multiword_images(
-        batch_pay, grid=grid, word_bits=word_bits
-    )
     existing = _existing_index(spark, index_dir, new_fp)
     matches = multiword_hamming_matches(
         existing,
@@ -215,26 +204,97 @@ def admit_image_batch(
     return verdicts, additions
 
 
-def run_streaming_image_dedup(
+def admit_image_batch(
     spark: SparkSession,
-    images_stream_dir: str,
+    batch_pay: DataFrame,
+    index_dir: str,
+    *,
+    grid: int = 9,
+    word_bits: int = 36,
+    band_bits: int = 12,
+    max_hamming: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """One image micro-batch against the persisted fingerprint index:
+    decode → multi-word dHash (72-bit wide bands by default — the q142
+    scale path), then the shared min-id-canonical admission
+    (:func:`_admit_fingerprint_batch`). Returns ``(verdicts,
+    additions)``; ``verdicts`` is (doc_id, n_matches, best_hamming,
+    admitted), ``additions`` the fingerprint rows to fold into the
+    index. The index holds only (doc_id, w0..w{n-1}) BIGINTs — pixels
+    never leave the decode map stage, ~24 B/doc state."""
+    from openstack_billing_from_db_spark.operators import multimodal
+
+    bits = grid * (grid - 1)
+    n_words = -(-bits // word_bits)
+    new_fp = multimodal.dhash_multiword_images(
+        batch_pay, grid=grid, word_bits=word_bits
+    )
+    return _admit_fingerprint_batch(
+        spark,
+        new_fp,
+        index_dir,
+        n_words=n_words,
+        word_bits=word_bits,
+        band_bits=band_bits,
+        max_hamming=max_hamming,
+    )
+
+
+def admit_audio_batch(
+    spark: SparkSession,
+    batch_pay: DataFrame,
+    index_dir: str,
+    *,
+    band_bits: int = 8,
+    max_hamming: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """One audio micro-batch against the persisted fingerprint index:
+    RIFF/WAV decode → 56-bit delta-energy hash (q144's fingerprint,
+    single sign-safe BIGINT = a 1-word fingerprint for the shared
+    multi-word probe; 7 bands × 8 bits keep pigeonhole recall), then
+    the same min-id-canonical admission as the image/text paths.
+    Index state: (doc_id, w0) ≈ 16 B/clip; PCM never leaves the decode
+    map stage."""
+    from pyspark.sql import functions as F  # noqa: F811 (module-level too)
+
+    from openstack_billing_from_db_spark.operators import multimodal
+
+    new_fp = multimodal.audio_dhash(batch_pay).select(
+        "doc_id", F.col("ahash").alias("w0")
+    )
+    return _admit_fingerprint_batch(
+        spark,
+        new_fp,
+        index_dir,
+        n_words=1,
+        word_bits=56,
+        band_bits=band_bits,
+        max_hamming=max_hamming,
+    )
+
+
+def _run_streaming_payload_dedup(
+    spark: SparkSession,
+    stream_dir: str,
     index_dir: str,
     verdicts_dir: str,
     checkpoint_dir: str,
+    admit_fn,
     **dedup_kwargs,
 ) -> None:
-    """Stream image-payload files → per-epoch perceptual-dedup verdicts
-    + fingerprint-index additions, with the same ``epoch=<id>``
-    overwrite idempotency as :func:`run_streaming_dedup_index` (a
-    replayed micro-batch rewrites its own partition)."""
+    """Shared runner for binary-payload fingerprint streams: files of
+    (doc_id, payload) → per-epoch dedup verdicts + fingerprint-index
+    additions via ``admit_fn``, with the same ``epoch=<id>`` overwrite
+    idempotency as :func:`run_streaming_dedup_index` (a replayed
+    micro-batch rewrites its own partition)."""
     stream = (
         spark.readStream.schema("doc_id long, payload binary")
         .option("maxFilesPerTrigger", 1)
-        .parquet(images_stream_dir)
+        .parquet(stream_dir)
     )
 
     def step(batch_df: DataFrame, epoch_id: int) -> None:
-        verdicts, additions = admit_image_batch(
+        verdicts, additions = admit_fn(
             spark,
             batch_df.select("doc_id", "payload"),
             index_dir,
@@ -265,3 +325,46 @@ def run_streaming_image_dedup(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_streaming_image_dedup(
+    spark: SparkSession,
+    images_stream_dir: str,
+    index_dir: str,
+    verdicts_dir: str,
+    checkpoint_dir: str,
+    **dedup_kwargs,
+) -> None:
+    """Image-payload stream → perceptual-dedup verdicts + wide-band
+    fingerprint index (see :func:`admit_image_batch`)."""
+    _run_streaming_payload_dedup(
+        spark,
+        images_stream_dir,
+        index_dir,
+        verdicts_dir,
+        checkpoint_dir,
+        admit_image_batch,
+        **dedup_kwargs,
+    )
+
+
+def run_streaming_audio_dedup(
+    spark: SparkSession,
+    audio_stream_dir: str,
+    index_dir: str,
+    verdicts_dir: str,
+    checkpoint_dir: str,
+    **dedup_kwargs,
+) -> None:
+    """Audio-payload stream → delta-energy-fingerprint dedup verdicts +
+    index (see :func:`admit_audio_batch`) — the q144 fingerprint under
+    the q94 streaming contract."""
+    _run_streaming_payload_dedup(
+        spark,
+        audio_stream_dir,
+        index_dir,
+        verdicts_dir,
+        checkpoint_dir,
+        admit_audio_batch,
+        **dedup_kwargs,
+    )

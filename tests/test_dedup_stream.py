@@ -177,3 +177,64 @@ def test_streaming_image_dedup_index_grows_by_uniques_only(spark, tmp_path):
     assert v[10].admitted and v[10].n_matches >= 2  # sees 11 and 12
     assert not v[11].admitted and not v[12].admitted
     assert verdicts.select("epoch").distinct().count() >= 2
+
+
+def test_streaming_audio_dedup_index_grows_by_uniques_only(spark, tmp_path):
+    """Audio counterpart of the image stream test: an indexed
+    delta-energy family rejected on a later epoch, a fresh family
+    admitted via its min-id member, single-word (w0) index state."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from openstack_billing_from_db_spark.functions import media
+    from openstack_billing_from_db_spark.streaming.dedup_stream import (
+        read_index,
+        run_streaming_audio_dedup,
+    )
+
+    def write_clips(path, doc_ids):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(doc_ids), pa.int64()),
+                    "payload": pa.array(
+                        [
+                            media.encode_wav(
+                                media.synth_family_wav_samples(i),
+                                media.WAV_SAMPLE_RATE,
+                            )
+                            for i in doc_ids
+                        ],
+                        pa.binary(),
+                    ),
+                }
+            ),
+            path,
+        )
+
+    clips_dir = str(tmp_path / "clips_stream")
+    index_dir = str(tmp_path / "aidx")
+    verdicts_dir = str(tmp_path / "averdicts")
+    ckpt = str(tmp_path / "ackpt")
+
+    write_clips(f"{clips_dir}/b1.parquet", [0, 5])
+    run_streaming_audio_dedup(spark, clips_dir, index_dir, verdicts_dir, ckpt)
+    assert {
+        r.doc_id
+        for r in read_index(spark, index_dir).select("doc_id").distinct().collect()
+    } == {0, 5}
+
+    write_clips(f"{clips_dir}/b2.parquet", [1, 10, 11])
+    run_streaming_audio_dedup(spark, clips_dir, index_dir, verdicts_dir, ckpt)
+    idx = read_index(spark, index_dir)
+    assert {
+        r.doc_id for r in idx.select("doc_id").distinct().collect()
+    } == {0, 5, 10}
+    assert set(idx.columns) >= {"doc_id", "w0"}
+
+    v = {r.doc_id: r for r in spark.read.parquet(verdicts_dir).collect()}
+    assert not v[1].admitted and v[1].best_hamming <= 4  # family 0 indexed
+    assert v[10].admitted and not v[11].admitted  # new family, min-id canon
