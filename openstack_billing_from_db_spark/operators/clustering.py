@@ -172,11 +172,15 @@ def _nearest_centroid_hierarchical_arrow(
         coarse, members, radius = _coarse_cells(
             fine, n_coarse=_math.isqrt(len(fine))
         )
+        fmat = np.asarray(fine, dtype=np.float64)
         return {
-            "fine": np.asarray(fine, dtype=np.float64),
+            "fine": fmat,
             "coarse": [list(c) for c in coarse],
             "members": members,
             "radius": radius,
+            "cn_max": float((fmat * fmat).sum(axis=1).max())
+            if fmat.size
+            else 0.0,
         }
 
     bc = cached_broadcast(key, _build)
@@ -222,7 +226,15 @@ def _nearest_centroid_hierarchical_arrow(
         # against the pass-1 best is a superset of what later bests
         # would admit — one sweep suffices.
         best_d = np.sqrt(np.maximum(best + xn, 0.0))
-        slack = 1e-7 * (1.0 + best_d)
+        # best_d reconstructs |x−c| from the fold's |c|²−2⟨x,c⟩ plus
+        # |x|²: when |x|² ≫ |x−c|² the cancellation leaves an ABSOLUTE
+        # error of a few ulps of the cancelled terms (∝ |x|²+|c|²), not
+        # of the result, and sqrt can then be off by up to √err — which
+        # a slack proportional to best_d alone cannot cover (ADVICE
+        # r9). Scale the slack with the cancelled magnitude too; a
+        # too-wide slack only ADDS probes, never changes the answer.
+        err_sq = 32.0 * np.finfo(np.float64).eps * (xn + st["cn_max"])
+        slack = 1e-7 * (1.0 + best_d) + np.sqrt(err_sq)
         need = (~probed) & (
             dc - radius[None, :] <= (best_d + slack)[:, None]
         )

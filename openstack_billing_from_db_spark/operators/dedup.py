@@ -580,6 +580,7 @@ def framewise_hamming_pairs(
     min_frames: int = 2,
     frame_col: str = "frame_idx",
     fp_col: str = "dhash",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Frame-majority near-dup join for MULTI-FINGERPRINT entities
     (videos as sets of per-frame hashes): input is one
@@ -592,6 +593,15 @@ def framewise_hamming_pairs(
     no distinct shuffle. Per-frame recall keeps the pigeonhole
     guarantee whenever bits//band_bits > max_hamming; the frame melt is
     narrow (doc, frame, fp, band, bucket) rows.
+
+    ``max_bucket_size`` caps per-(frame, band) bucket membership the
+    same way :func:`simhash_near_duplicates` does — a degenerate frame
+    population (constant/black frames, common in real video) collapses
+    into one (frame, band, bucket) key and produces quadratic candidate
+    pairs at scale; with the cap, oversized buckets emit nothing and a
+    (pair, frame) match survives iff one of its colliding bands is
+    under the cap (the canonical-band test is bucket-aware, so the
+    surviving frame match is still counted exactly once).
 
     Output: (doc_a, doc_b, n_frames_matched ≥ min_frames)."""
     n_bands = bits // band_bits
@@ -635,13 +645,34 @@ def framewise_hamming_pairs(
         F.col("bb.bucket").alias("bucket"),
     )
 
+    side_cols = ["doc_id", "__fp", "__f", "band", "bucket"]
+    if max_bucket_size is not None:
+        sizes = melted.groupBy("__f", "band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        with_bn = melted.join(sizes, ["__f", "band", "bucket"])
+        # per-(doc, frame) vector of bucket sizes in band order: the
+        # canonical-band test below needs each EARLIER band's occupancy
+        bnvec = with_bn.groupBy("doc_id", "__f").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("band", "__bn"))),
+                lambda s: s["__bn"],
+            ).alias("bnvec")
+        )
+        melted = (
+            with_bn.filter(F.col("__bn") <= max_bucket_size)
+            .join(bnvec, ["doc_id", "__f"])
+        )
+        side_cols.append("bnvec")
+
     def _side(suffix: str) -> DataFrame:
+        renames = {
+            "doc_id": f"doc_{suffix}",
+            "__fp": f"fp_{suffix}",
+            "bnvec": f"bv_{suffix}",
+        }
         return melted.select(
-            F.col("doc_id").alias(f"doc_{suffix}"),
-            F.col("__fp").alias(f"fp_{suffix}"),
-            "__f",
-            "band",
-            "bucket",
+            *[F.col(c).alias(renames.get(c, c)) for c in side_cols]
         )
 
     a, b = _side("a"), _side("b")
@@ -653,7 +684,12 @@ def framewise_hamming_pairs(
                 F.lit(mask)
             )
         )
-        first_band_only = first_band_only & ~((F.col("band") > F.lit(j)) & eq_j)
+        earlier_emits = (F.col("band") > F.lit(j)) & eq_j
+        if max_bucket_size is not None:
+            earlier_emits = earlier_emits & (
+                F.col("bv_a")[j] <= F.lit(max_bucket_size)
+            )
+        first_band_only = first_band_only & ~earlier_emits
     frame_matches = (
         a.join(b, ["__f", "band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -671,6 +707,122 @@ def framewise_hamming_pairs(
     )
 
 
+def framewise_hamming_matches(
+    existing: DataFrame,
+    new: DataFrame,
+    *,
+    bits: int,
+    band_bits: int,
+    max_hamming: int = 4,
+    min_frames: int = 2,
+    frame_col: str = "frame_idx",
+    fp_col: str = "dhash",
+) -> DataFrame:
+    """Probe NEW multi-fingerprint entities (videos: one hash per
+    sampled frame) against a persisted per-frame fingerprint index PLUS
+    the new batch itself — the incremental companion of
+    :func:`framewise_hamming_pairs` (what
+    :func:`multiword_hamming_matches` is to the single-entity pairs
+    join). Both inputs are (doc_id, frame_idx, fp) rows; a candidate
+    shares an exact band WITHIN the same frame position between a NEW
+    clip and any index-or-batch clip (self excluded), the verify is the
+    per-frame hamming ≤ ``max_hamming``, the canonical-band test keeps
+    one row per (new_id, match_id, frame) with no distinct shuffle, and
+    the frame-majority gate keeps ordered pairs matching on at least
+    ``min_frames`` positions. No ``doc_a < doc_b`` cut: a verdict is
+    per NEW clip, so a new-new family pair appears in both directions.
+    Per-epoch work is (batch frame-bands) × (per-frame index bucket
+    occupancy) — the index side carries only narrow (doc, frame, hash)
+    BIGINT rows; payloads never enter.
+
+    Output: (new_id, match_id, n_frames_matched, match_in_new)."""
+    n_bands = bits // band_bits
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"only {n_bands} bands at band_bits={band_bits} — pigeonhole "
+            f"recall needs more than max_hamming={max_hamming}"
+        )
+    if min_frames < 1:
+        raise ValueError(f"min_frames must be >= 1, got {min_frames}")
+    mask = (1 << band_bits) - 1
+    new = tracked_persist(
+        new.select(
+            "doc_id",
+            F.col(frame_col).alias("__f"),
+            F.col(fp_col).alias("__fp"),
+        )
+    )
+    union = existing.select(
+        "doc_id",
+        F.col(frame_col).alias("__f"),
+        F.col(fp_col).alias("__fp"),
+        F.lit(False).alias("__new"),
+    ).unionByName(new.withColumn("__new", F.lit(True)))
+
+    def melt(df: DataFrame, keep: list) -> DataFrame:
+        return df.select(
+            *keep,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("band"),
+                            F.expr(f"shiftright(__fp, {k * band_bits})")
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bucket"),
+                        )
+                        for k in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            *keep,
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+
+    a = melt(new, ["doc_id", "__f", "__fp"]).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("__fp").alias("fp_a"),
+        "__f",
+        "band",
+        "bucket",
+    )
+    b = melt(union, ["doc_id", "__f", "__fp", "__new"]).select(
+        F.col("doc_id").alias("match_id"),
+        F.col("__fp").alias("fp_b"),
+        F.col("__new").alias("match_in_new"),
+        "__f",
+        "band",
+        "bucket",
+    )
+    first_band_only = F.lit(True)
+    for j in range(n_bands):
+        eq_j = (
+            F.expr(f"shiftright(fp_a, {j * band_bits})").bitwiseAND(F.lit(mask))
+            == F.expr(f"shiftright(fp_b, {j * band_bits})").bitwiseAND(
+                F.lit(mask)
+            )
+        )
+        first_band_only = first_band_only & ~((F.col("band") > F.lit(j)) & eq_j)
+    frame_matches = (
+        a.join(b, ["__f", "band", "bucket"])
+        .filter(F.col("new_id") != F.col("match_id"))
+        .filter(first_band_only)
+        .filter(
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            <= F.lit(max_hamming)
+        )
+        .select("new_id", "match_id", "match_in_new", "__f")
+    )
+    return (
+        frame_matches.groupBy("new_id", "match_id", "match_in_new")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frames_matched"))
+        .filter(F.col("n_frames_matched") >= min_frames)
+        .select("new_id", "match_id", "n_frames_matched", "match_in_new")
+    )
+
+
 def multiword_hamming_matches(
     existing: DataFrame,
     new: DataFrame,
@@ -679,6 +831,7 @@ def multiword_hamming_matches(
     word_bits: int,
     band_bits: int,
     max_hamming: int = 4,
+    bits: int | None = None,
 ) -> DataFrame:
     """Probe NEW multi-word fingerprints against a persisted index PLUS
     the new batch itself — the incremental companion of
@@ -695,17 +848,33 @@ def multiword_hamming_matches(
     bucket occupancy) — the index side carries only narrow
     ``1 + n_words`` BIGINT rows.
 
+    ``bits`` is the fingerprint's real width, exactly as in
+    :func:`multiword_hamming_pairs`: bands lying entirely in zero
+    padding (constant bucket 0) are skipped on both the melt and the
+    canonical-band test — otherwise a padded fingerprint would put
+    every doc in one bucket for those bands and silently degenerate the
+    probe toward all-pairs — and the pigeonhole check binds on the
+    SURVIVING band count.
+
     Output: (new_id, match_id, hamming, match_in_new)."""
     if word_bits % band_bits:
         raise ValueError(
             f"band_bits ({band_bits}) must divide word_bits ({word_bits})"
         )
     bpw = word_bits // band_bits
-    n_bands = n_words * bpw
+    full_bands = n_words * bpw
+    if bits is None:
+        bits = n_words * word_bits
+    if not 0 < bits <= n_words * word_bits:
+        raise ValueError(
+            f"bits ({bits}) must be in (0, {n_words * word_bits}]"
+        )
+    n_bands = min(full_bands, -(-bits // band_bits))
     if n_bands <= max_hamming:
         raise ValueError(
-            f"only {n_bands} bands at band_bits={band_bits} — pigeonhole "
-            f"recall needs more than max_hamming={max_hamming}"
+            f"only {n_bands} non-padding bands at band_bits={band_bits} "
+            f"over a {bits}-bit fingerprint — pigeonhole recall needs "
+            f"more than max_hamming={max_hamming}; narrow the bands"
         )
     mask = (1 << band_bits) - 1
     wcols = [f"w{i}" for i in range(n_words)]

@@ -2294,11 +2294,24 @@ def q143_corpus_recipe_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 # banded-hamming join kernel the image path certifies. Fixture families
 # mirror the image texture design (shared md5 frame profile + one
 # member frame bump ⇒ within-family hamming ≤ 4, cross-family
-# ~Binomial(56, ½)). band_bits=11 is the width the hamming tuner picks
-# for any corpus through 262k docs (widest keeping 5 > max_hamming
-# bands).
+# ~Binomial(56, ½)).
+#
+# Band widths are DERIVED from dedup.tune_hamming_band_bits at import
+# time (VERDICT r9 Next #3: no bare band-width literal in a registered
+# perceptual plan) — the registered plan and its f-string oracle both
+# consume the same constant, so a tuner re-anchor (e.g. the r9
+# occupancy 64→128 change) re-derives BOTH sides together and parity
+# cannot silently desynchronize. The static plan+oracle pair is sized
+# for the registered fixtures (documents ≤ ~6k rows at sf0.1);
+# _PERCEPTUAL_FIXTURE_MAX_DOCS bounds the corpus the pair is certified
+# for — past it, use the auto-tuning production entry points
+# (multimodal.phash_near_duplicates and friends), which re-tune per
+# corpus.
 
-_AW_BAND_BITS = 11
+_PERCEPTUAL_FIXTURE_MAX_DOCS = 100_000
+_AW_BAND_BITS = dedup.tune_hamming_band_bits(
+    _PERCEPTUAL_FIXTURE_MAX_DOCS, bits=56, max_hamming=_DH_MAX_HAMMING
+)
 _AW_AMP_SQL = (
     portable_hash64_sql(
         "concat('awave|', CAST(d.doc_id // 5 AS VARCHAR), ':', "
@@ -2378,7 +2391,13 @@ def q144_audio_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frame 0 and var=3 an independent frame 1, so pairs match on 3, 2, or
 # (for the (3,4) pair, dropped) 1 frame positions.
 
-_VW_BAND_BITS = 11
+# same tuner derivation as _AW_BAND_BITS: per-frame fingerprints are
+# 56-bit dHashes, one per (doc, frame) — the banded join keys include
+# the frame position, so per-bucket occupancy is per-frame and the
+# documents-count bound applies per frame position
+_VW_BAND_BITS = dedup.tune_hamming_band_bits(
+    _PERCEPTUAL_FIXTURE_MAX_DOCS, bits=56, max_hamming=_DH_MAX_HAMMING
+)
 _VW_MIN_FRAMES = 2
 _VW_CELL_SQL = (
     "CASE WHEN (d.doc_id % 5 = 4 AND f.f = 0) OR (d.doc_id % 5 = 3 AND f.f = 1) THEN "

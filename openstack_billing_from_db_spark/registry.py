@@ -63,32 +63,69 @@ STREAMING: frozenset[str] = frozenset(
 # overlapping-semantics tests) and was driver-green in round 1 — so they
 # are ordered last and absorb the overflow.
 DEFERRED: tuple[str, ...] = (
-# Round-9 rotation (VERDICT r8 Next #1): the gate head leads with q138
-# and q132 — the only queries whose operator code changed in round 8
-# (bootstrap guards sampling.py:760, rrf k0 similarity.py:598) AFTER
-# their last driver row — then all 35 remaining r2-r4-stale queries
-# (q14-q16/q20/q22/q29-q31/q33/q36/q38/q41/q45/q46/q52-q54/q63-q66/
-# q68/q70/q73/q74/q82/q86-q94), the §2 core (q01-q08/q42, with q04
-# replacing its pytest-pinned-identical bucketed twin q04b so the
-# stale original gets the row), and the oldest r5-stale fills
-# (q71 — parked for q142's slot last round — q95, q96; q98's slot
-# went to the round-9-new q143 composed image-dedup recipe).
-# Everything r8-greened parks; per-line notes give each parked
-# query's driver-green rounds and its in-gate coverage.
-  "q98_kmv_distinct",  # r5-green; parked for the round-9-new q143; first r10 rotation target with the r5 block below
-  "q96_scd2_history",  # r5-green; parked for the round-9-new q144; r10 rotation target
-  "q95_pagerank",  # r5-green; parked for the round-9-new q145; r10 rotation target
-  # -- r8-green fresh parks (rotated out this round) --
+# Round-10 rotation (VERDICT r9 Next #1): the gate head keeps the §2
+# core (q01-q08/q42) and rotates in (a) the four queries whose operator
+# code changed in round 9 AFTER their last driver row — q142
+# (multiword_hamming_pairs bits= param), q140/q130 (clustering._assign
+# hierarchical dispatch), q128 (oracle CTE parametrization +
+# prepare_corpus signature) — (b) the full 14-query r5-stale remainder
+# (q95/q96/q98/q101/q103-q107/q109/q110/q112/q114/q116), and (c) the 18
+# oldest r7-stale parks (q37/q50/q51/q69/q72/q75-q78/q80/q81/q97/q99/
+# q102/q120/q123/q125/q127). q143/q144/q145 stay in-head because round
+# 10 edits their operator code (band-width tuner tie-in, framewise skew
+# cap, corpus audio/video stages) after their r9 rows. Everything
+# r9-greened parks; per-line notes give each parked query's driver-green
+# rounds and its in-gate coverage.
+  # -- r9-green fresh parks (rotated out this round) --
+  "q14_customers_without_orders",  # r2/r9-green
+  "q15_distinct_brand_sizes",  # r2/r9-green; A1 distinct in-gate via q05
+  "q16_set_operations",  # r2/r9-green
+  "q20_priority_unpivot",  # r2/r9-green; U1 unpivot
+  "q22_scalar_functions",  # r2/r9-green; F8/F9 ISO in-gate via sinks pytest
+  "q29_running_totals",  # r2/r9-green; O1 sort in-gate via q12/q17 twins
+  "q30_token_stats",  # r2/r9-green
+  "q31_quality_score",  # r2/r9-green
+  "q33_fingerprint",  # r2/r9-green; native twin of q60
+  "q36_simhash",  # r2/r9-green; banding kernel shared with q37 (in-gate)
+  "q38_ann_topk_bruteforce",  # r2/r9-green
+  "q41_multimodal_meta",  # r2/r9-green
+  "q45_term_stats",  # r2/r9-green
+  "q46_top_bigrams",  # r2/r9-green
+  "q52_streaming_dedup",  # r3/r9-green; streaming set in-gate via q50/q51/q75
+  "q53_crossmodal_near_dups",  # r3/r9-green
+  "q54_signup_purchase_funnel",  # r3/r9-green
+  "q63_image_decode",  # r3/r9-green; BMP codec exercised in-gate by q143
+  "q64_audio_features",  # r3/r9-green; WAV codec exercised in-gate by q144
+  "q65_ivf_ann",  # r3/r9-green; IVF kernel in-gate via q112
+  "q66_hash_split",  # r3/r9-green
+  "q68_decontamination",  # r3/r9-green; n-gram decontam in-gate via q109
+  "q70_stratified_sample",  # r3/r9-green; sampling in-gate via q99/q105
+  "q71_bm25_topk",  # r5/r9-green
+  "q73_kmeans_clusters",  # r3/r9-green; clustering in-gate via q130/q140
+  "q74_repetition_stats",  # r3/r9-green
+  "q82_streaming_dedup_watermarked",  # r4/r9-green; in-gate via q50/q51/q75
+  "q86_ngram_udtf",  # r4/r9-green
+  "q87_dedup_survivors",  # r4/r9-green; exact-dedup kernel in-gate via q34 twin semantics
+  "q88_png_decode",  # r4/r9-green
+  "q89_doc_chunks",  # r4/r9-green
+  "q90_tfidf_topk",  # r4/r9-green
+  "q91_bloom_decontaminate",  # r4/r9-green; decontam in-gate via q109
+  "q92_segment_dedup",  # r4/r9-green
+  "q93_quality_classifier",  # r4/r9-green
+  "q94_incremental_dedup",  # r4/r9-green; banded index in-gate via q37
+  "q132_hybrid_rrf",  # r9-green (r8 kernel edit driver-certified r9)
+  "q138_bootstrap_quality_ci",  # r9-green (r8 kernel edit driver-certified r9)
+  # -- r8-green parks (code unchanged since their rows) --
   "q04b_state_intervals_bucketed",  # r1/r8-green; pytest-pinned output-identical to in-gate q04
-  "q09_invoice_wide",  # r1/r8-green; U1 wide path; q20 unpivot twin in-gate
+  "q09_invoice_wide",  # r1/r8-green; U1 wide path; q20 unpivot twin
   "q10_pricing_summary",  # r1/r8-green; F12/F13 money in-gate via q01
   "q11_regional_revenue",  # r1/r8-green
-  "q12_top_unshipped_orders",  # r5/r8-green; O1 top-k in-gate via q90's WindowGroupLimit
+  "q12_top_unshipped_orders",  # r5/r8-green; O1 top-k
   "q13_late_shipment_priority",  # r1/r8-green
-  "q16b_bag_set_operations",  # r1/r8-green; q16 set-ops twin in-gate
+  "q16b_bag_set_operations",  # r1/r8-green; q16 set-ops twin
   "q17_top_orders_per_customer",  # r1/r8-green
   "q18_order_rollup",  # r1/r8-green
-  "q19_priority_pivot",  # r1/r8-green; q20 unpivot twin in-gate
+  "q19_priority_pivot",  # r1/r8-green; q20 unpivot twin
   "q21_event_props_stats",  # r1/r8-green; F1 JSON parse in-gate via q05/q42
   "q23_date_functions",  # r5/r8-green
   "q24_distribution_stats",  # r5/r8-green
@@ -96,11 +133,11 @@ DEFERRED: tuple[str, ...] = (
   "q26_range_join",  # r5/r8-green
   "q27_status_priority_cube",  # r5/r8-green
   "q28_gap_sessions",  # r5/r8-green
-  "q29b_order_digest",  # r1/r8-green; q29 running-totals twin in-gate
+  "q29b_order_digest",  # r1/r8-green; q29 running-totals twin
   "q32_langid",  # r5/r8-green
-  "q34_dedup_exact",  # r5/r8-green; exact-dedup kernel replayed in in-gate q87's oracle
-  "q35_minhash_near_dups",  # r5/r8-green; banding kernel shared with in-gate q36/q94
-  "q39_ann_topk_lsh",  # r5/r8-green; sign-LSH kernel shared with in-gate q38/q65
+  "q34_dedup_exact",  # r5/r8-green; exact-dedup kernel replayed in q87's oracle
+  "q35_minhash_near_dups",  # r5/r8-green; banding kernel in-gate via q37/q123
+  "q39_ann_topk_lsh",  # r5/r8-green; sign-LSH kernel in-gate via q116
   "q40_embedding_near_dups",  # r5/r8-green
   "q43_small_quantity_parts",  # r1/r8-green
   "q47_data_quality",  # r1/r8-green
@@ -109,7 +146,7 @@ DEFERRED: tuple[str, ...] = (
   "q55_weekly_cohort_retention",  # r1/r8-green
   "q56_hopping_window_counts",  # r1/r8-green
   "q58_nation_revenue_share",  # r1/r8-green
-  "q60_fingerprint_pandas_udf",  # r1/r8-green; pinned ≡ native q33 (in-gate)
+  "q60_fingerprint_pandas_udf",  # r1/r8-green; pinned ≡ native q33
   "q61_null_semantics",  # r1/r8-green
   "q62_map_functions",  # r1/r8-green
   "q67_dedup_clusters",  # r5/r8-green; CC kernel replayed in q133/q135 oracles
@@ -118,61 +155,27 @@ DEFERRED: tuple[str, ...] = (
   "q84_trailing_window",  # r5/r8-green
   "q85_full_outer_join",  # r5/r8-green
   "q139_kcenter_coreset",  # r7/r8-green (r8 row certifies the running-min plan)
-  "q140_semantic_dedup_scaled",  # r8-green (k ∝ n Arrow production path)
-  "q141_image_phash_dedup",  # r8-green; 56-bit banding behind the r9 width selector
-  "q142_image_phash72_dedup",  # r8-green; wide-band scale path, now the selector default
-  # -- r6/r7-green parks (code unchanged since their rows) --
-  "q125_concurrent_sessions",  # r6/r7-green; interval algebra in-gate via q03/q06
-  "q123_set_similarity_join",  # r6/r7-green; losslessness proof vs q35's banding
-  "q37_simhash_near_dups",  # r2-r7-green; banding kernel shared with in-gate q36
+  "q141_image_phash_dedup",  # r8-green; documented fixed-width benchmark artifact
+  # -- r6/r7-green parks: first in line for the r11 rotation --
   "q131_dsir_topk",  # r6/r7-green
-  "q130_semantic_dedup",  # r6/r7-green; fixed-k shape; k ∝ n path r8-green via q140
-  "q76_lm_quality",  # r3-r7-green
-  "q77_video_frame_sample",  # r3-r7-green
-  "q78_bpe_train",  # r3-r7-green
-  "q80_span_dedup",  # r3-r7-green
-  "q81_quality_filter",  # r3-r7-green
-  "q120_edit_distance_dups",  # r6/r7-green
-  "q127_token_budget_epoch",  # r6/r7-green
-  "q128_corpus_recipe",  # r6/r7-green; text recipe; r9 image stage gated via q143
   "q133_leakage_free_split",  # r6/r7-green
   "q135_quality_dedup_survivors",  # r6/r7-green
-  "q69_text_scrub",  # r2-r7-green
-  "q72_sequence_pack",  # r2-r7-green
-  "q97_merge_upsert",  # r6/r7-green
-  "q50_streaming_windowed_counts",  # r3-r7-green
-  "q51_streaming_state_intervals",  # r2-r7-green
-  "q75_stream_stream_join",  # r3-r7-green; streaming set covered in-gate by q52/q82
-  "q99_priority_sample",  # r6/r7-green
-  "q102_kmv_set_overlap",  # r6/r7-green
-  "q100_bpe_encode",  # r6/r7-green
+  "q100_bpe_encode",  # r6/r7-green; BPE kernel in-gate via q78
   "q117_hll_distinct",  # r6/r7-green
   "q118_source_kl",  # r6/r7-green
   "q119_token_entropy",  # r6/r7-green
   "q121_js_divergence",  # r6/r7-green
-  "q122_countmin_error",  # r6/r7-green
+  "q122_countmin_error",  # r6/r7-green; count-min kernel in-gate via q101
   "q124_ams_f2",  # r6/r7-green
   "q126_source_cosine",  # r6/r7-green
   "q134_doremi_weights",  # r6/r7-green
   "q136_mixture_epoch",  # r6/r7-green
   "q137_neyman_allocation",  # r6/r7-green
-  "q108_quantile_trim",  # r6/r7-green
-  "q111_pq_adc_topk",  # r6/r7-green
-  "q113_ivf_pq_residual_topk",  # r6/r7-green
-  "q129_ivf_pq_rerank",  # r6/r7-green
+  "q108_quantile_trim",  # r6/r7-green; quantile kernel in-gate via q103
+  "q111_pq_adc_topk",  # r6/r7-green; PQ kernel in-gate via q110/q112/q114
+  "q113_ivf_pq_residual_topk",  # r6/r7-green; in-gate via q112
+  "q129_ivf_pq_rerank",  # r6/r7-green; in-gate via q112/q114
   "q115_sq8_profile",  # r6/r7-green
-  # -- r5-green stale remainder: first in line for the r10 rotation --
-  "q101_countmin_heavy_hitters",  # r5-green
-  "q103_histogram_quantiles",  # r5-green
-  "q104_random_projection",  # r5-green
-  "q105_group_priority_sample",  # r5-green
-  "q106_triangle_count",  # r5-green
-  "q107_salted_join_revenue",  # r5-green
-  "q109_contamination_fraction",  # r5-green
-  "q110_pq_encode",  # r5-green; Arrow/literal codebook kernel r8-green via q140
-  "q112_ivf_pq_topk",  # r5-green
-  "q114_pq_recall",  # r5-green
-  "q116_lsh_recall",  # r5-green
 )
 
 

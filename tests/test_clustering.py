@@ -597,3 +597,42 @@ def test_semantic_dedup_hierarchical_assignment_threshold(spark):
     finally:
         mp.undo()
     assert got == want and len(want) == 120
+
+
+def test_hierarchical_assign_matches_flat_large_norms(spark):
+    """ADVICE r9: best_d is reconstructed as sqrt(best + |x|^2), which
+    cancels catastrophically when |x|^2 >> |x-c|^2 (large shared offset,
+    tiny separations). The slack must scale with the CANCELLED
+    magnitude — this fixture puts every coordinate near 1e8 with O(1)
+    centroid separation, where the old 1e-7*(1+best_d) slack is orders
+    of magnitude below the sqrt's absolute error — and the hierarchical
+    kernel must still reproduce the flat argmin exactly."""
+    import random
+
+    from openstack_billing_from_db_spark.operators import clustering as C
+    from openstack_billing_from_db_spark.operators.quantization import (
+        _nearest_code_arrow,
+    )
+
+    rnd = random.Random(41)
+    k = C.HIERARCHICAL_ASSIGN_MIN_CENTROIDS + 10
+    dims = 4
+    off = 1e8
+    centroids = [
+        [off + rnd.uniform(-50, 50) for _ in range(dims)] for _ in range(k)
+    ]
+    rows = []
+    for i in range(150):
+        c = centroids[rnd.randrange(k)]
+        # sit essentially ON a centroid: |x-c|^2 ~ 1e-6 vs |x|^2 ~ 4e16
+        rows.append((i, [v + rnd.uniform(-1e-3, 1e-3) for v in c]))
+    df = spark.createDataFrame(rows, "vid long, e array<double>")
+
+    hier = {(r.vid, r.cluster) for r in C._assign(df, centroids).collect()}
+    flat = {
+        (r.vid, r.cluster)
+        for r in df.withColumn(
+            "cluster", _nearest_code_arrow(F.col("e"), centroids)
+        ).collect()
+    }
+    assert hier == flat and len(hier) == 150

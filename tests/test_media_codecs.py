@@ -634,3 +634,145 @@ def test_video_family_frame_majority(spark):
         frames = media.synth_family_video_frames(i)
         for f in range(3):
             assert out[(i, f)] == media.dhash_pixels(frames[f])
+
+
+def test_multiword_hamming_matches_padding_bands(spark):
+    """ADVICE r9: the streaming probe twin of multiword_hamming_pairs
+    honors the same ``bits`` real-width contract — padding bands (which
+    would put every doc in bucket 0 and degenerate the probe toward
+    all-pairs) are skipped, output still exactly the brute-force
+    matches, and losing pigeonhole coverage is a hard error."""
+    import random
+
+    from openstack_billing_from_db_spark.operators.dedup import (
+        multiword_hamming_matches,
+    )
+
+    rng = random.Random(13)
+    base = rng.getrandbits(60)
+    fps = {}
+    for i in range(30):
+        h = base if i % 3 == 0 else rng.getrandbits(60)
+        for _ in range(rng.randrange(0, 7)):
+            h ^= 1 << rng.randrange(60)
+        fps[i] = h
+    rows = [(i, h & ((1 << 36) - 1), h >> 36) for i, h in fps.items()]
+    existing = spark.createDataFrame(
+        [r for r in rows if r[0] < 20], "doc_id long, w0 long, w1 long"
+    )
+    new = spark.createDataFrame(
+        [r for r in rows if r[0] >= 20], "doc_id long, w0 long, w1 long"
+    )
+    got = {
+        (r.new_id, r.match_id): (r.hamming, r.match_in_new)
+        for r in multiword_hamming_matches(
+            existing, new, n_words=2, word_bits=36, band_bits=12,
+            max_hamming=4, bits=60,
+        ).collect()
+    }
+    want = {
+        (a, b): (bin(fps[a] ^ fps[b]).count("1"), b >= 20)
+        for a in range(20, 30)
+        for b in range(30)
+        if a != b and bin(fps[a] ^ fps[b]).count("1") <= 4
+    }
+    assert got == want and got  # fixture guarantees matches exist
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        multiword_hamming_matches(
+            existing, new, n_words=2, word_bits=36, band_bits=12, bits=48
+        )
+    with pytest.raises(ValueError, match="bits"):
+        multiword_hamming_matches(
+            existing, new, n_words=2, word_bits=36, band_bits=12, bits=80
+        )
+
+
+def test_framewise_hamming_pairs_bucket_cap(spark):
+    """ADVICE r9: a degenerate frame population (constant/black frames)
+    collapses into one (frame, band, bucket) key with quadratic
+    candidates; ``max_bucket_size`` drops oversized buckets — a
+    (pair, frame) match survives iff SOME matching band's bucket is
+    under the cap — and the bucket-aware canonical-band test still
+    counts each surviving (pair, frame) exactly once."""
+    import random
+
+    from openstack_billing_from_db_spark.operators.dedup import (
+        framewise_hamming_pairs,
+    )
+
+    rng = random.Random(3)
+    bits, band_bits = 56, 11  # 5 bands, mask per band = 11 bits
+    n_docs = 10
+    far = lambda: rng.getrandbits(bits) | (1 << 55)  # noqa: E731
+    fp = {}
+    # frame 0: every doc identical (the black-frame collapse)
+    for d in range(n_docs):
+        fp[(d, 0)] = 0
+    # frame 1: docs 0/1 share a hash, others far apart
+    h1 = rng.getrandbits(bits)
+    fp[(0, 1)], fp[(1, 1)] = h1, h1
+    for d in range(2, n_docs):
+        fp[(d, 1)] = far()
+    # frame 2: ALL docs share band 0 (low 11 bits zero) -> that bucket
+    # is oversized; docs 0/1 additionally identical in bands 1-4
+    h2 = rng.getrandbits(bits) & ~((1 << 11) - 1)
+    fp[(0, 2)], fp[(1, 2)] = h2, h2
+    for d in range(2, n_docs):
+        fp[(d, 2)] = far() & ~((1 << 11) - 1)
+
+    df = spark.createDataFrame(
+        [(d, f, h) for (d, f), h in fp.items()],
+        "doc_id long, frame_idx int, dhash long",
+    )
+
+    def brute(cap):
+        mask = (1 << band_bits) - 1
+        occ = {}
+        for (d, f), h in fp.items():
+            for k in range(bits // band_bits):
+                key = (f, k, (h >> (k * band_bits)) & mask)
+                occ[key] = occ.get(key, 0) + 1
+        out = {}
+        for a in range(n_docs):
+            for b in range(a + 1, n_docs):
+                n = 0
+                for f in range(3):
+                    x, y = fp[(a, f)], fp[(b, f)]
+                    if bin(x ^ y).count("1") > 4:
+                        continue
+                    shared_ok = any(
+                        ((x >> (k * band_bits)) & mask)
+                        == ((y >> (k * band_bits)) & mask)
+                        and (
+                            cap is None
+                            or occ[
+                                (f, k, (x >> (k * band_bits)) & mask)
+                            ]
+                            <= cap
+                        )
+                        for k in range(bits // band_bits)
+                    )
+                    if shared_ok:
+                        n += 1
+                if n:
+                    out[(a, b)] = n
+        return out
+
+    for cap, min_frames in ((None, 1), (5, 1), (5, 2)):
+        got = {
+            (r.doc_a, r.doc_b): r.n_frames_matched
+            for r in framewise_hamming_pairs(
+                df, bits=bits, band_bits=band_bits, max_hamming=4,
+                min_frames=min_frames, max_bucket_size=cap,
+            ).collect()
+        }
+        want = {
+            p: n for p, n in brute(cap).items() if n >= min_frames
+        }
+        assert got == want, (cap, min_frames)
+    # the fixture exercises what it claims: uncapped (0,1) matches all
+    # 3 frames; capped drops the black frame but keeps frame 2 via the
+    # under-cap bands 1-4 (counted once), so (0,1) -> exactly 2
+    assert brute(None)[(0, 1)] == 3 and brute(5)[(0, 1)] == 2
+    assert len(brute(None)) == 45 and len(brute(5)) == 1
