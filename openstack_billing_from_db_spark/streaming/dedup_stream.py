@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from openstack_billing_from_db_spark.operators.caching import tracked_persist
 from openstack_billing_from_db_spark.operators.dedup import (
     incremental_near_duplicates,
     minhash_index,
@@ -115,22 +116,20 @@ def run_streaming_dedup_index(
         verdicts, additions = admit_batch(
             spark, batch_df.select("doc_id", "text"), index_dir, **dedup_kwargs
         )
-        # materialize BOTH results against the pre-epoch index snapshot
-        # BEFORE writing into index_dir — the additions DAG reads the
-        # very directory the epoch write lands in
-        verdicts = verdicts.persist()
-        additions = additions.persist()
-        try:
-            verdicts.count(), additions.count()
-            verdicts.write.mode("overwrite").parquet(
-                f"{verdicts_dir}/epoch={epoch_id}"
-            )
-            additions.write.mode("overwrite").parquet(
-                f"{index_dir}/epoch={epoch_id}"
-            )
-        finally:
-            verdicts.unpersist()
-            additions.unpersist()
+        # snapshot BOTH results against the pre-epoch index BEFORE
+        # writing into index_dir — the additions DAG reads the very
+        # directory the epoch write lands in. localCheckpoint (not
+        # persist+count) TRUNCATES the lineage: a lost cached partition
+        # fails the epoch (safe — the replay is idempotent) instead of
+        # silently recomputing against the post-write mixed index.
+        verdicts = verdicts.localCheckpoint(eager=True)
+        additions = additions.localCheckpoint(eager=True)
+        verdicts.write.mode("overwrite").parquet(
+            f"{verdicts_dir}/epoch={epoch_id}"
+        )
+        additions.write.mode("overwrite").parquet(
+            f"{index_dir}/epoch={epoch_id}"
+        )
 
     q = (
         stream.writeStream.foreachBatch(step)
@@ -160,12 +159,16 @@ def _admit_fingerprint_batch(
     word_bits: int,
     band_bits: int,
     max_hamming: int,
+    bits: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared admission core for hamming-fingerprint streams (image,
     audio): probe ``new_fp`` — (doc_id, w0..w{n-1}) — against the
     persisted index plus the batch itself, admit a doc iff it has NO
     near-dup in the index and NO lower-id near-dup in its own batch
-    (min-id canonical survivor — :func:`admit_batch`'s rule)."""
+    (min-id canonical survivor — :func:`admit_batch`'s rule). ``bits``
+    is the fingerprint's real width (multiword_hamming_matches skips
+    padding-only bands, which would otherwise bucket every doc
+    together)."""
     from openstack_billing_from_db_spark.operators.dedup import (
         multiword_hamming_matches,
     )
@@ -178,6 +181,7 @@ def _admit_fingerprint_batch(
         word_bits=word_bits,
         band_bits=band_bits,
         max_hamming=max_hamming,
+        bits=bits,
     )
     blocking = F.when(
         (~F.col("match_in_new")) | (F.col("match_id") < F.col("new_id")),
@@ -237,6 +241,7 @@ def admit_image_batch(
         word_bits=word_bits,
         band_bits=band_bits,
         max_hamming=max_hamming,
+        bits=bits,
     )
 
 
@@ -270,7 +275,76 @@ def admit_audio_batch(
         word_bits=56,
         band_bits=band_bits,
         max_hamming=max_hamming,
+        bits=56,
     )
+
+
+def admit_video_batch(
+    spark: SparkSession,
+    batch_pay: DataFrame,
+    index_dir: str,
+    *,
+    n_samples: int = 3,
+    grid: int = 8,
+    band_bits: int = 11,
+    max_hamming: int = 4,
+    min_frames: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """One video micro-batch against the persisted PER-FRAME fingerprint
+    index: RVID index walk decodes only the ``n_samples`` sampled frames
+    (skipped frames never decode — q145's scale property), each frame
+    gets a dHash, and :func:`dedup.framewise_hamming_matches` probes the
+    index plus the batch itself with the frame-majority gate (a match
+    needs ≥ ``min_frames`` of the sampled positions at hamming ≤
+    ``max_hamming``). Admission is the shared min-id-canonical rule: a
+    clip enters iff it has NO majority-match in the index and NO
+    lower-id majority-match in its own batch. Index state:
+    (doc_id, frame_idx, dhash) ≈ 24 B/frame-row — video bytes never
+    leave the decode map stage. Returns ``(verdicts, additions)``;
+    ``verdicts`` is (doc_id, n_matches, best_frames_matched, admitted),
+    ``additions`` the per-frame fingerprint rows to fold in."""
+    from openstack_billing_from_db_spark.operators import multimodal
+    from openstack_billing_from_db_spark.operators.dedup import (
+        framewise_hamming_matches,
+    )
+
+    new_fp = multimodal.video_frame_dhash(
+        batch_pay, n_samples=n_samples, grid=grid
+    )
+    existing = _existing_index(spark, index_dir, new_fp)
+    matches = framewise_hamming_matches(
+        existing,
+        new_fp,
+        bits=grid * (grid - 1),
+        band_bits=band_bits,
+        max_hamming=max_hamming,
+        min_frames=min_frames,
+    )
+    blocking = F.when(
+        (~F.col("match_in_new")) | (F.col("match_id") < F.col("new_id")),
+        1,
+    ).otherwise(0)
+    per_doc = matches.groupBy(F.col("new_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("n_frames_matched").alias("best_frames_matched"),
+        (F.sum(blocking) == 0).alias("admitted"),
+    )
+    new_fp = tracked_persist(new_fp)
+    verdicts = (
+        new_fp.select("doc_id")
+        .distinct()
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "best_frames_matched",
+            F.coalesce("admitted", F.lit(True)).alias("admitted"),
+        )
+    )
+    additions = new_fp.join(
+        verdicts.filter("admitted").select("doc_id"), "doc_id", "left_semi"
+    )
+    return verdicts, additions
 
 
 def _run_streaming_payload_dedup(
@@ -300,21 +374,16 @@ def _run_streaming_payload_dedup(
             index_dir,
             **dedup_kwargs,
         )
-        verdicts = verdicts.persist()
-        additions = additions.persist()
-        try:
-            # materialize BOTH against the pre-epoch index snapshot
-            # BEFORE the epoch write lands in index_dir
-            verdicts.count(), additions.count()
-            verdicts.write.mode("overwrite").parquet(
-                f"{verdicts_dir}/epoch={epoch_id}"
-            )
-            additions.write.mode("overwrite").parquet(
-                f"{index_dir}/epoch={epoch_id}"
-            )
-        finally:
-            verdicts.unpersist()
-            additions.unpersist()
+        # lineage-truncating snapshot against the pre-epoch index BEFORE
+        # the epoch write lands in index_dir (see run_streaming_dedup_index)
+        verdicts = verdicts.localCheckpoint(eager=True)
+        additions = additions.localCheckpoint(eager=True)
+        verdicts.write.mode("overwrite").parquet(
+            f"{verdicts_dir}/epoch={epoch_id}"
+        )
+        additions.write.mode("overwrite").parquet(
+            f"{index_dir}/epoch={epoch_id}"
+        )
 
     q = (
         stream.writeStream.foreachBatch(step)
@@ -366,5 +435,28 @@ def run_streaming_audio_dedup(
         verdicts_dir,
         checkpoint_dir,
         admit_audio_batch,
+        **dedup_kwargs,
+    )
+
+
+def run_streaming_video_dedup(
+    spark: SparkSession,
+    video_stream_dir: str,
+    index_dir: str,
+    verdicts_dir: str,
+    checkpoint_dir: str,
+    **dedup_kwargs,
+) -> None:
+    """Video-payload stream → frame-majority perceptual-dedup verdicts
+    + per-frame fingerprint index (see :func:`admit_video_batch`) —
+    q145's kernel under the q94 streaming contract, completing the
+    text/image/audio/video streaming-admission set."""
+    _run_streaming_payload_dedup(
+        spark,
+        video_stream_dir,
+        index_dir,
+        verdicts_dir,
+        checkpoint_dir,
+        admit_video_batch,
         **dedup_kwargs,
     )

@@ -238,3 +238,94 @@ def test_streaming_audio_dedup_index_grows_by_uniques_only(spark, tmp_path):
     v = {r.doc_id: r for r in spark.read.parquet(verdicts_dir).collect()}
     assert not v[1].admitted and v[1].best_hamming <= 4  # family 0 indexed
     assert v[10].admitted and not v[11].admitted  # new family, min-id canon
+
+
+def test_streaming_video_dedup_frame_majority_admission(spark, tmp_path):
+    """Video counterpart (VERDICT r9 Next #4): an indexed family is
+    rejected on a later epoch via the frame-majority gate, a fresh
+    family admits its min-id member only, and the doubly-distorted
+    fixture pair (vars 3/4 — one shared clean frame) is NOT treated as
+    a duplicate, pinning that the ≥2-of-3 majority rule (not any single
+    frame hit) is what blocks admission."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from openstack_billing_from_db_spark.functions import media
+    from openstack_billing_from_db_spark.streaming.dedup_stream import (
+        read_index,
+        run_streaming_video_dedup,
+    )
+
+    def write_clips(path, doc_ids):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(doc_ids), pa.int64()),
+                    "payload": pa.array(
+                        [
+                            media.encode_video(
+                                media.synth_family_video_frames(i)
+                            )
+                            for i in doc_ids
+                        ],
+                        pa.binary(),
+                    ),
+                }
+            ),
+            path,
+        )
+
+    vids_dir = str(tmp_path / "vids_stream")
+    index_dir = str(tmp_path / "vidx")
+    verdicts_dir = str(tmp_path / "vverdicts")
+    ckpt = str(tmp_path / "vckpt")
+
+    write_clips(f"{vids_dir}/b1.parquet", [0, 5])  # families 0 and 1
+    run_streaming_video_dedup(spark, vids_dir, index_dir, verdicts_dir, ckpt)
+    assert {
+        r.doc_id
+        for r in read_index(spark, index_dir)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    } == {0, 5}
+    # per-frame index rows: 3 sampled frames per admitted clip
+    assert read_index(spark, index_dir).count() == 6
+
+    # 1 is family 0 (indexed via doc 0, 3/3 frames) -> rejected;
+    # 10/11/12 are a NEW family -> min-id 10 admitted, 11/12 rejected
+    # within-batch; 18/19 are family 3's vars 3/4 — they share only ONE
+    # clean frame with each other, so NEITHER blocks the other, but
+    # both match doc 15's... doc 15 is NOT indexed, so both pass the
+    # index check and the (18,19) pair fails the majority gate -> BOTH
+    # admitted (the majority-rule pin).
+    write_clips(f"{vids_dir}/b2.parquet", [1, 10, 11, 12, 18, 19])
+    run_streaming_video_dedup(spark, vids_dir, index_dir, verdicts_dir, ckpt)
+    idx_ids = {
+        r.doc_id
+        for r in read_index(spark, index_dir)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert idx_ids == {0, 5, 10, 18, 19}
+
+    verdicts = spark.read.parquet(verdicts_dir)
+    v = {r.doc_id: r for r in verdicts.collect()}
+    assert not v[1].admitted and v[1].best_frames_matched >= 2
+    assert v[10].admitted and v[10].n_matches >= 2  # sees 11 and 12
+    assert not v[11].admitted and not v[12].admitted
+    assert v[18].admitted and v[19].admitted  # 1 shared frame < 2
+    assert verdicts.select("epoch").distinct().count() >= 2
+
+    # epoch replay idempotency: verdicts live in epoch partitions
+    assert (
+        verdicts.filter(F.col("doc_id") == 10)
+        .select("epoch")
+        .distinct()
+        .count()
+        == 1
+    )
