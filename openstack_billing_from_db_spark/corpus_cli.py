@@ -48,6 +48,35 @@ def build_parser() -> argparse.ArgumentParser:
         "hamming banding; drops the higher-id member of each pair)",
     )
     prep.add_argument(
+        "--audio-dedup",
+        action="store_true",
+        help="add the audio perceptual-dedup stage (WAV decode -> "
+        "delta-energy hash -> tuned banded hamming; drops the "
+        "higher-id member of each pair)",
+    )
+    prep.add_argument(
+        "--audio-synth-div",
+        type=int,
+        default=2,
+        help="fixture content key divisor for the audio stage "
+        "(doc_id // N; gives audio its own duplicate structure — "
+        "the registered q146 recipe value)",
+    )
+    prep.add_argument(
+        "--video-dedup",
+        action="store_true",
+        help="add the video frame-majority dedup stage (RVID index "
+        "walk decodes only sampled frames; drops the higher-id member "
+        "of each >=2-of-3 frame match)",
+    )
+    prep.add_argument(
+        "--video-synth-div",
+        type=int,
+        default=3,
+        help="fixture content key divisor for the video stage "
+        "(doc_id // N — the registered q146 recipe value)",
+    )
+    prep.add_argument(
         "--dry-run",
         action="store_true",
         help="run the full pipeline without writing output and report "
@@ -157,6 +186,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
                     min_quality=args.min_quality,
                     near_dup_jaccard=args.near_dup_jaccard,
                     image_dedup=args.image_dedup,
+                    audio_dedup=args.audio_dedup,
+                    audio_synth_id_div=args.audio_synth_div,
+                    video_dedup=args.video_dedup,
+                    video_synth_id_div=args.video_synth_div,
                     observations=obs,
                 )
                 # one action drives the whole pipeline; every stage
@@ -176,6 +209,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
                     min_quality=args.min_quality,
                     near_dup_jaccard=args.near_dup_jaccard,
                     image_dedup=args.image_dedup,
+                    audio_dedup=args.audio_dedup,
+                    audio_synth_id_div=args.audio_synth_div,
+                    video_dedup=args.video_dedup,
+                    video_synth_id_div=args.video_synth_div,
                 )
                 result = {
                     "command": "prepare",

@@ -416,13 +416,101 @@ def phash_near_duplicates(
     )
 
 
+def audio_near_duplicates(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    n_docs: int | None = None,
+    max_hamming: int = 4,
+    max_mean_bucket: int = 128,
+) -> DataFrame:
+    """Corpus-size-driven audio perceptual dedup — the audio member of
+    the :func:`phash_near_duplicates` family: RIFF/WAV decode → 56-bit
+    delta-energy fingerprint (media.audio_delta_hash) → banded hamming
+    pairs at the width dedup.tune_hamming_band_bits picks for the
+    corpus size. The audio fingerprint has a single width (56 bits —
+    there is no wider-mesh escalation like the image 72-bit path), so
+    past the tuner's occupancy bound (~262k clips at the default) this
+    raises rather than hand back a saturating banding; the documented
+    escalation is corpus sharding. ``n_docs`` skips the count scan when
+    the caller already knows the cardinality. PCM never leaves the
+    decode map stage. Output: (doc_a, doc_b, hamming)."""
+    from . import dedup
+
+    if n_docs is None:
+        n_docs = df.count()
+    band_bits = dedup.tune_hamming_band_bits(
+        n_docs,
+        bits=56,
+        max_hamming=max_hamming,
+        max_mean_bucket=max_mean_bucket,
+    )
+    fp = audio_dhash(df, payload_col)
+    return dedup.simhash_near_duplicates(
+        fp.select("doc_id", F.col("ahash").alias("simhash")),
+        bits=56,
+        band_bits=band_bits,
+        max_hamming=max_hamming,
+    )
+
+
+def video_near_duplicates(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    n_docs: int | None = None,
+    max_hamming: int = 4,
+    min_frames: int = 2,
+    n_samples: int = 3,
+    max_mean_bucket: int = 128,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Corpus-size-driven video perceptual dedup — frame-majority
+    matching over per-frame dHashes: the RVID index walk decodes ONLY
+    the ``n_samples`` sampled frames, each gets the 56-bit dHash, and
+    dedup.framewise_hamming_pairs joins banded WITHIN frame position at
+    the tuner's width (the banding keys include the frame, so bucket
+    occupancy is per frame position and the documents-count bound
+    applies per frame). Same single-width refusal contract as
+    :func:`audio_near_duplicates`. ``max_bucket_size`` passes through
+    the degenerate-frame skew cap (constant/black frames). Output:
+    (doc_a, doc_b, n_frames_matched ≥ min_frames)."""
+    from . import dedup
+
+    if n_docs is None:
+        n_docs = df.count()
+    band_bits = dedup.tune_hamming_band_bits(
+        n_docs,
+        bits=8 * 7,
+        max_hamming=max_hamming,
+        max_mean_bucket=max_mean_bucket,
+    )
+    fp = video_frame_dhash(df, payload_col, n_samples=n_samples, grid=8)
+    return dedup.framewise_hamming_pairs(
+        fp,
+        bits=8 * 7,
+        band_bits=band_bits,
+        max_hamming=max_hamming,
+        min_frames=min_frames,
+        max_bucket_size=max_bucket_size,
+    )
+
+
 def synthesize_family_audio_payloads(
-    docs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame, id_col: str = "doc_id", synth_col: str | None = None
 ) -> DataFrame:
     """Deterministic WAV corpus WITH near-dup family structure
     (media.synth_family_wav_samples — shared 57-frame md5 amplitude
     profile per doc_id//5 family, one member-specific frame bump):
-    the audio-dedup fixture, one real RIFF/WAV payload per doc."""
+    the audio-dedup fixture, one real RIFF/WAV payload per doc.
+
+    ``synth_col`` decouples the CONTENT key from the row id: the
+    payload is synthesized from ``synth_col``'s value while ``doc_id``
+    stays ``id_col`` — this is how the composed corpus recipe gives
+    each modality its own duplicate structure (e.g. audio content keyed
+    by doc_id // 2 makes consecutive docs exact audio duplicates while
+    their images differ)."""
+    key = synth_col or id_col
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -434,12 +522,13 @@ def synthesize_family_audio_payloads(
                             media.synth_family_wav_samples(int(i)),
                             media.WAV_SAMPLE_RATE,
                         )
-                        for i in pdf[id_col]
+                        for i in pdf[key]
                     ],
                 }
             )
 
-    return docs.select(id_col).mapInPandas(
+    cols = [id_col] if key == id_col else [id_col, key]
+    return docs.select(*cols).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
@@ -531,10 +620,13 @@ VIDEO_FRAME_SCHEMA = (
 
 
 def synthesize_family_video_payloads(
-    docs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame, id_col: str = "doc_id", synth_col: str | None = None
 ) -> DataFrame:
     """Per doc: a real RVID container of the 3 family-textured frames
-    (media.synth_family_video_frames) — the video-dedup fixture."""
+    (media.synth_family_video_frames) — the video-dedup fixture.
+    ``synth_col`` decouples the content key from the row id exactly as
+    in :func:`synthesize_family_audio_payloads`."""
+    key = synth_col or id_col
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -545,12 +637,13 @@ def synthesize_family_video_payloads(
                         media.encode_video(
                             media.synth_family_video_frames(int(i))
                         )
-                        for i in pdf[id_col]
+                        for i in pdf[key]
                     ],
                 }
             )
 
-    return docs.select(id_col).mapInPandas(
+    cols = [id_col] if key == id_col else [id_col, key]
+    return docs.select(*cols).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 

@@ -10,6 +10,12 @@ individual operators exist for.
                                    hamming pairs with corpus-size-tuned
                                    band width, drop the higher-id member —
                                    multimodal.phash_near_duplicates)
+      → [audio near-dedup]        (optional: WAV decode → delta-energy
+                                   hash → tuned banded hamming —
+                                   multimodal.audio_near_duplicates)
+      → [video near-dedup]        (optional: RVID index walk decodes only
+                                   sampled frames → frame-majority banded
+                                   pairs — multimodal.video_near_duplicates)
       → language ID               (operators/text.langid)
       → token accounting
       → write parquet partitioned by predicted language
@@ -23,8 +29,11 @@ language.
 
 Operational entry point: ``corpus_cli prepare`` (with ``--dry-run`` for
 stage-by-stage survivor counts riding ``df.observe`` — one action, no
-second scan per stage). The registered q128 proves the whole chain
-against a single DuckDB oracle.
+second scan per stage; each enabled modality stage additionally runs
+one build-time job to materialize its drop set, see
+``_materialized_drops``). The registered q128 proves the text chain,
+q143 text+image, and q146 the full text+image+audio+video composition,
+each against a single DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -37,8 +46,27 @@ from openstack_billing_from_db_spark.sources.tables import load_table
 
 # stage names, pipeline order — keys of the ``observations`` dict
 STAGES = ("input", "quality_kept", "exact_canon", "near_deduped")
-# appended to the observation keys when image_dedup=True
+# appended to the observation keys when the matching flag is on
 IMAGE_STAGE = "image_deduped"
+AUDIO_STAGE = "audio_deduped"
+VIDEO_STAGE = "video_deduped"
+
+
+def _materialized_drops(pairs: DataFrame) -> DataFrame:
+    """Eagerly localCheckpoint a modality stage's drop set (the doc_b
+    side of its verified pairs). The drop set is tiny (duplicate ids
+    only) but its LINEAGE is not: the banded self-join references the
+    synthesized-payload branch twice, so with k chained modality stages
+    the recipe's logical plan held ~3^k copies of the upstream pipeline
+    — enough to OOM the driver's plan-string rendering at three stages.
+    Truncating here makes plan growth linear in the stage count; each
+    stage already runs a build-time job for its banding tuner count, so
+    the eager materialization adds no new execution phase. At 100 TB
+    this is the natural stage barrier: the drop set is the one
+    artifact worth materializing between modality passes."""
+    return pairs.select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct().localCheckpoint(eager=True)
 
 
 def image_dedup_stage(
@@ -65,7 +93,71 @@ def image_dedup_stage(
     pairs = multimodal.phash_near_duplicates(
         pay, n_docs=n_docs, max_hamming=max_hamming
     )
-    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    drops = _materialized_drops(pairs)
+    return corpus.join(drops, "doc_id", "left_anti")
+
+
+def audio_dedup_stage(
+    corpus: DataFrame,
+    *,
+    max_hamming: int = 4,
+    n_docs: int | None = None,
+    synth_id_div: int = 1,
+) -> DataFrame:
+    """Audio perceptual-dedup stage (VERDICT r9 Next #5): synthesize
+    each surviving doc's WAV clip, decode → 56-bit delta-energy hash →
+    banded hamming pairs at the corpus-size-tuned width
+    (multimodal.audio_near_duplicates), drop the higher-id member of
+    every verified pair. PCM lives only inside the stage's map tasks.
+
+    ``synth_id_div`` keys the FIXTURE content off ``doc_id //
+    synth_id_div`` while rows stay keyed on the true doc_id: a distinct
+    divisor per modality gives each stage its own duplicate structure
+    (docs whose images differ can still be exact audio duplicates), so
+    every composed stage has real drops to make — as in real corpora
+    where modalities duplicate independently."""
+    from openstack_billing_from_db_spark.operators import multimodal
+
+    src = corpus.select(
+        "doc_id", F.expr(f"doc_id div {int(synth_id_div)}").alias("__synth")
+    )
+    pay = multimodal.synthesize_family_audio_payloads(
+        src, synth_col="__synth"
+    )
+    pairs = multimodal.audio_near_duplicates(
+        pay, n_docs=n_docs, max_hamming=max_hamming
+    )
+    drops = _materialized_drops(pairs)
+    return corpus.join(drops, "doc_id", "left_anti")
+
+
+def video_dedup_stage(
+    corpus: DataFrame,
+    *,
+    max_hamming: int = 4,
+    min_frames: int = 2,
+    n_docs: int | None = None,
+    synth_id_div: int = 1,
+) -> DataFrame:
+    """Video perceptual-dedup stage (VERDICT r9 Next #5): synthesize
+    each surviving doc's RVID clip, index-walk-decode only the sampled
+    frames → per-frame dHash → frame-majority banded pairs at the
+    corpus-size-tuned width (multimodal.video_near_duplicates), drop
+    the higher-id member of every ≥ ``min_frames``-frame match. Video
+    bytes live only inside the stage's map tasks. ``synth_id_div``: see
+    :func:`audio_dedup_stage`."""
+    from openstack_billing_from_db_spark.operators import multimodal
+
+    src = corpus.select(
+        "doc_id", F.expr(f"doc_id div {int(synth_id_div)}").alias("__synth")
+    )
+    pay = multimodal.synthesize_family_video_payloads(
+        src, synth_col="__synth"
+    )
+    pairs = multimodal.video_near_duplicates(
+        pay, n_docs=n_docs, max_hamming=max_hamming, min_frames=min_frames
+    )
+    drops = _materialized_drops(pairs)
     return corpus.join(drops, "doc_id", "left_anti")
 
 
@@ -78,6 +170,13 @@ def prepare_corpus(
     near_dup_jaccard: float = 0.8,
     image_dedup: bool = False,
     image_max_hamming: int = 4,
+    audio_dedup: bool = False,
+    audio_max_hamming: int = 4,
+    audio_synth_id_div: int = 1,
+    video_dedup: bool = False,
+    video_max_hamming: int = 4,
+    video_min_frames: int = 2,
+    video_synth_id_div: int = 1,
     observations: dict[str, Observation] | None = None,
 ) -> DataFrame:
     """Returns the cleaned corpus DataFrame (and writes it partitioned by
@@ -144,6 +243,27 @@ def prepare_corpus(
         deduped = _observe(
             image_dedup_stage(deduped, max_hamming=image_max_hamming),
             IMAGE_STAGE,
+        )
+    if audio_dedup:
+        deduped = tracked_persist(deduped)
+        deduped = _observe(
+            audio_dedup_stage(
+                deduped,
+                max_hamming=audio_max_hamming,
+                synth_id_div=audio_synth_id_div,
+            ),
+            AUDIO_STAGE,
+        )
+    if video_dedup:
+        deduped = tracked_persist(deduped)
+        deduped = _observe(
+            video_dedup_stage(
+                deduped,
+                max_hamming=video_max_hamming,
+                min_frames=video_min_frames,
+                synth_id_div=video_synth_id_div,
+            ),
+            VIDEO_STAGE,
         )
 
     enriched = deduped.select(

@@ -1605,7 +1605,7 @@ def _recipe_text_ctes() -> str:
     return f"""scored AS (
   SELECT * FROM documents WHERE {quality} >= {_RECIPE_MIN_Q}
 ),
-canon AS (
+canon AS MATERIALIZED (
   SELECT * EXCLUDE (rn) FROM (
     SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
     FROM scored)
@@ -1613,7 +1613,7 @@ canon AS (
 ),{_minhash_jaccard_blocks("canon")},
 drops AS (SELECT DISTINCT doc_b AS doc_id FROM jc
           WHERE jaccard >= {_RECIPE_JACCARD}),
-clean AS (SELECT c.* FROM canon c ANTI JOIN drops d ON d.doc_id = c.doc_id)"""
+clean AS MATERIALIZED (SELECT c.* FROM canon c ANTI JOIN drops d ON d.doc_id = c.doc_id)"""
 
 
 def _recipe_lang_summary(src: str) -> str:
@@ -2209,22 +2209,22 @@ def q142_image_phash72_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- composed corpus recipe with the image-dedup stage (round 9) --------------
 
 
-def _recipe_images_oracle() -> str:
-    """q128's text chain + the perceptual image-dedup stage. The Spark
-    side sizes the hamming banding from the stage input's cardinality
-    (multimodal.phash_near_duplicates → dedup.tune_hamming_band_bits);
-    through sf0.1 that cardinality is far below the 131k single-word
-    boundary, so the tuner deterministically picks the 56-bit dHash at
-    band_bits=11 (widest width keeping 56//11 = 5 > max_hamming bands)
-    — which is exactly the banding this oracle replays."""
+def _image_stage_ctes(src: str, out: str) -> str:
+    """The perceptual image-dedup stage CTE block over ``src``, ending
+    in ``{out}`` = survivors — shared byte-identically by q143 and the
+    full-multimodal q146. The Spark side sizes the hamming banding from
+    the stage input's cardinality (multimodal.phash_near_duplicates →
+    dedup.tune_hamming_band_bits); through sf0.1 that cardinality is
+    far below the 131k single-word boundary, so the tuner
+    deterministically picks the 56-bit dHash at band_bits=11 (widest
+    width keeping 56//11 = 5 > max_hamming bands) — which is exactly
+    the banding this block replays."""
     band_bits = 11
     n_bands = (_DH_GRID * (_DH_GRID - 1)) // band_bits
     mask = (1 << band_bits) - 1
-    return f"""
-WITH {_recipe_text_ctes()},
-g AS (
+    return f"""g AS MATERIALIZED (
   SELECT d.doc_id, r.r, u.u, {_DH_CELL_SQL} AS v
-  FROM clean d, range({_DH_GRID}) r(r), range({_DH_GRID}) u(u)
+  FROM {src} d, range({_DH_GRID}) r(r), range({_DH_GRID}) u(u)
 ),
 hbits AS (
   SELECT a.doc_id, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit,
@@ -2236,7 +2236,7 @@ fp AS (
   SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS h
   FROM hbits GROUP BY doc_id
 ),
-ibands AS (
+ibands AS MATERIALIZED (
   SELECT doc_id, h, b.b, (h >> (b.b * {band_bits})) & {mask} AS bucket
   FROM fp, range({n_bands}) b(b)
 ),
@@ -2249,7 +2249,15 @@ idrops AS (
   SELECT DISTINCT db AS doc_id FROM icand
   WHERE bit_count(xor(ha, hb)) <= {_DH_MAX_HAMMING}
 ),
-final AS (SELECT c.* FROM clean c ANTI JOIN idrops i ON i.doc_id = c.doc_id),
+{out} AS MATERIALIZED (SELECT c.* FROM {src} c ANTI JOIN idrops i ON i.doc_id = c.doc_id)"""
+
+
+def _recipe_images_oracle() -> str:
+    """q128's text chain + the perceptual image-dedup stage (see
+    :func:`_image_stage_ctes` for the banding-width proof)."""
+    return f"""
+WITH {_recipe_text_ctes()},
+{_image_stage_ctes("clean", "final")},
 {_recipe_lang_summary("final")}"""
 
 
@@ -2312,13 +2320,21 @@ _PERCEPTUAL_FIXTURE_MAX_DOCS = 100_000
 _AW_BAND_BITS = dedup.tune_hamming_band_bits(
     _PERCEPTUAL_FIXTURE_MAX_DOCS, bits=56, max_hamming=_DH_MAX_HAMMING
 )
-_AW_AMP_SQL = (
-    portable_hash64_sql(
-        "concat('awave|', CAST(d.doc_id // 5 AS VARCHAR), ':', "
-        "CAST(k.k AS VARCHAR))"
+def _aw_amp_sql(vid: str = "d.doc_id") -> str:
+    """q144's frame-amplitude expression over the id expression ``vid``
+    — parametrized so q146's audio stage can synthesize from an
+    OFFSET id (each modality gets its own duplicate-family structure,
+    as real multimodal corpora have)."""
+    return (
+        portable_hash64_sql(
+            f"concat('awave|', CAST({vid} // 5 AS VARCHAR), ':', "
+            "CAST(k.k AS VARCHAR))"
+        )
+        + f" % 2048 + CASE WHEN k.k = {vid} % 5 THEN 4096 ELSE 0 END"
     )
-    + " % 2048 + CASE WHEN k.k = d.doc_id % 5 THEN 4096 ELSE 0 END"
-)
+
+
+_AW_AMP_SQL = _aw_amp_sql()
 
 
 @register(
@@ -2399,23 +2415,30 @@ _VW_BAND_BITS = dedup.tune_hamming_band_bits(
     _PERCEPTUAL_FIXTURE_MAX_DOCS, bits=56, max_hamming=_DH_MAX_HAMMING
 )
 _VW_MIN_FRAMES = 2
-_VW_CELL_SQL = (
-    "CASE WHEN (d.doc_id % 5 = 4 AND f.f = 0) OR (d.doc_id % 5 = 3 AND f.f = 1) THEN "
-    + portable_hash64_sql(
-        "concat('vdist|', CAST(d.doc_id // 5 AS VARCHAR), ':', "
-        "CAST(d.doc_id % 5 AS VARCHAR), ':', CAST(u.u AS VARCHAR), ':', "
-        "CAST(r.r AS VARCHAR))"
+def _vw_cell_sql(vid: str = "d.doc_id") -> str:
+    """q145's per-frame texture-cell expression over the id expression
+    ``vid`` — parametrized for the same per-modality family-offset
+    reason as :func:`_aw_amp_sql`."""
+    return (
+        f"CASE WHEN ({vid} % 5 = 4 AND f.f = 0) OR ({vid} % 5 = 3 AND f.f = 1) THEN "
+        + portable_hash64_sql(
+            f"concat('vdist|', CAST({vid} // 5 AS VARCHAR), ':', "
+            f"CAST({vid} % 5 AS VARCHAR), ':', CAST(u.u AS VARCHAR), ':', "
+            "CAST(r.r AS VARCHAR))"
+        )
+        + " % 256 ELSE ("
+        + portable_hash64_sql(
+            f"concat('vcell|', CAST({vid} // 5 AS VARCHAR), ':', "
+            "CAST(f.f AS VARCHAR), ':', CAST(u.u AS VARCHAR), ':', "
+            "CAST(r.r AS VARCHAR))"
+        )
+        + " % 256"
+        + f" + CASE WHEN u.u = {vid} % 5 AND r.r = {vid} % 5"
+        + " THEN 128 ELSE 0 END) % 256 END"
     )
-    + " % 256 ELSE ("
-    + portable_hash64_sql(
-        "concat('vcell|', CAST(d.doc_id // 5 AS VARCHAR), ':', "
-        "CAST(f.f AS VARCHAR), ':', CAST(u.u AS VARCHAR), ':', "
-        "CAST(r.r AS VARCHAR))"
-    )
-    + " % 256"
-    + " + CASE WHEN u.u = d.doc_id % 5 AND r.r = d.doc_id % 5"
-    + " THEN 128 ELSE 0 END) % 256 END"
-)
+
+
+_VW_CELL_SQL = _vw_cell_sql()
 
 
 @register(
@@ -2486,4 +2509,170 @@ def q145_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_bits=_VW_BAND_BITS,
         max_hamming=_DH_MAX_HAMMING,
         min_frames=_VW_MIN_FRAMES,
+    )
+
+
+# --- composed corpus recipe with ALL multimodal dedup stages (round 10) --------
+
+
+def _audio_stage_ctes(src: str, out: str, synth_id_div: int = 1) -> str:
+    """The audio perceptual-dedup stage CTE block over ``src`` — q144's
+    amplitude-profile → delta-bit packing → banding → hamming verify
+    chain, parametrized by source relation and with a-prefixed CTE
+    names so it composes with the image/video blocks. ``synth_id_div``
+    keys the fixture content off doc_id // synth_id_div (each modality
+    gets its own duplicate structure, so every composed stage has real
+    work — see audio_dedup_stage). Band width is the
+    shared tuner-derived ``_AW_BAND_BITS`` (the Spark stage sizes its
+    banding from the stage input's cardinality via
+    multimodal.audio_near_duplicates → tune_hamming_band_bits, which
+    picks the same width for any corpus the static fixture pair is
+    certified for — see ``_PERCEPTUAL_FIXTURE_MAX_DOCS``)."""
+    vid = f"(d.doc_id // {synth_id_div})" if synth_id_div != 1 else "d.doc_id"
+    return f"""aamps AS MATERIALIZED (
+  SELECT d.doc_id, k.k, {_aw_amp_sql(vid)} AS amp
+  FROM {src} d, range(57) k(k)
+),
+aabits AS (
+  SELECT a.doc_id, CASE WHEN b.amp > a.amp THEN 1 ELSE 0 END AS bit, a.k
+  FROM aamps a JOIN aamps b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+  WHERE a.k < 56
+),
+afp AS (
+  SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS h
+  FROM aabits GROUP BY doc_id
+),
+abands AS MATERIALIZED (
+  SELECT doc_id, h, b.b,
+         (h >> (b.b * {_AW_BAND_BITS})) & {(1 << _AW_BAND_BITS) - 1} AS bucket
+  FROM afp, range({56 // _AW_BAND_BITS}) b(b)
+),
+acand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.h AS ha, b.h AS hb
+  FROM abands a JOIN abands b
+    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+adrops AS (
+  SELECT DISTINCT db AS doc_id FROM acand
+  WHERE bit_count(xor(ha, hb)) <= {_DH_MAX_HAMMING}
+),
+{out} AS MATERIALIZED (SELECT c.* FROM {src} c ANTI JOIN adrops a ON a.doc_id = c.doc_id)"""
+
+
+def _video_stage_ctes(src: str, out: str, synth_id_div: int = 1) -> str:
+    """The video frame-majority dedup stage CTE block over ``src`` —
+    q145's per-frame texture → packing → frame-scoped banding →
+    majority-count chain, parametrized by source relation with
+    v-prefixed CTE names. Same tuner-derived width and ``synth_id_div``
+    contracts as :func:`_audio_stage_ctes`."""
+    vid = f"(d.doc_id // {synth_id_div})" if synth_id_div != 1 else "d.doc_id"
+    return f"""vg AS MATERIALIZED (
+  SELECT d.doc_id, f.f, r.r, u.u, {_vw_cell_sql(vid)} AS v
+  FROM {src} d, range(3) f(f), range(8) r(r), range(8) u(u)
+),
+vvbits AS (
+  SELECT a.doc_id, a.f, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit,
+         a.r * 7 + a.u AS k
+  FROM vg a JOIN vg b
+    ON b.doc_id = a.doc_id AND b.f = a.f AND b.r = a.r AND b.u = a.u + 1
+  WHERE a.u < 7
+),
+vfp AS (
+  SELECT doc_id, f,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS h
+  FROM vvbits GROUP BY doc_id, f
+),
+vbands AS MATERIALIZED (
+  SELECT doc_id, f, h, b.b,
+         (h >> (b.b * {_VW_BAND_BITS})) & {(1 << _VW_BAND_BITS) - 1} AS bucket
+  FROM vfp, range({56 // _VW_BAND_BITS}) b(b)
+),
+vcand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.f AS f,
+         a.h AS ha, b.h AS hb
+  FROM vbands a JOIN vbands b
+    ON a.f = b.f AND a.b = b.b AND a.bucket = b.bucket
+   AND a.doc_id < b.doc_id
+),
+vfmatch AS (
+  SELECT da, db, f FROM vcand
+  WHERE bit_count(xor(ha, hb)) <= {_DH_MAX_HAMMING}
+),
+vdrops AS (
+  SELECT DISTINCT db AS doc_id FROM (
+    SELECT da, db FROM vfmatch GROUP BY da, db
+    HAVING count(*) >= {_VW_MIN_FRAMES})
+),
+{out} AS MATERIALIZED (SELECT c.* FROM {src} c ANTI JOIN vdrops v ON v.doc_id = c.doc_id)"""
+
+
+# each modality keys its synthetic CONTENT off a different divisor of
+# doc_id (image: doc_id, audio: doc_id // 2, video: doc_id // 3): docs
+# whose images differ can still be exact audio duplicates (consecutive
+# ids share an audio content key) and image/audio survivors can still
+# be video near-dups — every stage in the composed recipe has real
+# drops to make, exactly like real corpora where image/audio/video
+# duplicate independently. The divisors ride the fixture synthesis
+# only; fingerprints, pairs, and drops stay keyed on the true doc_id.
+_AUDIO_SYNTH_DIV = 2
+_VIDEO_SYNTH_DIV = 3
+
+
+def _recipe_multimodal_oracle() -> str:
+    """q128's text chain + image + audio + video dedup stages, replayed
+    in pipeline order (text → image → audio → video), each stage's
+    survivors feeding the next — one end-to-end oracle for the fully
+    composed multimodal recipe."""
+    return f"""
+WITH {_recipe_text_ctes()},
+{_image_stage_ctes("clean", "final")},
+{_audio_stage_ctes("final", "afinal", _AUDIO_SYNTH_DIV)},
+{_video_stage_ctes("afinal", "vfinal", _VIDEO_SYNTH_DIV)},
+{_recipe_lang_summary("vfinal")}"""
+
+
+@register("q146_corpus_recipe_multimodal", oracle=_recipe_multimodal_oracle())
+def q146_corpus_recipe_multimodal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composed corpus recipe with EVERY perceptual-dedup stage
+    (VERDICT r9 Next #5): q128's audited text chain (quality filter →
+    exact dedup → MinHash near-dedup), then image (q143's stage), then
+    audio (q144's decode→delta-hash kernel as a composable stage), then
+    video (q145's frame-majority kernel), each dropping the higher-id
+    member of its verified pairs before the next stage runs — via
+    plans/corpus_pipeline.prepare_corpus with all three modality flags
+    on, so the registered query exercises exactly the production
+    composition (corpus_cli prepare --image-dedup --audio-dedup
+    --video-dedup). The oracle replays all six stages in closed form
+    against the same parquet; the per-language summary makes the signal
+    the final composed survivor set. Scale shape: each stage is the
+    individually-audited operator plan — payloads (pixels, PCM, video
+    bytes) live only inside their stage's Arrow map tasks, banding is
+    corpus-size-tuned per stage, and every inter-stage handoff is a
+    narrow anti-join on doc_id."""
+    from openstack_billing_from_db_spark.plans.corpus_pipeline import (
+        prepare_corpus,
+    )
+
+    corpus = prepare_corpus(
+        spark,
+        sf_dir,
+        None,
+        min_quality=_RECIPE_MIN_Q,
+        near_dup_jaccard=_RECIPE_JACCARD,
+        image_dedup=True,
+        image_max_hamming=_DH_MAX_HAMMING,
+        audio_dedup=True,
+        audio_max_hamming=_DH_MAX_HAMMING,
+        audio_synth_id_div=_AUDIO_SYNTH_DIV,
+        video_dedup=True,
+        video_max_hamming=_DH_MAX_HAMMING,
+        video_min_frames=_VW_MIN_FRAMES,
+        video_synth_id_div=_VIDEO_SYNTH_DIV,
+    )
+    return corpus.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
     )
