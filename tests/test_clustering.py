@@ -636,3 +636,64 @@ def test_hierarchical_assign_matches_flat_large_norms(spark):
         ).collect()
     }
     assert hier == flat and len(hier) == 150
+
+
+def test_semantic_dedup_pq_backend_recall_and_no_false_drops(spark):
+    """The PQ-backed SemDeDup pair stage (VERDICT r9 Next #7): drops
+    are a SUBSET of the exact path's (candidates pass the identical
+    exact verify), exact-duplicate replicas are always caught (their
+    codes are identical, so the approximate cosine is exactly 1), the
+    cluster assignment matches the exact path (same kmeans), and on a
+    well-separated fixture the PQ path reproduces the exact verdicts
+    in full."""
+    import random
+
+    from openstack_billing_from_db_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pq,
+    )
+
+    rnd = random.Random(9)
+    dims = 8
+    # 12 well-separated anchor points; 5 members each: member 0 is the
+    # anchor, members 1-2 exact replicas, members 3-4 mild jitter
+    rows = []
+    vid = 0
+    for a in range(12):
+        anchor = [round(rnd.uniform(-1, 1), 3) or 0.1 for _ in range(dims)]
+        for m in range(5):
+            if m <= 2:
+                v = list(anchor)
+            else:
+                v = [round(x + rnd.uniform(-0.02, 0.02), 4) for x in anchor]
+            rows.append((vid, v))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(k=12, n_iter=2, threshold=0.95)
+    exact = {
+        r.vec_id: (r.cluster_id, r.fate)
+        for r in semantic_dedup(df, **kw).collect()
+    }
+    pq = {
+        r.vec_id: (r.cluster_id, r.fate)
+        for r in semantic_dedup_pq(
+            df, dims=dims, pq_subspaces=4, pq_k=8,
+            candidate_slack=0.05, **kw
+        ).collect()
+    }
+    assert set(pq) == set(exact) and len(pq) == 60
+    # identical clustering (same deterministic kmeans)
+    assert {v: c for v, (c, _) in pq.items()} == {
+        v: c for v, (c, _) in exact.items()
+    }
+    exact_drops = {v for v, (_, f) in exact.items() if f == "dropped"}
+    pq_drops = {v for v, (_, f) in pq.items() if f == "dropped"}
+    # no false drops, ever (exact verify gate)
+    assert pq_drops <= exact_drops
+    # exact replicas (ids ≡ 1, 2 mod 5) are always caught: identical
+    # codes → cos_hat exactly 1 ≥ threshold − slack
+    replicas = {v for v in range(60) if v % 5 in (1, 2)}
+    assert replicas <= pq_drops
+    # on this well-separated fixture the PQ path is verdict-identical
+    assert pq == exact and exact_drops
