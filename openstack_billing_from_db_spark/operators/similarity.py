@@ -576,6 +576,8 @@ def semantic_dedup_pq(
     target_cluster_size: int | None = None,
     pq_subspaces: int = 8,
     pq_k: int = 16,
+    pq_iter: int = 1,
+    pq_dp: int = 6,
     candidate_slack: float = 0.1,
 ) -> DataFrame:
     """PQ-backed SemDeDup for the MEMORY-bound regime (VERDICT r9 Next
@@ -638,6 +640,8 @@ def semantic_dedup_pq(
         dims=dims,
         n_subspaces=pq_subspaces,
         k=pq_k,
+        n_iter=pq_iter,
+        round_dp=pq_dp,
     )
     x = tracked_persist(
         _assign(base, cents).withColumn("n2", dot(F.col("e"), F.col("e")))
@@ -657,12 +661,30 @@ def semantic_dedup_pq(
     b = slim.select(
         "cluster", F.col("vid").alias("vb"), F.col("codes").alias("cb")
     )
-    cos_hat = _pq_pair_cos_arrow(codebooks)
+    if candidate_slack >= threshold:
+        raise ValueError(
+            f"candidate_slack ({candidate_slack}) must be < threshold "
+            f"({threshold}) — the candidate gate must stay positive"
+        )
+    # squared-form candidate gate (dot_hat >= 0 AND dot_hat² >=
+    # (t−slack)²·|q(a)|²·|q(b)|²) — no sqrt/division, every operand the
+    # same left-to-right fold a SQL oracle replays bit-for-bit (the
+    # q130/q114 parity law); equivalent to cos_hat >= t − slack except
+    # that zero-norm reconstructions pass to the exact verify (which
+    # then decides)
+    ts2 = (threshold - candidate_slack) * (threshold - candidate_slack)
+    scores = _pq_pair_scores_arrow(codebooks)
     cand = (
         a.join(b, "cluster")
         .filter(F.col("va") < F.col("vb"))
-        .withColumn("cos_hat", cos_hat)
-        .filter(F.col("cos_hat") >= F.lit(threshold - candidate_slack))
+        .withColumn("ps", scores)
+        .filter(
+            (F.col("ps.dot_hat") >= 0)
+            & (
+                F.col("ps.dot_hat") * F.col("ps.dot_hat")
+                >= F.lit(ts2) * F.col("ps.n2a_hat") * F.col("ps.n2b_hat")
+            )
+        )
         .select("va", "vb")
     )
     # exact verify on candidates only: identical predicate to
@@ -700,12 +722,16 @@ def semantic_dedup_pq(
     )
 
 
-def _pq_pair_cos_arrow(codebooks: list[list[list[float]]]) -> Column:
-    """Approximate pair cosine from two code arrays via broadcast
-    code-to-code dot tables: cos_hat = Σ_m T_m[ca_m][cb_m] /
-    sqrt(Σ_m N_m[ca_m] · Σ_m N_m[cb_m]), zero when either reconstructed
-    norm is zero. One Arrow batch gather per pair row — no floats ride
-    the join."""
+def _pq_pair_scores_arrow(codebooks: list[list[list[float]]]) -> Column:
+    """Approximate pair scores from two code arrays via broadcast
+    code-to-code dot tables: dot_hat = Σ_m T_m[ca_m][cb_m] and
+    n2_hat = Σ_m N_m[c_m] (subspaces disjoint, identities exact). Every
+    float is accumulated with the SAME left-to-right per-dimension /
+    per-subspace fold a SQL oracle's list_inner_product chain computes
+    — no BLAS matmul, no numpy pairwise summation — so the candidate
+    gate is bit-replayable cross-engine (the q130/q114 parity law).
+    One Arrow batch gather per pair row — no floats ride the join.
+    Returns struct(dot_hat, n2a_hat, n2b_hat)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -714,7 +740,7 @@ def _pq_pair_cos_arrow(codebooks: list[list[list[float]]]) -> Column:
         cached_broadcast,
     )
 
-    key = ("pq_pair_cos", tuple(
+    key = ("pq_pair_scores", tuple(
         tuple(tuple(map(float, c)) for c in cb) for cb in codebooks
     ))
 
@@ -725,29 +751,48 @@ def _pq_pair_cos_arrow(codebooks: list[list[list[float]]]) -> Column:
         norms = np.zeros((m, kmax))
         for i, cb in enumerate(codebooks):
             cmat = np.asarray(cb, dtype=np.float64)
-            dots[i, : len(cb), : len(cb)] = cmat @ cmat.T
-            norms[i, : len(cb)] = (cmat * cmat).sum(axis=1)
+            kk = len(cb)
+            # left-to-right per-dimension folds (element-wise adds keep
+            # each entry's IEEE op sequence identical to a scalar loop)
+            dacc = np.zeros((kk, kk))
+            nacc = np.zeros(kk)
+            for d in range(cmat.shape[1]):
+                dacc += cmat[:, d][:, None] * cmat[:, d][None, :]
+                nacc += cmat[:, d] * cmat[:, d]
+            dots[i, :kk, :kk] = dacc
+            norms[i, :kk] = nacc
         return {"dots": dots, "norms": norms}
 
     bc = cached_broadcast(key, _build)
 
-    def _cos(ca, cb):
-        if len(ca) == 0:
-            return pd.Series([], dtype="float64")
+    def _scores(ca, cb):
         st = bc.value
         m = st["dots"].shape[0]
+        if len(ca) == 0:
+            return pd.DataFrame(
+                {"dot_hat": [], "n2a_hat": [], "n2b_hat": []},
+                dtype="float64",
+            )
         am = np.stack(ca.to_numpy()).astype(np.int64)
         bm = np.stack(cb.to_numpy()).astype(np.int64)
-        midx = np.arange(m)[None, :]
-        dot_hat = st["dots"][midx, am, bm].sum(axis=1)
-        na = st["norms"][midx, am].sum(axis=1)
-        nb = st["norms"][midx, bm].sum(axis=1)
-        denom = np.sqrt(na * nb)
-        out = np.where(denom > 0, dot_hat / np.maximum(denom, 1e-300), 0.0)
-        return pd.Series(out)
+        n = am.shape[0]
+        dot_hat = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        # subspace accumulation in m order (left-to-right, matching the
+        # oracle's lip(r0a,r0b) + lip(r1a,r1b) + ... chain)
+        for i in range(m):
+            dot_hat = dot_hat + st["dots"][i, am[:, i], bm[:, i]]
+            na = na + st["norms"][i, am[:, i]]
+            nb = nb + st["norms"][i, bm[:, i]]
+        return pd.DataFrame(
+            {"dot_hat": dot_hat, "n2a_hat": na, "n2b_hat": nb}
+        )
 
-    cos = pandas_udf(_cos, "double")
-    return cos(F.col("ca"), F.col("cb"))
+    scores = pandas_udf(
+        _scores, "dot_hat double, n2a_hat double, n2b_hat double"
+    )
+    return scores(F.col("ca"), F.col("cb"))
 
 
 def rrf_fuse(

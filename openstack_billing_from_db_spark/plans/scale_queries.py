@@ -1270,3 +1270,120 @@ def q116_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- PQ-backed semantic dedup (round 10) --------------------------------------
+
+_SDPQ_SLACK = 0.05
+
+
+def _semantic_dedup_pq_oracle() -> str:
+    """Full replay of similarity.semantic_dedup_pq: the q73 Lloyd
+    cluster chain + the q110 per-subspace PQ training/encode blocks,
+    then the candidate gate on RECONSTRUCTED vectors — dot_hat =
+    Σ_m lip(r_m^a, r_m^b) and n2_hat = Σ_m lip(r_m, r_m) over the coded
+    centroids, compared in squared form at (t − slack)² — and the exact
+    squared-form verify on surviving candidates only (byte-for-byte
+    q130's predicate). The Spark side accumulates the same per-dim /
+    per-subspace left-to-right folds (no BLAS, no pairwise summation),
+    so the candidate boundary itself is cross-engine exact."""
+    from openstack_billing_from_db_spark.plans.pipeline_queries import (
+        _SEM_T,
+        _kmeans_oracle,
+    )
+
+    km = _kmeans_oracle()
+    kmeans_ctes = km.split("WITH ", 1)[1].rsplit(
+        "\nSELECT vid AS vec_id", 1
+    )[0]
+    pq_ctes = ",\n".join(_pq_train_blocks("corpus"))
+    fcb = f"c{_PQ_ITER}"
+    rec_joins = "\n".join(
+        f"  JOIN code_{m} USING (vid)\n"
+        f"  JOIN {fcb}_{m} cb{m} ON cb{m}.cid = code_{m}.c{m}"
+        for m in range(_PQ_M)
+    )
+    rcols = ", ".join(f"cb{m}.c AS r{m}" for m in range(_PQ_M))
+    xr = ", ".join(f"r.r{m}" for m in range(_PQ_M))
+    dot_hat = " + ".join(
+        f"list_inner_product(a.r{m}, b.r{m})" for m in range(_PQ_M)
+    )
+    n2hat = " + ".join(
+        f"list_inner_product(r.r{m}, r.r{m})" for m in range(_PQ_M)
+    )
+    t2 = _SEM_T * _SEM_T
+    ts = _SEM_T - _SDPQ_SLACK
+    ts2 = ts * ts
+    return f"""
+WITH {kmeans_ctes},
+{pq_ctes},
+rec AS (
+  SELECT co.vid, {rcols}
+  FROM corpus co
+{rec_joins}
+),
+x AS (
+  SELECT f.vid, f.cluster, co.e,
+         list_inner_product(co.e, co.e) AS n2,
+         {xr}, ({n2hat}) AS n2hat
+  FROM afinal f JOIN corpus co USING (vid) JOIN rec r ON r.vid = f.vid
+),
+pr AS (
+  SELECT a.vid AS va, b.vid AS vb, a.n2 AS n2a, b.n2 AS n2b,
+         list_inner_product(a.e, b.e) AS dot,
+         ({dot_hat}) AS dot_hat,
+         a.n2hat AS nha, b.n2hat AS nhb
+  FROM x a JOIN x b ON a.cluster = b.cluster AND a.vid < b.vid
+),
+cand AS (
+  SELECT * FROM pr
+  WHERE dot_hat >= 0 AND dot_hat * dot_hat >= {ts2!r} * nha * nhb
+),
+drp AS (
+  SELECT DISTINCT vb AS vid FROM cand
+  WHERE dot >= 0 AND dot * dot >= {t2!r} * n2a * n2b
+)
+SELECT x.vid AS vec_id, CAST(x.cluster AS BIGINT) AS cluster_id,
+       CASE WHEN d.vid IS NULL THEN 'kept' ELSE 'dropped' END AS fate
+FROM x LEFT JOIN drp d ON d.vid = x.vid
+"""
+
+
+@register("q147_semantic_dedup_pq", oracle=_semantic_dedup_pq_oracle())
+def q147_semantic_dedup_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-backed SemDeDup (similarity.semantic_dedup_pq, VERDICT r9
+    Next #7): q130's clustering and canonical-survivor semantics, but
+    the cluster-keyed pair stage carries {_PQ_M} PQ codes per vector
+    instead of the raw 64-double array — the memory lever for the
+    >10⁸-vector regime, where raw floats through the Σ n_c² pair
+    shuffle stop being feasible. Pair cosine is approximated from
+    broadcast code-to-code dot tables (reconstruction identities exact
+    across disjoint subspaces; every accumulation the same
+    left-to-right fold the oracle replays), candidates clearing
+    threshold − {_SDPQ_SLACK} in squared form re-join the raw vectors
+    for q130's exact verify — so drops are provably a subset of the
+    exact path's. The oracle replays clustering, PQ training, encode,
+    reconstruction, candidate gate, and verify in one DuckDB query."""
+    from openstack_billing_from_db_spark.operators.similarity import (
+        semantic_dedup_pq,
+    )
+    from openstack_billing_from_db_spark.plans.pipeline_queries import (
+        _KM_DP,
+        _KM_ITER,
+        _KM_K,
+        _SEM_T,
+    )
+
+    return semantic_dedup_pq(
+        load_table(spark, sf_dir, "embeddings"),
+        dims=_PQ_DIMS,
+        k=_KM_K,
+        n_iter=_KM_ITER,
+        round_dp=_KM_DP,
+        threshold=_SEM_T,
+        pq_subspaces=_PQ_M,
+        pq_k=_PQ_K,
+        pq_iter=_PQ_ITER,
+        pq_dp=_PQ_DP,
+        candidate_slack=_SDPQ_SLACK,
+    )
