@@ -259,3 +259,83 @@ def linear_logit_micro(weights: dict[str, int], bias_micro: int) -> Column:
     for col, w in weights.items():
         out = out + F.lit(w).cast("long") * F.col(col)
     return out
+
+
+# --- greedy sequence packing ---------------------------------------------------
+
+
+def greedy_pack_bins(
+    items: DataFrame,
+    *,
+    budget: int,
+    shard_col: str = "shard",
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy first-fit-sequential bin packing within each shard: items
+    are visited in ``id_col`` order; an item whose weight would push the
+    open bin past ``budget`` closes it and opens the next (0-based
+    ``bin`` per shard). Unlike concat-and-chunk packing (q72), an item
+    is never split across bins — the shape packed SFT/finetuning needs
+    (Krell et al. 2021, "Efficient Sequence Packing"): every bin is a
+    training sequence whose documents are whole. The rule is inherently
+    sequential (bin state depends on every prior admission), so it has
+    no closed window form — this is the sanctioned ``applyInPandas``
+    stateful-operator path, like the streaming admission kernels.
+
+    Distribution contract: the packing state lives per SHARD and the
+    Arrow stage carries only narrow (shard, id, weight) rows — text and
+    payloads never enter it. At 100 TB the layout is many bounded
+    shards (one per output training shard file); parallelism = number
+    of shards, the same contract as q72's per-shard cumulative-sum
+    window, and the per-shard loop is O(rows in shard) ints in memory.
+    An item heavier than ``budget`` occupies a bin alone: it is
+    admitted while the bin is empty, and the next item always
+    overflows it.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(shard_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField(weight_col, LongType()),
+            StructField("bin", LongType()),
+        ]
+    )
+    b = int(budget)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        weights = pdf[weight_col].astype("int64").to_numpy()
+        bins = np.zeros(len(weights), dtype="int64")
+        acc = 0
+        bin_idx = 0
+        for i in range(len(weights)):
+            w = int(weights[i])
+            if i > 0 and acc + w > b:
+                bin_idx += 1
+                acc = w
+            else:
+                acc += w
+            bins[i] = bin_idx
+        return pd.DataFrame(
+            {
+                shard_col: pdf[shard_col].astype("int64"),
+                id_col: pdf[id_col].astype("int64"),
+                weight_col: weights,
+                "bin": bins,
+            }
+        )
+
+    return (
+        items.select(
+            F.col(shard_col).cast("long").alias(shard_col),
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(weight_col).cast("long").alias(weight_col),
+        )
+        .groupBy(shard_col)
+        .applyInPandas(_pack, out_schema)
+    )

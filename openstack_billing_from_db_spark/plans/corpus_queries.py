@@ -468,3 +468,133 @@ def q132_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k0=_RRF_K0,
         topk=_RRF_TOPK,
     )
+
+
+# --- greedy (whole-document) sequence packing — round 10 ----------------------
+
+# Smaller budget than q72's 2048 so the greedy rule is exercised every
+# few documents at test scale (sf0.01 documents average ~60 tokens).
+_GPACK_BUDGET = 256
+_GPACK_SHARDS = 8
+_GPACK_HASH = seeded_hash64_sql("CAST(doc_id AS VARCHAR)", "gpack")
+
+
+@register(
+    "q148_greedy_sequence_pack",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_GPACK_HASH} % {_GPACK_SHARDS} AS shard, len({_W}) AS n_tokens
+  FROM documents
+),
+seq AS (
+  SELECT shard, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM toks
+),
+packed AS (
+  SELECT shard, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS bin, n_tokens AS acc
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.doc_id, s.n_tokens, s.rn,
+         CASE WHEN p.acc + s.n_tokens > {_GPACK_BUDGET} THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.acc + s.n_tokens > {_GPACK_BUDGET} THEN s.n_tokens
+              ELSE p.acc + s.n_tokens END
+  FROM packed p JOIN seq s ON s.shard = p.shard AND s.rn = p.rn + 1
+)
+SELECT shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, bin
+FROM packed
+""",
+)
+def q148_greedy_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit-sequential packing: within a hash shard, in
+    doc_id order, a document that would push the open training sequence
+    past the token budget closes it and opens the next — documents are
+    never split, unlike q72's concat-and-chunk cut. This is the packing
+    shape SFT / instruction-tuning uses (whole examples per sequence).
+
+    The rule is inherently sequential, so the Spark side is the
+    sanctioned per-shard ``applyInPandas`` stateful kernel over narrow
+    (shard, doc_id, n_tokens) rows (operators/curation.greedy_pack_bins)
+    — text never enters the Arrow stage; parallelism = shards, exactly
+    q72's distribution contract. The DuckDB twin replays the same rule
+    as a recursive CTE stepping one row per shard per iteration — a
+    deliberately engine-idiomatic re-expression on each side."""
+    from openstack_billing_from_db_spark.operators.curation import greedy_pack_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (seeded_hash64(F.col("doc_id").cast("string"), "gpack") % _GPACK_SHARDS).alias(
+            "shard"
+        ),
+        F.size(text.words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return greedy_pack_bins(toks, budget=_GPACK_BUDGET).select(
+        "shard", "doc_id", "n_tokens", "bin"
+    )
+
+
+# --- length-bucketed batching — round 10 --------------------------------------
+
+# Fixed token-length bucket width + sequences per batch: width-based
+# buckets are shuffle-bounded (partition key = bucket) and need no
+# global sort/ntile, which is what survives at 100 TB; padding waste is
+# the batch's max length times its row count minus its token sum.
+_LB_WIDTH = 16
+_LB_BATCH = 8
+
+
+@register(
+    "q149_length_bucketed_batches",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, len({_W}) AS n_tokens FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens, n_tokens // {_LB_WIDTH} AS bucket,
+         row_number() OVER (PARTITION BY n_tokens // {_LB_WIDTH}
+                            ORDER BY n_tokens, doc_id) AS rn
+  FROM toks
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST((rn - 1) // {_LB_BATCH} AS BIGINT) AS batch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tokens) AS BIGINT) AS batch_max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS batch_tokens,
+       CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT) AS padding_waste
+FROM b
+GROUP BY 1, 2
+""",
+)
+def q149_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching: documents fall into fixed token-length
+    buckets (``n_tokens div 16``), are ordered (n_tokens, doc_id) inside
+    the bucket, and every 8 consecutive sequences form a training batch;
+    the output reports each batch's padding waste (pad-to-max cost).
+    This is the dynamic-batching prep that cuts padding FLOPs for
+    variable-length finetuning.
+
+    Scale shape: width-based buckets need NO global sort or ntile — one
+    hash exchange on the bucket key, a bounded per-bucket window, and a
+    partial-aggregable groupBy. All JVM-side; long arithmetic only, so
+    the oracle is bit-exact."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(text.words(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    b = (
+        toks.withColumn("bucket", F.expr(f"n_tokens div {_LB_WIDTH}"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("batch", F.expr(f"(rn - 1) div {_LB_BATCH}").cast("long"))
+    )
+    return b.groupBy("bucket", "batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("batch_max_tokens"),
+        F.sum("n_tokens").alias("batch_tokens"),
+        (F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens")).alias(
+            "padding_waste"
+        ),
+    )

@@ -76,6 +76,15 @@ DEFERRED: tuple[str, ...] = (
 # cap, corpus audio/video stages) after their r9 rows. Everything
 # r9-greened parks; per-line notes give each parked query's driver-green
 # rounds and its in-gate coverage.
+#
+# Late round-10 additions q148 (greedy sequence packing) and q149
+# (length-bucketed batching) take the two head slots freed by parking
+# q77/q102 below — both parked entries have their kernel exercised by an
+# in-gate twin, and both are queued FIRST for the r11 head (they stay
+# r5-stale one more round).
+  # -- parked late in round 10 to admit q148/q149 (queue first for r11) --
+  "q77_video_frame_sample",  # r5-green; RVID index-walk exercised in-gate by q145/q146
+  "q102_kmv_set_overlap",  # r5-green; KMV kernel in-gate via q98
   # -- r9-green fresh parks (rotated out this round) --
   "q14_customers_without_orders",  # r2/r9-green
   "q15_distinct_brand_sizes",  # r2/r9-green; A1 distinct in-gate via q05

@@ -364,3 +364,73 @@ def test_bloom_probe_auto_picks_by_size(spark):
         pos, big, ["bfpos0", "bfpos1"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
+
+
+# --- greedy sequence packing (round 10) ---------------------------------------
+
+
+def _pack_rows(spark, rows, budget):
+    from openstack_billing_from_db_spark.operators.curation import greedy_pack_bins
+
+    df = spark.createDataFrame(rows, "shard long, doc_id long, n_tokens long")
+    got = greedy_pack_bins(df, budget=budget).collect()
+    return {(r.shard, r.doc_id): (r.n_tokens, r.bin) for r in got}
+
+
+def test_greedy_pack_exact_fit_stays_in_bin(spark):
+    # 100 + 156 == budget exactly -> same bin; the next token overflows
+    rows = [(0, 1, 100), (0, 2, 156), (0, 3, 1)]
+    got = _pack_rows(spark, rows, budget=256)
+    assert got == {(0, 1): (100, 0), (0, 2): (156, 0), (0, 3): (1, 1)}
+
+
+def test_greedy_pack_oversize_doc_gets_own_bin(spark):
+    # doc 2 exceeds the budget: it still lands in ONE bin (opened fresh
+    # because doc 1 filled bin 0 past the fit), and doc 3 must not join it
+    rows = [(0, 1, 200), (0, 2, 999), (0, 3, 10)]
+    got = _pack_rows(spark, rows, budget=256)
+    assert got == {(0, 1): (200, 0), (0, 2): (999, 1), (0, 3): (10, 2)}
+
+
+def test_greedy_pack_oversize_first_doc(spark):
+    # an oversize FIRST doc occupies bin 0 alone
+    rows = [(0, 1, 999), (0, 2, 10)]
+    got = _pack_rows(spark, rows, budget=256)
+    assert got == {(0, 1): (999, 0), (0, 2): (10, 1)}
+
+
+def test_greedy_pack_shards_independent_and_matches_replay(spark):
+    import random
+
+    rng = random.Random(148)
+    rows = [
+        (shard, doc_id, rng.randint(0, 120))
+        for shard in range(4)
+        for doc_id in range(rng.randint(5, 40))
+    ]
+    budget = 256
+    got = _pack_rows(spark, rows, budget=budget)
+
+    # independent pure-python replay of the greedy rule, per shard
+    expected = {}
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for shard, doc_id, w in rows:
+        by_shard.setdefault(shard, []).append((doc_id, w))
+    for shard, docs in by_shard.items():
+        acc, b = 0, 0
+        for i, (doc_id, w) in enumerate(sorted(docs)):
+            if i > 0 and acc + w > budget:
+                b += 1
+                acc = w
+            else:
+                acc += w
+            expected[(shard, doc_id)] = (w, b)
+    assert got == expected
+    # every bin respects the budget unless it holds a single oversize doc
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for (shard, _doc), (w, b) in got.items():
+        bins[(shard, b)].append(w)
+    for ws in bins.values():
+        assert sum(ws) <= budget or len(ws) == 1

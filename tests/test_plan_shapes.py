@@ -76,6 +76,8 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         "q143_corpus_recipe_images",  # composed recipe's image stage (Arrow-batched decode+dHash)
         "q144_audio_phash_dedup",  # media codec + delta-energy hash (Arrow-batched mapInPandas)
         "q145_video_phash_dedup",  # container walk + per-frame dHash (Arrow-batched mapInPandas)
+        "q147_semantic_dedup_pq",  # Arrow PQ pair-score kernel IS the certified surface (broadcast code tables; q140's class)
+        "q148_greedy_sequence_pack",  # genuinely sequential per-shard packing state (narrow Arrow rows; no closed window form)
     }
     for name, fn in QUERIES.items():
         if name in python_ok:
