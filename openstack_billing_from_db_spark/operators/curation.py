@@ -339,3 +339,29 @@ def greedy_pack_bins(
         .groupBy(shard_col)
         .applyInPandas(_pack, out_schema)
     )
+
+
+def tune_pack_shards(
+    n_docs: int,
+    *,
+    target_docs_per_shard: int = 65_536,
+    min_shards: int = 8,
+) -> int:
+    """Shard count for :func:`greedy_pack_bins` at a given corpus size:
+    the packing state is per-shard and each shard is one Arrow group
+    held in executor memory, so shards must scale with the corpus —
+    ``ceil(n_docs / target)``, floored at ``min_shards`` so test-scale
+    corpora still exercise multi-shard behavior. 10⁹ docs at the 64k
+    default → ~15k shards of narrow (id, weight) rows (~1 MB each),
+    which also sets the stage's parallelism. Same contract class as
+    ``dedup.tune_banding``/``tune_hamming_band_bits``: derive the
+    layout constant from corpus size instead of hardcoding it."""
+    if n_docs < 0:
+        raise ValueError(f"n_docs must be >= 0; got {n_docs}")
+    if target_docs_per_shard < 1:
+        raise ValueError(
+            f"target_docs_per_shard must be >= 1; got {target_docs_per_shard}"
+        )
+    if min_shards < 1:
+        raise ValueError(f"min_shards must be >= 1; got {min_shards}")
+    return max(min_shards, -(-n_docs // target_docs_per_shard))

@@ -16,7 +16,7 @@ from openstack_billing_from_db_spark.functions.hashing import (
     seeded_hash64,
     seeded_hash64_sql,
 )
-from openstack_billing_from_db_spark.operators import sampling, text
+from openstack_billing_from_db_spark.operators import curation, sampling, text
 from openstack_billing_from_db_spark.registry import register
 from openstack_billing_from_db_spark.sources.tables import load_table
 
@@ -474,8 +474,13 @@ def q132_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Smaller budget than q72's 2048 so the greedy rule is exercised every
 # few documents at test scale (sf0.01 documents average ~60 tokens).
+# Shard count is derived from the certified fixture ceiling via the
+# tuner (q144/q145's pattern: plan and f-string oracle consume the same
+# derived constant, so a tuner re-anchor re-derives both together);
+# derived value today: 8.
 _GPACK_BUDGET = 256
-_GPACK_SHARDS = 8
+_GPACK_FIXTURE_MAX_DOCS = 100_000
+_GPACK_SHARDS = curation.tune_pack_shards(_GPACK_FIXTURE_MAX_DOCS)
 _GPACK_HASH = seeded_hash64_sql("CAST(doc_id AS VARCHAR)", "gpack")
 
 
@@ -597,4 +602,145 @@ def q149_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens")).alias(
             "padding_waste"
         ),
+    )
+
+
+@register(
+    "q150_packing_efficiency",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_GPACK_HASH} % {_GPACK_SHARDS} AS shard, len({_W}) AS n_tokens
+  FROM documents
+),
+seq AS (
+  SELECT shard, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM toks
+),
+packed AS (
+  SELECT shard, n_tokens, rn, CAST(0 AS BIGINT) AS bin, n_tokens AS acc
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.n_tokens, s.rn,
+         CASE WHEN p.acc + s.n_tokens > {_GPACK_BUDGET} THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.acc + s.n_tokens > {_GPACK_BUDGET} THEN s.n_tokens
+              ELSE p.acc + s.n_tokens END
+  FROM packed p JOIN seq s ON s.shard = p.shard AND s.rn = p.rn + 1
+),
+g_shard AS (
+  SELECT shard, max(bin) + 1 AS n_bins, sum(n_tokens) AS tok FROM packed GROUP BY shard
+),
+greedy AS (
+  SELECT 'greedy' AS strategy,
+         CAST(sum(n_bins) AS BIGINT) AS n_bins,
+         CAST(sum(tok) AS BIGINT) AS total_tokens,
+         CAST(0 AS BIGINT) AS n_docs_split
+  FROM g_shard
+),
+cum AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM toks
+),
+c_shard AS (
+  SELECT shard, sum(n_tokens) AS tok,
+         sum(CASE WHEN n_tokens > 0
+                  AND (c - n_tokens) // {_GPACK_BUDGET} != (c - 1) // {_GPACK_BUDGET}
+                  THEN 1 ELSE 0 END) AS n_split
+  FROM cum GROUP BY shard
+),
+chunk AS (
+  SELECT 'chunk' AS strategy,
+         CAST(sum((tok + {_GPACK_BUDGET} - 1) // {_GPACK_BUDGET}) AS BIGINT) AS n_bins,
+         CAST(sum(tok) AS BIGINT) AS total_tokens,
+         CAST(sum(n_split) AS BIGINT) AS n_docs_split
+  FROM c_shard WHERE tok > 0
+)
+SELECT strategy, n_bins, total_tokens,
+       CAST((total_tokens * 1000000) // (n_bins * {_GPACK_BUDGET}) AS BIGINT)
+         AS fill_rate_micro,
+       n_docs_split
+FROM (SELECT * FROM greedy UNION ALL SELECT * FROM chunk)
+""",
+)
+def q150_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-strategy evaluation loop (the q114/q116 pattern applied
+    to the packing family): greedy whole-document packing (q148's
+    kernel) vs concat-and-chunk (q72's rule) AT THE SAME budget and
+    sharding — bins used, fill rate (micro-units of budget), and how
+    many documents the chunk cut splits across sequence boundaries
+    (greedy never splits by construction; chunk never wastes padding —
+    fill 100% except the per-shard tail). This is the measurement that
+    sizes the padding-vs-split tradeoff before committing a corpus to
+    one packing layout.
+
+    Scale shape: both sides reduce to per-shard aggregates (greedy via
+    the q148 Arrow kernel, chunk via the q72 cumulative-sum window) —
+    two 1-row-per-shard streams, constant-size output. All BIGINT; the
+    fill rate is a single floor division."""
+    from pyspark.sql.window import Window
+
+    from openstack_billing_from_db_spark.operators.curation import greedy_pack_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (seeded_hash64(F.col("doc_id").cast("string"), "gpack") % _GPACK_SHARDS).alias(
+            "shard"
+        ),
+        F.size(text.words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    g_shard = (
+        greedy_pack_bins(toks, budget=_GPACK_BUDGET)
+        .groupBy("shard")
+        .agg(
+            (F.max("bin") + F.lit(1)).alias("n_bins"),
+            F.sum("n_tokens").alias("tok"),
+        )
+    )
+    greedy = g_shard.agg(
+        F.lit("greedy").alias("strategy"),
+        F.sum("n_bins").cast("long").alias("n_bins"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.lit(0).cast("long").alias("n_docs_split"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("c", F.sum("n_tokens").over(w))
+    split = F.when(
+        (F.col("n_tokens") > 0)
+        & (
+            F.expr(f"(c - n_tokens) div {_GPACK_BUDGET}")
+            != F.expr(f"(c - 1) div {_GPACK_BUDGET}")
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    c_shard = (
+        cum.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("tok"), F.sum(split).alias("n_split"))
+        .filter(F.col("tok") > 0)
+    )
+    chunk = c_shard.agg(
+        F.lit("chunk").alias("strategy"),
+        F.sum(
+            F.expr(f"(tok + {_GPACK_BUDGET} - 1) div {_GPACK_BUDGET}")
+        )
+        .cast("long")
+        .alias("n_bins"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.sum("n_split").cast("long").alias("n_docs_split"),
+    )
+    both = greedy.unionByName(chunk)
+    return both.select(
+        "strategy",
+        "n_bins",
+        "total_tokens",
+        F.expr(f"(total_tokens * 1000000) div (n_bins * {_GPACK_BUDGET})")
+        .cast("long")
+        .alias("fill_rate_micro"),
+        "n_docs_split",
     )

@@ -82,9 +82,10 @@ DEFERRED: tuple[str, ...] = (
 # q77/q102 below — both parked entries have their kernel exercised by an
 # in-gate twin, and both are queued FIRST for the r11 head (they stay
 # r5-stale one more round).
-  # -- parked late in round 10 to admit q148/q149 (queue first for r11) --
+  # -- parked late in round 10 to admit q148/q149/q150 (queue first for r11) --
   "q77_video_frame_sample",  # r5-green; RVID index-walk exercised in-gate by q145/q146
   "q102_kmv_set_overlap",  # r5-green; KMV kernel in-gate via q98
+  "q50_streaming_windowed_counts",  # r7-green; streaming set in-gate via q51/q75
   # -- r9-green fresh parks (rotated out this round) --
   "q14_customers_without_orders",  # r2/r9-green
   "q15_distinct_brand_sizes",  # r2/r9-green; A1 distinct in-gate via q05

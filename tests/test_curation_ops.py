@@ -434,3 +434,22 @@ def test_greedy_pack_shards_independent_and_matches_replay(spark):
         bins[(shard, b)].append(w)
     for ws in bins.values():
         assert sum(ws) <= budget or len(ws) == 1
+
+
+def test_tune_pack_shards_contract():
+    from openstack_billing_from_db_spark.operators.curation import tune_pack_shards
+
+    # floor at min_shards for small corpora (the fixture regime)
+    assert tune_pack_shards(0) == 8
+    assert tune_pack_shards(5_000) == 8
+    assert tune_pack_shards(100_000) == 8
+    # ceil(n / target) beyond it
+    assert tune_pack_shards(1_000_000) == 16
+    assert tune_pack_shards(10**9) == -(-(10**9) // 65_536)
+    assert tune_pack_shards(100, target_docs_per_shard=10, min_shards=1) == 10
+    with pytest.raises(ValueError):
+        tune_pack_shards(-1)
+    with pytest.raises(ValueError):
+        tune_pack_shards(10, target_docs_per_shard=0)
+    with pytest.raises(ValueError):
+        tune_pack_shards(10, min_shards=0)

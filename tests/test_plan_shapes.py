@@ -78,6 +78,7 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         "q145_video_phash_dedup",  # container walk + per-frame dHash (Arrow-batched mapInPandas)
         "q147_semantic_dedup_pq",  # Arrow PQ pair-score kernel IS the certified surface (broadcast code tables; q140's class)
         "q148_greedy_sequence_pack",  # genuinely sequential per-shard packing state (narrow Arrow rows; no closed window form)
+        "q150_packing_efficiency",  # composes q148's sequential packing kernel (its greedy side)
     }
     for name, fn in QUERIES.items():
         if name in python_ok:
