@@ -32,6 +32,16 @@ import sys
 from pyspark.sql import SparkSession
 
 
+def _positive_int(value: str) -> int:
+    """argparse type for divisors: 0 would flow into ``doc_id div 0``
+    (NULL synth keys → a cryptic Arrow-worker PythonException) and
+    negatives silently invert the family structure."""
+    n = int(value)
+    if n < 1:
+        raise argparse.ArgumentTypeError(f"must be a positive integer; got {n}")
+    return n
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="corpus_cli")
     sub = p.add_subparsers(dest="command", required=True)
@@ -56,7 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     prep.add_argument(
         "--audio-synth-div",
-        type=int,
+        type=_positive_int,
         default=2,
         help="fixture content key divisor for the audio stage "
         "(doc_id // N; gives audio its own duplicate structure — "
@@ -71,7 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     prep.add_argument(
         "--video-synth-div",
-        type=int,
+        type=_positive_int,
         default=3,
         help="fixture content key divisor for the video stage "
         "(doc_id // N — the registered q146 recipe value)",

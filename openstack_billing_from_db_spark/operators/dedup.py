@@ -243,8 +243,15 @@ def minhash_near_duplicates(
     def _side(suffix: str) -> DataFrame:
         renames = {"doc_id": f"doc_{suffix}", "sigvec": f"sv_{suffix}",
                    "bnvec": f"bv_{suffix}"}
+        # only the a side's size vector is read by the canonical-band
+        # test (colliding docs share the bucket, so bv_a[j] == bv_b[j]
+        # whenever band j collides) — keep the b side of the banded
+        # self-join free of the n_bands-long array
+        cols = side_cols if suffix == "a" else [
+            c for c in side_cols if c != "bnvec"
+        ]
         return melted.select(
-            *[F.col(c).alias(renames.get(c, c)) for c in side_cols]
+            *[F.col(c).alias(renames.get(c, c)) for c in cols]
         )
 
     a, b = _side("a"), _side("b")
@@ -412,8 +419,13 @@ def simhash_near_duplicates(
     def _side(suffix: str) -> DataFrame:
         renames = {"doc_id": f"doc_{suffix}", "simhash": f"fp_{suffix}",
                    "bnvec": f"bv_{suffix}"}
+        # bv is read only via bv_a (shared bucket ⇒ equal sizes) — drop
+        # it from the b side of the self-join
+        cols = side_cols if suffix == "a" else [
+            c for c in side_cols if c != "bnvec"
+        ]
         return melted.select(
-            *[F.col(c).alias(renames.get(c, c)) for c in side_cols]
+            *[F.col(c).alias(renames.get(c, c)) for c in cols]
         )
 
     a, b = _side("a"), _side("b")
@@ -671,8 +683,13 @@ def framewise_hamming_pairs(
             "__fp": f"fp_{suffix}",
             "bnvec": f"bv_{suffix}",
         }
+        # bv is read only via bv_a (shared bucket ⇒ equal sizes) — drop
+        # it from the b side of the self-join
+        cols = side_cols if suffix == "a" else [
+            c for c in side_cols if c != "bnvec"
+        ]
         return melted.select(
-            *[F.col(c).alias(renames.get(c, c)) for c in side_cols]
+            *[F.col(c).alias(renames.get(c, c)) for c in cols]
         )
 
     a, b = _side("a"), _side("b")
@@ -717,6 +734,7 @@ def framewise_hamming_matches(
     min_frames: int = 2,
     frame_col: str = "frame_idx",
     fp_col: str = "dhash",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Probe NEW multi-fingerprint entities (videos: one hash per
     sampled frame) against a persisted per-frame fingerprint index PLUS
@@ -734,6 +752,15 @@ def framewise_hamming_matches(
     Per-epoch work is (batch frame-bands) × (per-frame index bucket
     occupancy) — the index side carries only narrow (doc, frame, hash)
     BIGINT rows; payloads never enter.
+
+    ``max_bucket_size`` is the same degenerate-frame skew cap as
+    :func:`framewise_hamming_pairs`: constant/black frames accumulate
+    in the persisted index across epochs, so without the cap each new
+    batch's black frames join O(batch × full index) candidates.
+    Occupancy is measured on the index+batch union per (frame, band,
+    bucket); a frame match survives iff one of its colliding bands is
+    under the cap (bucket-aware canonical-band test — a colliding pair
+    shares the bucket, so the union-side size vector decides for both).
 
     Output: (new_id, match_id, n_frames_matched, match_in_new)."""
     n_bands = bits // band_bits
@@ -788,14 +815,37 @@ def framewise_hamming_matches(
         "band",
         "bucket",
     )
-    b = melt(union, ["doc_id", "__f", "__fp", "__new"]).select(
+    b_m = melt(union, ["doc_id", "__f", "__fp", "__new"])
+    b_cols = [
         F.col("doc_id").alias("match_id"),
         F.col("__fp").alias("fp_b"),
         F.col("__new").alias("match_in_new"),
-        "__f",
-        "band",
-        "bucket",
-    )
+        F.col("__f"),
+        F.col("band"),
+        F.col("bucket"),
+    ]
+    if max_bucket_size is not None:
+        # occupancy over the index+batch union, keyed like the probe
+        # join; the a side (new ⊆ union) needs no filter of its own —
+        # dropping the oversized b rows empties the band's join output,
+        # and the canonical test reads the b side's vector (a colliding
+        # pair shares the bucket, hence the size)
+        sizes = b_m.groupBy("__f", "band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        with_bn = b_m.join(sizes, ["__f", "band", "bucket"])
+        bnvec = with_bn.groupBy("doc_id", "__f").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("band", "__bn"))),
+                lambda s: s["__bn"],
+            ).alias("bv_b")
+        )
+        b_m = (
+            with_bn.filter(F.col("__bn") <= max_bucket_size)
+            .join(bnvec, ["doc_id", "__f"])
+        )
+        b_cols.append(F.col("bv_b"))
+    b = b_m.select(*b_cols)
     first_band_only = F.lit(True)
     for j in range(n_bands):
         eq_j = (
@@ -804,7 +854,12 @@ def framewise_hamming_matches(
                 F.lit(mask)
             )
         )
-        first_band_only = first_band_only & ~((F.col("band") > F.lit(j)) & eq_j)
+        earlier_emits = (F.col("band") > F.lit(j)) & eq_j
+        if max_bucket_size is not None:
+            earlier_emits = earlier_emits & (
+                F.col("bv_b")[j] <= F.lit(max_bucket_size)
+            )
+        first_band_only = first_band_only & ~earlier_emits
     frame_matches = (
         a.join(b, ["__f", "band", "bucket"])
         .filter(F.col("new_id") != F.col("match_id"))

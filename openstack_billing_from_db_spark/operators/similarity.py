@@ -617,6 +617,12 @@ def semantic_dedup_pq(
         raise ValueError(f"threshold must be in (0, 1]; got {threshold}")
     if candidate_slack < 0:
         raise ValueError(f"candidate_slack must be >= 0; got {candidate_slack}")
+    if candidate_slack >= threshold:
+        # validate BEFORE kmeans/PQ training burn the full passes
+        raise ValueError(
+            f"candidate_slack ({candidate_slack}) must be < threshold "
+            f"({threshold}) — the candidate gate must stay positive"
+        )
     base = tracked_persist(
         ensure_map_parallelism(
             emb.select(
@@ -661,11 +667,6 @@ def semantic_dedup_pq(
     b = slim.select(
         "cluster", F.col("vid").alias("vb"), F.col("codes").alias("cb")
     )
-    if candidate_slack >= threshold:
-        raise ValueError(
-            f"candidate_slack ({candidate_slack}) must be < threshold "
-            f"({threshold}) — the candidate gate must stay positive"
-        )
     # squared-form candidate gate (dot_hat >= 0 AND dot_hat² >=
     # (t−slack)²·|q(a)|²·|q(b)|²) — no sqrt/division, every operand the
     # same left-to-right fold a SQL oracle replays bit-for-bit (the

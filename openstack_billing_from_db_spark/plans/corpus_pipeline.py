@@ -87,6 +87,11 @@ def image_dedup_stage(
     (doc_id, hash) rows after decode; pixels never shuffle)."""
     from openstack_billing_from_db_spark.operators import multimodal
 
+    if n_docs is None:
+        # count the NARROW projection: phash_near_duplicates' fallback
+        # would count the payload DataFrame, re-running the synthesis
+        # mapInPandas once just for the tuner's cardinality
+        n_docs = corpus.select("doc_id").count()
     pay = multimodal.synthesize_textured_image_payloads(
         corpus.select("doc_id")
     )
@@ -121,6 +126,8 @@ def audio_dedup_stage(
     src = corpus.select(
         "doc_id", F.expr(f"doc_id div {int(synth_id_div)}").alias("__synth")
     )
+    if n_docs is None:
+        n_docs = src.count()  # narrow — avoids the payload-synthesis count
     pay = multimodal.synthesize_family_audio_payloads(
         src, synth_col="__synth"
     )
@@ -151,6 +158,8 @@ def video_dedup_stage(
     src = corpus.select(
         "doc_id", F.expr(f"doc_id div {int(synth_id_div)}").alias("__synth")
     )
+    if n_docs is None:
+        n_docs = src.count()  # narrow — avoids the payload-synthesis count
     pay = multimodal.synthesize_family_video_payloads(
         src, synth_col="__synth"
     )

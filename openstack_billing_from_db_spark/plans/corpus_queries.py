@@ -481,13 +481,15 @@ def q132_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GPACK_BUDGET = 256
 _GPACK_FIXTURE_MAX_DOCS = 100_000
 _GPACK_SHARDS = curation.tune_pack_shards(_GPACK_FIXTURE_MAX_DOCS)
-_GPACK_HASH = seeded_hash64_sql("CAST(doc_id AS VARCHAR)", "gpack")
 
 
-@register(
-    "q148_greedy_sequence_pack",
-    oracle=f"""
-WITH RECURSIVE toks AS (
+def _gpack_ctes() -> str:
+    """Shared recursive greedy-packing CTE chain (toks → seq → packed):
+    q148 certifies the rule and q150's 'greedy' baseline must replay the
+    IDENTICAL rule, so both oracles consume this one string (the repo's
+    _minhash_jaccard_blocks pattern — a rule edit cannot silently
+    desynchronize the two)."""
+    return f"""toks AS (
   SELECT doc_id, {_GPACK_HASH} % {_GPACK_SHARDS} AS shard, len({_W}) AS n_tokens
   FROM documents
 ),
@@ -505,7 +507,14 @@ packed AS (
          CASE WHEN p.acc + s.n_tokens > {_GPACK_BUDGET} THEN s.n_tokens
               ELSE p.acc + s.n_tokens END
   FROM packed p JOIN seq s ON s.shard = p.shard AND s.rn = p.rn + 1
-)
+)"""
+_GPACK_HASH = seeded_hash64_sql("CAST(doc_id AS VARCHAR)", "gpack")
+
+
+@register(
+    "q148_greedy_sequence_pack",
+    oracle=f"""
+WITH RECURSIVE {_gpack_ctes()}
 SELECT shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, bin
 FROM packed
 """,
@@ -608,25 +617,7 @@ def q149_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q150_packing_efficiency",
     oracle=f"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id, {_GPACK_HASH} % {_GPACK_SHARDS} AS shard, len({_W}) AS n_tokens
-  FROM documents
-),
-seq AS (
-  SELECT shard, doc_id, n_tokens,
-         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
-  FROM toks
-),
-packed AS (
-  SELECT shard, n_tokens, rn, CAST(0 AS BIGINT) AS bin, n_tokens AS acc
-  FROM seq WHERE rn = 1
-  UNION ALL
-  SELECT s.shard, s.n_tokens, s.rn,
-         CASE WHEN p.acc + s.n_tokens > {_GPACK_BUDGET} THEN p.bin + 1 ELSE p.bin END,
-         CASE WHEN p.acc + s.n_tokens > {_GPACK_BUDGET} THEN s.n_tokens
-              ELSE p.acc + s.n_tokens END
-  FROM packed p JOIN seq s ON s.shard = p.shard AND s.rn = p.rn + 1
-),
+WITH RECURSIVE {_gpack_ctes()},
 g_shard AS (
   SELECT shard, max(bin) + 1 AS n_bins, sum(n_tokens) AS tok FROM packed GROUP BY shard
 ),

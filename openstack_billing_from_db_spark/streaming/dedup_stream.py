@@ -33,6 +33,41 @@ from openstack_billing_from_db_spark.operators.dedup import (
 )
 
 
+def _epoch_snapshot(spark: SparkSession, df: DataFrame):
+    """Lineage-truncating snapshot of an epoch result, with a
+    deterministic release handle.
+
+    ``localCheckpoint(eager=True)`` is the snapshot-integrity half: a
+    lost cached partition FAILS the (idempotent) epoch instead of
+    silently recomputing against the post-write mixed index. Its
+    MEMORY_AND_DISK blocks, however, are otherwise only released when
+    the JVM garbage-collects the RDD reference — in a long-running
+    stream that lets storage grow with epoch count. The checkpointed
+    RDD id is diffed from the public
+    ``JavaSparkContext.getPersistentRDDs`` map (the foreachBatch step
+    is single-threaded, so the only new entries are this checkpoint's),
+    and ``release()`` unpersists exactly those ids once the epoch's
+    writes are committed."""
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    cp = df.localCheckpoint(eager=True)
+    new_ids = [
+        i for i in jsc.getPersistentRDDs().keySet().toArray() if i not in before
+    ]
+
+    def release() -> None:
+        try:
+            live = jsc.getPersistentRDDs()
+            for i in new_ids:
+                jrdd = live.get(i)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
+        except Exception:
+            pass  # cleanup is best-effort; the epoch already committed
+
+    return cp, release
+
+
 def _existing_index(spark: SparkSession, index_dir: str, like: DataFrame) -> DataFrame:
     try:
         # epoch partition-discovery column dropped: the index schema is
@@ -118,18 +153,20 @@ def run_streaming_dedup_index(
         )
         # snapshot BOTH results against the pre-epoch index BEFORE
         # writing into index_dir — the additions DAG reads the very
-        # directory the epoch write lands in. localCheckpoint (not
-        # persist+count) TRUNCATES the lineage: a lost cached partition
-        # fails the epoch (safe — the replay is idempotent) instead of
-        # silently recomputing against the post-write mixed index.
-        verdicts = verdicts.localCheckpoint(eager=True)
-        additions = additions.localCheckpoint(eager=True)
-        verdicts.write.mode("overwrite").parquet(
-            f"{verdicts_dir}/epoch={epoch_id}"
-        )
-        additions.write.mode("overwrite").parquet(
-            f"{index_dir}/epoch={epoch_id}"
-        )
+        # directory the epoch write lands in (_epoch_snapshot: lineage
+        # truncation + deterministic per-epoch block release).
+        verdicts, release_v = _epoch_snapshot(spark, verdicts)
+        additions, release_a = _epoch_snapshot(spark, additions)
+        try:
+            verdicts.write.mode("overwrite").parquet(
+                f"{verdicts_dir}/epoch={epoch_id}"
+            )
+            additions.write.mode("overwrite").parquet(
+                f"{index_dir}/epoch={epoch_id}"
+            )
+        finally:
+            release_v()
+            release_a()
 
     q = (
         stream.writeStream.foreachBatch(step)
@@ -289,6 +326,7 @@ def admit_video_batch(
     band_bits: int = 11,
     max_hamming: int = 4,
     min_frames: int = 2,
+    max_bucket_size: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One video micro-batch against the persisted PER-FRAME fingerprint
     index: RVID index walk decodes only the ``n_samples`` sampled frames
@@ -308,8 +346,12 @@ def admit_video_batch(
         framewise_hamming_matches,
     )
 
-    new_fp = multimodal.video_frame_dhash(
-        batch_pay, n_samples=n_samples, grid=grid
+    # persist BEFORE framewise_hamming_matches caches its own projection
+    # of this plan: the inner tracked_persist captures its physical plan
+    # at call time, so persisting here lets it read the decoded frames
+    # from this cache instead of running the RVID decode a second time
+    new_fp = tracked_persist(
+        multimodal.video_frame_dhash(batch_pay, n_samples=n_samples, grid=grid)
     )
     existing = _existing_index(spark, index_dir, new_fp)
     matches = framewise_hamming_matches(
@@ -319,6 +361,7 @@ def admit_video_batch(
         band_bits=band_bits,
         max_hamming=max_hamming,
         min_frames=min_frames,
+        max_bucket_size=max_bucket_size,
     )
     blocking = F.when(
         (~F.col("match_in_new")) | (F.col("match_id") < F.col("new_id")),
@@ -329,7 +372,6 @@ def admit_video_batch(
         F.max("n_frames_matched").alias("best_frames_matched"),
         (F.sum(blocking) == 0).alias("admitted"),
     )
-    new_fp = tracked_persist(new_fp)
     verdicts = (
         new_fp.select("doc_id")
         .distinct()
@@ -376,14 +418,18 @@ def _run_streaming_payload_dedup(
         )
         # lineage-truncating snapshot against the pre-epoch index BEFORE
         # the epoch write lands in index_dir (see run_streaming_dedup_index)
-        verdicts = verdicts.localCheckpoint(eager=True)
-        additions = additions.localCheckpoint(eager=True)
-        verdicts.write.mode("overwrite").parquet(
-            f"{verdicts_dir}/epoch={epoch_id}"
-        )
-        additions.write.mode("overwrite").parquet(
-            f"{index_dir}/epoch={epoch_id}"
-        )
+        verdicts, release_v = _epoch_snapshot(spark, verdicts)
+        additions, release_a = _epoch_snapshot(spark, additions)
+        try:
+            verdicts.write.mode("overwrite").parquet(
+                f"{verdicts_dir}/epoch={epoch_id}"
+            )
+            additions.write.mode("overwrite").parquet(
+                f"{index_dir}/epoch={epoch_id}"
+            )
+        finally:
+            release_v()
+            release_a()
 
     q = (
         stream.writeStream.foreachBatch(step)

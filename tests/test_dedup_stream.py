@@ -329,3 +329,23 @@ def test_streaming_video_dedup_frame_majority_admission(spark, tmp_path):
         .count()
         == 1
     )
+
+
+def test_epoch_snapshot_releases_blocks(spark):
+    """_epoch_snapshot truncates lineage (the snapshot-integrity half)
+    AND releases the checkpoint's cached blocks deterministically —
+    in a long-running stream GC-based cleanup lets storage grow with
+    epoch count (self-review round 10)."""
+    from openstack_billing_from_db_spark.streaming.dedup_stream import (
+        _epoch_snapshot,
+    )
+
+    jsc = spark.sparkContext._jsc
+    baseline = jsc.getPersistentRDDs().size()
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    cp, release = _epoch_snapshot(spark, df)
+    assert jsc.getPersistentRDDs().size() > baseline  # blocks held
+    assert cp.count() == 100  # readable while held
+    release()
+    assert jsc.getPersistentRDDs().size() == baseline  # freed now
+    release()  # idempotent

@@ -776,3 +776,66 @@ def test_framewise_hamming_pairs_bucket_cap(spark):
     # under-cap bands 1-4 (counted once), so (0,1) -> exactly 2
     assert brute(None)[(0, 1)] == 3 and brute(5)[(0, 1)] == 2
     assert len(brute(None)) == 45 and len(brute(5)) == 1
+
+
+def test_framewise_hamming_matches_bucket_cap(spark):
+    """The streaming probe gets the same degenerate-frame skew cap as
+    its batch twin: black frames accumulate in the persisted index, so
+    without the cap each batch's black frames join the whole index.
+    Capped, a frame match survives only via an under-cap band; the
+    majority count still counts each (new, match, frame) exactly once."""
+    from openstack_billing_from_db_spark.operators.dedup import (
+        framewise_hamming_matches,
+    )
+
+    bits, band_bits = 56, 11
+
+    def h(band_val):  # same value in all 5 bands
+        return sum(band_val << (k * band_bits) for k in range(5))
+
+    fp = {}
+    index_docs = [0, 1, 2, 3, 4, 5]
+    new_docs = [10, 11, 12, 13]
+    # frame 0: EVERY doc identical (black frame) -> one oversized bucket
+    for d in index_docs + new_docs:
+        fp[(d, 0)] = 0
+    # family A: index doc 0 and new doc 10 identical in frames 1, 2
+    for f in (1, 2):
+        fp[(0, f)] = h(7)
+        fp[(10, f)] = h(7)
+    # family B: new docs 11, 12 identical in frames 1, 2 (both directions)
+    for f in (1, 2):
+        fp[(11, f)] = h(9)
+        fp[(12, f)] = h(9)
+    # everything else far apart: unique per-band values, no shared bucket
+    for d in index_docs[1:] + [13]:
+        for f in (1, 2):
+            fp[(d, f)] = h(100 + d)
+
+    rows = [(d, f, v) for (d, f), v in fp.items()]
+    union = spark.createDataFrame(rows, "doc_id long, frame_idx int, dhash long")
+    existing = union.filter(union.doc_id < 10)
+    new = union.filter(union.doc_id >= 10)
+
+    def run(cap):
+        return {
+            (r.new_id, r.match_id): (r.n_frames_matched, r.match_in_new)
+            for r in framewise_hamming_matches(
+                existing, new, bits=bits, band_bits=band_bits,
+                max_hamming=4, min_frames=2, max_bucket_size=cap,
+            ).collect()
+        }
+
+    # uncapped: the black frame matches too -> 3 frames per family pair
+    assert run(None) == {
+        (10, 0): (3, False),
+        (11, 12): (3, True),
+        (12, 11): (3, True),
+    }
+    # capped at 5: the 10-doc black-frame bucket is dropped everywhere;
+    # family matches survive via frames 1-2 only (counted once each)
+    assert run(5) == {
+        (10, 0): (2, False),
+        (11, 12): (2, True),
+        (12, 11): (2, True),
+    }
