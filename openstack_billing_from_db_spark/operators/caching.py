@@ -87,11 +87,15 @@ def cached_broadcast(key: Hashable, factory: Callable[[], Any]):
         return bc
 
 
-def release_operator_caches() -> int:
-    """Unpersist every tracked intermediate and destroy every cached
-    broadcast; returns how many handles were released. Safe to call
-    with queries still unmaterialized (Spark recomputes lineage; a
-    destroyed broadcast is rebuilt on the next operator build)."""
+def release_persisted_caches() -> int:
+    """Unpersist every tracked DataFrame intermediate (but keep cached
+    broadcasts — destroying a broadcast breaks any still-unexecuted
+    plan holding its handle, while unpersisting a DataFrame only ever
+    costs a recompute). This is the safe-anytime half of
+    :func:`release_operator_caches`; the registry calls it at every
+    query-function entry so a sequential 50-query gate session never
+    accumulates 50 queries' worth of cached blocks (the round-10 gate
+    sim OOMed a bare 1g session on the last head queries without it)."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()
@@ -100,6 +104,16 @@ def release_operator_caches() -> int:
             n += 1
         except Exception:  # session already stopped — nothing to release
             pass
+    return n
+
+
+def release_operator_caches() -> int:
+    """Unpersist every tracked intermediate and destroy every cached
+    broadcast; returns how many handles were released. DataFrame
+    unpersists are safe anytime (Spark recomputes lineage); broadcast
+    DESTROY is a barrier — call it only once the plans holding the
+    handles have been materialized (bench.py's per-query boundary)."""
+    n = release_persisted_caches()
     with _BC_LOCK:
         while _TRACKED_BC:
             _, bc = _TRACKED_BC.popitem()

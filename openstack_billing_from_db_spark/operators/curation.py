@@ -365,3 +365,140 @@ def tune_pack_shards(
     if min_shards < 1:
         raise ValueError(f"min_shards must be >= 1; got {min_shards}")
     return max(min_shards, -(-n_docs // target_docs_per_shard))
+
+
+def pack_state(
+    assignments: DataFrame,
+    *,
+    shard_col: str = "shard",
+    weight_col: str = "n_tokens",
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Open-bin state of a greedy packing: per shard, the last bin's id
+    and its token fill — everything the greedy rule needs to CONTINUE
+    packing later arrivals (the rule is Markovian in (open_bin, acc)).
+    One groupBy over the assignment rows; output is shards-sized:
+    (shard, open_bin, open_acc)."""
+    per_bin = assignments.groupBy(shard_col, bin_col).agg(
+        F.sum(weight_col).cast("long").alias("__s")
+    )
+    return per_bin.groupBy(shard_col).agg(
+        F.max(F.struct(F.col(bin_col), F.col("__s"))).alias("__m")
+    ).select(
+        shard_col,
+        F.col(f"__m.{bin_col}").cast("long").alias("open_bin"),
+        F.col("__m.__s").cast("long").alias("open_acc"),
+    )
+
+
+def greedy_pack_continue(
+    items: DataFrame,
+    state: DataFrame | None = None,
+    *,
+    budget: int,
+    shard_col: str = "shard",
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """Continue a greedy packing from persisted open-bin state — the
+    incremental companion of :func:`greedy_pack_bins` (what
+    ``incremental_near_duplicates`` is to the batch dedup join). With
+    ``state=None`` this IS :func:`greedy_pack_bins`; with the prior
+    epoch's :func:`pack_state` rows it packs the new arrivals exactly
+    as if they had been present in one batch run — provided arrivals
+    respect ``id_col`` order across epochs (stream contract; the
+    equivalence is pytest-pinned and driver-certified by q151).
+
+    The state join is shards-sized (broadcastable); a shard absent from
+    the state is fresh, so its first item skips the overflow check
+    (q148's base-case rule), while a seen shard applies the check to
+    every item including its first."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(shard_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField(weight_col, LongType()),
+            StructField("bin", LongType()),
+        ]
+    )
+    b = int(budget)
+
+    base = items.select(
+        F.col(shard_col).cast("long").alias(shard_col),
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(weight_col).cast("long").alias(weight_col),
+    )
+    if state is None:
+        state = base.sparkSession.createDataFrame(
+            [], f"{shard_col} long, open_bin long, open_acc long"
+        )
+    joined = base.join(
+        F.broadcast(
+            state.select(shard_col, "open_bin", "open_acc")
+        ),
+        shard_col,
+        "left",
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        weights = pdf[weight_col].astype("int64").to_numpy()
+        bins = np.zeros(len(weights), dtype="int64")
+        started = pd.notna(pdf["open_bin"].iloc[0]) if len(pdf) else False
+        bin_idx = int(pdf["open_bin"].iloc[0]) if started else 0
+        acc = int(pdf["open_acc"].iloc[0]) if started else 0
+        for i in range(len(weights)):
+            w = int(weights[i])
+            if (started or i > 0) and acc + w > b:
+                bin_idx += 1
+                acc = w
+            else:
+                acc += w
+            bins[i] = bin_idx
+        return pd.DataFrame(
+            {
+                shard_col: pdf[shard_col].astype("int64"),
+                id_col: pdf[id_col].astype("int64"),
+                weight_col: weights,
+                "bin": bins,
+            }
+        )
+
+    return joined.groupBy(shard_col).applyInPandas(_pack, out_schema)
+
+
+def merge_pack_state(prev: DataFrame | None, batch_state: DataFrame) -> DataFrame:
+    """Fold a batch's :func:`pack_state` into the prior state: a shard
+    whose batch packing CONTINUED the previous open bin (same bin id)
+    adds its fill to the carried ``open_acc``; a shard that opened new
+    bins keeps the batch fill; shards untouched by the batch keep their
+    prior row. Both inputs are shards-sized."""
+    if prev is None:
+        return batch_state
+    shard_col = batch_state.columns[0]
+    joined = batch_state.join(
+        prev.select(
+            F.col(shard_col),
+            F.col("open_bin").alias("__pb"),
+            F.col("open_acc").alias("__pa"),
+        ),
+        shard_col,
+        "left",
+    )
+    updated = joined.select(
+        shard_col,
+        "open_bin",
+        F.when(
+            F.col("open_bin") == F.col("__pb"),
+            F.col("open_acc") + F.col("__pa"),
+        )
+        .otherwise(F.col("open_acc"))
+        .cast("long")
+        .alias("open_acc"),
+    )
+    untouched = prev.join(batch_state.select(shard_col), shard_col, "left_anti")
+    return updated.unionByName(untouched.select(shard_col, "open_bin", "open_acc"))

@@ -735,3 +735,49 @@ def q150_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fill_rate_micro"),
         "n_docs_split",
     )
+
+
+_GPACK_SPLIT = 250  # doc_id boundary between the two incremental phases
+
+
+@register(
+    "q151_incremental_greedy_pack",
+    oracle=f"""
+WITH RECURSIVE {_gpack_ctes()}
+SELECT shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, bin
+FROM packed
+""",
+)
+def q151_incremental_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental greedy packing certified ≡ the batch rule: documents
+    below doc_id {_GPACK_SPLIT} pack first, their shards-sized open-bin
+    state (curation.pack_state) carries over, and the remainder packs
+    as a continuation (curation.greedy_pack_continue — the q94-style
+    incremental companion of q148's kernel, and the kernel behind
+    streaming/pack_stream.run_streaming_greedy_pack). The oracle is
+    q148's recursive CTE over ALL documents in one pass — the driver
+    row certifies the continuation composes to exactly the batch
+    answer, the property that lets an arriving corpus pack epoch by
+    epoch without re-packing history."""
+    from openstack_billing_from_db_spark.operators.curation import (
+        greedy_pack_continue,
+        merge_pack_state,
+        pack_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (seeded_hash64(F.col("doc_id").cast("string"), "gpack") % _GPACK_SHARDS).alias(
+            "shard"
+        ),
+        F.size(text.words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    first = greedy_pack_continue(
+        toks.filter(F.col("doc_id") < _GPACK_SPLIT), None, budget=_GPACK_BUDGET
+    )
+    state = merge_pack_state(None, pack_state(first))
+    rest = greedy_pack_continue(
+        toks.filter(F.col("doc_id") >= _GPACK_SPLIT), state, budget=_GPACK_BUDGET
+    )
+    return first.unionByName(rest).select("shard", "doc_id", "n_tokens", "bin")

@@ -82,10 +82,11 @@ DEFERRED: tuple[str, ...] = (
 # q77/q102 below — both parked entries have their kernel exercised by an
 # in-gate twin, and both are queued FIRST for the r11 head (they stay
 # r5-stale one more round).
-  # -- parked late in round 10 to admit q148/q149/q150 (queue first for r11) --
+  # -- parked late in round 10 to admit q148-q151 (queue first for r11) --
   "q77_video_frame_sample",  # r5-green; RVID index-walk exercised in-gate by q145/q146
   "q102_kmv_set_overlap",  # r5-green; KMV kernel in-gate via q98
   "q50_streaming_windowed_counts",  # r7-green; streaming set in-gate via q51/q75
+  "q37_simhash_near_dups",  # r7-green; banded simhash kernel's r9-green twin q36 + in-gate hamming family q142-q145
   # -- r9-green fresh parks (rotated out this round) --
   "q14_customers_without_orders",  # r2/r9-green
   "q15_distinct_brand_sizes",  # r2/r9-green; A1 distinct in-gate via q05
@@ -197,7 +198,26 @@ def _gate_ordered(d: dict) -> dict:
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Sequential harnesses (the driver gate, gate_sim, parity
+            # tests) run 50+ query functions in ONE bare session; each
+            # operator's tracked_persist otherwise accumulates until
+            # the session OOMs (observed: a bare 1g local[32] session
+            # lost its last two head queries to Java-heap OOM). A new
+            # query's entry is the safe release point: the previous
+            # query's result was already materialized by the caller,
+            # and an unpersisted DataFrame only ever recomputes.
+            from openstack_billing_from_db_spark.operators.caching import (
+                release_persisted_caches,
+            )
+
+            release_persisted_caches()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
         return fn

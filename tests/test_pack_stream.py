@@ -1,0 +1,135 @@
+"""Streaming greedy packing (streaming/pack_stream.py): micro-batches
+continue the per-shard open-bin state; the union of epoch assignments
+must equal one greedy_pack_bins batch over all documents (the
+incremental ≡ batch equivalence q151 driver-certifies on splits)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
+from openstack_billing_from_db_spark.operators.curation import (
+    greedy_pack_bins,
+    greedy_pack_continue,
+    merge_pack_state,
+    pack_state,
+)
+from openstack_billing_from_db_spark.operators.text import words
+from openstack_billing_from_db_spark.streaming.pack_stream import (
+    read_assignments,
+    run_streaming_greedy_pack,
+)
+
+BUDGET = 12
+SHARDS = 4
+
+
+def _doc(i: int, n_words: int) -> tuple[int, str]:
+    return (i, " ".join(f"w{i}x{j}" for j in range(n_words)))
+
+
+def _write_docs(path: str, rows) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+def _toks(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        (seeded_hash64(F.col("doc_id").cast("string"), "gpack") % SHARDS).alias(
+            "shard"
+        ),
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
+def _assign_map(df):
+    return {r.doc_id: (r.shard, r.n_tokens, r.bin) for r in df.collect()}
+
+
+def test_continue_with_no_state_equals_batch(spark):
+    rows = [_doc(i, 1 + (i * 7) % 11) for i in range(40)]
+    toks = _toks(spark, rows)
+    assert _assign_map(greedy_pack_continue(toks, None, budget=BUDGET)) == (
+        _assign_map(greedy_pack_bins(toks, budget=BUDGET))
+    )
+
+
+def test_two_phase_continuation_equals_one_batch(spark):
+    """Split at a doc_id boundary, carry (open_bin, open_acc), pack the
+    rest — identical to the single batch run (incl. the continued-bin
+    and oversize-doc edges)."""
+    rows = [_doc(i, 1 + (i * 7) % 11) for i in range(40)]
+    rows[13] = _doc(13, 50)  # oversize: heavier than the budget
+    toks = _toks(spark, rows)
+    batch1 = toks.filter("doc_id < 17")
+    batch2 = toks.filter("doc_id >= 17")
+    a1 = greedy_pack_continue(batch1, None, budget=BUDGET)
+    state = merge_pack_state(None, pack_state(a1))
+    a2 = greedy_pack_continue(batch2, state, budget=BUDGET)
+    got = _assign_map(a1.unionByName(a2))
+    want = _assign_map(greedy_pack_bins(toks, budget=BUDGET))
+    assert got == want
+
+
+def test_seen_shard_first_doc_respects_overflow_check(spark):
+    """A seen shard applies the overflow check to its FIRST batch doc
+    (the i>0 rule of the union run) — including the acc=0 zero-weight
+    edge where an oversize doc must still open a new bin."""
+    toks = spark.createDataFrame(
+        [(0, 1, 0)], "shard long, doc_id long, n_tokens long"
+    )
+    state = spark.createDataFrame(
+        [(0, 0, 0)], "shard long, open_bin long, open_acc long"
+    )
+    later = spark.createDataFrame(
+        [(0, 2, 99)], "shard long, doc_id long, n_tokens long"
+    )
+    a1 = greedy_pack_continue(toks, None, budget=12)
+    assert _assign_map_raw(a1) == {1: (0, 0, 0)}
+    a2 = greedy_pack_continue(later, state, budget=12)
+    # batch equivalent: docs (w=0, w=99) -> bins (0, 1)
+    assert _assign_map_raw(a2) == {2: (0, 99, 1)}
+
+
+def _assign_map_raw(df):
+    return {r.doc_id: (r.shard, r.n_tokens, r.bin) for r in df.collect()}
+
+
+def test_streaming_greedy_pack_multi_run_equals_batch(spark, tmp_path):
+    docs_dir = str(tmp_path / "docs_stream")
+    assigns_dir = str(tmp_path / "assigns")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    all_rows = [_doc(i, 1 + (i * 5) % 9) for i in range(60)]
+    _write_docs(f"{docs_dir}/b0.parquet", all_rows[:20])
+    _write_docs(f"{docs_dir}/b1.parquet", all_rows[20:45])
+    run_streaming_greedy_pack(
+        spark, docs_dir, assigns_dir, state_dir, ckpt,
+        budget=BUDGET, shards=SHARDS,
+    )
+    # a SECOND runner invocation picks up a new file from the checkpoint
+    # and continues from the persisted state
+    _write_docs(f"{docs_dir}/b2.parquet", all_rows[45:])
+    run_streaming_greedy_pack(
+        spark, docs_dir, assigns_dir, state_dir, ckpt,
+        budget=BUDGET, shards=SHARDS,
+    )
+
+    got = _assign_map(read_assignments(spark, assigns_dir))
+    want = _assign_map(greedy_pack_bins(_toks(spark, all_rows), budget=BUDGET))
+    assert len(got) == 60
+    assert got == want

@@ -79,6 +79,7 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         "q147_semantic_dedup_pq",  # Arrow PQ pair-score kernel IS the certified surface (broadcast code tables; q140's class)
         "q148_greedy_sequence_pack",  # genuinely sequential per-shard packing state (narrow Arrow rows; no closed window form)
         "q150_packing_efficiency",  # composes q148's sequential packing kernel (its greedy side)
+        "q151_incremental_greedy_pack",  # two-phase continuation of the same sequential kernel
     }
     for name, fn in QUERIES.items():
         if name in python_ok:

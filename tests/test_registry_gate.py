@@ -124,3 +124,20 @@ def test_ledger_history_is_read():
     assert "q01_billing_invoice" in green
     assert "q94_incremental_dedup" in green  # r4 rotation landed
     assert "q110_pq_encode" in green  # r5 rotation landed
+
+
+def test_query_entry_releases_prior_persisted_caches(spark, sf_dir):
+    """Sequential gate sessions must not accumulate 50 queries' worth of
+    cached blocks: invoking a registered query releases the PREVIOUS
+    query's tracked persists (its result was already materialized by
+    the sequential caller; an unpersisted DataFrame only recomputes)."""
+    from openstack_billing_from_db_spark.operators import caching
+    from openstack_billing_from_db_spark.registry import all_queries
+
+    qs = all_queries()
+    caching.release_persisted_caches()
+    df = qs["q37_simhash_near_dups"](spark, sf_dir)  # persists internally
+    df.limit(1).collect()
+    assert len(caching._TRACKED) > 0
+    qs["q15_distinct_brand_sizes"](spark, sf_dir)  # plain agg, no persists
+    assert len(caching._TRACKED) == 0
