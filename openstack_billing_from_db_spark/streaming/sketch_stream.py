@@ -27,6 +27,7 @@ sources/maintenance.compact_parquet like any epoch log.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from openstack_billing_from_db_spark.operators.sketch import (
     kmv_finalize,
@@ -423,3 +424,88 @@ def read_bootstrap_ci(
 
     state = spark.read.parquet(state_dir).select("b", "s", "n")
     return bootstrap_finalize(state, n_replicas=n_replicas)
+
+
+# --- priority sample: streaming bounded weighted reservoir --------------------
+#
+# Duffield-Lund-Thorup priorities are deterministic per key, so the
+# k-best rows of a union are the k-best of the per-batch k-bests —
+# exactly KMV's merge-and-truncate law, applied to a weighted sample.
+# Each epoch persists AT MOST k candidate rows whatever the batch
+# volume (TakeOrderedAndProject inside priority_sample); the live
+# sample re-ranks the union of epoch candidates. A heavy row arriving
+# in a later epoch displaces earlier members at read time — the
+# streaming form of without-replacement weighted sampling with bounded
+# state (k rows/epoch on disk, k² rows scanned per read worst-case
+# before compaction).
+
+
+def update_batch_priority(
+    batch_df: DataFrame,
+    *,
+    key_col: str,
+    weight_col: str,
+    k: int = 16,
+    seed: str = "pri",
+) -> DataFrame:
+    """One micro-batch → its own k best (key, weight, priority) rows."""
+    from openstack_billing_from_db_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    return priority_sample(
+        batch_df, key_col=key_col, weight_col=weight_col, k=k, seed=seed
+    ).drop("rnk")
+
+
+def run_streaming_priority_sample(
+    spark: SparkSession,
+    stream_dir: str,
+    schema: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str,
+    weight_col: str,
+    k: int = 16,
+    seed: str = "pri",
+) -> None:
+    """Stream files → per-epoch priority-sample candidate partitions
+    (≤ k rows each, idempotent overwrite). Runs to completion on the
+    available files and stops; re-running picks up new files from the
+    checkpoint."""
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        part = update_batch_priority(
+            batch_df, key_col=key_col, weight_col=weight_col, k=k, seed=seed
+        )
+        part.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_priority_sample(
+    spark: SparkSession, state_dir: str, *, k: int = 16
+) -> DataFrame:
+    """The live sample: merge every epoch's candidates and re-rank to
+    the global k best (merge-and-truncate). Output matches
+    ``sampling.priority_sample``: (key, weight, priority, rnk)."""
+    from pyspark.sql.window import Window
+
+    state = spark.read.parquet(state_dir).select("key", "weight", "priority")
+    top = state.orderBy("priority", "key").limit(k)
+    w = Window.orderBy("priority", "key")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -8,6 +8,7 @@ import os
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from openstack_billing_from_db_spark.operators.sketch import (
     kmv_distinct,
@@ -344,3 +345,65 @@ def test_streaming_bootstrap_ci_equals_batch(spark, tmp_path):
     ).collect()
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
     assert streamed[0].n_replicas == 16
+
+
+def test_streaming_priority_sample_equals_batch(spark, tmp_path):
+    """Streamed weighted reservoir ≡ batch priority_sample over the
+    union — including a heavy late arrival displacing earlier members
+    at read time (the merge-and-truncate law for weighted sampling)."""
+    from openstack_billing_from_db_spark.operators.sampling import (
+        priority_sample,
+    )
+    from openstack_billing_from_db_spark.streaming.sketch_stream import (
+        read_priority_sample,
+        run_streaming_priority_sample,
+    )
+
+    stream_dir = str(tmp_path / "rows")
+    state_dir = str(tmp_path / "pstate")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(path, rows):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "key": pa.array([r[0] for r in rows], pa.int64()),
+                    "weight": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            ),
+            path,
+        )
+
+    b0 = [(i, 1 + i % 7) for i in range(0, 30)]
+    b1 = [(i, 1 + i % 7) for i in range(30, 60)]
+    b2 = [(i, 1 + i % 7) for i in range(60, 80)] + [(999, 10_000_000)]
+    _write(f"{stream_dir}/b0.parquet", b0)
+    _write(f"{stream_dir}/b1.parquet", b1)
+    _write(f"{stream_dir}/b2.parquet", b2)
+
+    run_streaming_priority_sample(
+        spark, stream_dir, "key long, weight long", state_dir, ckpt,
+        key_col="key", weight_col="weight", k=K,
+    )
+    got = [
+        (r.key, r.weight, r.priority, r.rnk)
+        for r in read_priority_sample(spark, state_dir, k=K).collect()
+    ]
+    whole = spark.createDataFrame(b0 + b1 + b2, "key long, weight long")
+    want = [
+        (r.key, r.weight, r.priority, r.rnk)
+        for r in priority_sample(
+            whole, key_col="key", weight_col="weight", k=K
+        ).collect()
+    ]
+    assert got == want and len(got) == K
+    # the near-certain heavy member arrived in the LAST epoch
+    assert any(key == 999 for key, *_ in got)
+    # bounded state: every epoch partition holds at most K rows
+    state = spark.read.parquet(state_dir)
+    per_epoch = {
+        r.epoch: r.n
+        for r in state.groupBy("epoch").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_epoch and all(n <= K for n in per_epoch.values())
