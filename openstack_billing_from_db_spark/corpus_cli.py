@@ -19,6 +19,8 @@ point; the reference has no corpus tooling — beyond-reference surface).
         --path DOCS.parquet --budget 1000
     python -m openstack_billing_from_db_spark.corpus_cli quality-ci \
         --path DOCS.parquet --replicas 40
+    python -m openstack_billing_from_db_spark.corpus_cli pack \
+        --path DOCS.parquet --budget 2048 --output ASSIGNS
 
 Each subcommand prints one JSON summary line on stdout.
 """
@@ -161,6 +163,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
     qa.add_argument("--path", required=True, help="parquet with text,source")
     qa.add_argument("--budget", type=int, required=True, help="rows to label")
+
+    pk = sub.add_parser(
+        "pack",
+        help="greedy whole-document sequence packing (per-shard "
+        "first-fit-sequential; docs never split)",
+    )
+    pk.add_argument("--path", required=True, help="parquet with doc_id,text")
+    pk.add_argument("--budget", type=_positive_int, required=True,
+                    help="tokens per training sequence")
+    pk.add_argument(
+        "--shards", type=_positive_int, default=None,
+        help="hash shards (default: tune_pack_shards(corpus size))",
+    )
+    pk.add_argument("--seed", default="gpack")
+    pk.add_argument(
+        "--output", default=None,
+        help="write (shard, doc_id, n_tokens, bin) assignment parquet",
+    )
 
     ci = sub.add_parser(
         "quality-ci",
@@ -373,6 +393,55 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
                 "command": "epoch",
                 "total_tokens": args.total_tokens,
                 "sources": report,
+                "output": args.output,
+            }
+        elif args.command == "pack":
+            from pyspark.sql import functions as F
+
+            from openstack_billing_from_db_spark.functions.hashing import (
+                seeded_hash64,
+            )
+            from openstack_billing_from_db_spark.operators.curation import (
+                greedy_pack_bins,
+                tune_pack_shards,
+            )
+            from openstack_billing_from_db_spark.operators.text import words
+
+            docs = spark.read.parquet(args.path)
+            n_docs = docs.count()
+            shards = args.shards or tune_pack_shards(n_docs)
+            toks = docs.select(
+                "doc_id",
+                (
+                    seeded_hash64(F.col("doc_id").cast("string"), args.seed)
+                    % shards
+                ).alias("shard"),
+                F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+            )
+            assigns = greedy_pack_bins(toks, budget=args.budget)
+            if args.output:
+                assigns.write.mode("overwrite").parquet(args.output)
+                assigns = spark.read.parquet(args.output)
+            bins = assigns.groupBy("shard", "bin").agg(
+                F.sum("n_tokens").alias("fill")
+            )
+            summary = bins.agg(
+                F.count(F.lit(1)).alias("n_bins"),
+                F.sum("fill").alias("total_tokens"),
+            ).collect()[0]
+            result = {
+                "command": "pack",
+                "n_docs": n_docs,
+                "shards": shards,
+                "budget": args.budget,
+                "n_bins": summary.n_bins,
+                "total_tokens": summary.total_tokens,
+                "fill_rate_micro": (
+                    summary.total_tokens * 1_000_000
+                )
+                // (summary.n_bins * args.budget)
+                if summary.n_bins
+                else 0,
                 "output": args.output,
             }
         elif args.command == "qa-alloc":

@@ -360,3 +360,48 @@ def test_corpus_cli_dedup_phash(spark, sf_dir, tmp_path):
     assert back.count() == res["rows"] > 0
     assert back.filter("hamming > 4").count() == 0
     assert back.filter("doc_a >= doc_b").count() == 0
+
+
+def test_corpus_cli_pack(spark, sf_dir, tmp_path):
+    """pack subcommand: assignment parquet + one JSON summary whose bin
+    accounting matches greedy_pack_bins run directly."""
+    from pyspark.sql import functions as F
+
+    from openstack_billing_from_db_spark import corpus_cli
+    from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
+    from openstack_billing_from_db_spark.operators.curation import (
+        greedy_pack_bins,
+        tune_pack_shards,
+    )
+    from openstack_billing_from_db_spark.operators.text import words
+
+    out = str(tmp_path / "assigns")
+    res = corpus_cli.main(
+        [
+            "pack",
+            "--path", f"{sf_dir}/documents.parquet",
+            "--budget", "256",
+            "--output", out,
+        ],
+        spark=spark,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    shards = tune_pack_shards(n_docs)
+    toks = docs.select(
+        "doc_id",
+        (seeded_hash64(F.col("doc_id").cast("string"), "gpack") % shards).alias(
+            "shard"
+        ),
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    want = greedy_pack_bins(toks, budget=256)
+    n_bins = want.select("shard", "bin").distinct().count()
+    assert res["command"] == "pack"
+    assert res["n_docs"] == n_docs and res["shards"] == shards
+    assert res["n_bins"] == n_bins
+    written = spark.read.parquet(out)
+    assert written.count() == n_docs
+    assert {r.doc_id: r.bin for r in written.collect()} == {
+        r.doc_id: r.bin for r in want.collect()
+    }
