@@ -133,3 +133,38 @@ def test_streaming_greedy_pack_multi_run_equals_batch(spark, tmp_path):
     want = _assign_map(greedy_pack_bins(_toks(spark, all_rows), budget=BUDGET))
     assert len(got) == 60
     assert got == want
+
+
+def test_continuation_equivalence_property(spark):
+    """Property: ANY sequence of id-ordered batch splits composes to the
+    batch answer (hypothesis over weights and cut points)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        weights=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=30),
+        cuts=st.lists(st.integers(min_value=0, max_value=29), max_size=3),
+    )
+    def check(weights, cuts):
+        rows = [(0, i, w) for i, w in enumerate(weights)]
+        toks = spark.createDataFrame(
+            rows, "shard long, doc_id long, n_tokens long"
+        )
+        want = _assign_map_raw(greedy_pack_bins(toks, budget=16))
+        bounds = sorted({c for c in cuts if c < len(weights)})
+        got = {}
+        state = None
+        lo = 0
+        for b in bounds + [len(weights)]:
+            part = toks.filter(f"doc_id >= {lo} and doc_id < {b}")
+            if part.count() == 0:
+                lo = b
+                continue
+            a = greedy_pack_continue(part, state, budget=16)
+            got.update(_assign_map_raw(a))
+            state = merge_pack_state(state, pack_state(a))
+            lo = b
+        assert got == want
+
+    check()
