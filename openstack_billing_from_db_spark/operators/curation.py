@@ -471,15 +471,28 @@ def greedy_pack_continue(
     return joined.groupBy(shard_col).applyInPandas(_pack, out_schema)
 
 
-def merge_pack_state(prev: DataFrame | None, batch_state: DataFrame) -> DataFrame:
+def merge_pack_state(
+    prev: DataFrame | None,
+    batch_state: DataFrame,
+    *,
+    shard_col: str = "shard",
+) -> DataFrame:
     """Fold a batch's :func:`pack_state` into the prior state: a shard
     whose batch packing CONTINUED the previous open bin (same bin id)
     adds its fill to the carried ``open_acc``; a shard that opened new
     bins keeps the batch fill; shards untouched by the batch keep their
-    prior row. Both inputs are shards-sized."""
+    prior row. Both inputs are shards-sized. ``shard_col`` is explicit
+    (matching :func:`pack_state`/:func:`greedy_pack_continue`) rather
+    than inferred from column position, so state read back from parquet
+    with a reordered column order cannot silently join on the wrong
+    key."""
     if prev is None:
         return batch_state
-    shard_col = batch_state.columns[0]
+    if shard_col not in batch_state.columns:
+        raise ValueError(
+            f"shard_col {shard_col!r} not in batch_state columns "
+            f"{batch_state.columns}"
+        )
     joined = batch_state.join(
         prev.select(
             F.col(shard_col),

@@ -44,15 +44,22 @@ def _epoch_snapshot(spark: SparkSession, df: DataFrame):
     the JVM garbage-collects the RDD reference — in a long-running
     stream that lets storage grow with epoch count. The checkpointed
     RDD id is diffed from the public
-    ``JavaSparkContext.getPersistentRDDs`` map (the foreachBatch step
-    is single-threaded, so the only new entries are this checkpoint's),
-    and ``release()`` unpersists exactly those ids once the epoch's
-    writes are committed."""
+    ``JavaSparkContext.getPersistentRDDs`` map and then filtered to
+    ids whose RDD ``isLocallyCheckpointed()`` — the eager checkpoint
+    job can itself lazily materialize ``tracked_persist`` caches
+    (InMemoryRelation cached RDDs register at first materialization),
+    and unpersisting those behind the CacheManager's back would
+    silently send plans believed cached cold. ``release()`` unpersists
+    exactly the checkpoint's own ids once the epoch's writes are
+    committed."""
     jsc = spark.sparkContext._jsc
     before = set(jsc.getPersistentRDDs().keySet().toArray())
     cp = df.localCheckpoint(eager=True)
+    after = jsc.getPersistentRDDs()
     new_ids = [
-        i for i in jsc.getPersistentRDDs().keySet().toArray() if i not in before
+        i
+        for i in after.keySet().toArray()
+        if i not in before and after.get(i).rdd().isLocallyCheckpointed()
     ]
 
     def release() -> None:

@@ -28,6 +28,29 @@ from openstack_billing_from_db_spark.operators.curation import (
 from openstack_billing_from_db_spark.operators.text import words
 
 
+def _check_pack_config(state_dir: str, **config) -> None:
+    """Pin the packing layout constants to the persisted state: write
+    them on first run, assert equality on resume. Greedy packing is
+    only ≡ one batch run when every epoch shares the same hash sharding
+    (shards, seed) and overflow rule (budget)."""
+    import json
+    from pathlib import Path
+
+    path = Path(state_dir) / "_pack_config.json"
+    if path.exists():
+        stored = json.loads(path.read_text())
+        if stored != config:
+            raise ValueError(
+                "persisted pack state was written with a different "
+                f"configuration: stored={stored}, requested={config}; "
+                "continuing would produce assignments equal to no "
+                "batch run"
+            )
+        return
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps(config, sort_keys=True))
+
+
 def _latest_state(
     spark: SparkSession, state_dir: str, before_epoch: int
 ) -> DataFrame | None:
@@ -61,11 +84,20 @@ def run_streaming_greedy_pack(
     available files (processAllAvailable) and stops; re-running picks
     up new files from the checkpoint and continues the packing from the
     persisted state — the multi-run union of assignment epochs is
-    pinned equal to one greedy_pack_bins batch over all documents."""
+    pinned equal to one greedy_pack_bins batch over all documents.
+
+    (shards, budget, seed) are recorded in a ``_pack_config.json``
+    sidecar next to the state snapshots on the first run (the leading
+    underscore hides it from Spark's file index); a later invocation
+    with different values would silently continue with mismatched hash
+    sharding — assignments equal to no batch run — so resume asserts
+    the sidecar matches before processing any batch."""
     from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
     from openstack_billing_from_db_spark.streaming.dedup_stream import (
         _epoch_snapshot,
     )
+
+    _check_pack_config(state_dir, shards=shards, budget=budget, seed=seed)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")

@@ -168,3 +168,58 @@ def test_continuation_equivalence_property(spark):
         assert got == want
 
     check()
+
+
+def test_streaming_pack_refuses_mismatched_config(spark, tmp_path):
+    """A resume with different (shards, budget, seed) would silently
+    continue with mismatched hash sharding — the config sidecar written
+    on first run must make it refuse instead."""
+    import pytest
+
+    docs_dir = str(tmp_path / "docs_stream")
+    assigns_dir = str(tmp_path / "assigns")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _write_docs(f"{docs_dir}/b0.parquet", [_doc(i, 3) for i in range(10)])
+    run_streaming_greedy_pack(
+        spark, docs_dir, assigns_dir, state_dir, ckpt,
+        budget=BUDGET, shards=SHARDS,
+    )
+    _write_docs(f"{docs_dir}/b1.parquet", [_doc(i, 3) for i in range(10, 20)])
+    for bad in (
+        dict(budget=BUDGET, shards=SHARDS + 1),
+        dict(budget=BUDGET + 1, shards=SHARDS),
+        dict(budget=BUDGET, shards=SHARDS, seed="other"),
+    ):
+        with pytest.raises(ValueError, match="different configuration"):
+            run_streaming_greedy_pack(
+                spark, docs_dir, assigns_dir, state_dir, ckpt, **bad
+            )
+    # the matching config still resumes cleanly
+    run_streaming_greedy_pack(
+        spark, docs_dir, assigns_dir, state_dir, ckpt,
+        budget=BUDGET, shards=SHARDS,
+    )
+    assert len(_assign_map(read_assignments(spark, assigns_dir))) == 20
+
+
+def test_merge_pack_state_explicit_shard_col(spark):
+    """merge_pack_state joins on the named shard column even when the
+    batch-state columns arrive reordered (e.g. read back from parquet),
+    and refuses a state frame that lacks it."""
+    import pytest
+
+    prev = spark.createDataFrame(
+        [(0, 2, 5), (1, 0, 7)], "shard long, open_bin long, open_acc long"
+    )
+    batch = spark.createDataFrame(
+        [(3, 2, 0), (4, 1, 1)], "open_acc long, open_bin long, shard long"
+    )
+    got = {
+        r.shard: (r.open_bin, r.open_acc)
+        for r in merge_pack_state(prev, batch).collect()
+    }
+    # shard 0 continued bin 2: 5 carried + 3 batch; shard 1 opened bin 1
+    assert got == {0: (2, 8), 1: (1, 4)}
+    with pytest.raises(ValueError, match="shard_col"):
+        merge_pack_state(prev, batch.withColumnRenamed("shard", "s"))
