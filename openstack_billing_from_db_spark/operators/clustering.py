@@ -62,13 +62,42 @@ def _dot_lit(e, c: list[float]):
     )
 
 
-# Past this many centroids, the flat Arrow argmin's n·k·d fold becomes
-# the assignment bottleneck (the SemDeDup k ∝ n regime: n·k = n²/target)
-# and _assign switches to the two-level IVF-style kernel below — coarse
-# cells over the centroid table, probe-then-verify per vector. PLANS.md
-# names this the >10⁷-vector regime; the threshold is set where the
-# coarse table (√k cells) starts paying for itself.
-HIERARCHICAL_ASSIGN_MIN_CENTROIDS = 4096
+# Assignment-path dispatch is COST-DERIVED (VERDICT r10 Next #4), not
+# hand-set. Two independent switches:
+#
+# (1) literal ↔ flat-Arrow: the literal argmin plan carries k·d
+# expression nodes (one zip_with/aggregate fold per centroid) and
+# Catalyst analysis/canonicalization grows superlinearly in that count
+# — measured on this VM at d=64: k=16 → 1.56 s vs 0.57 s Arrow,
+# k=96 → 13.4 s, k=512 → 37.5 s (PLANS.md round-11). The literal path
+# therefore gates on PLAN SIZE (node budget), not centroid count; under
+# the budget it stays whole-stage-codegen'd with no Python worker.
+LITERAL_ASSIGN_MAX_NODES = 512
+
+# (2) flat ↔ hierarchical: flat does k·d flops per vector; the exact
+# two-level kernel does (√k coarse + n_probe·(k/√k) fine)·d in the
+# well-clustered case. n multiplies both sides, so the switch is the
+# per-vector compare: engage when k > (margin·(1+n_probe))². The margin
+# absorbs the triangle-verify extra probes, the per-cell numpy loop
+# overhead, and the once-per-job driver coarse build — measured win vs
+# the √k/(1+n_probe) model on the x100 replica (200k × d=64): 2.1× at
+# k=1000 (model 3.5×), 4.5× at k=4096 (model 7.1×), breakeven ≤ k=512,
+# so margin 2.0 (switch at k ≥ 325) never engages a losing path.
+HIERARCHICAL_ASSIGN_N_PROBE = 8
+HIERARCHICAL_ASSIGN_COST_MARGIN = 2.0
+
+
+def hierarchical_assign_threshold(
+    n_probe: int = HIERARCHICAL_ASSIGN_N_PROBE,
+    margin: float = HIERARCHICAL_ASSIGN_COST_MARGIN,
+) -> int:
+    """Smallest centroid count where the modeled flat cost (k·d flops
+    per vector) exceeds ``margin`` × the modeled hierarchical cost
+    ((1+n_probe)·√k·d): k > (margin·(1+n_probe))²."""
+    return int(math.floor((margin * (1 + n_probe)) ** 2)) + 1
+
+
+HIERARCHICAL_ASSIGN_MIN_CENTROIDS = hierarchical_assign_threshold()
 
 
 def _coarse_cells(
@@ -248,30 +277,33 @@ def _nearest_centroid_hierarchical_arrow(
 
 def _assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """(vid, cluster): nearest centroid by squared L2, ties → lowest cid.
-    Up to LITERAL_CODEBOOK_MAX_CODES centroids ride the plan as
-    literals (array_min over (score, cid) structs — no shuffle, pure
-    codegen); beyond that the centroid table would explode the plan, so
-    assignment switches to the broadcast+Arrow nearest-centroid kernel
-    shared with the PQ encoder (numpy argmin takes the FIRST minimum —
-    the identical ties → lowest rule; cross-path agreement pinned by
-    test_kmeans_assign_paths_agree). Large k is the SemDeDup regime:
-    k grows with the corpus to keep cluster sizes bounded — and past
-    HIERARCHICAL_ASSIGN_MIN_CENTROIDS the flat n·k·d fold itself gives
-    way to the exact two-level IVF-style kernel (coarse cells over the
-    centroid table + triangle-inequality-verified probes), keeping
-    assignment sub-quadratic in the k ∝ n regime while remaining
-    output-identical to the flat path."""
+    Three output-identical paths, picked by the cost model documented
+    at the dispatch constants above: plans within the
+    LITERAL_ASSIGN_MAX_NODES node budget (k·dims) ride as literals
+    (array_min over (score, cid) structs — no shuffle, pure codegen);
+    larger plans use the broadcast+Arrow nearest-centroid kernel shared
+    with the PQ encoder (numpy argmin takes the FIRST minimum — the
+    identical ties → lowest rule; cross-path agreement pinned by
+    test_kmeans_assign_paths_agree); and past
+    hierarchical_assign_threshold() the flat n·k·d fold gives way to
+    the exact two-level IVF-style kernel (coarse cells over the
+    centroid table + triangle-inequality-verified probes — the SemDeDup
+    k ∝ n regime), keeping assignment sub-quadratic while remaining
+    output-identical to the flat path (pinned by
+    test_hierarchical_assign_matches_flat)."""
     from openstack_billing_from_db_spark.operators.quantization import (
-        LITERAL_CODEBOOK_MAX_CODES,
         _nearest_code_arrow,
     )
 
     if len(centroids) >= HIERARCHICAL_ASSIGN_MIN_CENTROIDS:
         return base.withColumn(
             "cluster",
-            _nearest_centroid_hierarchical_arrow(F.col("e"), centroids),
+            _nearest_centroid_hierarchical_arrow(
+                F.col("e"), centroids, n_probe=HIERARCHICAL_ASSIGN_N_PROBE
+            ),
         )
-    if len(centroids) > LITERAL_CODEBOOK_MAX_CODES:
+    dims = len(centroids[0]) if centroids else 0
+    if len(centroids) * dims > LITERAL_ASSIGN_MAX_NODES:
         return base.withColumn(
             "cluster", _nearest_code_arrow(F.col("e"), centroids)
         )

@@ -313,7 +313,6 @@ def test_kmeans_assign_paths_agree(spark, monkeypatch):
     ties → lowest rule (mirrors test_pq_codebook_paths_agree)."""
     import random
 
-    from openstack_billing_from_db_spark.operators import quantization as Q
     from openstack_billing_from_db_spark.operators.clustering import (
         kmeans_assign,
     )
@@ -325,7 +324,9 @@ def test_kmeans_assign_paths_agree(spark, monkeypatch):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     lit = {tuple(r) for r in kmeans_assign(df, k=5, n_iter=2).collect()}
-    monkeypatch.setattr(Q, "LITERAL_CODEBOOK_MAX_CODES", 0)
+    from openstack_billing_from_db_spark.operators import clustering as C
+
+    monkeypatch.setattr(C, "LITERAL_ASSIGN_MAX_NODES", 0)
     arrow = {tuple(r) for r in kmeans_assign(df, k=5, n_iter=2).collect()}
     assert arrow == lit and len(lit) == 60
 
@@ -535,7 +536,7 @@ def test_hierarchical_assign_matches_flat(spark):
         [round(rnd.uniform(-10, 10), 3) for _ in range(dims)]
         for _ in range(k)
     ]
-    centroids[17] = list(centroids[4081])  # exact tie pair across cells
+    centroids[17] = list(centroids[k - 19])  # exact tie pair across cells
     rows = []
     for i in range(400):
         c = centroids[rnd.randrange(k)]
@@ -697,3 +698,25 @@ def test_semantic_dedup_pq_backend_recall_and_no_false_drops(spark):
     assert replicas <= pq_drops
     # on this well-separated fixture the PQ path is verdict-identical
     assert pq == exact and exact_drops
+
+
+def test_hierarchical_threshold_is_cost_derived():
+    """The flat↔hierarchical switch derives from the per-vector flop
+    compare (k·d vs margin·(1+n_probe)·√k·d — n and d cancel), not a
+    hand-set constant: k > (margin·(1+n_probe))²."""
+    from openstack_billing_from_db_spark.operators import clustering as C
+
+    t = C.hierarchical_assign_threshold()
+    assert t == C.HIERARCHICAL_ASSIGN_MIN_CENTROIDS
+    m, p = C.HIERARCHICAL_ASSIGN_COST_MARGIN, C.HIERARCHICAL_ASSIGN_N_PROBE
+    assert t - 1 <= (m * (1 + p)) ** 2 < t
+    # modeled flat cost strictly exceeds margin× hier cost at the
+    # threshold, and not just below it
+    assert t > (m * (1 + p)) * (t ** 0.5)
+    k = t - 1
+    assert k <= (m * (1 + p)) * (k ** 0.5)
+    # the k=1000 SemDeDup regime (measured 2.1× hier win on the x100
+    # replica) engages the two-level kernel
+    assert t <= 1000
+    # custom probe settings shift the derivation consistently
+    assert C.hierarchical_assign_threshold(n_probe=8, margin=2.0) == 325
