@@ -381,32 +381,43 @@ def synth_wav_samples(doc_id: int) -> np.ndarray:
 AUDIO_FRAMES = 57
 AUDIO_FRAME_LEN = 16
 
+# wide-fingerprint mesh: 73 frames → 72 delta bits → two sign-safe
+# 36-bit BIGINT words (media.dhash_words) — the audio twin of the
+# image grid=8 → grid=9 escalation, same width budget on both sides
+WIDE_AUDIO_FRAMES = 73
 
-@_functools.lru_cache(maxsize=4096)
-def _family_frame_amps(fam: int) -> np.ndarray:
+
+@_functools.lru_cache(maxsize=8192)
+def _family_frame_amps(fam: int, n_frames: int = AUDIO_FRAMES) -> np.ndarray:
     """Shared family amplitude profile: one md5 draw per frame (the
     audio analogue of _family_cells — i.i.d.-uniform frame levels, so
-    cross-family delta bits are ~Binomial(56, ½)). Callers must .copy()
-    before mutating."""
+    cross-family delta bits are ~Binomial(n_frames−1, ½)). Frames at
+    the same index are identical across widths, so a wider profile is
+    a superset (the WIDE_AUDIO_FRAMES fixture extends the 57-frame
+    one). Callers must .copy() before mutating."""
     from openstack_billing_from_db_spark.functions.hashing import py_hash64
 
     return np.array(
-        [py_hash64(f"awave|{fam}:{k}") % 2048 for k in range(AUDIO_FRAMES)],
+        [py_hash64(f"awave|{fam}:{k}") % 2048 for k in range(n_frames)],
         dtype=np.int64,
     )
 
 
-def synth_family_wav_samples(doc_id: int) -> np.ndarray:
+def synth_family_wav_samples(
+    doc_id: int, *, n_frames: int = AUDIO_FRAMES
+) -> np.ndarray:
     """Piecewise-constant PCM with family structure (the audio twin of
     synth_textured_pixels): docs in a FAMILY (doc_id // 5) share the
-    57-frame md5 amplitude profile and differ only by ONE +4096 frame
-    bump at frame doc_id % 5 — a bump frame is strictly louder than any
-    base frame (base < 2048), flipping at most the two delta bits it
-    touches, so family members sit within hamming ≤ 4 of each other
-    while distinct families get near-independent bits. Amplitudes stay
-    inside int16 (≤ 2047 + 4096)."""
+    ``n_frames``-frame md5 amplitude profile and differ only by ONE
+    +4096 frame bump at frame doc_id % 5 — a bump frame is strictly
+    louder than any base frame (base < 2048), flipping at most the two
+    delta bits it touches, so family members sit within hamming ≤ 4 of
+    each other while distinct families get near-independent bits (the
+    ≤-4 bound holds at any mesh ALIGNED to the frame grid —
+    audio_delta_hash at the same ``n_frames``). Amplitudes stay inside
+    int16 (≤ 2047 + 4096)."""
     fam, var = doc_id // 5, doc_id % 5
-    amps = _family_frame_amps(fam).copy()
+    amps = _family_frame_amps(fam, n_frames).copy()
     amps[var] += 4096
     return np.repeat(amps, AUDIO_FRAME_LEN).astype(np.int16)
 
@@ -476,33 +487,36 @@ def extract_video_frame(data: bytes, idx: int) -> "tuple[int, int, np.ndarray]":
 VIDEO_FAMILY_FRAMES = 3
 
 
-def synth_family_video_frames(doc_id: int) -> "list[np.ndarray]":
+def synth_family_video_frames(doc_id: int, *, grid: int = 8) -> "list[np.ndarray]":
     """Closed-form clip WITH near-dup family structure (the video twin
-    of synth_textured_pixels): 3 textured 16×16 frames. Docs in a
-    FAMILY (doc_id // 5) share per-frame md5 cell textures
+    of synth_textured_pixels): 3 textured 2·grid × 2·grid frames. Docs
+    in a FAMILY (doc_id // 5) share per-frame md5 cell textures
     ("vcell|fam:f:u:r") and differ by the one-cell member bump — so
     each frame pair sits within hamming ≤ 4 — EXCEPT that member
     var=4 replaces frame 0 and member var=3 replaces frame 1 with an
-    independent texture ("vdist|fam:var:u:r", ~Binomial(56, ½) away):
+    independent texture ("vdist|fam:var:u:r", ~Binomial(bits, ½) away):
     family pairs then match on 3 frames (neither member distorted-
     against the other), 2 frames (one distorted frame between them),
     or just 1 frame for the (var=3, var=4) pair — the fixture that
-    makes a ≥2-of-3 frame-majority dedup rule discriminative."""
+    makes a ≥2-of-3 frame-majority dedup rule discriminative.
+    Cells at the same (u, r) are identical across grids, so a larger
+    grid is a superset texture (the 72-bit wide-mesh fixture extends
+    the 56-bit one, the synth_textured_pixels contract)."""
     from openstack_billing_from_db_spark.functions.hashing import py_hash64
 
     fam, var = doc_id // 5, doc_id % 5
     frames = []
     for f in range(VIDEO_FAMILY_FRAMES):
-        cell = np.empty((8, 8), dtype=np.int64)
+        cell = np.empty((grid, grid), dtype=np.int64)
         if (var == 4 and f == 0) or (var == 3 and f == 1):
-            for rr in range(8):
-                for uu in range(8):
+            for rr in range(grid):
+                for uu in range(grid):
                     cell[rr, uu] = (
                         py_hash64(f"vdist|{fam}:{var}:{uu}:{rr}") % 256
                     )
         else:
-            for rr in range(8):
-                for uu in range(8):
+            for rr in range(grid):
+                for uu in range(grid):
                     cell[rr, uu] = (
                         py_hash64(f"vcell|{fam}:{f}:{uu}:{rr}") % 256
                     )

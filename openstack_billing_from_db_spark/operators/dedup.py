@@ -471,6 +471,8 @@ def multiword_hamming_pairs(
     band_bits: int,
     max_hamming: int = 4,
     bits: int | None = None,
+    group_col: str | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded hamming join over MULTI-WORD fingerprints (doc_id, w0 ..
     w{n-1}) — the wide-hash companion of :func:`simhash_near_duplicates`
@@ -496,7 +498,19 @@ def multiword_hamming_pairs(
     distance Σᵢ bit_count(wᵢᵃ xor wᵢᵇ) ≤ max_hamming. Pairs colliding
     in several bands are emitted once via the same canonical-band
     (no-earlier-band-matches) map-side test simhash_near_duplicates
-    uses, so no distinct shuffle. Output: (doc_a, doc_b, hamming)."""
+    uses, so no distinct shuffle. Output: (doc_a, doc_b, hamming).
+
+    ``group_col`` scopes the banding WITHIN a group: the join keys
+    become (group, band, bucket) and the output carries the group —
+    how :func:`framewise_multiword_hamming_pairs` matches video frames
+    at the same position only. ``max_bucket_size`` caps per-(group,)
+    (band, bucket) membership exactly like
+    :func:`framewise_hamming_pairs`: a degenerate population
+    (constant/black frames) collapses into one bucket and produces
+    quadratic candidates at scale; with the cap, oversized buckets
+    emit nothing and a pair survives iff one of its colliding bands is
+    under the cap (the canonical-band test is bucket-aware, so a
+    surviving pair is still emitted exactly once)."""
     if word_bits % band_bits:
         raise ValueError(
             f"band_bits ({band_bits}) must divide word_bits ({word_bits})"
@@ -521,6 +535,7 @@ def multiword_hamming_pairs(
         )
     mask = (1 << band_bits) - 1
     wcols = [f"w{i}" for i in range(n_words)]
+    gcols = [group_col] if group_col is not None else []
     fingerprints = tracked_persist(fingerprints)
 
     def bucket_expr(col_prefix: str, b: int):
@@ -532,6 +547,7 @@ def multiword_hamming_pairs(
 
     melted = fingerprints.select(
         "doc_id",
+        *gcols,
         *wcols,
         F.explode(
             F.array(
@@ -546,14 +562,39 @@ def multiword_hamming_pairs(
         ).alias("bb"),
     ).select(
         "doc_id",
+        *gcols,
         *wcols,
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
 
+    side_extra: list[str] = []
+    if max_bucket_size is not None:
+        sizes = melted.groupBy(*gcols, "band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        with_bn = melted.join(sizes, [*gcols, "band", "bucket"])
+        # per-(doc[, group]) vector of bucket sizes in band order: the
+        # canonical-band test below needs each EARLIER band's occupancy
+        bnvec = with_bn.groupBy("doc_id", *gcols).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("band", "__bn"))),
+                lambda s: s["__bn"],
+            ).alias("bnvec")
+        )
+        melted = (
+            with_bn.filter(F.col("__bn") <= max_bucket_size)
+            .join(bnvec, ["doc_id", *gcols])
+        )
+        side_extra.append("bnvec")
+
     def _side(suffix: str) -> DataFrame:
         cols = [F.col("band"), F.col("bucket"), F.col("doc_id").alias(f"doc_{suffix}")]
+        cols += [F.col(g) for g in gcols]
         cols += [F.col(w).alias(f"{w}{suffix}") for w in wcols]
+        if suffix == "a":
+            # bv is read only via bv_a (shared bucket ⇒ equal sizes)
+            cols += [F.col(c).alias("bv_a") for c in side_extra]
         return melted.select(*cols)
 
     a, b_ = _side("a"), _side("b")
@@ -565,7 +606,12 @@ def multiword_hamming_pairs(
             F.expr(f"shiftright({word_a}, {sh})").bitwiseAND(F.lit(mask))
             == F.expr(f"shiftright({word_b}, {sh})").bitwiseAND(F.lit(mask))
         )
-        first_band_only = first_band_only & ~((F.col("band") > F.lit(j)) & eq_j)
+        earlier_emits = (F.col("band") > F.lit(j)) & eq_j
+        if max_bucket_size is not None:
+            earlier_emits = earlier_emits & (
+                F.col("bv_a")[j] <= F.lit(max_bucket_size)
+            )
+        first_band_only = first_band_only & ~earlier_emits
 
     hamming = sum(
         (
@@ -575,10 +621,10 @@ def multiword_hamming_pairs(
         F.lit(0),
     ).cast("integer")
     return (
-        a.join(b_, ["band", "bucket"])
+        a.join(b_, [*gcols, "band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(first_band_only)
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select("doc_a", "doc_b", *gcols, hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -719,6 +765,51 @@ def framewise_hamming_pairs(
     )
     return (
         frame_matches.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frames_matched"))
+        .filter(F.col("n_frames_matched") >= min_frames)
+    )
+
+
+def framewise_multiword_hamming_pairs(
+    fingerprints: DataFrame,
+    *,
+    n_words: int,
+    word_bits: int,
+    band_bits: int,
+    max_hamming: int = 4,
+    min_frames: int = 2,
+    frame_col: str = "frame_idx",
+    bits: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Frame-majority near-dup join over MULTI-WORD per-frame
+    fingerprints — the wide-hash companion of
+    :func:`framewise_hamming_pairs` for per-frame hashes past 63 bits
+    (e.g. the 72-bit grid=9 frame dHash): input is one
+    (doc_id, frame_idx, w0 .. w{n-1}) row per sampled frame; two docs
+    pair iff at least ``min_frames`` frame positions match at hamming ≤
+    ``max_hamming``. The per-(pair, frame) match set is exactly
+    :func:`multiword_hamming_pairs` scoped within the frame position
+    (``group_col=frame_col`` — banding keys (frame, band, bucket), so
+    the tuner's occupancy bound applies per frame position, and the
+    canonical-band test keeps one row per (pair, frame)); the majority
+    count is then a plain count(1) per pair, no distinct shuffle.
+    ``max_bucket_size`` passes through the degenerate-frame skew cap.
+    Output: (doc_a, doc_b, n_frames_matched ≥ min_frames)."""
+    if min_frames < 1:
+        raise ValueError(f"min_frames must be >= 1, got {min_frames}")
+    frame_pairs = multiword_hamming_pairs(
+        fingerprints,
+        n_words=n_words,
+        word_bits=word_bits,
+        band_bits=band_bits,
+        max_hamming=max_hamming,
+        bits=bits,
+        group_col=frame_col,
+        max_bucket_size=max_bucket_size,
+    )
+    return (
+        frame_pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_frames_matched"))
         .filter(F.col("n_frames_matched") >= min_frames)
     )
@@ -1309,6 +1400,112 @@ def tune_hamming_band_bits(
         f"occupancy <= {max_mean_bucket} at n_docs={n_docs}; widen the "
         "fingerprint (more bits/words) or shard the corpus"
     )
+
+
+def tune_hamming_chunks(
+    n_docs: int,
+    *,
+    bits: int,
+    word_bits: int | None = None,
+    max_hamming: int = 4,
+    max_mean_bucket: int = 128,
+    max_chunks: int = 256,
+) -> tuple[int, int]:
+    """Chunk count + band width for :func:`chunked_hamming_pairs` past
+    the single-join tuner ceiling: the smallest C whose worst per-join
+    corpus (a cross-chunk pair holds ≈ ⌈2·n/C⌉ docs under uniform hash
+    chunking) passes :func:`tune_hamming_band_bits`. Returns
+    (n_chunks, band_bits). C(C+1)/2 joins trade bounded per-join
+    occupancy for more joins — total candidate work stays the banded
+    O(n²/buckets) split into memory-bounded pieces, which is the point:
+    the refusal regime becomes runnable, not cheap. Raises past
+    ``max_chunks`` (≈ max_mean_bucket·2^band_bits·max_chunks/2 docs —
+    tens of millions at the defaults) where the join count itself
+    (C²/2) is the problem and a different fingerprint is the answer."""
+    if n_docs < 0:
+        raise ValueError(f"n_docs must be >= 0, got {n_docs}")
+    c = 1
+    while c <= max_chunks:
+        per_join = n_docs if c == 1 else -(-2 * n_docs // c)
+        try:
+            bb = tune_hamming_band_bits(
+                per_join,
+                bits=bits,
+                word_bits=word_bits,
+                max_hamming=max_hamming,
+                max_mean_bucket=max_mean_bucket,
+            )
+            return c, bb
+        except ValueError:
+            c += 1
+    raise ValueError(
+        f"chunked banding needs more than max_chunks={max_chunks} chunks "
+        f"at n_docs={n_docs} over a {bits}-bit fingerprint; widen the "
+        "fingerprint instead"
+    )
+
+
+def chunked_hamming_pairs(
+    fingerprints: DataFrame,
+    pairs_fn,
+    *,
+    n_chunks: int,
+    id_col: str = "doc_id",
+    seed: str = "hchunk",
+) -> DataFrame:
+    """Sharding escalation for banded hamming joins past the tuner's
+    occupancy ceiling (VERDICT r10 Next #5): hash-partition the corpus
+    into ``n_chunks`` id-keyed chunks and run ``pairs_fn`` (any of the
+    banded pair kernels — it receives a fingerprint subset and must
+    return (doc_a, doc_b, …) rows) over each of the C(C+1)/2 chunk
+    pairs. Each join sees ≤ ≈2n/C docs, so the per-join banding can be
+    tuned where the full corpus refuses; recall is EXACT (a qualifying
+    pair's two chunks form exactly one chunk pair), and each pair is
+    emitted exactly once because join (i ≤ j) keeps only pairs whose
+    recomputed chunk ids are {i, j} — membership is a pure function of
+    the doc id (seeded md5 hash), never carried state.
+
+    With a ``max_bucket_size`` cap inside ``pairs_fn`` the cap applies
+    per chunk-pair join (occupancy is per-join, so chunked output is a
+    SUPERSET of the capped single-pass at the margin); the exact-recall
+    equivalence pin uses uncapped kernels. All frames/words of a doc
+    hash to the same chunk (chunking keys the DOC id), so multi-row
+    fingerprints (framewise) chunk coherently."""
+    from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
+
+    if n_chunks < 1:
+        raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
+    if n_chunks == 1:
+        return pairs_fn(fingerprints)
+
+    def chunk_of(col: Column) -> Column:
+        return F.pmod(
+            seeded_hash64(col.cast("string"), seed), F.lit(n_chunks)
+        )
+
+    base = tracked_persist(
+        fingerprints.withColumn("__chunk", chunk_of(F.col(id_col)))
+    )
+    outs: list[DataFrame] = []
+    for i in range(n_chunks):
+        for j in range(i, n_chunks):
+            subset = base.filter(
+                F.col("__chunk") == i
+                if i == j
+                else F.col("__chunk").isin(i, j)
+            ).drop("__chunk")
+            pairs = pairs_fn(subset)
+            ca, cb = chunk_of(F.col("doc_a")), chunk_of(F.col("doc_b"))
+            keep = (
+                (ca == i) & (cb == i)
+                if i == j
+                else ((ca == i) & (cb == j)) | ((ca == j) & (cb == i))
+            )
+            outs.append(pairs.filter(keep))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def edit_distance_near_duplicates(

@@ -371,8 +371,9 @@ def phash_near_duplicates(
     9×9 / 72-bit two-word wide-band path (q142's shape,
     dedup.multiword_hamming_pairs) takes over with its own tuned width.
     If even 12-bit wide bands saturate (≳524k docs at the default) the
-    tuner raises rather than hand back an O(n²/buckets) plan — the
-    documented escalation is more words or corpus sharding.
+    corpus is hash-sharded (dedup.chunked_hamming_pairs at
+    dedup.tune_hamming_chunks' pick): C(C+1)/2 memory-bounded wide
+    joins with exact recall — never an O(n²/buckets) single join.
 
     The two paths hash different meshes, so pair sets differ at the
     margin (both honor ``max_hamming``; the wide path sees 72 bits of
@@ -392,7 +393,7 @@ def phash_near_duplicates(
             max_mean_bucket=max_mean_bucket,
         )
     except ValueError:
-        band_bits = dedup.tune_hamming_band_bits(
+        n_chunks, band_bits = dedup.tune_hamming_chunks(
             n_docs,
             bits=9 * 8,
             word_bits=36,
@@ -400,12 +401,18 @@ def phash_near_duplicates(
             max_mean_bucket=max_mean_bucket,
         )
         fp = dhash_multiword_images(df, payload_col, grid=9, word_bits=36)
-        return dedup.multiword_hamming_pairs(
-            fp,
-            n_words=2,
-            word_bits=36,
-            band_bits=band_bits,
-            max_hamming=max_hamming,
+
+        def wide_pairs(subset: DataFrame) -> DataFrame:
+            return dedup.multiword_hamming_pairs(
+                subset,
+                n_words=2,
+                word_bits=36,
+                band_bits=band_bits,
+                max_hamming=max_hamming,
+            )
+
+        return dedup.chunked_hamming_pairs(
+            fp, wide_pairs, n_chunks=n_chunks
         )
     fp = dhash_images(df, payload_col, grid=8)
     return dedup.simhash_near_duplicates(
@@ -428,23 +435,55 @@ def audio_near_duplicates(
     the :func:`phash_near_duplicates` family: RIFF/WAV decode → 56-bit
     delta-energy fingerprint (media.audio_delta_hash) → banded hamming
     pairs at the width dedup.tune_hamming_band_bits picks for the
-    corpus size. The audio fingerprint has a single width (56 bits —
-    there is no wider-mesh escalation like the image 72-bit path), so
-    past the tuner's occupancy bound (~262k clips at the default) this
-    raises rather than hand back a saturating banding; the documented
-    escalation is corpus sharding. ``n_docs`` skips the count scan when
-    the caller already knows the cardinality. PCM never leaves the
-    decode map stage. Output: (doc_a, doc_b, hamming)."""
+    corpus size. Past the 56-bit tuner's occupancy bound (~262k clips
+    at the default) the 73-frame / 72-bit two-word wide mesh
+    (:func:`audio_dhash_multiword`, dedup.multiword_hamming_pairs)
+    takes over with its own tuned width — the same escalation contract
+    as the image grid=8 → grid=9 path (a finer mesh sees 72 bits of
+    temporal texture instead of 56, so pair sets differ at the
+    margin). If even 12-bit wide bands saturate (≳524k clips) the
+    corpus is hash-sharded (dedup.chunked_hamming_pairs at
+    dedup.tune_hamming_chunks' pick) into memory-bounded wide joins
+    with exact recall. ``n_docs`` skips the count scan when the caller
+    already knows the cardinality. PCM never leaves the decode map
+    stage. Output: (doc_a, doc_b, hamming)."""
     from . import dedup
 
     if n_docs is None:
         n_docs = df.count()
-    band_bits = dedup.tune_hamming_band_bits(
-        n_docs,
-        bits=56,
-        max_hamming=max_hamming,
-        max_mean_bucket=max_mean_bucket,
-    )
+    try:
+        band_bits = dedup.tune_hamming_band_bits(
+            n_docs,
+            bits=56,
+            max_hamming=max_hamming,
+            max_mean_bucket=max_mean_bucket,
+        )
+    except ValueError:
+        wide_bits = media.WIDE_AUDIO_FRAMES - 1
+        n_chunks, band_bits = dedup.tune_hamming_chunks(
+            n_docs,
+            bits=wide_bits,
+            word_bits=36,
+            max_hamming=max_hamming,
+            max_mean_bucket=max_mean_bucket,
+        )
+        fp = audio_dhash_multiword(
+            df, payload_col, n_frames=media.WIDE_AUDIO_FRAMES, word_bits=36
+        )
+
+        def wide_pairs(subset: DataFrame) -> DataFrame:
+            return dedup.multiword_hamming_pairs(
+                subset,
+                n_words=2,
+                word_bits=36,
+                band_bits=band_bits,
+                max_hamming=max_hamming,
+                bits=wide_bits,
+            )
+
+        return dedup.chunked_hamming_pairs(
+            fp, wide_pairs, n_chunks=n_chunks
+        )
     fp = audio_dhash(df, payload_col)
     return dedup.simhash_near_duplicates(
         fp.select("doc_id", F.col("ahash").alias("simhash")),
@@ -471,20 +510,56 @@ def video_near_duplicates(
     dedup.framewise_hamming_pairs joins banded WITHIN frame position at
     the tuner's width (the banding keys include the frame, so bucket
     occupancy is per frame position and the documents-count bound
-    applies per frame). Same single-width refusal contract as
-    :func:`audio_near_duplicates`. ``max_bucket_size`` passes through
-    the degenerate-frame skew cap (constant/black frames). Output:
+    applies per frame). Past the 56-bit tuner's occupancy bound (~262k
+    clips at the default) the grid=9 / 72-bit two-word per-frame mesh
+    (:func:`video_frame_dhash_multiword`,
+    dedup.framewise_multiword_hamming_pairs) takes over with its own
+    tuned width — the image-family escalation contract; past even the
+    12-bit wide bands (≳524k) the corpus is hash-sharded
+    (dedup.chunked_hamming_pairs at dedup.tune_hamming_chunks' pick)
+    into memory-bounded wide joins with exact recall (a doc's frames
+    all chunk with the doc, so the ≥ min_frames majority stays
+    per-join-local). ``max_bucket_size`` passes through the
+    degenerate-frame skew cap (constant/black frames; under chunking
+    the cap applies per chunk-pair join). Output:
     (doc_a, doc_b, n_frames_matched ≥ min_frames)."""
     from . import dedup
 
     if n_docs is None:
         n_docs = df.count()
-    band_bits = dedup.tune_hamming_band_bits(
-        n_docs,
-        bits=8 * 7,
-        max_hamming=max_hamming,
-        max_mean_bucket=max_mean_bucket,
-    )
+    try:
+        band_bits = dedup.tune_hamming_band_bits(
+            n_docs,
+            bits=8 * 7,
+            max_hamming=max_hamming,
+            max_mean_bucket=max_mean_bucket,
+        )
+    except ValueError:
+        n_chunks, band_bits = dedup.tune_hamming_chunks(
+            n_docs,
+            bits=9 * 8,
+            word_bits=36,
+            max_hamming=max_hamming,
+            max_mean_bucket=max_mean_bucket,
+        )
+        fp = video_frame_dhash_multiword(
+            df, payload_col, n_samples=n_samples, grid=9, word_bits=36
+        )
+
+        def wide_pairs(subset: DataFrame) -> DataFrame:
+            return dedup.framewise_multiword_hamming_pairs(
+                subset,
+                n_words=2,
+                word_bits=36,
+                band_bits=band_bits,
+                max_hamming=max_hamming,
+                min_frames=min_frames,
+                max_bucket_size=max_bucket_size,
+            )
+
+        return dedup.chunked_hamming_pairs(
+            fp, wide_pairs, n_chunks=n_chunks
+        )
     fp = video_frame_dhash(df, payload_col, n_samples=n_samples, grid=8)
     return dedup.framewise_hamming_pairs(
         fp,
@@ -497,12 +572,16 @@ def video_near_duplicates(
 
 
 def synthesize_family_audio_payloads(
-    docs: DataFrame, id_col: str = "doc_id", synth_col: str | None = None
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    synth_col: str | None = None,
+    *,
+    n_frames: int = media.AUDIO_FRAMES,
 ) -> DataFrame:
     """Deterministic WAV corpus WITH near-dup family structure
-    (media.synth_family_wav_samples — shared 57-frame md5 amplitude
-    profile per doc_id//5 family, one member-specific frame bump):
-    the audio-dedup fixture, one real RIFF/WAV payload per doc.
+    (media.synth_family_wav_samples — shared ``n_frames``-frame md5
+    amplitude profile per doc_id//5 family, one member-specific frame
+    bump): the audio-dedup fixture, one real RIFF/WAV payload per doc.
 
     ``synth_col`` decouples the CONTENT key from the row id: the
     payload is synthesized from ``synth_col``'s value while ``doc_id``
@@ -519,7 +598,9 @@ def synthesize_family_audio_payloads(
                     "doc_id": pdf[id_col],
                     "payload": [
                         media.encode_wav(
-                            media.synth_family_wav_samples(int(i)),
+                            media.synth_family_wav_samples(
+                                int(i), n_frames=n_frames
+                            ),
                             media.WAV_SAMPLE_RATE,
                         )
                         for i in pdf[key]
@@ -555,6 +636,45 @@ def audio_dhash(
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": hashes})
 
     return df.mapInPandas(batches, "doc_id long, ahash long")
+
+
+def audio_dhash_multiword(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    n_frames: int = media.WIDE_AUDIO_FRAMES,
+    word_bits: int = 36,
+) -> DataFrame:
+    """Wide delta-energy audio fingerprints for corpora past the
+    single-BIGINT tuner ceiling — the audio twin of
+    :func:`dhash_multiword_images`: the SAME media.audio_delta_hash
+    delta rule over a finer ``n_frames`` temporal mesh (72 bits at the
+    WIDE_AUDIO_FRAMES default), split into sign-safe BIGINT words
+    (media.dhash_words). Feed the result to
+    dedup.multiword_hamming_pairs with band_bits dividing word_bits —
+    wider bands defer bucket saturation from ~262k to ~524k+ clips.
+    Output: (doc_id, w0, w1, …); PCM never leaves the decode stage."""
+    bits = n_frames - 1
+    n_words = -(-bits // word_bits)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f"w{i}": [] for i in range(n_words)}
+            for data in pdf[payload_col]:
+                _ch, _rate, samples = media.decode_wav(bytes(data))
+                ws = media.dhash_words(
+                    media.audio_delta_hash(
+                        samples.reshape(-1), n_frames=n_frames
+                    ),
+                    bits=bits,
+                    word_bits=word_bits,
+                )
+                for i in range(n_words):
+                    rows[f"w{i}"].append(ws[i])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
+
+    schema = "doc_id long, " + ", ".join(f"w{i} long" for i in range(n_words))
+    return df.mapInPandas(batches, schema)
 
 
 def synthesize_audio_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -620,12 +740,16 @@ VIDEO_FRAME_SCHEMA = (
 
 
 def synthesize_family_video_payloads(
-    docs: DataFrame, id_col: str = "doc_id", synth_col: str | None = None
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    synth_col: str | None = None,
+    *,
+    grid: int = 8,
 ) -> DataFrame:
     """Per doc: a real RVID container of the 3 family-textured frames
-    (media.synth_family_video_frames) — the video-dedup fixture.
-    ``synth_col`` decouples the content key from the row id exactly as
-    in :func:`synthesize_family_audio_payloads`."""
+    (media.synth_family_video_frames, 2·grid × 2·grid px) — the
+    video-dedup fixture. ``synth_col`` decouples the content key from
+    the row id exactly as in :func:`synthesize_family_audio_payloads`."""
     key = synth_col or id_col
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -635,7 +759,9 @@ def synthesize_family_video_payloads(
                     "doc_id": pdf[id_col],
                     "payload": [
                         media.encode_video(
-                            media.synth_family_video_frames(int(i))
+                            media.synth_family_video_frames(
+                                int(i), grid=grid
+                            )
                         )
                         for i in pdf[key]
                     ],
@@ -681,6 +807,50 @@ def video_frame_dhash(
     return df.mapInPandas(
         batches, "doc_id long, frame_idx int, dhash long"
     )
+
+
+def video_frame_dhash_multiword(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    n_samples: int = 3,
+    grid: int = 9,
+    word_bits: int = 36,
+) -> DataFrame:
+    """Wide per-frame perceptual hashes for video corpora past the
+    single-BIGINT tuner ceiling: the :func:`video_frame_dhash` index
+    walk (only sampled frames decode) with the ``grid·(grid−1)``-bit
+    dHash split into sign-safe BIGINT words — 72 bits / two words at
+    the grid=9 default. Output: one narrow (doc_id, frame_idx, w0, …)
+    row per sampled frame — the input to
+    dedup.framewise_multiword_hamming_pairs."""
+    bits = grid * (grid - 1)
+    n_words = -(-bits // word_bits)
+    wcols = [f"w{i}" for i in range(n_words)]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(data)
+                n = media.video_frame_count(data)
+                for j in range(n_samples):
+                    idx = n * j // n_samples
+                    _w, _h, px = media.extract_video_frame(data, idx)
+                    ws = media.dhash_words(
+                        media.dhash_pixels(px, grid=grid),
+                        bits=bits,
+                        word_bits=word_bits,
+                    )
+                    rows.append((doc_id, j, *ws))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", *wcols]
+            )
+
+    schema = "doc_id long, frame_idx int, " + ", ".join(
+        f"{w} long" for w in wcols
+    )
+    return df.mapInPandas(batches, schema)
 
 
 def sample_video_frames(

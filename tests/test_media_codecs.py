@@ -559,9 +559,17 @@ def test_phash_near_duplicates_selects_by_corpus_size(spark):
     )
     assert got_big == want_big and got_big
 
-    # past the wide path's own occupancy bound -> explicit refusal
-    with pytest.raises(ValueError, match="widen the fingerprint"):
+    # past the wide path's own occupancy bound -> hash-sharded chunk
+    # joins (3 chunks at 600k), output ≡ the single-pass wide join
+    # (exact recall: this 40-doc corpus straddles all 3 chunks)
+    got_chunked = pairs(
         multimodal.phash_near_duplicates(pay, n_docs=600_000)
+    )
+    assert got_chunked == want_big
+
+    # genuinely infeasible corpora (past max_chunks wide joins) refuse
+    with pytest.raises(ValueError, match="widen the fingerprint"):
+        multimodal.phash_near_duplicates(pay, n_docs=100_000_000)
 
 
 def test_audio_family_hamming_and_spark_matches_local(spark):
@@ -839,3 +847,229 @@ def test_framewise_hamming_matches_bucket_cap(spark):
         (11, 12): (2, True),
         (12, 11): (2, True),
     }
+
+
+def test_audio_near_duplicates_selects_by_corpus_size(spark):
+    """The audio entry point escalates like the image one (VERDICT r10
+    Next #2): 56-bit delta hash while occupancy allows, the 73-frame /
+    72-bit two-word wide mesh past ~262k, hash-sharded chunk joins past
+    ~524k — never a refusal until the chunk count itself blows up."""
+    from openstack_billing_from_db_spark.operators import dedup
+
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    pay = multimodal.synthesize_family_audio_payloads(
+        docs, n_frames=media.WIDE_AUDIO_FRAMES
+    )
+
+    def pairs(df):
+        return {(r.doc_a, r.doc_b): r.hamming for r in df.collect()}
+
+    got_small = pairs(multimodal.audio_near_duplicates(pay, n_docs=30))
+    assert got_small  # 56-bit mesh over the wide fixture still pairs
+    want_wide = pairs(
+        dedup.multiword_hamming_pairs(
+            multimodal.audio_dhash_multiword(pay),
+            n_words=2,
+            word_bits=36,
+            band_bits=12,
+            max_hamming=4,
+            bits=media.WIDE_AUDIO_FRAMES - 1,
+        )
+    )
+    # all intra-family pairs found on the aligned wide fixture, none cross
+    assert set(want_wide) == {
+        (f * 5 + i, f * 5 + j)
+        for f in range(6)
+        for i in range(5)
+        for j in range(i + 1, 5)
+    }
+    got_wide = pairs(multimodal.audio_near_duplicates(pay, n_docs=300_000))
+    assert got_wide == want_wide
+    got_chunked = pairs(
+        multimodal.audio_near_duplicates(pay, n_docs=600_000)
+    )
+    assert got_chunked == want_wide
+    with pytest.raises(ValueError, match="widen the fingerprint"):
+        multimodal.audio_near_duplicates(pay, n_docs=100_000_000)
+
+
+def test_video_near_duplicates_selects_by_corpus_size(spark):
+    """Video escalation: framewise 56-bit while occupancy allows, the
+    grid=9 / 72-bit two-word per-frame mesh past ~262k, chunked wide
+    joins past ~524k — with the ≥2-of-3 frame-majority rule preserved
+    on every path (the wide fixture's family semantics)."""
+    from openstack_billing_from_db_spark.operators import dedup
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pay = multimodal.synthesize_family_video_payloads(docs, grid=9)
+
+    def pairs(df):
+        return {
+            (r.doc_a, r.doc_b): r.n_frames_matched for r in df.collect()
+        }
+
+    want_wide = pairs(
+        dedup.framewise_multiword_hamming_pairs(
+            multimodal.video_frame_dhash_multiword(pay),
+            n_words=2,
+            word_bits=36,
+            band_bits=12,
+            max_hamming=4,
+            min_frames=2,
+        )
+    )
+    # the family majority structure holds at the wide mesh
+    for fam_base in (0, 5):
+        m = lambda v: fam_base + v  # noqa: E731
+        for x in range(3):
+            for y in range(x + 1, 3):
+                assert want_wide[(m(x), m(y))] == 3
+        for x in range(3):
+            assert want_wide[(m(x), m(3))] == 2
+            assert want_wide[(m(x), m(4))] == 2
+        assert (m(3), m(4)) not in want_wide
+    assert all(a // 5 == b // 5 for a, b in want_wide)
+
+    got_wide = pairs(multimodal.video_near_duplicates(pay, n_docs=300_000))
+    assert got_wide == want_wide
+    got_chunked = pairs(
+        multimodal.video_near_duplicates(pay, n_docs=600_000)
+    )
+    assert got_chunked == want_wide
+    with pytest.raises(ValueError, match="widen the fingerprint"):
+        multimodal.video_near_duplicates(pay, n_docs=100_000_000)
+
+
+def test_tune_hamming_chunks_contract():
+    """Chunk tuner: 1 chunk while the single join fits, smallest C whose
+    per-join corpus (⌈2n/C⌉) passes the band tuner past that, refusal
+    only past max_chunks."""
+    from openstack_billing_from_db_spark.operators import dedup
+
+    cap = 128 * 4096  # 72-bit wide path's single-join ceiling
+    assert dedup.tune_hamming_chunks(cap, bits=72, word_bits=36) == (1, 12)
+    assert dedup.tune_hamming_chunks(cap + 1, bits=72, word_bits=36) == (3, 12)
+    assert dedup.tune_hamming_chunks(600_000, bits=72, word_bits=36) == (3, 12)
+    c, bb = dedup.tune_hamming_chunks(5_000_000, bits=72, word_bits=36)
+    assert bb == 12 and -(-2 * 5_000_000 // c) <= cap and c <= 256
+    with pytest.raises(ValueError, match="max_chunks"):
+        dedup.tune_hamming_chunks(
+            100_000_000, bits=72, word_bits=36, max_chunks=256
+        )
+
+
+def test_chunked_hamming_pairs_equals_single_pass(spark):
+    """The VERDICT r10 Next #5 pin: the union over C(C+1)/2 chunk-pair
+    joins equals the single-pass pair set exactly — on a fixture whose
+    families straddle chunk boundaries (hash chunking scatters the 5
+    members of each family across the 3 chunks) — and each pair is
+    emitted exactly once."""
+    from openstack_billing_from_db_spark.operators import dedup
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    fp = multimodal.dhash_multiword_images(
+        multimodal.synthesize_textured_image_payloads(docs),
+        grid=9,
+        word_bits=36,
+    )
+
+    def wide_pairs(subset):
+        return dedup.multiword_hamming_pairs(
+            subset, n_words=2, word_bits=36, band_bits=12, max_hamming=4
+        )
+
+    single = [(r.doc_a, r.doc_b) for r in wide_pairs(fp).collect()]
+    chunked = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.chunked_hamming_pairs(
+            fp, wide_pairs, n_chunks=3
+        ).collect()
+    ]
+    assert sorted(chunked) == sorted(single) and single
+    assert len(chunked) == len(set(chunked))  # exactly-once emission
+    # the fixture genuinely straddles: at least one family has members
+    # in more than one chunk
+    from openstack_billing_from_db_spark.functions.hashing import py_hash64
+
+    chunks_by_fam = {}
+    for i in range(40):
+        chunks_by_fam.setdefault(i // 5, set()).add(
+            py_hash64(f"hchunk|{i}") % 3
+        )
+    assert any(len(cs) > 1 for cs in chunks_by_fam.values())
+    with pytest.raises(ValueError, match="n_chunks"):
+        dedup.chunked_hamming_pairs(fp, wide_pairs, n_chunks=0)
+
+
+def test_multiword_hamming_pairs_bucket_cap(spark):
+    """max_bucket_size on the multiword kernel (the framewise cap,
+    ported): a degenerate bucket population emits nothing, a pair whose
+    OTHER band is under the cap survives and is emitted exactly once."""
+    from openstack_billing_from_db_spark.operators import dedup
+
+    # 12 docs share word0 (band 0..2 over 36 bits at 12-bit bands all
+    # collide); pairs differ in word1 by > max_hamming except one pair
+    rows = []
+    for i in range(12):
+        w1 = (0b111111 << 6) if i else 0  # doc 0 far from the rest
+        rows.append((i, 5, w1 if i != 2 else 1))  # docs 1&2: hamming 1... 
+    # make docs 1 and 2 near: w1 values 0b111111000000 vs 1 differ a lot;
+    # instead give them equal w1
+    rows[1] = (1, 5, 77)
+    rows[2] = (2, 5, 77)
+    fp = spark.createDataFrame(rows, "doc_id long, w0 long, w1 long")
+
+    def run(cap):
+        return {
+            (r.doc_a, r.doc_b)
+            for r in dedup.multiword_hamming_pairs(
+                fp,
+                n_words=2,
+                word_bits=36,
+                band_bits=12,
+                max_hamming=4,
+                max_bucket_size=cap,
+            ).collect()
+        }
+
+    uncapped = run(None)
+    assert (1, 2) in uncapped
+    # cap 5: every w0 band bucket holds all 12 docs -> dropped; docs 1&2
+    # still collide via their (under-cap) w1 bands
+    capped = run(5)
+    assert (1, 2) in capped
+    assert capped <= uncapped
+
+
+def test_framewise_multiword_matches_narrow_kernel(spark):
+    """framewise_multiword_hamming_pairs at n_words=1/word_bits=56 must
+    reproduce framewise_hamming_pairs on the same 56-bit per-frame
+    hashes — the two kernels share semantics, not just intent."""
+    from openstack_billing_from_db_spark.operators import dedup
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    fp = multimodal.video_frame_dhash(
+        multimodal.synthesize_family_video_payloads(docs), n_samples=3
+    )
+    narrow = {
+        (r.doc_a, r.doc_b): r.n_frames_matched
+        for r in dedup.framewise_hamming_pairs(
+            fp, bits=56, band_bits=11, max_hamming=4, min_frames=2
+        ).collect()
+    }
+    # band widths differ (8 divides the 56-bit word; the narrow kernel
+    # runs its tuned 11) — exact recall makes the outputs identical
+    # anyway: both emit ALL (pair, frame) matches at hamming ≤ 4
+    wide = {
+        (r.doc_a, r.doc_b): r.n_frames_matched
+        for r in dedup.framewise_multiword_hamming_pairs(
+            fp.select("doc_id", "frame_idx", F.col("dhash").alias("w0")),
+            n_words=1,
+            word_bits=56,
+            band_bits=8,
+            max_hamming=4,
+            min_frames=2,
+            bits=56,
+        ).collect()
+    }
+    assert wide == narrow and narrow
