@@ -2676,3 +2676,149 @@ def q146_corpus_recipe_multimodal(
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
     )
+
+
+# --- streaming video admission, driver-certified (round 11) --------------------
+#
+# The four streaming admit_*_batch compositions were pytest-only; this
+# entry replays a TWO-EPOCH video admission (the newest path) through
+# the REAL streaming/dedup_stream.admit_video_batch function — epoch 1
+# against an empty index, epoch 2 against epoch 1's admitted additions
+# — and the oracle replays the whole process from closed form
+# (VERDICT r10 Next #6, the q151 incremental-≡-batch certification
+# pattern). Epochs split by doc_id parity so every 5-member fixture
+# family straddles both epochs: epoch-2 docs get blocked by INDEX
+# matches (var-0/2/4 members admitted in epoch 1) and by LOWER-ID
+# IN-BATCH matches, and the doubly-distorted (var=3, var=4) pair's
+# 1-frame match stays below the majority gate — all three admission
+# rules carry driver rows.
+
+
+def _video_admission_oracle() -> str:
+    """Closed-form two-epoch replay: q145's per-frame texture/packing
+    chain, EXACT all-pairs frame matches (banding is recall-exact by
+    pigeonhole, so the oracle skips it), the ≥ min_frames majority in
+    both directions, then epoch 1 verdicts → admitted index → epoch 2
+    verdicts with the shared blocking rule (index match, or lower-id
+    in-batch match)."""
+    return f"""
+WITH g AS (
+  SELECT d.doc_id, f.f, r.r, u.u, {_VW_CELL_SQL} AS v
+  FROM documents d, range(3) f(f), range(8) r(r), range(8) u(u)
+),
+vbits AS (
+  SELECT a.doc_id, a.f, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit,
+         a.r * 7 + a.u AS k
+  FROM g a JOIN g b
+    ON b.doc_id = a.doc_id AND b.f = a.f AND b.r = a.r AND b.u = a.u + 1
+  WHERE a.u < 7
+),
+fp AS (
+  SELECT doc_id, f,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS h
+  FROM vbits GROUP BY doc_id, f
+),
+mj AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS nf
+  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id <> b.doc_id
+  WHERE bit_count(xor(a.h, b.h)) <= {_DH_MAX_HAMMING}
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {_VW_MIN_FRAMES}
+),
+b1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+b2 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+e1m AS (
+  SELECT m.* FROM mj m
+  JOIN b1 x ON x.doc_id = m.da JOIN b1 y ON y.doc_id = m.db
+),
+e1v AS (
+  SELECT a.doc_id, count(m.db) AS n_matches, max(m.nf) AS best,
+         count(CASE WHEN m.db < a.doc_id THEN 1 END) = 0 AS admitted
+  FROM b1 a LEFT JOIN e1m m ON m.da = a.doc_id
+  GROUP BY a.doc_id
+),
+idx1 AS (SELECT doc_id FROM e1v WHERE admitted),
+e2m AS (
+  SELECT m.da, m.db, m.nf,
+         CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_idx
+  FROM mj m
+  JOIN b2 x ON x.doc_id = m.da
+  LEFT JOIN idx1 i ON i.doc_id = m.db
+  LEFT JOIN b2 y ON y.doc_id = m.db
+  WHERE i.doc_id IS NOT NULL OR y.doc_id IS NOT NULL
+),
+e2v AS (
+  SELECT a.doc_id, count(m.db) AS n_matches, max(m.nf) AS best,
+         count(CASE WHEN m.in_idx = 1 OR m.db < a.doc_id THEN 1 END) = 0
+           AS admitted
+  FROM b2 a LEFT JOIN e2m m ON m.da = a.doc_id
+  GROUP BY a.doc_id
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS epoch,
+       CAST(n_matches AS BIGINT) AS n_matches,
+       CAST(best AS BIGINT) AS best_frames_matched, admitted
+FROM e1v
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT), CAST(n_matches AS BIGINT),
+       CAST(best AS BIGINT), admitted
+FROM e2v
+"""
+
+
+@register(
+    "q153_streaming_video_admission", oracle=_video_admission_oracle()
+)
+def q153_streaming_video_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-epoch streaming video admission through the real
+    streaming/dedup_stream.admit_video_batch composition: even-id clips
+    arrive in epoch 1 (probed against an empty per-frame index), their
+    admitted fingerprints become the index, odd-id clips arrive in
+    epoch 2 and are blocked by index majority-matches OR lower-id
+    in-batch matches (the min-id-canonical rule). Per-epoch work is
+    (batch frame hashes) + (banded probe against the ~24 B/frame-row
+    index) — video bytes never leave the decode stage; the index grows
+    at the unique-clip rate. Output: one verdict row per clip
+    (doc_id, epoch, n_matches, best_frames_matched, admitted)."""
+    from openstack_billing_from_db_spark.streaming.dedup_stream import (
+        admit_video_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pay = multimodal.synthesize_family_video_payloads(docs)
+    b1 = pay.filter(F.col("doc_id") % 2 == 0)
+    b2 = pay.filter(F.col("doc_id") % 2 == 1)
+    empty = spark.createDataFrame(
+        [], "doc_id long, frame_idx int, dhash long"
+    )
+    v1, add1 = admit_video_batch(
+        spark,
+        b1,
+        None,
+        band_bits=_VW_BAND_BITS,
+        max_hamming=_DH_MAX_HAMMING,
+        min_frames=_VW_MIN_FRAMES,
+        existing_index=empty,
+    )
+    v2, _ = admit_video_batch(
+        spark,
+        b2,
+        None,
+        band_bits=_VW_BAND_BITS,
+        max_hamming=_DH_MAX_HAMMING,
+        min_frames=_VW_MIN_FRAMES,
+        existing_index=add1,
+    )
+    def with_epoch(v: DataFrame, e: int) -> DataFrame:
+        return v.select(
+            "doc_id",
+            F.lit(e).cast("long").alias("epoch"),
+            F.col("n_matches").cast("long").alias("n_matches"),
+            F.col("best_frames_matched").cast("long").alias(
+                "best_frames_matched"
+            ),
+            "admitted",
+        )
+
+    return with_epoch(v1, 0).unionByName(with_epoch(v2, 1))

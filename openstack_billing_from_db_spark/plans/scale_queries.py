@@ -1387,3 +1387,137 @@ def q147_semantic_dedup_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_dp=_PQ_DP,
         candidate_slack=_SDPQ_SLACK,
     )
+
+
+# --- PQ SemDeDup at the production k ∝ n shape (round 11) ----------------------
+#
+# q147 certifies the PQ pair stage at q130's fixed k=8 (oracle-parity
+# config — its Σ n_c² pair work grows quadratically by design); q140
+# certifies the k ∝ n clustering WITHOUT PQ. This entry certifies their
+# COMPOSITION — the configuration a 10⁸-vector user actually runs
+# (VERDICT r10 Next #3): target_cluster_size-derived k over the
+# 5×-replicated corpus (2500 vectors → 1250 clusters at target 2, the
+# q140 fixture), bounded cluster pair blocks, PQ codes through the pair
+# stage, exact verify on survivors. k = 1250 also exceeds
+# clustering.hierarchical_assign_threshold(), so the driver row
+# additionally certifies the round-11 cost-derived two-level assignment
+# kernel end-to-end.
+
+
+def _semantic_dedup_pq_scaled_oracle() -> str:
+    """q140's replicated derived-k Lloyd CTE chain (reused verbatim by
+    string split, the q147-on-_kmeans_oracle pattern) + q147's PQ
+    train/encode/reconstruct blocks retargeted at the replicated
+    ``corpus`` + the identical candidate gate and exact verify."""
+    from openstack_billing_from_db_spark.plans.pipeline_queries import (
+        _SEM_T,
+        _semantic_dedup_scaled_oracle,
+    )
+
+    sc = _semantic_dedup_scaled_oracle()
+    kmeans_ctes = sc.split("WITH ", 1)[1].split(",\nx AS (", 1)[0]
+    pq_ctes = ",\n".join(_pq_train_blocks("corpus"))
+    fcb = f"c{_PQ_ITER}"
+    rec_joins = "\n".join(
+        f"  JOIN code_{m} USING (vid)\n"
+        f"  JOIN {fcb}_{m} cb{m} ON cb{m}.cid = code_{m}.c{m}"
+        for m in range(_PQ_M)
+    )
+    rcols = ", ".join(f"cb{m}.c AS r{m}" for m in range(_PQ_M))
+    xr = ", ".join(f"r.r{m}" for m in range(_PQ_M))
+    dot_hat = " + ".join(
+        f"list_inner_product(a.r{m}, b.r{m})" for m in range(_PQ_M)
+    )
+    n2hat = " + ".join(
+        f"list_inner_product(r.r{m}, r.r{m})" for m in range(_PQ_M)
+    )
+    t2 = _SEM_T * _SEM_T
+    ts = _SEM_T - _SDPQ_SLACK
+    ts2 = ts * ts
+    return f"""
+WITH {kmeans_ctes},
+{pq_ctes},
+rec AS (
+  SELECT co.vid, {rcols}
+  FROM corpus co
+{rec_joins}
+),
+x AS (
+  SELECT f.vid, f.cluster, co.e,
+         list_inner_product(co.e, co.e) AS n2,
+         {xr}, ({n2hat}) AS n2hat
+  FROM afinal f JOIN corpus co USING (vid) JOIN rec r ON r.vid = f.vid
+),
+pr AS (
+  SELECT a.vid AS va, b.vid AS vb, a.n2 AS n2a, b.n2 AS n2b,
+         list_inner_product(a.e, b.e) AS dot,
+         ({dot_hat}) AS dot_hat,
+         a.n2hat AS nha, b.n2hat AS nhb
+  FROM x a JOIN x b ON a.cluster = b.cluster AND a.vid < b.vid
+),
+cand AS (
+  SELECT * FROM pr
+  WHERE dot_hat >= 0 AND dot_hat * dot_hat >= {ts2!r} * nha * nhb
+),
+drp AS (
+  SELECT DISTINCT vb AS vid FROM cand
+  WHERE dot >= 0 AND dot * dot >= {t2!r} * n2a * n2b
+)
+SELECT x.vid AS vec_id, CAST(x.cluster AS BIGINT) AS cluster_id,
+       CASE WHEN d.vid IS NULL THEN 'kept' ELSE 'dropped' END AS fate
+FROM x LEFT JOIN drp d ON d.vid = x.vid
+"""
+
+
+@register(
+    "q152_semantic_dedup_pq_scaled",
+    oracle=_semantic_dedup_pq_scaled_oracle(),
+)
+def q152_semantic_dedup_pq_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-backed SemDeDup at the PRODUCTION configuration
+    (similarity.semantic_dedup_pq with ``target_cluster_size`` — q140's
+    k ∝ n clustering composed with q147's PQ pair stage): k =
+    ceil(n/2) = 1250 derived centroids over the 5×-replicated corpus,
+    so per-cluster pair blocks stay bounded as the corpus grows while
+    the pair shuffle carries {_PQ_M} int codes instead of 64 doubles.
+    The derived k drives the round-11 cost-based hierarchical
+    assignment kernel (clustering._assign two-level path, pinned ≡
+    flat); exact replicas are the expected drops (their PQ codes are
+    identical → approximate cosine exactly 1 → exact verify at cosine
+    1). The oracle replays replication, derived-k Lloyd, PQ training,
+    encode, reconstruction, candidate gate, and verify."""
+    from openstack_billing_from_db_spark.operators.similarity import (
+        semantic_dedup_pq,
+    )
+    from openstack_billing_from_db_spark.plans.pipeline_queries import (
+        _KM_DP,
+        _SEM_SCALE_ITER,
+        _SEM_SCALE_R,
+        _SEM_SCALE_TARGET,
+        _SEM_T,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rep = emb.select(
+        F.explode(
+            F.array(*[F.lit(i).cast("long") for i in range(_SEM_SCALE_R)])
+        ).alias("r"),
+        "vec_id",
+        "embedding",
+    ).select(
+        (F.col("r") * 1000000 + F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    return semantic_dedup_pq(
+        rep,
+        dims=_PQ_DIMS,
+        n_iter=_SEM_SCALE_ITER,
+        round_dp=_KM_DP,
+        threshold=_SEM_T,
+        target_cluster_size=_SEM_SCALE_TARGET,
+        pq_subspaces=_PQ_M,
+        pq_k=_PQ_K,
+        pq_iter=_PQ_ITER,
+        pq_dp=_PQ_DP,
+        candidate_slack=_SDPQ_SLACK,
+    )

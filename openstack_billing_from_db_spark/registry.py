@@ -63,130 +63,119 @@ STREAMING: frozenset[str] = frozenset(
 # overlapping-semantics tests) and was driver-green in round 1 — so they
 # are ordered last and absorb the overflow.
 DEFERRED: tuple[str, ...] = (
-# Round-10 rotation (VERDICT r9 Next #1): the gate head keeps the §2
-# core (q01-q08/q42) and rotates in (a) the four queries whose operator
-# code changed in round 9 AFTER their last driver row — q142
-# (multiword_hamming_pairs bits= param), q140/q130 (clustering._assign
-# hierarchical dispatch), q128 (oracle CTE parametrization +
-# prepare_corpus signature) — (b) the full 14-query r5-stale remainder
-# (q95/q96/q98/q101/q103-q107/q109/q110/q112/q114/q116), and (c) the 18
-# oldest r7-stale parks (q37/q50/q51/q69/q72/q75-q78/q80/q81/q97/q99/
-# q102/q120/q123/q125/q127). q143/q144/q145 stay in-head because round
-# 10 edits their operator code (band-width tuner tie-in, framewise skew
-# cap, corpus audio/video stages) after their r9 rows. Everything
-# r9-greened parks; per-line notes give each parked query's driver-green
-# rounds and its in-gate coverage.
-#
-# Late round-10 additions q148 (greedy sequence packing) and q149
-# (length-bucketed batching) take the two head slots freed by parking
-# q77/q102 below — both parked entries have their kernel exercised by an
-# in-gate twin, and both are queued FIRST for the r11 head (they stay
-# r5-stale one more round).
-  # -- parked late in round 10 to admit q148-q151 (queue first for r11) --
-  "q77_video_frame_sample",  # r5-green; RVID index-walk exercised in-gate by q145/q146
-  "q102_kmv_set_overlap",  # r5-green; KMV kernel in-gate via q98
-  "q50_streaming_windowed_counts",  # r7-green; streaming set in-gate via q51/q75
-  "q37_simhash_near_dups",  # r7-green; banded simhash kernel's r9-green twin q36 + in-gate hamming family q142-q145
-  # -- r9-green fresh parks (rotated out this round) --
+# Round-11 rotation (VERDICT r10 Next #1): the head keeps the §2 core
+# (q01-q08/q42) and rotates in (a) the four r10-parked queries queued
+# first (q77/q102/q50/q37), (b) all 19 remaining r7-stale queries,
+# (c) q34/q35/q141 (their dedup kernels dropped the dead b-side bnvec
+# in r10 after their last rows), (d) the r11-new q152/q153, and
+# (e) 13 of the oldest r1/r8-green parks. Everything r10-green parks;
+# per-line notes give each parked query's driver-green rounds and its
+# in-gate or pytest coverage.
+  # -- r10-green fresh parks (rotated out this round) --
+  "q125_concurrent_sessions",  # r10-green
+  "q123_set_similarity_join",  # r10-green
+  "q130_semantic_dedup",  # r10-green; SemDeDup kernel in-gate via q152 (PQ superset config)
+  "q76_lm_quality",  # r10-green
+  "q78_bpe_train",  # r10-green
+  "q80_span_dedup",  # r10-green
+  "q81_quality_filter",  # r10-green
+  "q120_edit_distance_dups",  # r10-green
+  "q127_token_budget_epoch",  # r10-green
+  "q128_corpus_recipe",  # r10-green
+  "q140_semantic_dedup_scaled",  # r10-green; k∝n clustering in-gate via q152
+  "q142_image_phash72_dedup",  # r10-green; multiword kernel in-gate via q141's family + r11 pins
+  "q143_corpus_recipe_images",  # r10-green
+  "q144_audio_phash_dedup",  # r10-green; hamming family in-gate via q141; r11 wide-path pytest pins
+  "q145_video_phash_dedup",  # r10-green; framewise kernel in-gate via q153 (streaming composition)
+  "q146_corpus_recipe_multimodal",  # r10-green; composed stages in-gate via q141/q153 members
+  "q69_text_scrub",  # r10-green
+  "q72_sequence_pack",  # r10-green
+  "q148_greedy_sequence_pack",  # r10-green; packing kernel pytest-pinned; q151 twin
+  "q149_length_bucketed_batches",  # r10-green
+  "q150_packing_efficiency",  # r10-green
+  "q151_incremental_greedy_pack",  # r10-green; continuation ≡ batch hypothesis-pinned
+  "q95_pagerank",  # r10-green
+  "q96_scd2_history",  # r10-green
+  "q97_merge_upsert",  # r10-green
+  "q51_streaming_state_intervals",  # r10-green; streaming set in-gate via q50
+  "q75_stream_stream_join",  # r10-green; streaming set in-gate via q50
+  "q98_kmv_distinct",  # r10-green; KMV kernel in-gate via q102
+  "q99_priority_sample",  # r10-green
+  "q101_countmin_heavy_hitters",  # r10-green; count-min kernel in-gate via q122
+  "q103_histogram_quantiles",  # r10-green; quantile kernel in-gate via q108
+  "q104_random_projection",  # r10-green
+  "q105_group_priority_sample",  # r10-green
+  "q106_triangle_count",  # r10-green
+  "q107_salted_join_revenue",  # r10-green
+  "q109_contamination_fraction",  # r10-green; decontam kernel in-gate via q118-family oracles; q68/q91 twins
+  "q110_pq_encode",  # r10-green; PQ kernel in-gate via q111/q113/q129/q152
+  "q112_ivf_pq_topk",  # r10-green; IVF-PQ kernel in-gate via q113/q129
+  "q114_pq_recall",  # r10-green; ADC fold in-gate via q111/q152
+  "q116_lsh_recall",  # r10-green; banding kernel in-gate via q35/q37
+  "q147_semantic_dedup_pq",  # r10-green; PQ pair stage in-gate via q152 (production config)
+  # -- carried parks (unchanged since their rows) --
+  "q12_top_unshipped_orders",  # r5/r8-green; O1 top-k
   "q14_customers_without_orders",  # r2/r9-green
   "q15_distinct_brand_sizes",  # r2/r9-green; A1 distinct in-gate via q05
   "q16_set_operations",  # r2/r9-green
   "q20_priority_unpivot",  # r2/r9-green; U1 unpivot
   "q22_scalar_functions",  # r2/r9-green; F8/F9 ISO in-gate via sinks pytest
+  "q24_distribution_stats",  # r5/r8-green
+  "q25_asof_join",  # r5/r8-green
+  "q26_range_join",  # r5/r8-green
+  "q27_status_priority_cube",  # r5/r8-green
+  "q28_gap_sessions",  # r5/r8-green
   "q29_running_totals",  # r2/r9-green; O1 sort in-gate via q12/q17 twins
+  "q29b_order_digest",  # r1/r8-green; q29 running-totals twin
+  "q49_array_functions",  # r1/r8-green
+  "q54_signup_purchase_funnel",  # r3/r9-green
+  "q55_weekly_cohort_retention",  # r1/r8-green
+  "q56_hopping_window_counts",  # r1/r8-green
+  "q58_nation_revenue_share",  # r1/r8-green
+  "q61_null_semantics",  # r1/r8-green
+  "q62_map_functions",  # r1/r8-green
+  "q23_date_functions",  # r5/r8-green
+  "q83_variant_json",  # r5/r8-green
+  "q84_trailing_window",  # r5/r8-green
+  "q85_full_outer_join",  # r5/r8-green
   "q30_token_stats",  # r2/r9-green
   "q31_quality_score",  # r2/r9-green
+  "q32_langid",  # r5/r8-green
   "q33_fingerprint",  # r2/r9-green; native twin of q60
-  "q36_simhash",  # r2/r9-green; banding kernel shared with q37 (in-gate)
+  "q60_fingerprint_pandas_udf",  # r1/r8-green; pinned ≡ native q33
+  "q67_dedup_clusters",  # r5/r8-green; CC kernel replayed in q133/q135 oracles
+  "q36_simhash",  # r2/r9-green; banding kernel shared with q37 (in-gate this round)
   "q38_ann_topk_bruteforce",  # r2/r9-green
-  "q41_multimodal_meta",  # r2/r9-green
+  "q39_ann_topk_lsh",  # r5/r8-green; sign-LSH kernel in-gate via q116
+  "q65_ivf_ann",  # r3/r9-green; IVF kernel in-gate via q112
+  "q40_embedding_near_dups",  # r5/r8-green
   "q45_term_stats",  # r2/r9-green
   "q46_top_bigrams",  # r2/r9-green
-  "q52_streaming_dedup",  # r3/r9-green; streaming set in-gate via q50/q51/q75
   "q53_crossmodal_near_dups",  # r3/r9-green
-  "q54_signup_purchase_funnel",  # r3/r9-green
+  "q41_multimodal_meta",  # r2/r9-green
   "q63_image_decode",  # r3/r9-green; BMP codec exercised in-gate by q143
+  "q88_png_decode",  # r4/r9-green
   "q64_audio_features",  # r3/r9-green; WAV codec exercised in-gate by q144
-  "q65_ivf_ann",  # r3/r9-green; IVF kernel in-gate via q112
   "q66_hash_split",  # r3/r9-green
+  "q73_kmeans_clusters",  # r3/r9-green; clustering in-gate via q130/q140
+  "q74_repetition_stats",  # r3/r9-green
+  "q79_temperature_mix",  # r5/r8-green
+  "q86_ngram_udtf",  # r4/r9-green
+  "q87_dedup_survivors",  # r4/r9-green; exact-dedup kernel in-gate via q34 twin semantics
+  "q139_kcenter_coreset",  # r7/r8-green (r8 row certifies the running-min plan)
   "q68_decontamination",  # r3/r9-green; n-gram decontam in-gate via q109
   "q70_stratified_sample",  # r3/r9-green; sampling in-gate via q99/q105
   "q71_bm25_topk",  # r5/r9-green
-  "q73_kmeans_clusters",  # r3/r9-green; clustering in-gate via q130/q140
-  "q74_repetition_stats",  # r3/r9-green
-  "q82_streaming_dedup_watermarked",  # r4/r9-green; in-gate via q50/q51/q75
-  "q86_ngram_udtf",  # r4/r9-green
-  "q87_dedup_survivors",  # r4/r9-green; exact-dedup kernel in-gate via q34 twin semantics
-  "q88_png_decode",  # r4/r9-green
+  "q132_hybrid_rrf",  # r9-green (r8 kernel edit driver-certified r9)
   "q89_doc_chunks",  # r4/r9-green
   "q90_tfidf_topk",  # r4/r9-green
   "q91_bloom_decontaminate",  # r4/r9-green; decontam in-gate via q109
   "q92_segment_dedup",  # r4/r9-green
   "q93_quality_classifier",  # r4/r9-green
   "q94_incremental_dedup",  # r4/r9-green; banded index in-gate via q37
-  "q132_hybrid_rrf",  # r9-green (r8 kernel edit driver-certified r9)
+  "q52_streaming_dedup",  # r3/r9-green; streaming set in-gate via q50 (q51/q75 r10-green parked)
+  "q82_streaming_dedup_watermarked",  # r4/r9-green; streaming set in-gate via q50 (q51/q75 r10-green parked)
   "q138_bootstrap_quality_ci",  # r9-green (r8 kernel edit driver-certified r9)
-  # -- r8-green parks (code unchanged since their rows) --
-  "q04b_state_intervals_bucketed",  # r1/r8-green; pytest-pinned output-identical to in-gate q04
-  "q09_invoice_wide",  # r1/r8-green; U1 wide path; q20 unpivot twin
-  "q10_pricing_summary",  # r1/r8-green; F12/F13 money in-gate via q01
-  "q11_regional_revenue",  # r1/r8-green
-  "q12_top_unshipped_orders",  # r5/r8-green; O1 top-k
-  "q13_late_shipment_priority",  # r1/r8-green
-  "q16b_bag_set_operations",  # r1/r8-green; q16 set-ops twin
-  "q17_top_orders_per_customer",  # r1/r8-green
-  "q18_order_rollup",  # r1/r8-green
-  "q19_priority_pivot",  # r1/r8-green; q20 unpivot twin
-  "q21_event_props_stats",  # r1/r8-green; F1 JSON parse in-gate via q05/q42
-  "q23_date_functions",  # r5/r8-green
-  "q24_distribution_stats",  # r5/r8-green
-  "q25_asof_join",  # r5/r8-green
-  "q26_range_join",  # r5/r8-green
-  "q27_status_priority_cube",  # r5/r8-green
-  "q28_gap_sessions",  # r5/r8-green
-  "q29b_order_digest",  # r1/r8-green; q29 running-totals twin
-  "q32_langid",  # r5/r8-green
-  "q34_dedup_exact",  # r5/r8-green; exact-dedup kernel replayed in q87's oracle
-  "q35_minhash_near_dups",  # r5/r8-green; banding kernel in-gate via q37/q123
-  "q39_ann_topk_lsh",  # r5/r8-green; sign-LSH kernel in-gate via q116
-  "q40_embedding_near_dups",  # r5/r8-green
-  "q43_small_quantity_parts",  # r1/r8-green
-  "q47_data_quality",  # r1/r8-green
-  "q48_customer_order_analytics",  # r1/r8-green
-  "q49_array_functions",  # r1/r8-green
-  "q55_weekly_cohort_retention",  # r1/r8-green
-  "q56_hopping_window_counts",  # r1/r8-green
-  "q58_nation_revenue_share",  # r1/r8-green
-  "q60_fingerprint_pandas_udf",  # r1/r8-green; pinned ≡ native q33
-  "q61_null_semantics",  # r1/r8-green
-  "q62_map_functions",  # r1/r8-green
-  "q67_dedup_clusters",  # r5/r8-green; CC kernel replayed in q133/q135 oracles
-  "q79_temperature_mix",  # r5/r8-green
-  "q83_variant_json",  # r5/r8-green
-  "q84_trailing_window",  # r5/r8-green
-  "q85_full_outer_join",  # r5/r8-green
-  "q139_kcenter_coreset",  # r7/r8-green (r8 row certifies the running-min plan)
-  "q141_image_phash_dedup",  # r8-green; documented fixed-width benchmark artifact
-  # -- r6/r7-green parks: first in line for the r11 rotation --
-  "q131_dsir_topk",  # r6/r7-green
-  "q133_leakage_free_split",  # r6/r7-green
-  "q135_quality_dedup_survivors",  # r6/r7-green
-  "q100_bpe_encode",  # r6/r7-green; BPE kernel in-gate via q78
-  "q117_hll_distinct",  # r6/r7-green
-  "q118_source_kl",  # r6/r7-green
-  "q119_token_entropy",  # r6/r7-green
-  "q121_js_divergence",  # r6/r7-green
-  "q122_countmin_error",  # r6/r7-green; count-min kernel in-gate via q101
-  "q124_ams_f2",  # r6/r7-green
-  "q126_source_cosine",  # r6/r7-green
-  "q134_doremi_weights",  # r6/r7-green
-  "q136_mixture_epoch",  # r6/r7-green
-  "q137_neyman_allocation",  # r6/r7-green
-  "q108_quantile_trim",  # r6/r7-green; quantile kernel in-gate via q103
-  "q111_pq_adc_topk",  # r6/r7-green; PQ kernel in-gate via q110/q112/q114
-  "q113_ivf_pq_residual_topk",  # r6/r7-green; in-gate via q112
-  "q129_ivf_pq_rerank",  # r6/r7-green; in-gate via q112/q114
-  "q115_sq8_profile",  # r6/r7-green
 )
 
 

@@ -326,7 +326,7 @@ def admit_audio_batch(
 def admit_video_batch(
     spark: SparkSession,
     batch_pay: DataFrame,
-    index_dir: str,
+    index_dir: str | None,
     *,
     n_samples: int = 3,
     grid: int = 8,
@@ -334,6 +334,7 @@ def admit_video_batch(
     max_hamming: int = 4,
     min_frames: int = 2,
     max_bucket_size: int | None = None,
+    existing_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One video micro-batch against the persisted PER-FRAME fingerprint
     index: RVID index walk decodes only the ``n_samples`` sampled frames
@@ -347,7 +348,12 @@ def admit_video_batch(
     (doc_id, frame_idx, dhash) ≈ 24 B/frame-row — video bytes never
     leave the decode map stage. Returns ``(verdicts, additions)``;
     ``verdicts`` is (doc_id, n_matches, best_frames_matched, admitted),
-    ``additions`` the per-frame fingerprint rows to fold in."""
+    ``additions`` the per-frame fingerprint rows to fold in.
+
+    ``existing_index`` supplies the index as a DataFrame directly
+    (``index_dir`` is then unused) — the hook that lets a registered
+    query (q153) replay a multi-epoch admission through THIS function
+    under the driver's oracle gate instead of a filesystem stream."""
     from openstack_billing_from_db_spark.operators import multimodal
     from openstack_billing_from_db_spark.operators.dedup import (
         framewise_hamming_matches,
@@ -360,7 +366,11 @@ def admit_video_batch(
     new_fp = tracked_persist(
         multimodal.video_frame_dhash(batch_pay, n_samples=n_samples, grid=grid)
     )
-    existing = _existing_index(spark, index_dir, new_fp)
+    existing = (
+        existing_index.select(*new_fp.columns)
+        if existing_index is not None
+        else _existing_index(spark, index_dir, new_fp)
+    )
     matches = framewise_hamming_matches(
         existing,
         new_fp,

@@ -80,6 +80,8 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         "q148_greedy_sequence_pack",  # genuinely sequential per-shard packing state (narrow Arrow rows; no closed window form)
         "q150_packing_efficiency",  # composes q148's sequential packing kernel (its greedy side)
         "q151_incremental_greedy_pack",  # two-phase continuation of the same sequential kernel
+        "q152_semantic_dedup_pq_scaled",  # Arrow PQ pair-score + hierarchical-assign kernels ARE the certified surface (q140+q147 composition)
+        "q153_streaming_video_admission",  # container walk + per-frame dHash (Arrow-batched; q145's decode in the streaming composition)
     }
     for name, fn in QUERIES.items():
         if name in python_ok:
