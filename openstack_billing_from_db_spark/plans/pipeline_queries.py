@@ -2822,3 +2822,182 @@ def q153_streaming_video_admission(
         )
 
     return with_epoch(v1, 0).unionByName(with_epoch(v2, 1))
+
+
+# --- wide-mesh audio/video dedup, driver-certified (round 11) ------------------
+#
+# Round 11 gave audio/video the image family's 72-bit two-word
+# escalation (multimodal.audio_dhash_multiword /
+# video_frame_dhash_multiword; auto-engaged by the *_near_duplicates
+# entry points past the 56-bit tuner ceiling). These entries put the
+# wide meshes themselves under the driver's oracle gate — the q142
+# precedent (register the escalated shape, not just the escalator):
+# mesh-ALIGNED wide fixtures (73 frame-aligned amplitude frames; 18×18
+# exact-pool grid=9 frames), two-word packing, per-word band
+# extraction, summed-xor hamming verify, and (video) the frame-majority
+# count, all replayed closed-form.
+
+from openstack_billing_from_db_spark.functions import media as _media
+
+_AW9_FRAMES = _media.WIDE_AUDIO_FRAMES  # 73 frames -> 72 delta bits
+# same tuner tie-in as _AW_BAND_BITS: plan and oracle consume the one
+# derived constant (12-bit bands, 6 per 72 bits > max_hamming=4)
+_AW9_BAND_BITS = dedup.tune_hamming_band_bits(
+    _PERCEPTUAL_FIXTURE_MAX_DOCS,
+    bits=_AW9_FRAMES - 1,
+    word_bits=_DH9_WORD_BITS,
+    max_hamming=_DH_MAX_HAMMING,
+)
+
+
+def _two_word_pairs_sql(src: str, bits: int, band_bits: int) -> str:
+    """Shared closed-form tail for two-word banded hamming joins: band
+    extraction per word, distinct candidate pairs, summed-xor verify.
+    ``src`` must expose (doc_id, w0, w1)."""
+    bpw = _DH9_WORD_BITS // band_bits
+    n_bands = -(-bits // band_bits)
+    mask = (1 << band_bits) - 1
+    return f"""bands AS (
+  SELECT doc_id, w0, w1, b.b,
+         ((CASE WHEN b.b < {bpw} THEN w0 ELSE w1 END)
+          >> ({band_bits} * (b.b % {bpw}))) & {mask} AS bucket
+  FROM {src}, range({n_bands}) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         a.w0 AS a0, a.w1 AS a1, b.w0 AS b0, b.w1 AS b1
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= {_DH_MAX_HAMMING}"""
+
+
+@register(
+    "q154_audio_phash72_dedup",
+    oracle=f"""
+WITH amps AS (
+  SELECT d.doc_id, k.k, {_AW_AMP_SQL} AS amp
+  FROM documents d, range({_AW9_FRAMES}) k(k)
+),
+abits AS (
+  SELECT a.doc_id, CASE WHEN b.amp > a.amp THEN 1 ELSE 0 END AS bit, a.k
+  FROM amps a JOIN amps b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+  WHERE a.k < {_AW9_FRAMES - 1}
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN k < {_DH9_WORD_BITS}
+                       THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS w0,
+         CAST(sum(CASE WHEN k >= {_DH9_WORD_BITS}
+                       THEN bit * (CAST(1 AS BIGINT) << (k - {_DH9_WORD_BITS})) ELSE 0 END) AS BIGINT) AS w1
+  FROM abits GROUP BY doc_id
+),
+{_two_word_pairs_sql("fp", _AW9_FRAMES - 1, _AW9_BAND_BITS)}
+""",
+)
+def q154_audio_phash72_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-mesh audio perceptual dedup — the 72-bit escalation the
+    audio entry point auto-engages past ~262k clips, registered on its
+    own fixture (the q142 pattern): mesh-aligned 73-frame family WAVs
+    (media.synth_family_wav_samples at WIDE_AUDIO_FRAMES — the bump
+    frame aligns with the hash mesh, so intra-family hamming stays ≤
+    {_DH_MAX_HAMMING} at the wide width), RIFF decode + 72-bit
+    delta-energy hash split into two 36-bit words inside Arrow
+    mapInPandas, pairs via dedup.multiword_hamming_pairs at the
+    tuner-derived {_AW9_BAND_BITS}-bit bands. The oracle replays the
+    amplitude profile, delta packing into two words, per-word band
+    extraction, and the summed-xor verify in closed form. PCM never
+    leaves the decode stage; measured 12.4 s at 500k clips (PLANS.md
+    round-11)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = multimodal.audio_dhash_multiword(
+        multimodal.synthesize_family_audio_payloads(
+            docs, n_frames=_AW9_FRAMES
+        ),
+        n_frames=_AW9_FRAMES,
+        word_bits=_DH9_WORD_BITS,
+    )
+    return dedup.multiword_hamming_pairs(
+        fp,
+        n_words=2,
+        word_bits=_DH9_WORD_BITS,
+        band_bits=_AW9_BAND_BITS,
+        max_hamming=_DH_MAX_HAMMING,
+        bits=_AW9_FRAMES - 1,
+    )
+
+
+_VW9_GRID = 9
+_VW9_BAND_BITS = dedup.tune_hamming_band_bits(
+    _PERCEPTUAL_FIXTURE_MAX_DOCS,
+    bits=_VW9_GRID * (_VW9_GRID - 1),
+    word_bits=_DH9_WORD_BITS,
+    max_hamming=_DH_MAX_HAMMING,
+)
+
+
+@register(
+    "q155_video_phash72_dedup",
+    oracle=f"""
+WITH g AS (
+  SELECT d.doc_id, f.f, r.r, u.u, {_VW_CELL_SQL} AS v
+  FROM documents d, range(3) f(f), range({_VW9_GRID}) r(r), range({_VW9_GRID}) u(u)
+),
+vbits AS (
+  SELECT a.doc_id, a.f, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit,
+         a.r * {_VW9_GRID - 1} + a.u AS k
+  FROM g a JOIN g b
+    ON b.doc_id = a.doc_id AND b.f = a.f AND b.r = a.r AND b.u = a.u + 1
+  WHERE a.u < {_VW9_GRID - 1}
+),
+fp AS (
+  SELECT doc_id, f,
+         CAST(sum(CASE WHEN k < {_DH9_WORD_BITS}
+                       THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS w0,
+         CAST(sum(CASE WHEN k >= {_DH9_WORD_BITS}
+                       THEN bit * (CAST(1 AS BIGINT) << (k - {_DH9_WORD_BITS})) ELSE 0 END) AS BIGINT) AS w1
+  FROM vbits GROUP BY doc_id, f
+),
+fm AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.f
+  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+        <= {_DH_MAX_HAMMING}
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_frames_matched
+FROM fm GROUP BY da, db
+HAVING count(*) >= {_VW_MIN_FRAMES}
+""",
+)
+def q155_video_phash72_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-mesh video perceptual dedup — the grid=9 / 72-bit per-frame
+    escalation the video entry point auto-engages past ~262k clips,
+    registered on its own fixture: 18×18 family frames (exact 2×2-cell
+    pooling at grid 9 — the synth_textured_pixels superset contract),
+    RVID index walk decoding only sampled frames, per-frame two-word
+    dHash, pairs via dedup.framewise_multiword_hamming_pairs (the
+    multiword kernel frame-scoped through group_col) at the
+    tuner-derived {_VW9_BAND_BITS}-bit bands with the ≥
+    {_VW_MIN_FRAMES}-of-3 majority gate. The oracle replays texture →
+    per-frame two-word packing → EXACT all-pairs frame matches (banding
+    is recall-exact by pigeonhole, 6 bands > hamming 4) → majority
+    count. Measured 35.0 s at 500k clips (PLANS.md round-11)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = multimodal.video_frame_dhash_multiword(
+        multimodal.synthesize_family_video_payloads(docs, grid=_VW9_GRID),
+        n_samples=3,
+        grid=_VW9_GRID,
+        word_bits=_DH9_WORD_BITS,
+    )
+    return dedup.framewise_multiword_hamming_pairs(
+        fp,
+        n_words=2,
+        word_bits=_DH9_WORD_BITS,
+        band_bits=_VW9_BAND_BITS,
+        max_hamming=_DH_MAX_HAMMING,
+        min_frames=_VW_MIN_FRAMES,
+    )

@@ -68,7 +68,8 @@ DEFERRED: tuple[str, ...] = (
 # first (q77/q102/q50/q37), (b) all 19 remaining r7-stale queries,
 # (c) q34/q35/q141 (their dedup kernels dropped the dead b-side bnvec
 # in r10 after their last rows), (d) the r11-new q152/q153, and
-# (e) 13 of the oldest r1/r8-green parks. Everything r10-green parks;
+# (e) the r11-new wide-mesh certifications q154/q155, and (f) 11 of
+# the oldest r1/r8-green parks. Everything r10-green parks;
 # per-line notes give each parked query's driver-green rounds and its
 # in-gate or pytest coverage.
   # -- r10-green fresh parks (rotated out this round) --
@@ -114,6 +115,8 @@ DEFERRED: tuple[str, ...] = (
   "q116_lsh_recall",  # r10-green; banding kernel in-gate via q35/q37
   "q147_semantic_dedup_pq",  # r10-green; PQ pair stage in-gate via q152 (production config)
   # -- carried parks (unchanged since their rows) --
+  "q47_data_quality",  # r1/r8-green; parked to admit the r11-new q154/q155
+  "q48_customer_order_analytics",  # r1/r8-green; parked to admit q154/q155
   "q12_top_unshipped_orders",  # r5/r8-green; O1 top-k
   "q14_customers_without_orders",  # r2/r9-green
   "q15_distinct_brand_sizes",  # r2/r9-green; A1 distinct in-gate via q05

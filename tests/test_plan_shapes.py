@@ -82,6 +82,8 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         "q151_incremental_greedy_pack",  # two-phase continuation of the same sequential kernel
         "q152_semantic_dedup_pq_scaled",  # Arrow PQ pair-score + hierarchical-assign kernels ARE the certified surface (q140+q147 composition)
         "q153_streaming_video_admission",  # container walk + per-frame dHash (Arrow-batched; q145's decode in the streaming composition)
+        "q154_audio_phash72_dedup",  # media codec + wide delta-energy hash (Arrow-batched mapInPandas)
+        "q155_video_phash72_dedup",  # container walk + wide per-frame dHash (Arrow-batched mapInPandas)
     }
     for name, fn in QUERIES.items():
         if name in python_ok:
