@@ -3001,3 +3001,33 @@ def q155_video_phash72_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=_DH_MAX_HAMMING,
         min_frames=_VW_MIN_FRAMES,
     )
+
+
+# --- chunked sharding escalation, driver-certified (round 11) ------------------
+#
+# chunked_hamming_pairs' exact-recall contract means the sharded union
+# over C(C+1)/2 chunk-pair joins must reproduce the single-pass pair
+# set EXACTLY — so the wide single-pass oracle (q142's _dh9_oracle)
+# certifies the chunked path verbatim: any duplicate emission, lost
+# cross-chunk pair, or wrong chunk-membership filter hash-fails under
+# the driver. n_docs=600_000 forces the corpus-size tuner past both the
+# 56-bit (~262k) and the single-join wide (~524k) ceilings, so the
+# registered plan is 3 chunks × 6 joins of the grid=9 two-word mesh
+# over the same fixture payloads q142 hashes.
+
+
+@register("q156_chunked_image_dedup", oracle=_dh9_oracle())
+def q156_chunked_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11 sharding escalation under the driver gate:
+    multimodal.phash_near_duplicates with a declared 600k-doc
+    cardinality, which drives dedup.tune_hamming_chunks (3 chunks,
+    12-bit bands) and dedup.chunked_hamming_pairs — 6 chunk-pair
+    multiword joins whose union is pinned ≡ the single-pass wide join
+    by the oracle (q142's closed-form replay; exact recall makes the
+    two plans output-identical on any input). Measured 31.1 s at 1M
+    synthetic docs (4 chunks / 10 joins, PLANS.md round-11)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pay = multimodal.synthesize_textured_image_payloads(
+        docs, grid=_DH9_GRID
+    )
+    return multimodal.phash_near_duplicates(pay, n_docs=600_000)

@@ -115,6 +115,7 @@ DEFERRED: tuple[str, ...] = (
   "q116_lsh_recall",  # r10-green; banding kernel in-gate via q35/q37
   "q147_semantic_dedup_pq",  # r10-green; PQ pair stage in-gate via q152 (production config)
   # -- carried parks (unchanged since their rows) --
+  "q43_small_quantity_parts",  # r1/r8-green; parked to admit the r11-new q156
   "q47_data_quality",  # r1/r8-green; parked to admit the r11-new q154/q155
   "q48_customer_order_analytics",  # r1/r8-green; parked to admit q154/q155
   "q12_top_unshipped_orders",  # r5/r8-green; O1 top-k

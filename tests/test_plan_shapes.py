@@ -84,6 +84,7 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         "q153_streaming_video_admission",  # container walk + per-frame dHash (Arrow-batched; q145's decode in the streaming composition)
         "q154_audio_phash72_dedup",  # media codec + wide delta-energy hash (Arrow-batched mapInPandas)
         "q155_video_phash72_dedup",  # container walk + wide per-frame dHash (Arrow-batched mapInPandas)
+        "q156_chunked_image_dedup",  # media codec + two-word dHash under the chunked join (Arrow-batched mapInPandas)
     }
     for name, fn in QUERIES.items():
         if name in python_ok:
