@@ -80,9 +80,13 @@ LITERAL_ASSIGN_MAX_NODES = 512
 # per-vector compare: engage when k > (margin·(1+n_probe))². The margin
 # absorbs the triangle-verify extra probes, the per-cell numpy loop
 # overhead, and the once-per-job driver coarse build — measured win vs
-# the √k/(1+n_probe) model on the x100 replica (200k × d=64): 2.1× at
-# k=1000 (model 3.5×), 4.5× at k=4096 (model 7.1×), breakeven ≤ k=512,
-# so margin 2.0 (switch at k ≥ 325) never engages a losing path.
+# the √k/(1+n_probe) model on the x100 replica (200k × d=64): 1.7× AT
+# the k=325 threshold itself (1.17 s vs 2.03 s), 1.4× at k=400, 2.8×
+# at k=512, 2.1× at k=1000 (model 3.5×), 4.5× at k=4096 (model 7.1×) —
+# the switch boundary is measurement-backed, not extrapolated. At
+# small n (x10, 20k rows) the two paths tie (~0.5 s both at k ≤ 512,
+# fixed Arrow overheads dominate), so the k-only rule costs nothing
+# there either.
 HIERARCHICAL_ASSIGN_N_PROBE = 8
 HIERARCHICAL_ASSIGN_COST_MARGIN = 2.0
 

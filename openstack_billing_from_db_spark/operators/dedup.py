@@ -473,6 +473,7 @@ def multiword_hamming_pairs(
     bits: int | None = None,
     group_col: str | None = None,
     max_bucket_size: int | None = None,
+    persist_input: bool = True,
 ) -> DataFrame:
     """Banded hamming join over MULTI-WORD fingerprints (doc_id, w0 ..
     w{n-1}) — the wide-hash companion of :func:`simhash_near_duplicates`
@@ -510,7 +511,12 @@ def multiword_hamming_pairs(
     quadratic candidates at scale; with the cap, oversized buckets
     emit nothing and a pair survives iff one of its colliding bands is
     under the cap (the canonical-band test is bucket-aware, so a
-    surviving pair is still emitted exactly once)."""
+    surviving pair is still emitted exactly once).
+
+    ``persist_input=False`` skips the fingerprint cache — for callers
+    whose input is already a cheap projection of a persisted frame
+    (:func:`chunked_hamming_pairs` subsets: caching every chunk-pair
+    filter would hold ~(C+1)× the corpus in storage concurrently)."""
     if word_bits % band_bits:
         raise ValueError(
             f"band_bits ({band_bits}) must divide word_bits ({word_bits})"
@@ -536,7 +542,8 @@ def multiword_hamming_pairs(
     mask = (1 << band_bits) - 1
     wcols = [f"w{i}" for i in range(n_words)]
     gcols = [group_col] if group_col is not None else []
-    fingerprints = tracked_persist(fingerprints)
+    if persist_input:
+        fingerprints = tracked_persist(fingerprints)
 
     def bucket_expr(col_prefix: str, b: int):
         word = f"{col_prefix}{b // bpw}"
@@ -781,6 +788,7 @@ def framewise_multiword_hamming_pairs(
     frame_col: str = "frame_idx",
     bits: int | None = None,
     max_bucket_size: int | None = None,
+    persist_input: bool = True,
 ) -> DataFrame:
     """Frame-majority near-dup join over MULTI-WORD per-frame
     fingerprints — the wide-hash companion of
@@ -807,6 +815,7 @@ def framewise_multiword_hamming_pairs(
         bits=bits,
         group_col=frame_col,
         max_bucket_size=max_bucket_size,
+        persist_input=persist_input,
     )
     return (
         frame_pairs.groupBy("doc_a", "doc_b")
@@ -1409,7 +1418,7 @@ def tune_hamming_chunks(
     word_bits: int | None = None,
     max_hamming: int = 4,
     max_mean_bucket: int = 128,
-    max_chunks: int = 256,
+    max_chunks: int = 32,
 ) -> tuple[int, int]:
     """Chunk count + band width for :func:`chunked_hamming_pairs` past
     the single-join tuner ceiling: the smallest C whose worst per-join
@@ -1419,9 +1428,12 @@ def tune_hamming_chunks(
     occupancy for more joins — total candidate work stays the banded
     O(n²/buckets) split into memory-bounded pieces, which is the point:
     the refusal regime becomes runnable, not cheap. Raises past
-    ``max_chunks`` (≈ max_mean_bucket·2^band_bits·max_chunks/2 docs —
-    tens of millions at the defaults) where the join count itself
-    (C²/2) is the problem and a different fingerprint is the answer."""
+    ``max_chunks`` — 32 bounds the union plan at 528 joins, which
+    Catalyst still analyzes comfortably (the 1M-doc probe's 10-join
+    plan compiled in seconds; a C=256 plan would hold 32,896 joins),
+    and covers ≈ max_mean_bucket·2^band_bits·max_chunks/2 ≈ 8.4M docs
+    at the 72-bit defaults — past that a wider fingerprint, not more
+    chunks, is the answer."""
     if n_docs < 0:
         raise ValueError(f"n_docs must be >= 0, got {n_docs}")
     c = 1
@@ -1470,13 +1482,20 @@ def chunked_hamming_pairs(
     SUPERSET of the capped single-pass at the margin); the exact-recall
     equivalence pin uses uncapped kernels. All frames/words of a doc
     hash to the same chunk (chunking keys the DOC id), so multi-row
-    fingerprints (framewise) chunk coherently."""
+    fingerprints (framewise) chunk coherently.
+
+    Storage contract: THIS function persists the fingerprint base once
+    (n_chunks=1: the raw frame; otherwise the chunk-tagged frame), and
+    ``pairs_fn`` should skip its own input persist
+    (``persist_input=False`` on the banded kernels) — chunk subsets
+    are cheap filters of the cached base, and caching every chunk-pair
+    projection would hold ~(C+1)× the corpus in storage at once."""
     from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
 
     if n_chunks < 1:
         raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
     if n_chunks == 1:
-        return pairs_fn(fingerprints)
+        return pairs_fn(tracked_persist(fingerprints))
 
     def chunk_of(col: Column) -> Column:
         return F.pmod(

@@ -349,6 +349,42 @@ def dhash_multiword_images(
     return df.mapInPandas(batches, schema)
 
 
+def _wide_or_chunked_pairs(
+    df: DataFrame,
+    payload_col: str,
+    n_docs: int,
+    *,
+    wide_bits: int,
+    wide_fp_fn,
+    pairs_builder,
+    max_hamming: int,
+    max_mean_bucket: int,
+    word_bits: int = 36,
+) -> DataFrame:
+    """Shared wide→chunked tail of the three perceptual escalation
+    chains (image/audio/video): size the chunk layout for the wide
+    two-word mesh via dedup.tune_hamming_chunks (1 chunk = a plain
+    single wide join), hash the corpus ONCE at the wide width
+    (``wide_fp_fn(df, payload_col)``), and run
+    ``pairs_builder(band_bits)``'s banded kernel per chunk pair under
+    dedup.chunked_hamming_pairs — which owns the one fingerprint
+    persist, so the builder's kernel must pass
+    ``persist_input=False``."""
+    from . import dedup
+
+    n_chunks, band_bits = dedup.tune_hamming_chunks(
+        n_docs,
+        bits=wide_bits,
+        word_bits=word_bits,
+        max_hamming=max_hamming,
+        max_mean_bucket=max_mean_bucket,
+    )
+    fp = wide_fp_fn(df, payload_col)
+    return dedup.chunked_hamming_pairs(
+        fp, pairs_builder(band_bits), n_chunks=n_chunks
+    )
+
+
 def phash_near_duplicates(
     df: DataFrame,
     payload_col: str = "payload",
@@ -393,26 +429,26 @@ def phash_near_duplicates(
             max_mean_bucket=max_mean_bucket,
         )
     except ValueError:
-        n_chunks, band_bits = dedup.tune_hamming_chunks(
+        return _wide_or_chunked_pairs(
+            df,
+            payload_col,
             n_docs,
-            bits=9 * 8,
-            word_bits=36,
+            wide_bits=9 * 8,
+            wide_fp_fn=lambda d, pc: dhash_multiword_images(
+                d, pc, grid=9, word_bits=36
+            ),
+            pairs_builder=lambda band_bits: lambda subset: (
+                dedup.multiword_hamming_pairs(
+                    subset,
+                    n_words=2,
+                    word_bits=36,
+                    band_bits=band_bits,
+                    max_hamming=max_hamming,
+                    persist_input=False,
+                )
+            ),
             max_hamming=max_hamming,
             max_mean_bucket=max_mean_bucket,
-        )
-        fp = dhash_multiword_images(df, payload_col, grid=9, word_bits=36)
-
-        def wide_pairs(subset: DataFrame) -> DataFrame:
-            return dedup.multiword_hamming_pairs(
-                subset,
-                n_words=2,
-                word_bits=36,
-                band_bits=band_bits,
-                max_hamming=max_hamming,
-            )
-
-        return dedup.chunked_hamming_pairs(
-            fp, wide_pairs, n_chunks=n_chunks
         )
     fp = dhash_images(df, payload_col, grid=8)
     return dedup.simhash_near_duplicates(
@@ -460,29 +496,27 @@ def audio_near_duplicates(
         )
     except ValueError:
         wide_bits = media.WIDE_AUDIO_FRAMES - 1
-        n_chunks, band_bits = dedup.tune_hamming_chunks(
+        return _wide_or_chunked_pairs(
+            df,
+            payload_col,
             n_docs,
-            bits=wide_bits,
-            word_bits=36,
+            wide_bits=wide_bits,
+            wide_fp_fn=lambda d, pc: audio_dhash_multiword(
+                d, pc, n_frames=media.WIDE_AUDIO_FRAMES, word_bits=36
+            ),
+            pairs_builder=lambda band_bits: lambda subset: (
+                dedup.multiword_hamming_pairs(
+                    subset,
+                    n_words=2,
+                    word_bits=36,
+                    band_bits=band_bits,
+                    max_hamming=max_hamming,
+                    bits=wide_bits,
+                    persist_input=False,
+                )
+            ),
             max_hamming=max_hamming,
             max_mean_bucket=max_mean_bucket,
-        )
-        fp = audio_dhash_multiword(
-            df, payload_col, n_frames=media.WIDE_AUDIO_FRAMES, word_bits=36
-        )
-
-        def wide_pairs(subset: DataFrame) -> DataFrame:
-            return dedup.multiword_hamming_pairs(
-                subset,
-                n_words=2,
-                word_bits=36,
-                band_bits=band_bits,
-                max_hamming=max_hamming,
-                bits=wide_bits,
-            )
-
-        return dedup.chunked_hamming_pairs(
-            fp, wide_pairs, n_chunks=n_chunks
         )
     fp = audio_dhash(df, payload_col)
     return dedup.simhash_near_duplicates(
@@ -535,30 +569,28 @@ def video_near_duplicates(
             max_mean_bucket=max_mean_bucket,
         )
     except ValueError:
-        n_chunks, band_bits = dedup.tune_hamming_chunks(
+        return _wide_or_chunked_pairs(
+            df,
+            payload_col,
             n_docs,
-            bits=9 * 8,
-            word_bits=36,
+            wide_bits=9 * 8,
+            wide_fp_fn=lambda d, pc: video_frame_dhash_multiword(
+                d, pc, n_samples=n_samples, grid=9, word_bits=36
+            ),
+            pairs_builder=lambda band_bits: lambda subset: (
+                dedup.framewise_multiword_hamming_pairs(
+                    subset,
+                    n_words=2,
+                    word_bits=36,
+                    band_bits=band_bits,
+                    max_hamming=max_hamming,
+                    min_frames=min_frames,
+                    max_bucket_size=max_bucket_size,
+                    persist_input=False,
+                )
+            ),
             max_hamming=max_hamming,
             max_mean_bucket=max_mean_bucket,
-        )
-        fp = video_frame_dhash_multiword(
-            df, payload_col, n_samples=n_samples, grid=9, word_bits=36
-        )
-
-        def wide_pairs(subset: DataFrame) -> DataFrame:
-            return dedup.framewise_multiword_hamming_pairs(
-                subset,
-                n_words=2,
-                word_bits=36,
-                band_bits=band_bits,
-                max_hamming=max_hamming,
-                min_frames=min_frames,
-                max_bucket_size=max_bucket_size,
-            )
-
-        return dedup.chunked_hamming_pairs(
-            fp, wide_pairs, n_chunks=n_chunks
         )
     fp = video_frame_dhash(df, payload_col, n_samples=n_samples, grid=8)
     return dedup.framewise_hamming_pairs(

@@ -28,17 +28,28 @@ from openstack_billing_from_db_spark.operators.curation import (
 from openstack_billing_from_db_spark.operators.text import words
 
 
-def _check_pack_config(state_dir: str, **config) -> None:
+def _check_pack_config(spark: SparkSession, state_dir: str, **config) -> None:
     """Pin the packing layout constants to the persisted state: write
     them on first run, assert equality on resume. Greedy packing is
     only ≡ one batch run when every epoch shares the same hash sharding
-    (shards, seed) and overflow rule (budget)."""
+    (shards, seed) and overflow rule (budget). Goes through the Hadoop
+    FileSystem API so the pin holds for ANY state_dir the Spark readers
+    in this module support (hdfs://, s3a://, file:, bare local paths) —
+    a local-only pathlib check would silently no-op on remote URIs,
+    which is exactly the resume this guard exists to refuse."""
     import json
-    from pathlib import Path
 
-    path = Path(state_dir) / "_pack_config.json"
-    if path.exists():
-        stored = json.loads(path.read_text())
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(state_dir, "_pack_config.json")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        stream = fs.open(hpath)
+        try:
+            stored = json.loads(
+                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            )
+        finally:
+            stream.close()
         if stored != config:
             raise ValueError(
                 "persisted pack state was written with a different "
@@ -47,8 +58,11 @@ def _check_pack_config(state_dir: str, **config) -> None:
                 "batch run"
             )
         return
-    path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_text(json.dumps(config, sort_keys=True))
+    out = fs.create(hpath, True)
+    try:
+        out.write(json.dumps(config, sort_keys=True).encode("utf-8"))
+    finally:
+        out.close()
 
 
 def _latest_state(
@@ -97,7 +111,7 @@ def run_streaming_greedy_pack(
         _epoch_snapshot,
     )
 
-    _check_pack_config(state_dir, shards=shards, budget=budget, seed=seed)
+    _check_pack_config(spark, state_dir, shards=shards, budget=budget, seed=seed)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")

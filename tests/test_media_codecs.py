@@ -951,11 +951,11 @@ def test_tune_hamming_chunks_contract():
     assert dedup.tune_hamming_chunks(cap + 1, bits=72, word_bits=36) == (3, 12)
     assert dedup.tune_hamming_chunks(600_000, bits=72, word_bits=36) == (3, 12)
     c, bb = dedup.tune_hamming_chunks(5_000_000, bits=72, word_bits=36)
-    assert bb == 12 and -(-2 * 5_000_000 // c) <= cap and c <= 256
+    assert bb == 12 and -(-2 * 5_000_000 // c) <= cap and c <= 32
+    # past the max_chunks plan-size bound (528 joins at the default 32)
+    # the answer is a wider fingerprint, not more chunks
     with pytest.raises(ValueError, match="max_chunks"):
-        dedup.tune_hamming_chunks(
-            100_000_000, bits=72, word_bits=36, max_chunks=256
-        )
+        dedup.tune_hamming_chunks(100_000_000, bits=72, word_bits=36)
 
 
 def test_chunked_hamming_pairs_equals_single_pass(spark):
