@@ -21,9 +21,10 @@ means — operators/clustering.kmeans_fit), so the DuckDB oracle replays
 training bit-for-bit; assignment ties break to the lowest code id via
 the identical (score, cid) ordering.
 
-Plan shape: training is M independent kmeans_fit runs over SLICED
-vectors (each a map-side assignment + k-row collect per iteration, on
-one shared persisted base); encoding is one pure map-side projection
+Plan shape: training runs ALL M subspace Lloyd iterations in one pass
+(one multi-subspace Arrow assignment + one grouped aggregate per
+iteration over a shared persisted base — M·k-row collects, never M
+corpus scans); encoding is one pure map-side projection
 over driver-literal codebooks (no shuffle, no UDF); ADC scoring is a
 map-side fold per (query, subspace) over broadcast literals.
 
@@ -37,7 +38,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from openstack_billing_from_db_spark.operators.caching import tracked_persist
-from openstack_billing_from_db_spark.operators.clustering import kmeans_fit
 from openstack_billing_from_db_spark.operators.parallelism import (
     ensure_map_parallelism,
 )
@@ -70,21 +70,122 @@ def pq_train(
     round_dp: int = 6,
 ) -> list[list[list[float]]]:
     """Train the M codebooks: ``codebooks[m][c]`` is centroid ``c`` of
-    subspace ``m`` (each ``dims // n_subspaces`` wide). One persisted
-    scan of the corpus feeds all M kmeans_fit runs."""
+    subspace ``m`` (each ``dims // n_subspaces`` wide).
+
+    ALL M subspaces train in ONE pass per Lloyd iteration: a single
+    multi-subspace nearest-code map stage assigns every subvector, the
+    rows explode to (m, cluster, subvector), and one grouped aggregate
+    returns every subspace's per-cluster sums together — 1 seed job +
+    ``n_iter`` jobs total, vs M·(1 + n_iter) for M independent
+    kmeans_fit runs. At 10⁹ vectors that is the difference between one
+    corpus scan per iteration and M of them. Semantics are unchanged and
+    bit-identical to per-subspace kmeans_fit (same k-lowest-id seeds
+    sub-sliced, same left-to-right score fold via _fold_scores — the
+    argmin ties → lowest code — same per-cluster double sums, same
+    half-up-rounded means; empty clusters keep their previous centroid),
+    which is what the per-subspace SQL oracles replay
+    (test_pq_train_one_pass_matches_per_subspace pins ≡ kmeans_fit)."""
     if dims % n_subspaces:
         raise ValueError(f"dims {dims} not divisible by n_subspaces {n_subspaces}")
     sub_dims = dims // n_subspaces
     base = tracked_persist(_base(emb, id_col, vec_col))
-    return [
-        kmeans_fit(
-            base.select("vid", _sub(F.col("e"), m, sub_dims).alias("e")),
-            k=k,
-            n_iter=n_iter,
-            round_dp=round_dp,
-        )
+
+    from openstack_billing_from_db_spark.operators.clustering import (
+        _round_half_up,
+    )
+
+    # seeds: ONE job — the k lowest-id full vectors, sub-sliced per
+    # subspace (identical to each per-subspace kmeans_fit's
+    # orderBy(vid).limit(k) over the sliced base)
+    seed_rows = base.orderBy("vid").limit(k).select("vid", "e").collect()
+    if not seed_rows:
+        raise ValueError("pq_train: input has no vectors")
+    cbs: list[list[list[float]]] = [
+        [list(r.e)[m * sub_dims : (m + 1) * sub_dims] for r in seed_rows]
         for m in range(n_subspaces)
     ]
+
+    for _ in range(n_iter):
+        assigned = base.withColumn(
+            "cs", _multi_nearest_code_arrow(F.col("e"), cbs, sub_dims)
+        )
+        rows = assigned.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).cast("int").alias("m"),
+                            F.col("cs")[m].alias("cluster"),
+                            _sub(F.col("e"), m, sub_dims).alias("se"),
+                        )
+                        for m in range(n_subspaces)
+                    ]
+                )
+            ).alias("s")
+        ).select("s.m", "s.cluster", "s.se")
+        stats = (
+            rows.groupBy("m", "cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("se")[i]).alias(f"s{i}") for i in range(sub_dims)],
+            )
+            .collect()
+        )
+        by_key = {(int(r.m), int(r.cluster)): r for r in stats}
+        cbs = [
+            [
+                [
+                    _round_half_up(
+                        by_key[(m, j)][f"s{i}"] / by_key[(m, j)]["n"], round_dp
+                    )
+                    for i in range(sub_dims)
+                ]
+                if (m, j) in by_key
+                else cbs[m][j]  # empty cluster: keep previous centroid
+                for j in range(len(cbs[m]))
+            ]
+            for m in range(n_subspaces)
+        ]
+    return cbs
+
+
+def _multi_nearest_code_arrow(
+    vec: Column, codebooks: list[list[list[float]]], sub_dims: int
+) -> Column:
+    """Nearest code of EVERY subspace in one Arrow batch: returns
+    array<long> of M codes per vector. Per subspace the score fold and
+    first-minimum argmin are _fold_scores — operation-identical to the
+    literal path (_nearest_code), so training assignments match the
+    per-subspace kernels bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from openstack_billing_from_db_spark.operators.caching import (
+        cached_broadcast,
+    )
+
+    key = (
+        "pq_multi_nearest",
+        tuple(tuple(tuple(map(float, c)) for c in cb) for cb in codebooks),
+    )
+    bc = cached_broadcast(
+        key, lambda: [[list(map(float, c)) for c in cb] for cb in codebooks]
+    )
+
+    def _nearest(parr):
+        if len(parr) == 0:
+            return pd.Series([], dtype="object")
+        emat = np.stack(parr.to_numpy())
+        cbs_v = bc.value
+        codes = np.empty((emat.shape[0], len(cbs_v)), dtype=np.int64)
+        for m, cb in enumerate(cbs_v):
+            sub = emat[:, m * sub_dims : (m + 1) * sub_dims]
+            codes[:, m] = np.argmin(_fold_scores(sub, cb), axis=1)
+        return pd.Series(list(codes))
+
+    nearest = pandas_udf(_nearest, "array<long>")
+    return nearest(vec)
 
 
 # Above this TOTAL centroid count (Σ_m K_m) the codebooks stop riding

@@ -1934,19 +1934,29 @@ def _semantic_dedup_scaled_oracle() -> str:
     within-cluster squared-form cosine as q130's oracle."""
 
     def assign(name: str, cents: str) -> str:
-        return f"""{name} AS (
-  SELECT vid, cid AS cluster FROM (
-    SELECT co.vid, ce.cid, row_number() OVER (
-      PARTITION BY co.vid
-      ORDER BY list_inner_product(ce.c, ce.c) - 2 * list_inner_product(co.e, ce.c), ce.cid
-    ) AS rn
-    FROM corpus co CROSS JOIN {cents} ce
-  ) WHERE rn = 1
+        # argmin as a grouped min over (score, cid) structs — the same
+        # ordering (score, then cid) the row_number formulation sorts
+        # by, minus the 3M-row window sort; |c|² is computed once per
+        # centroid (identical value, identical downstream float ops).
+        # At k = 1250 derived centroids this is the difference between
+        # a ~5 s and a ~1 s assign, ×2 assigns per oracle.
+        return f"""{name} AS MATERIALIZED (
+  SELECT co.vid,
+         min(struct_pack(s := ce.c2 - 2 * list_inner_product(co.e, ce.c),
+                         c := ce.cid)).c AS cluster
+  FROM corpus co CROSS JOIN (
+    SELECT cid, c, list_inner_product(c, c) AS c2 FROM {cents}) ce
+  GROUP BY co.vid
 )"""
 
     r, tgt, dp = _SEM_SCALE_R, _SEM_SCALE_TARGET, _KM_DP
     blocks = [
-        f"corpus AS (SELECT r.r * 1000000 + e.vec_id AS vid, "
+        # MATERIALIZED throughout: without it DuckDB inlines each CTE
+        # into every consumer, so x's Lloyd chain re-runs for every
+        # reference (pr references x twice, drp re-runs pr, the final
+        # select re-runs x) — measured 230 s → ~8 s at sf0.01 for the
+        # q152 composition from materialization alone.
+        f"corpus AS MATERIALIZED (SELECT r.r * 1000000 + e.vec_id AS vid, "
         f"e.embedding::DOUBLE[] AS e FROM embeddings e "
         f"CROSS JOIN (SELECT unnest(range({r})) AS r) r)",
         f"""c0 AS (SELECT rn - 1 AS cid, e AS c FROM (
@@ -1978,7 +1988,7 @@ def _semantic_dedup_scaled_oracle() -> str:
     ctes = ",\n".join(blocks)
     return f"""
 WITH {ctes},
-x AS (
+x AS MATERIALIZED (
   SELECT f.vid, f.cluster, co.e,
          {fold.format(a="co", b="co")} AS n2
   FROM afinal f JOIN corpus co USING (vid)

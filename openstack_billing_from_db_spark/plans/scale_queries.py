@@ -1317,12 +1317,12 @@ def _semantic_dedup_pq_oracle() -> str:
     return f"""
 WITH {kmeans_ctes},
 {pq_ctes},
-rec AS (
+rec AS MATERIALIZED (
   SELECT co.vid, {rcols}
   FROM corpus co
 {rec_joins}
 ),
-x AS (
+x AS MATERIALIZED (
   SELECT f.vid, f.cluster, co.e,
          list_inner_product(co.e, co.e) AS n2,
          {xr}, ({n2hat}) AS n2hat
@@ -1415,7 +1415,7 @@ def _semantic_dedup_pq_scaled_oracle() -> str:
     )
 
     sc = _semantic_dedup_scaled_oracle()
-    kmeans_ctes = sc.split("WITH ", 1)[1].split(",\nx AS (", 1)[0]
+    kmeans_ctes = sc.split("WITH ", 1)[1].split(",\nx AS MATERIALIZED (", 1)[0]
     pq_ctes = ",\n".join(_pq_train_blocks("corpus"))
     fcb = f"c{_PQ_ITER}"
     rec_joins = "\n".join(
@@ -1437,12 +1437,12 @@ def _semantic_dedup_pq_scaled_oracle() -> str:
     return f"""
 WITH {kmeans_ctes},
 {pq_ctes},
-rec AS (
+rec AS MATERIALIZED (
   SELECT co.vid, {rcols}
   FROM corpus co
 {rec_joins}
 ),
-x AS (
+x AS MATERIALIZED (
   SELECT f.vid, f.cluster, co.e,
          list_inner_product(co.e, co.e) AS n2,
          {xr}, ({n2hat}) AS n2hat

@@ -311,6 +311,42 @@ def test_pq_train_shapes_and_validation(spark):
         pq_train(df, dims=8, n_subspaces=3)
 
 
+def test_pq_train_one_pass_matches_per_subspace(spark):
+    """The one-pass multi-subspace trainer must be BIT-IDENTICAL to M
+    independent kmeans_fit runs over sliced vectors — the composition
+    every per-subspace SQL oracle replays (q110/q111/q147/q152)."""
+    from openstack_billing_from_db_spark.operators.clustering import kmeans_fit
+    from openstack_billing_from_db_spark.operators.quantization import (
+        _sub,
+        pq_train,
+    )
+
+    rows, df = _pq_corpus(spark)
+    for n_iter in (1, 2):
+        books = pq_train(df, dims=8, n_subspaces=4, k=3, n_iter=n_iter)
+        base = df.select(
+            F.col("vec_id").alias("vid"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        legacy = [
+            kmeans_fit(
+                base.select("vid", _sub(F.col("e"), m, 2).alias("e")),
+                k=3,
+                n_iter=n_iter,
+            )
+            for m in range(4)
+        ]
+        assert books == legacy
+
+
+def test_pq_train_empty_input_raises(spark):
+    from openstack_billing_from_db_spark.operators.quantization import pq_train
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        pq_train(df, dims=8, n_subspaces=4, k=3, n_iter=1)
+
+
 def test_pq_encode_codes_bounded_and_deterministic(spark):
     from openstack_billing_from_db_spark.operators.quantization import (
         pq_encode,
