@@ -1852,9 +1852,14 @@ def _kcenter_oracle(k: int = _KC_K) -> str:
     arithmetic ((e·e − 2 e·c) + c·c, left-to-right list_inner_product
     folds — bit-parity with the Spark zip_with fold pinned since round
     3), selection is ORDER BY mind DESC, vid LIMIT 1 per round."""
+    # Every sel{i} is MATERIALIZED: cand{i} references sel{i-1} twice
+    # (join + NOT IN) and sel{i} references it again, so without
+    # materialization DuckDB inlines the traversal ~3^k times —
+    # measured 175 s → <1 s at k=8 over 500 vectors (the q146/q152
+    # inlining lesson).
     blocks = [
-        "corpus AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings)",
-        "sel1 AS (SELECT vid, e, 1 AS rnk, 0.0 AS mind FROM corpus ORDER BY vid LIMIT 1)",
+        "corpus AS MATERIALIZED (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings)",
+        "sel1 AS MATERIALIZED (SELECT vid, e, 1 AS rnk, 0.0 AS mind FROM corpus ORDER BY vid LIMIT 1)",
     ]
     for i in range(2, k + 1):
         prev = f"sel{i - 1}"
@@ -1873,7 +1878,7 @@ def _kcenter_oracle(k: int = _KC_K) -> str:
             f"ORDER BY mind DESC, vid LIMIT 1)"
         )
         blocks.append(
-            f"sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})"
+            f"sel{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})"
         )
     ctes = ",\n".join(blocks)
     return f"""
