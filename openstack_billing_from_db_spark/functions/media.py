@@ -526,6 +526,50 @@ def synth_family_video_frames(doc_id: int, *, grid: int = 8) -> "list[np.ndarray
     return frames
 
 
+SCENE_CLIP_FRAMES = 12
+# scene length by doc_id % 4: 3/4/5-frame scenes, plus the single-scene
+# edge (L = clip length → no cuts at all)
+SCENE_LENGTHS = (3, 4, 5, SCENE_CLIP_FRAMES)
+
+
+def scene_len(doc_id: int) -> int:
+    return SCENE_LENGTHS[doc_id % 4]
+
+
+def synth_scene_video_frames(
+    doc_id: int, *, grid: int = 8, n_frames: int = SCENE_CLIP_FRAMES
+) -> "list[np.ndarray]":
+    """Closed-form clip WITH scene structure (the scene-cut fixture):
+    ``n_frames`` textured 2·grid × 2·grid frames partitioned into
+    scenes of ``scene_len(doc_id)`` frames (doc_id % 4 == 3 → one
+    scene spanning the whole clip — the no-cut edge). All frames of a
+    scene share a per-cell md5 texture ("scene|doc:scene:u:r" % 256),
+    so consecutive same-scene frames differ only by the moving one-cell
+    jitter (+1 at cell (f%grid, f%grid), clamped at 255) — a sub-
+    threshold delta that makes the cut rule's threshold semantics
+    discriminative (a zero threshold would over-segment every frame).
+    Scene boundaries swap the whole texture (~85 expected gray levels
+    per cell), far above any sane threshold. Every cell is a closed
+    form of (doc_id, f) a SQL oracle replays exactly."""
+    from openstack_billing_from_db_spark.functions.hashing import py_hash64
+
+    L = scene_len(doc_id)
+    frames = []
+    for f in range(n_frames):
+        scene = f // L
+        cell = np.empty((grid, grid), dtype=np.int64)
+        for rr in range(grid):
+            for uu in range(grid):
+                cell[rr, uu] = (
+                    py_hash64(f"scene|{doc_id}:{scene}:{uu}:{rr}") % 256
+                )
+        j = f % grid
+        cell[j, j] = min(int(cell[j, j]) + 1, 255)
+        px = np.repeat(np.repeat(cell.astype(np.uint8), 2, axis=0), 2, axis=1)
+        frames.append(np.stack([px, px, px], axis=2))
+    return frames
+
+
 def synth_video_frames(doc_id: int) -> "list[np.ndarray]":
     """Closed-form synthetic clip: 2+id%4 constant-color frames of
     (2+id%2)×(4+id%3) px; frame f is RGB ((id+11f)%256, (3id+5f)%256,

@@ -885,6 +885,132 @@ def video_frame_dhash_multiword(
     return df.mapInPandas(batches, schema)
 
 
+def synthesize_scene_video_payloads(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per doc: a real RVID container of the scene-structured clip
+    (media.synth_scene_video_frames — scenes of 3/4/5 frames, or one
+    single-scene clip per 4 docs). The scene-cut fixture."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        media.encode_video(
+                            media.synth_scene_video_frames(int(i))
+                        )
+                        for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return ensure_map_parallelism(docs.select(id_col)).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def video_frame_cells(
+    df: DataFrame, payload_col: str = "payload", *, grid: int = 8
+) -> DataFrame:
+    """Pooled intensity mesh of EVERY frame: decode the RVID container
+    once per video, pool each frame's channel-sum onto a grid × grid
+    mesh by exact integer area summation (the dhash_pixels pooling —
+    block SUMS, no division, so the values are integers both engines
+    agree on bit-for-bit), and emit one narrow
+    (doc_id, frame_idx, cells array<long>) row per frame. Video bytes
+    never leave the map stage; the grid² longs per frame are the only
+    payload downstream shuffles see."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(data)
+                n = media.video_frame_count(data)
+                for f in range(n):
+                    _w, _h, px = media.extract_video_frame(data, f)
+                    gs = px.astype("int64").sum(axis=2)
+                    h, w = gs.shape
+                    if h % grid == 0 and w % grid == 0:
+                        pooled = gs.reshape(
+                            grid, h // grid, grid, w // grid
+                        ).sum(axis=(1, 3))
+                    else:
+                        pooled = media.resize_nearest(
+                            gs[:, :, None], grid, grid
+                        )[:, :, 0]
+                    rows.append(
+                        (int(doc_id), f, [int(v) for v in pooled.ravel()])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "cells"]
+            )
+
+    return df.mapInPandas(
+        batches, "doc_id long, frame_idx int, cells array<long>"
+    )
+
+
+def video_scene_cuts(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    grid: int = 8,
+    cut_threshold: int = 4096,
+) -> DataFrame:
+    """Scene segmentation over video payloads — the shot-boundary
+    operator a multimodal training pipeline runs before per-scene frame
+    sampling (one representative frame per scene instead of per-stride
+    sampling that splits or misses shots). Mechanics: pooled integer
+    intensity mesh per frame (:func:`video_frame_cells`), L1 delta
+    between consecutive frames (a lag window per video — exact BIGINT
+    arithmetic end-to-end), a cut wherever the delta exceeds
+    ``cut_threshold``, and scene ids as the running cut count. Output:
+    one row per (video, scene) with its frame span and the
+    representative (first) frame index.
+
+    Scale shape: decode happens ONCE per video in the Arrow map stage
+    and the bytes never shuffle; the window and the per-scene aggregate
+    see only (doc_id, frame_idx, grid² longs) rows, partitioned by
+    video — per-partition state is bounded by frames-per-video, and
+    videos are independent (no cross-video anything)."""
+    from pyspark.sql import Window
+
+    cells = video_frame_cells(df, payload_col, grid=grid)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("cells").over(w)
+    delta = F.aggregate(
+        F.zip_with(F.col("cells"), prev, lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    flagged = cells.withColumn(
+        "cut",
+        F.when(
+            prev.isNotNull() & (delta > F.lit(int(cut_threshold))), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    scenes = flagged.withColumn(
+        "scene_idx",
+        F.sum("cut").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        scenes.groupBy("doc_id", "scene_idx")
+        .agg(
+            F.min("frame_idx").cast("long").alias("start_frame"),
+            F.max("frame_idx").cast("long").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+        .withColumn("rep_frame", F.col("start_frame"))
+    )
+
+
 def sample_video_frames(
     df: DataFrame, payload_col: str = "payload", n_samples: int = 2
 ) -> DataFrame:

@@ -781,3 +781,102 @@ def q151_incremental_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.col("doc_id") >= _GPACK_SPLIT), state, budget=_GPACK_BUDGET
     )
     return first.unionByName(rest).select("shard", "doc_id", "n_tokens", "bin")
+
+
+# --- video scene-cut detection (round 11) --------------------------------------
+#
+# The shot-boundary member of the multimodal family: a training pipeline
+# segments videos into scenes BEFORE sampling frames (one representative
+# frame per scene beats stride sampling, which splits shots or misses
+# short ones). The fixture (media.synth_scene_video_frames) gives every
+# doc a real RVID clip of 12 frames in 3/4/5-frame scenes — or a single
+# 12-frame scene for doc_id % 4 == 3, the no-cut edge — with a moving
+# one-cell jitter INSIDE scenes so the threshold semantics are load-
+# bearing (threshold 0 would over-segment every clip). All arithmetic is
+# integer (pooled block sums, L1 deltas), so the oracle replays the
+# texture, pooling, delta, cut, and running-scene-count chain exactly.
+
+_SCENE_CUT_THRESHOLD = 4096
+
+
+def _scene_cut_oracle() -> str:
+    from openstack_billing_from_db_spark.functions.hashing import (
+        portable_hash64_sql,
+    )
+
+    base = portable_hash64_sql(
+        "concat('scene|', CAST(l.doc_id AS VARCHAR), ':', "
+        "CAST(f.f // l.slen AS VARCHAR), ':', CAST(u.u AS VARCHAR), ':', "
+        "CAST(r.r AS VARCHAR))"
+    )
+    return f"""
+WITH L AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 5
+              ELSE 12 END AS slen
+  FROM documents
+),
+cells AS MATERIALIZED (
+  SELECT l.doc_id, f.f, r.r, u.u,
+         12 * LEAST({base} % 256
+                    + CASE WHEN r.r = f.f % 8 AND u.u = f.f % 8
+                           THEN 1 ELSE 0 END, 255) AS v
+  FROM L l, range(12) f(f), range(8) r(r), range(8) u(u)
+),
+d1 AS MATERIALIZED (
+  SELECT a.doc_id, a.f, sum(abs(a.v - b.v)) AS delta
+  FROM cells a JOIN cells b
+    ON b.doc_id = a.doc_id AND b.f = a.f - 1
+   AND b.r = a.r AND b.u = a.u
+  GROUP BY a.doc_id, a.f
+),
+flags AS (
+  SELECT c.doc_id, c.f,
+         coalesce(CASE WHEN d1.delta > {_SCENE_CUT_THRESHOLD} THEN 1
+                       ELSE 0 END, 0) AS cut
+  FROM (SELECT DISTINCT doc_id, f FROM cells) c
+  LEFT JOIN d1 ON d1.doc_id = c.doc_id AND d1.f = c.f
+),
+sc AS (
+  SELECT doc_id, f,
+         sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+                        ROWS UNBOUNDED PRECEDING) AS scene_idx
+  FROM flags
+)
+SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+       CAST(min(f) AS BIGINT) AS start_frame,
+       CAST(max(f) AS BIGINT) AS end_frame,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(min(f) AS BIGINT) AS rep_frame
+FROM sc GROUP BY doc_id, scene_idx
+"""
+
+
+@register("q157_video_scene_cuts", oracle=_scene_cut_oracle())
+def q157_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene segmentation (multimodal.video_scene_cuts): one real
+    RVID decode per clip in the Arrow map stage → pooled integer
+    intensity mesh per frame (the dhash_pixels block-sum pooling, exact
+    BIGINT) → L1 delta between consecutive frames via a per-video lag
+    window → cut where delta > {_SCENE_CUT_THRESHOLD} → scene id as the
+    running cut count → per-scene frame span + representative frame.
+    The oracle replays texture synthesis, pooling, deltas, the
+    threshold, and the running count in closed form — a codec, pooling,
+    windowing, or threshold bug hash-fails. Scale shape: video bytes
+    never shuffle (narrow (doc, frame, mesh) rows after the map stage);
+    windows and aggregates are per-video, so state is bounded by
+    frames-per-clip and clips parallelize freely."""
+    from openstack_billing_from_db_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.synthesize_scene_video_payloads(docs)
+    return multimodal.video_scene_cuts(
+        payloads, cut_threshold=_SCENE_CUT_THRESHOLD
+    ).select(
+        "doc_id",
+        "scene_idx",
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "rep_frame",
+    )

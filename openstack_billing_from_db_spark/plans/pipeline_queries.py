@@ -3046,3 +3046,143 @@ def q156_chunked_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, grid=_DH9_GRID
     )
     return multimodal.phash_near_duplicates(pay, n_docs=600_000)
+
+
+# --- streaming audio admission, driver-certified (round 11, session 2) ----------
+#
+# q153 put the newest admit_* path (video) under the driver; this entry
+# certifies the shared single-fingerprint admission core
+# (_admit_fingerprint_batch — the image/audio path) the same way: a
+# two-epoch replay through the REAL streaming/dedup_stream.
+# admit_audio_batch (epoch 1 against an empty index, epoch 2 against
+# epoch 1's admitted additions) vs a closed-form full-process oracle.
+# Epochs split by doc_id parity, so 5-member fixture families straddle
+# both: epoch-2 docs get blocked by INDEX matches and by LOWER-ID
+# IN-BATCH matches, and unmatched docs exercise the admit-by-default
+# left join (NULL best_hamming on both sides).
+
+
+def _audio_admission_oracle() -> str:
+    """Closed-form two-epoch replay: q144's amplitude→delta-bit→pack
+    chain, EXACT all-pairs hamming matches (banding is recall-exact by
+    pigeonhole, so the oracle skips it), then epoch 1 verdicts →
+    admitted index → epoch 2 verdicts with the shared blocking rule
+    (index match, or lower-id in-batch match)."""
+    return f"""
+WITH amps AS MATERIALIZED (
+  SELECT d.doc_id, k.k, {_AW_AMP_SQL} AS amp
+  FROM documents d, range(57) k(k)
+),
+abits AS (
+  SELECT a.doc_id, CASE WHEN b.amp > a.amp THEN 1 ELSE 0 END AS bit, a.k
+  FROM amps a JOIN amps b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+  WHERE a.k < 56
+),
+fp AS MATERIALIZED (
+  SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS h
+  FROM abits GROUP BY doc_id
+),
+mj AS MATERIALIZED (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         bit_count(xor(a.h, b.h)) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id <> b.doc_id
+  WHERE bit_count(xor(a.h, b.h)) <= {_DH_MAX_HAMMING}
+),
+b1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+b2 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+e1m AS (
+  SELECT m.* FROM mj m
+  JOIN b1 x ON x.doc_id = m.da JOIN b1 y ON y.doc_id = m.db
+),
+e1v AS (
+  SELECT a.doc_id, count(m.db) AS n_matches, min(m.hamming) AS best,
+         count(CASE WHEN m.db < a.doc_id THEN 1 END) = 0 AS admitted
+  FROM b1 a LEFT JOIN e1m m ON m.da = a.doc_id
+  GROUP BY a.doc_id
+),
+idx1 AS (SELECT doc_id FROM e1v WHERE admitted),
+e2m AS (
+  SELECT m.da, m.db, m.hamming,
+         CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_idx
+  FROM mj m
+  JOIN b2 x ON x.doc_id = m.da
+  LEFT JOIN idx1 i ON i.doc_id = m.db
+  LEFT JOIN b2 y ON y.doc_id = m.db
+  WHERE i.doc_id IS NOT NULL OR y.doc_id IS NOT NULL
+),
+e2v AS (
+  SELECT a.doc_id, count(m.db) AS n_matches, min(m.hamming) AS best,
+         count(CASE WHEN m.in_idx = 1 OR m.db < a.doc_id THEN 1 END) = 0
+           AS admitted
+  FROM b2 a LEFT JOIN e2m m ON m.da = a.doc_id
+  GROUP BY a.doc_id
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS epoch,
+       CAST(n_matches AS BIGINT) AS n_matches,
+       CAST(best AS BIGINT) AS best_hamming, admitted
+FROM e1v
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT), CAST(n_matches AS BIGINT),
+       CAST(best AS BIGINT), admitted
+FROM e2v
+"""
+
+
+@register(
+    "q158_streaming_audio_admission", oracle=_audio_admission_oracle()
+)
+def q158_streaming_audio_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-epoch streaming audio admission through the real
+    streaming/dedup_stream.admit_audio_batch composition — the
+    single-fingerprint admission core (_admit_fingerprint_batch) shared
+    by the image and audio streams, driver-certified the way q153
+    certified the framewise video path: even-id clips arrive in epoch 1
+    (probed against an empty index), their admitted fingerprints become
+    the index, odd-id clips arrive in epoch 2 and are blocked by index
+    matches OR lower-id in-batch matches (min-id canonical). Per-epoch
+    work is (batch fingerprints) + (banded probe against the ~16 B/clip
+    index) — PCM never leaves the decode stage. Output: one verdict row
+    per clip (doc_id, epoch, n_matches, best_hamming, admitted)."""
+    from openstack_billing_from_db_spark.streaming.dedup_stream import (
+        admit_audio_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pay = multimodal.synthesize_family_audio_payloads(docs)
+    b1 = pay.filter(F.col("doc_id") % 2 == 0)
+    b2 = pay.filter(F.col("doc_id") % 2 == 1)
+    empty = spark.createDataFrame([], "doc_id long, w0 long")
+    # band_bits=8 (the stream's native width): the multiword probe
+    # requires band_bits | word_bits (56), which the tuner's
+    # _AW_BAND_BITS=11 batch width does not satisfy; 7 bands >
+    # max_hamming=4 keeps pigeonhole recall exact, so the exact-pairs
+    # oracle is unaffected by the band choice.
+    v1, add1 = admit_audio_batch(
+        spark,
+        b1,
+        None,
+        band_bits=8,
+        max_hamming=_DH_MAX_HAMMING,
+        existing_index=empty,
+    )
+    v2, _ = admit_audio_batch(
+        spark,
+        b2,
+        None,
+        band_bits=8,
+        max_hamming=_DH_MAX_HAMMING,
+        existing_index=add1,
+    )
+
+    def with_epoch(v: DataFrame, e: int) -> DataFrame:
+        return v.select(
+            "doc_id",
+            F.lit(e).cast("long").alias("epoch"),
+            F.col("n_matches").cast("long").alias("n_matches"),
+            F.col("best_hamming").cast("long").alias("best_hamming"),
+            "admitted",
+        )
+
+    return with_epoch(v1, 0).unionByName(with_epoch(v2, 1))

@@ -115,6 +115,8 @@ DEFERRED: tuple[str, ...] = (
   "q116_lsh_recall",  # r10-green; banding kernel in-gate via q35/q37
   "q147_semantic_dedup_pq",  # r10-green; PQ pair stage in-gate via q152 (production config)
   # -- carried parks (unchanged since their rows) --
+  "q04b_state_intervals_bucketed",  # r1/r8-green; parked to admit the r11-new q157 — q04 (same plan, unbucketed source) is in-head and tests/test_sessionize_bucketed.py pins the bucketed path
+  "q09_invoice_wide",  # r1/r8-green; parked to admit the r11-new q158 — a pivot formatting of the billing chain whose kernel has nine in-head members (q01-q08/q42)
   "q43_small_quantity_parts",  # r1/r8-green; parked to admit the r11-new q156
   "q47_data_quality",  # r1/r8-green; parked to admit the r11-new q154/q155
   "q48_customer_order_analytics",  # r1/r8-green; parked to admit q154/q155

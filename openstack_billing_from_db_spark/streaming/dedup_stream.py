@@ -197,13 +197,14 @@ def read_index(spark: SparkSession, index_dir: str) -> DataFrame:
 def _admit_fingerprint_batch(
     spark: SparkSession,
     new_fp: DataFrame,
-    index_dir: str,
+    index_dir: str | None,
     *,
     n_words: int,
     word_bits: int,
     band_bits: int,
     max_hamming: int,
     bits: int | None = None,
+    existing_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared admission core for hamming-fingerprint streams (image,
     audio): probe ``new_fp`` — (doc_id, w0..w{n-1}) — against the
@@ -212,12 +213,20 @@ def _admit_fingerprint_batch(
     (min-id canonical survivor — :func:`admit_batch`'s rule). ``bits``
     is the fingerprint's real width (multiword_hamming_matches skips
     padding-only bands, which would otherwise bucket every doc
-    together)."""
+    together). ``existing_index`` supplies the index as a DataFrame
+    directly (``index_dir`` then unused) — the hook that lets a
+    registered query replay a multi-epoch admission through this
+    function under the driver's oracle gate (the admit_video_batch /
+    q153 pattern)."""
     from openstack_billing_from_db_spark.operators.dedup import (
         multiword_hamming_matches,
     )
 
-    existing = _existing_index(spark, index_dir, new_fp)
+    existing = (
+        existing_index.select(*new_fp.columns)
+        if existing_index is not None
+        else _existing_index(spark, index_dir, new_fp)
+    )
     matches = multiword_hamming_matches(
         existing,
         new_fp,
@@ -255,12 +264,13 @@ def _admit_fingerprint_batch(
 def admit_image_batch(
     spark: SparkSession,
     batch_pay: DataFrame,
-    index_dir: str,
+    index_dir: str | None,
     *,
     grid: int = 9,
     word_bits: int = 36,
     band_bits: int = 12,
     max_hamming: int = 4,
+    existing_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One image micro-batch against the persisted fingerprint index:
     decode → multi-word dHash (72-bit wide bands by default — the q142
@@ -286,16 +296,18 @@ def admit_image_batch(
         band_bits=band_bits,
         max_hamming=max_hamming,
         bits=bits,
+        existing_index=existing_index,
     )
 
 
 def admit_audio_batch(
     spark: SparkSession,
     batch_pay: DataFrame,
-    index_dir: str,
+    index_dir: str | None,
     *,
     band_bits: int = 8,
     max_hamming: int = 4,
+    existing_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One audio micro-batch against the persisted fingerprint index:
     RIFF/WAV decode → 56-bit delta-energy hash (q144's fingerprint,
@@ -320,6 +332,7 @@ def admit_audio_batch(
         band_bits=band_bits,
         max_hamming=max_hamming,
         bits=56,
+        existing_index=existing_index,
     )
 
 

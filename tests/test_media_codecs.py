@@ -1073,3 +1073,65 @@ def test_framewise_multiword_matches_narrow_kernel(spark):
         ).collect()
     }
     assert wide == narrow and narrow
+
+
+# --- video scene cuts (round 11) -----------------------------------------------
+
+
+def _scene_payload_df(spark, clips):
+    """clips: dict doc_id -> list of frames (np arrays)."""
+    rows = [(i, bytearray(media.encode_video(fs))) for i, fs in clips.items()]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def _const_frame(v, h=16, w=16):
+    px = np.full((h, w), v, dtype=np.uint8)
+    return np.stack([px, px, px], axis=2)
+
+
+def test_video_scene_cuts_spans_and_reps(spark):
+    """Two hard cuts -> three scenes with exact frame spans; a flat clip
+    -> one scene; rep_frame is each scene's first frame."""
+    clips = {
+        1: [_const_frame(v) for v in (10, 10, 10, 200, 200, 30, 30, 30)],
+        2: [_const_frame(77) for _ in range(5)],
+    }
+    out = multimodal.video_scene_cuts(_scene_payload_df(spark, clips))
+    rows = {
+        (r.doc_id, r.scene_idx): (r.start_frame, r.end_frame, r.n_frames, r.rep_frame)
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, 0): (0, 2, 3, 0),
+        (1, 1): (3, 4, 2, 3),
+        (1, 2): (5, 7, 3, 5),
+        (2, 0): (0, 4, 5, 0),
+    }
+
+
+def test_video_scene_cuts_threshold_semantics(spark):
+    """The same clip segments differently as the threshold moves across
+    the delta magnitude: |10-12| * 3ch * 256px = 1536 per boundary."""
+    clips = {7: [_const_frame(v) for v in (10, 12, 10, 12)]}
+    df = _scene_payload_df(spark, clips)
+    loose = multimodal.video_scene_cuts(df, cut_threshold=2000)
+    tight = multimodal.video_scene_cuts(df, cut_threshold=1000)
+    assert loose.count() == 1  # all deltas under threshold: one scene
+    assert tight.count() == 4  # every frame flip is a cut
+
+
+def test_synth_scene_video_frames_structure():
+    """Scene lengths follow doc_id % 4; within-scene frames differ only
+    by the moving jitter cell; cross-scene textures differ widely."""
+    for doc_id, L in ((0, 3), (1, 4), (2, 5), (3, 12)):
+        frames = media.synth_scene_video_frames(doc_id)
+        assert len(frames) == media.SCENE_CLIP_FRAMES
+        assert media.scene_len(doc_id) == L
+        for f in range(1, media.SCENE_CLIP_FRAMES):
+            a = frames[f - 1].astype(np.int64).sum(axis=2)
+            b = frames[f].astype(np.int64).sum(axis=2)
+            delta = int(np.abs(a - b).sum())
+            if f // L == (f - 1) // L:
+                assert delta <= 2 * 12  # jitter cells only
+            else:
+                assert delta > 4096  # scene boundary

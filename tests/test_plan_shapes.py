@@ -85,6 +85,8 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         "q154_audio_phash72_dedup",  # media codec + wide delta-energy hash (Arrow-batched mapInPandas)
         "q155_video_phash72_dedup",  # container walk + wide per-frame dHash (Arrow-batched mapInPandas)
         "q156_chunked_image_dedup",  # media codec + two-word dHash under the chunked join (Arrow-batched mapInPandas)
+        "q157_video_scene_cuts",  # container walk + per-frame pooled mesh (Arrow-batched mapInPandas; deltas/windows JVM-side)
+        "q158_streaming_audio_admission",  # WAV decode + delta-energy hash (Arrow-batched; q144's decode in the streaming composition)
     }
     for name, fn in QUERIES.items():
         if name in python_ok:
