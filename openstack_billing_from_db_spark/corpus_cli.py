@@ -188,6 +188,22 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ci.add_argument("--path", required=True, help="parquet with doc_id,text")
     ci.add_argument("--replicas", type=int, default=40)
+
+    sc = sub.add_parser(
+        "scenes",
+        help="video scene-cut detection (per-scene spans + representative "
+        "frames over RVID payloads)",
+    )
+    sc.add_argument("--path", required=True, help="parquet with doc_id,payload")
+    sc.add_argument(
+        "--cut-threshold", type=_positive_int, default=4096,
+        help="L1 pooled-intensity delta that counts as a hard cut",
+    )
+    sc.add_argument(
+        "--output", default=None,
+        help="write (doc_id, scene_idx, start/end_frame, n_frames, "
+        "rep_frame) parquet",
+    )
     return p
 
 
@@ -493,6 +509,33 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
                 "ci_lo_micro": r.ci_lo,
                 "ci_hi_micro": r.ci_hi,
                 "n_replicas": r.n_replicas,
+            }
+        elif args.command == "scenes":
+            from pyspark.sql import functions as F
+
+            from openstack_billing_from_db_spark.operators.multimodal import (
+                video_scene_cuts,
+            )
+
+            scenes = video_scene_cuts(
+                spark.read.parquet(args.path),
+                cut_threshold=args.cut_threshold,
+            )
+            if args.output:
+                scenes.write.mode("overwrite").parquet(args.output)
+                scenes = spark.read.parquet(args.output)
+            agg = scenes.agg(
+                F.count(F.lit(1)).alias("n_scenes"),
+                F.countDistinct("doc_id").alias("n_videos"),
+                F.sum("n_frames").alias("n_frames"),
+            ).collect()[0]
+            result = {
+                "command": "scenes",
+                "n_videos": int(agg.n_videos),
+                "n_scenes": int(agg.n_scenes),
+                "n_frames": int(agg.n_frames),
+                "cut_threshold": args.cut_threshold,
+                "output": args.output,
             }
         else:  # zorder
             from openstack_billing_from_db_spark.sources.zorder import write_zordered

@@ -405,3 +405,35 @@ def test_corpus_cli_pack(spark, sf_dir, tmp_path):
     assert {r.doc_id: r.bin for r in written.collect()} == {
         r.doc_id: r.bin for r in want.collect()
     }
+
+
+def test_corpus_cli_scenes(spark, tmp_path):
+    import numpy as np
+
+    from openstack_billing_from_db_spark import corpus_cli
+    from openstack_billing_from_db_spark.functions import media
+
+    def const_frame(v):
+        px = np.full((16, 16), v, dtype=np.uint8)
+        return np.stack([px, px, px], axis=2)
+
+    clips = {
+        1: [const_frame(v) for v in (10, 10, 200, 200)],  # 2 scenes
+        2: [const_frame(50) for _ in range(3)],  # 1 scene
+    }
+    src = str(tmp_path / "clips")
+    spark.createDataFrame(
+        [(i, bytearray(media.encode_video(fs))) for i, fs in clips.items()],
+        "doc_id long, payload binary",
+    ).write.parquet(src)
+    out = str(tmp_path / "scenes")
+    res = corpus_cli.main(
+        ["scenes", "--path", src, "--output", out], spark=spark
+    )
+    assert res["n_videos"] == 2 and res["n_scenes"] == 3
+    assert res["n_frames"] == 7
+    rows = {
+        (r.doc_id, r.scene_idx): (r.start_frame, r.end_frame)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {(1, 0): (0, 1), (1, 1): (2, 3), (2, 0): (0, 2)}
