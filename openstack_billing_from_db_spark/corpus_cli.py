@@ -196,8 +196,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sc.add_argument("--path", required=True, help="parquet with doc_id,payload")
     sc.add_argument(
-        "--cut-threshold", type=_positive_int, default=4096,
-        help="L1 pooled-intensity delta that counts as a hard cut",
+        "--cut-threshold", type=_positive_int, default=8,
+        help="mean per-cell gray-level delta that counts as a hard cut "
+        "(resolution-independent)",
     )
     sc.add_argument(
         "--output", default=None,
@@ -527,7 +528,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             agg = scenes.agg(
                 F.count(F.lit(1)).alias("n_scenes"),
                 F.countDistinct("doc_id").alias("n_videos"),
-                F.sum("n_frames").alias("n_frames"),
+                # empty input (or all-empty clips): sum is NULL, not 0
+                F.coalesce(F.sum("n_frames"), F.lit(0)).alias("n_frames"),
             ).collect()[0]
             result = {
                 "command": "scenes",

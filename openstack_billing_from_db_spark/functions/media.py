@@ -327,25 +327,42 @@ def synth_textured_pixels(doc_id: int, *, grid: int = 8) -> np.ndarray:
     return np.stack([px, px, px], axis=2)
 
 
+def pool_intensity_mesh(
+    pixels: np.ndarray, *, grid: int = 8
+) -> "tuple[np.ndarray, int]":
+    """Pool an RGB uint8 image's channel-sum intensity onto a
+    ``grid × grid`` integer mesh. Returns ``(mesh, scale)`` where
+    ``scale`` is the per-cell unit in summed gray levels: EXACT integer
+    area summation (scale = 3·block_h·block_w) when both dimensions
+    divide by ``grid``, else the deterministic nearest-neighbor
+    resample (scale = 3 — one channel-summed pixel per cell). The ONE
+    pooling used by both dhash_pixels and the scene-cut mesh, so their
+    SQL replays share a single arithmetic contract."""
+    h, w = pixels.shape[:2]
+    gs = pixels.astype(np.int64).sum(axis=2)
+    if h % grid == 0 and w % grid == 0:
+        return (
+            gs.reshape(grid, h // grid, grid, w // grid).sum(axis=(1, 3)),
+            3 * (h // grid) * (w // grid),
+        )
+    return resize_nearest(gs[:, :, None], grid, grid)[:, :, 0], 3
+
+
 def dhash_pixels(pixels: np.ndarray, *, grid: int = 8) -> int:
     """Difference hash (dHash) of an RGB uint8 image: pool the channel-sum
-    intensity onto a ``grid × grid`` mesh, then one bit per horizontal
-    neighbor comparison (right cell brighter than left), packed
-    row-major into ``grid·(grid−1)`` bits — 56 for the default grid,
-    which keeps the fingerprint strictly positive in a signed 64-bit
-    BIGINT (no sign-extension hazards in banding or SQL replays).
+    intensity onto a ``grid × grid`` mesh (pool_intensity_mesh), then
+    one bit per horizontal neighbor comparison (right cell brighter
+    than left), packed row-major into ``grid·(grid−1)`` bits — 56 for
+    the default grid, which keeps the fingerprint strictly positive in
+    a signed 64-bit BIGINT (no sign-extension hazards in banding or SQL
+    replays).
 
     Pooling is EXACT integer area summation when both dimensions divide
     by ``grid`` (comparing block sums ≡ comparing block means — equal
     block sizes); otherwise it falls back to the deterministic
     nearest-neighbor resample (media.resize_nearest), the standard
     small-image path."""
-    h, w = pixels.shape[:2]
-    gs = pixels.astype(np.int64).sum(axis=2)
-    if h % grid == 0 and w % grid == 0:
-        pooled = gs.reshape(grid, h // grid, grid, w // grid).sum(axis=(1, 3))
-    else:
-        pooled = resize_nearest(gs[:, :, None], grid, grid)[:, :, 0]
+    pooled, _scale = pool_intensity_mesh(pixels, grid=grid)
     bits = pooled[:, 1:] > pooled[:, :-1]
     k = np.arange(grid)[:, None] * (grid - 1) + np.arange(grid - 1)[None, :]
     # pack in Python ints: grid >= 9 exceeds 63 bits, where an int64

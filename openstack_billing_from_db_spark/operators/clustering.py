@@ -325,6 +325,29 @@ def _assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return base.withColumn("cluster", F.array_min(scored)["cid"])
 
 
+def lloyd_update(
+    prev: list[list[float]],
+    rows_by_cid: dict,
+    *,
+    dims: int,
+    round_dp: int,
+) -> list[list[float]]:
+    """The ONE Lloyd centroid-update rule (shared by kmeans_fit and
+    quantization.pq_train, whose SQL oracles both replay it): centroid
+    j becomes the half-up-rounded per-dimension mean of its assigned
+    rows (``rows_by_cid[j]`` carrying fields ``n`` and ``s0..s{d-1}``);
+    an EMPTY cluster keeps its previous centroid."""
+    return [
+        [
+            _round_half_up(rows_by_cid[j][f"s{i}"] / rows_by_cid[j]["n"], round_dp)
+            for i in range(dims)
+        ]
+        if j in rows_by_cid
+        else prev[j]
+        for j in range(len(prev))
+    ]
+
+
 def kmeans_fit(
     base: DataFrame,
     *,
@@ -361,15 +384,9 @@ def kmeans_fit(
             .collect()
         )
         by_cid = {int(r.cluster): r for r in stats}
-        centroids = [
-            [
-                _round_half_up(by_cid[j][f"s{i}"] / by_cid[j]["n"], round_dp)
-                for i in range(dims)
-            ]
-            if j in by_cid
-            else centroids[j]  # empty cluster: keep previous centroid
-            for j in range(len(centroids))
-        ]
+        centroids = lloyd_update(
+            centroids, by_cid, dims=dims, round_dp=round_dp
+        )
     return centroids
 
 

@@ -916,12 +916,15 @@ def video_frame_cells(
 ) -> DataFrame:
     """Pooled intensity mesh of EVERY frame: decode the RVID container
     once per video, pool each frame's channel-sum onto a grid × grid
-    mesh by exact integer area summation (the dhash_pixels pooling —
-    block SUMS, no division, so the values are integers both engines
-    agree on bit-for-bit), and emit one narrow
-    (doc_id, frame_idx, cells array<long>) row per frame. Video bytes
-    never leave the map stage; the grid² longs per frame are the only
-    payload downstream shuffles see."""
+    mesh (media.pool_intensity_mesh — the SAME pooling dhash_pixels
+    uses: integer block sums when dims divide the grid, the
+    deterministic nearest-neighbor resample otherwise), and emit one
+    narrow (doc_id, frame_idx, cells array<long>, pool_scale) row per
+    frame. ``pool_scale`` is the per-cell unit in summed gray levels
+    (3·block_area, or 3 on the resample path) — what lets downstream
+    thresholds be resolution-independent. Video bytes never leave the
+    map stage; the grid² longs per frame are the only payload
+    downstream shuffles see."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -931,25 +934,22 @@ def video_frame_cells(
                 n = media.video_frame_count(data)
                 for f in range(n):
                     _w, _h, px = media.extract_video_frame(data, f)
-                    gs = px.astype("int64").sum(axis=2)
-                    h, w = gs.shape
-                    if h % grid == 0 and w % grid == 0:
-                        pooled = gs.reshape(
-                            grid, h // grid, grid, w // grid
-                        ).sum(axis=(1, 3))
-                    else:
-                        pooled = media.resize_nearest(
-                            gs[:, :, None], grid, grid
-                        )[:, :, 0]
+                    pooled, scale = media.pool_intensity_mesh(px, grid=grid)
                     rows.append(
-                        (int(doc_id), f, [int(v) for v in pooled.ravel()])
+                        (
+                            int(doc_id),
+                            f,
+                            [int(v) for v in pooled.ravel()],
+                            int(scale),
+                        )
                     )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "cells"]
+                rows, columns=["doc_id", "frame_idx", "cells", "pool_scale"]
             )
 
     return df.mapInPandas(
-        batches, "doc_id long, frame_idx int, cells array<long>"
+        batches,
+        "doc_id long, frame_idx int, cells array<long>, pool_scale long",
     )
 
 
@@ -958,7 +958,7 @@ def video_scene_cuts(
     payload_col: str = "payload",
     *,
     grid: int = 8,
-    cut_threshold: int = 4096,
+    cut_threshold: int = 8,
 ) -> DataFrame:
     """Scene segmentation over video payloads — the shot-boundary
     operator a multimodal training pipeline runs before per-scene frame
@@ -966,10 +966,15 @@ def video_scene_cuts(
     sampling that splits or misses shots). Mechanics: pooled integer
     intensity mesh per frame (:func:`video_frame_cells`), L1 delta
     between consecutive frames (a lag window per video — exact BIGINT
-    arithmetic end-to-end), a cut wherever the delta exceeds
-    ``cut_threshold``, and scene ids as the running cut count. Output:
-    one row per (video, scene) with its frame span and the
-    representative (first) frame index.
+    arithmetic end-to-end), a cut wherever the MEAN per-cell delta
+    exceeds ``cut_threshold`` gray levels (the raw sum is compared
+    against threshold · grid² · pool_scale, so the rule is
+    resolution-independent — a 256×256 clip and a 16×16 clip cut at
+    the same perceptual change, still in exact integers), and scene
+    ids as the running cut count. A mid-video resolution change takes
+    the larger frame's scale (conservative: never over-cuts from unit
+    mismatch alone). Output: one row per (video, scene) with its frame
+    span and the representative (first) frame index.
 
     Scale shape: decode happens ONCE per video in the Arrow map stage
     and the bytes never shuffle; the window and the per-scene aggregate
@@ -986,10 +991,13 @@ def video_scene_cuts(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    scale = F.greatest(F.col("pool_scale"), F.lag("pool_scale").over(w))
     flagged = cells.withColumn(
         "cut",
         F.when(
-            prev.isNotNull() & (delta > F.lit(int(cut_threshold))), F.lit(1)
+            prev.isNotNull()
+            & (delta > F.lit(int(cut_threshold) * grid * grid) * scale),
+            F.lit(1),
         )
         .otherwise(F.lit(0))
         .cast("long"),

@@ -91,7 +91,7 @@ def pq_train(
     base = tracked_persist(_base(emb, id_col, vec_col))
 
     from openstack_billing_from_db_spark.operators.clustering import (
-        _round_half_up,
+        lloyd_update,
     )
 
     # seeds: ONE job — the k lowest-id full vectors, sub-sliced per
@@ -133,17 +133,12 @@ def pq_train(
         )
         by_key = {(int(r.m), int(r.cluster)): r for r in stats}
         cbs = [
-            [
-                [
-                    _round_half_up(
-                        by_key[(m, j)][f"s{i}"] / by_key[(m, j)]["n"], round_dp
-                    )
-                    for i in range(sub_dims)
-                ]
-                if (m, j) in by_key
-                else cbs[m][j]  # empty cluster: keep previous centroid
-                for j in range(len(cbs[m]))
-            ]
+            lloyd_update(
+                cbs[m],
+                {c: r for (mm, c), r in by_key.items() if mm == m},
+                dims=sub_dims,
+                round_dp=round_dp,
+            )
             for m in range(n_subspaces)
         ]
     return cbs

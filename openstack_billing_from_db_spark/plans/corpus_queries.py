@@ -796,7 +796,11 @@ def q151_incremental_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer (pooled block sums, L1 deltas), so the oracle replays the
 # texture, pooling, delta, cut, and running-scene-count chain exactly.
 
-_SCENE_CUT_THRESHOLD = 4096
+# mean per-cell gray-level delta that counts as a hard cut; the raw
+# pooled-sum compare is threshold · grid² · pool_scale (= 8·64·12 for
+# the 16×16 fixture), resolution-independent by construction
+_SCENE_CUT_THRESHOLD = 8
+_SCENE_FIXTURE_SCALE = 12  # 3 channels × 2×2 block on the 16×16 fixture
 
 
 def _scene_cut_oracle() -> str:
@@ -832,8 +836,9 @@ d1 AS MATERIALIZED (
 ),
 flags AS (
   SELECT c.doc_id, c.f,
-         coalesce(CASE WHEN d1.delta > {_SCENE_CUT_THRESHOLD} THEN 1
-                       ELSE 0 END, 0) AS cut
+         coalesce(CASE WHEN d1.delta >
+                    {_SCENE_CUT_THRESHOLD * 64 * _SCENE_FIXTURE_SCALE}
+                       THEN 1 ELSE 0 END, 0) AS cut
   FROM (SELECT DISTINCT doc_id, f FROM cells) c
   LEFT JOIN d1 ON d1.doc_id = c.doc_id AND d1.f = c.f
 ),
@@ -858,7 +863,9 @@ def q157_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     RVID decode per clip in the Arrow map stage → pooled integer
     intensity mesh per frame (the dhash_pixels block-sum pooling, exact
     BIGINT) → L1 delta between consecutive frames via a per-video lag
-    window → cut where delta > {_SCENE_CUT_THRESHOLD} → scene id as the
+    window → cut where the MEAN per-cell delta exceeds
+    {_SCENE_CUT_THRESHOLD} gray levels (the raw-sum compare is scaled
+    by grid² · pool_scale, resolution-independent) → scene id as the
     running cut count → per-scene frame span + representative frame.
     The oracle replays texture synthesis, pooling, deltas, the
     threshold, and the running count in closed form — a codec, pooling,

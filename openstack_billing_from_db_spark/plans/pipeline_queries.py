@@ -2800,6 +2800,10 @@ def q153_streaming_video_admission(
         admit_video_batch,
     )
 
+    from openstack_billing_from_db_spark.operators.caching import (
+        tracked_persist,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     pay = multimodal.synthesize_family_video_payloads(docs)
     b1 = pay.filter(F.col("doc_id") % 2 == 0)
@@ -2816,6 +2820,10 @@ def q153_streaming_video_admission(
         min_frames=_VW_MIN_FRAMES,
         existing_index=empty,
     )
+    # epoch 1's admission DAG feeds BOTH the epoch-2 index and the
+    # final union — persist the (tiny) verdict/addition tables so the
+    # epoch-1 match join runs once, not three times
+    v1, add1 = tracked_persist(v1), tracked_persist(add1)
     v2, _ = admit_video_batch(
         spark,
         b2,
@@ -3167,6 +3175,13 @@ def q158_streaming_audio_admission(
         max_hamming=_DH_MAX_HAMMING,
         existing_index=empty,
     )
+    # same reuse as q153: epoch 1's admission feeds the epoch-2 index
+    # AND the final union — persist the tiny verdict/addition tables
+    from openstack_billing_from_db_spark.operators.caching import (
+        tracked_persist,
+    )
+
+    v1, add1 = tracked_persist(v1), tracked_persist(add1)
     v2, _ = admit_audio_batch(
         spark,
         b2,

@@ -222,6 +222,13 @@ def _admit_fingerprint_batch(
         multiword_hamming_matches,
     )
 
+    if existing_index is None and index_dir is None:
+        # _existing_index swallows read failures by design (first epoch
+        # has no index yet) — a None dir would silently probe an EMPTY
+        # index and admit every duplicate as fresh
+        raise ValueError(
+            "either index_dir or existing_index must be provided"
+        )
     existing = (
         existing_index.select(*new_fp.columns)
         if existing_index is not None
@@ -376,6 +383,10 @@ def admit_video_batch(
     # of this plan: the inner tracked_persist captures its physical plan
     # at call time, so persisting here lets it read the decoded frames
     # from this cache instead of running the RVID decode a second time
+    if existing_index is None and index_dir is None:
+        raise ValueError(
+            "either index_dir or existing_index must be provided"
+        )
     new_fp = tracked_persist(
         multimodal.video_frame_dhash(batch_pay, n_samples=n_samples, grid=grid)
     )

@@ -1111,13 +1111,26 @@ def test_video_scene_cuts_spans_and_reps(spark):
 
 def test_video_scene_cuts_threshold_semantics(spark):
     """The same clip segments differently as the threshold moves across
-    the delta magnitude: |10-12| * 3ch * 256px = 1536 per boundary."""
+    the delta magnitude: a uniform 10->12 flip is a mean per-cell delta
+    of exactly 2 gray levels."""
     clips = {7: [_const_frame(v) for v in (10, 12, 10, 12)]}
     df = _scene_payload_df(spark, clips)
-    loose = multimodal.video_scene_cuts(df, cut_threshold=2000)
-    tight = multimodal.video_scene_cuts(df, cut_threshold=1000)
-    assert loose.count() == 1  # all deltas under threshold: one scene
+    loose = multimodal.video_scene_cuts(df, cut_threshold=2)  # 2 > 2 false
+    tight = multimodal.video_scene_cuts(df, cut_threshold=1)
+    assert loose.count() == 1  # all deltas at/under threshold: one scene
     assert tight.count() == 4  # every frame flip is a cut
+
+
+def test_video_scene_cuts_resolution_independent(spark):
+    """The SAME per-pixel change cuts identically at 16x16 and 64x64:
+    the threshold is in mean per-cell gray levels, not raw pooled
+    sums (pool_scale normalizes the compare)."""
+    for size in (16, 64):
+        clips = {3: [_const_frame(v, h=size, w=size) for v in (10, 10, 40)]}
+        out = multimodal.video_scene_cuts(
+            _scene_payload_df(spark, clips), cut_threshold=8
+        )
+        assert out.count() == 2, f"size {size}"  # one cut at frame 2
 
 
 def test_synth_scene_video_frames_structure():
