@@ -1148,3 +1148,69 @@ def test_synth_scene_video_frames_structure():
                 assert delta <= 2 * 12  # jitter cells only
             else:
                 assert delta > 4096  # scene boundary
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    data=st.data(),
+    n_frames=st.integers(1, 6),
+    threshold=st.integers(1, 40),
+)
+def test_video_scene_cuts_matches_python_reference(
+    spark, data, n_frames, threshold
+):
+    """Property pin: the distributed scene-cut plan equals a pure-Python
+    reference over arbitrary small clips — pooling, scale, lag deltas,
+    the strict threshold compare, and the running scene count all at
+    once. Frame dims are drawn per clip (divisible and non-divisible by
+    the grid, so both pooling paths and the mid-clip resolution-change
+    scale rule are exercised)."""
+    import numpy as np
+
+    dims = data.draw(
+        st.lists(
+            st.tuples(st.integers(4, 20), st.integers(4, 20)),
+            min_size=n_frames,
+            max_size=n_frames,
+        )
+    )
+    frames = []
+    rng_vals = data.draw(
+        st.lists(st.integers(0, 255), min_size=n_frames, max_size=n_frames)
+    )
+    for (h, w), v in zip(dims, rng_vals):
+        px = np.full((h, w), v, dtype=np.uint8)
+        frames.append(np.stack([px, px, px], axis=2))
+
+    # pure-Python reference over the same codec output
+    grid = 8
+    meshes = [media.pool_intensity_mesh(f, grid=grid) for f in frames]
+    cuts = [0]
+    for i in range(1, n_frames):
+        (ma, sa), (mb, sb) = meshes[i - 1], meshes[i]
+        delta = int(np.abs(ma - mb).sum())
+        cuts.append(1 if delta > threshold * grid * grid * max(sa, sb) else 0)
+    scene_of = np.cumsum(cuts)
+    expected = {}
+    for f, s in enumerate(scene_of):
+        s = int(s)
+        if s not in expected:
+            expected[s] = [f, f, 0, f]
+        expected[s][1] = f
+        expected[s][2] += 1
+    expected = {
+        (1, s): tuple(v) for s, v in expected.items()
+    }  # (start, end, n, rep)
+
+    df = _scene_payload_df(spark, {1: frames})
+    out = multimodal.video_scene_cuts(df, cut_threshold=threshold)
+    got = {
+        (r.doc_id, r.scene_idx): (
+            r.start_frame,
+            r.end_frame,
+            r.n_frames,
+            r.rep_frame,
+        )
+        for r in out.collect()
+    }
+    assert got == expected
