@@ -106,6 +106,19 @@ def test_column_pruning_on_events_scan(spark, sf_dir):
     assert m, plan
 
 
+def test_scene_cuts_plan_shape(spark, sf_dir):
+    """q157: the documents scan is pruned to doc_id only (payload
+    synthesis and decode need nothing else), exactly ONE Arrow stage
+    carries the video bytes (decode+pool), and the delta/window/scene
+    math downstream is JVM-side."""
+    plan = _plan(QUERIES["q157_video_scene_cuts"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<doc_id:bigint>", plan)
+    assert m, plan
+    assert plan.count("MapInPandas") == 2, plan  # synth payload + decode mesh
+    assert "BatchEvalPython" not in plan, plan  # never row-at-a-time
+    assert "Window" in plan, plan  # lag/scene-count windows are JVM-side
+
+
 def test_ivf_plan_shape(spark, sf_dir):
     """q65: centroids picked by per-partition top-k (no global sort),
     broadcast to the corpus; candidate join broadcasts the probed query
