@@ -912,7 +912,11 @@ def synthesize_scene_video_payloads(
 
 
 def video_frame_cells(
-    df: DataFrame, payload_col: str = "payload", *, grid: int = 8
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    grid: int = 8,
+    frame_stride: int = 1,
 ) -> DataFrame:
     """Pooled intensity mesh of EVERY frame: decode the RVID container
     once per video, pool each frame's channel-sum onto a grid × grid
@@ -922,9 +926,14 @@ def video_frame_cells(
     narrow (doc_id, frame_idx, cells array<long>, pool_scale) row per
     frame. ``pool_scale`` is the per-cell unit in summed gray levels
     (3·block_area, or 3 on the resample path) — what lets downstream
-    thresholds be resolution-independent. Video bytes never leave the
-    map stage; the grid² longs per frame are the only payload
-    downstream shuffles see."""
+    thresholds be resolution-independent. ``frame_stride`` decodes only
+    every s-th frame (the RVID index walk skips the rest — for
+    hour-long clips where per-frame decode is the budget, cuts are then
+    detected at stride granularity). Video bytes never leave the map
+    stage; the grid² longs per frame are the only payload downstream
+    shuffles see."""
+    if frame_stride < 1:
+        raise ValueError(f"frame_stride must be >= 1; got {frame_stride}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -932,7 +941,7 @@ def video_frame_cells(
             for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
                 data = bytes(data)
                 n = media.video_frame_count(data)
-                for f in range(n):
+                for f in range(0, n, frame_stride):
                     _w, _h, px = media.extract_video_frame(data, f)
                     pooled, scale = media.pool_intensity_mesh(px, grid=grid)
                     rows.append(
@@ -959,6 +968,7 @@ def video_scene_cuts(
     *,
     grid: int = 8,
     cut_threshold: int = 8,
+    frame_stride: int = 1,
 ) -> DataFrame:
     """Scene segmentation over video payloads — the shot-boundary
     operator a multimodal training pipeline runs before per-scene frame
@@ -973,8 +983,11 @@ def video_scene_cuts(
     the same perceptual change, still in exact integers), and scene
     ids as the running cut count. A mid-video resolution change takes
     the larger frame's scale (conservative: never over-cuts from unit
-    mismatch alone). Output: one row per (video, scene) with its frame
-    span and the representative (first) frame index.
+    mismatch alone). ``frame_stride > 1`` decodes only every s-th frame
+    (skipped frames never decode — the long-clip budget lever); cuts
+    and spans are then in sampled-frame positions. Output: one row per
+    (video, scene) with its frame span and the representative (first)
+    frame index.
 
     Scale shape: decode happens ONCE per video in the Arrow map stage
     and the bytes never shuffle; the window and the per-scene aggregate
@@ -983,7 +996,9 @@ def video_scene_cuts(
     videos are independent (no cross-video anything)."""
     from pyspark.sql import Window
 
-    cells = video_frame_cells(df, payload_col, grid=grid)
+    cells = video_frame_cells(
+        df, payload_col, grid=grid, frame_stride=frame_stride
+    )
     w = Window.partitionBy("doc_id").orderBy("frame_idx")
     prev = F.lag("cells").over(w)
     delta = F.aggregate(

@@ -1214,3 +1214,18 @@ def test_video_scene_cuts_matches_python_reference(
         for r in out.collect()
     }
     assert got == expected
+
+
+def test_video_scene_cuts_frame_stride(spark):
+    """Stride sampling detects the cut at the sampled position and
+    halves the decoded frame count; skipped frames never appear."""
+    clips = {9: [_const_frame(v) for v in (10, 10, 10, 10, 200, 200, 200, 200)]}
+    df = _scene_payload_df(spark, clips)
+    out = {
+        (r.scene_idx): (r.start_frame, r.end_frame, r.n_frames)
+        for r in multimodal.video_scene_cuts(df, frame_stride=2).collect()
+    }
+    # sampled frames: 0,2,4,6 -> scenes [0,2] and [4,6], 2 sampled frames each
+    assert out == {0: (0, 2, 2), 1: (4, 6, 2)}
+    with pytest.raises(ValueError):
+        multimodal.video_frame_cells(df, frame_stride=0).collect()
