@@ -2800,10 +2800,6 @@ def q153_streaming_video_admission(
         admit_video_batch,
     )
 
-    from openstack_billing_from_db_spark.operators.caching import (
-        tracked_persist,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
     pay = multimodal.synthesize_family_video_payloads(docs)
     b1 = pay.filter(F.col("doc_id") % 2 == 0)
@@ -2811,6 +2807,13 @@ def q153_streaming_video_admission(
     empty = spark.createDataFrame(
         [], "doc_id long, frame_idx int, dhash long"
     )
+    # epoch 1's verdict/addition plans are referenced again by epoch 2
+    # and the final union, but deliberately NOT persisted: the expensive
+    # half (decode + fingerprints) is already cached inside the match
+    # kernel, and an A/B at sf0.1 measured caching the downstream
+    # verdicts SLOWER (8.2 s vs 5.3 s — the InMemoryRelation barrier
+    # costs more than recomputing the narrow match join from the cached
+    # fingerprints)
     v1, add1 = admit_video_batch(
         spark,
         b1,
@@ -2820,10 +2823,6 @@ def q153_streaming_video_admission(
         min_frames=_VW_MIN_FRAMES,
         existing_index=empty,
     )
-    # epoch 1's admission DAG feeds BOTH the epoch-2 index and the
-    # final union — persist the (tiny) verdict/addition tables so the
-    # epoch-1 match join runs once, not three times
-    v1, add1 = tracked_persist(v1), tracked_persist(add1)
     v2, _ = admit_video_batch(
         spark,
         b2,
@@ -3175,13 +3174,9 @@ def q158_streaming_audio_admission(
         max_hamming=_DH_MAX_HAMMING,
         existing_index=empty,
     )
-    # same reuse as q153: epoch 1's admission feeds the epoch-2 index
-    # AND the final union — persist the tiny verdict/addition tables
-    from openstack_billing_from_db_spark.operators.caching import (
-        tracked_persist,
-    )
-
-    v1, add1 = tracked_persist(v1), tracked_persist(add1)
+    # NOT persisted — same measured decision as q153: the fingerprints
+    # are cached inside the match kernel and re-deriving the narrow
+    # verdicts beats the cache barrier
     v2, _ = admit_audio_batch(
         spark,
         b2,
