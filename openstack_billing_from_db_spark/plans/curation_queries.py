@@ -419,11 +419,10 @@ _INC_MH_PARAMS = "(VALUES " + ", ".join(
 ) + ")"
 _BATCH_HASH = seeded_hash64_sql("CAST(doc_id AS VARCHAR)", "batch")
 
-
-@register(
-    "q94_incremental_dedup",
-    oracle=f"""
-WITH wrd AS (SELECT doc_id, {_W} AS w FROM documents),
+# the shared signature-build CTE block (shingles → portable minhash →
+# banded md5 sigs) replayed by BOTH q94's one-batch oracle and q159's
+# two-epoch admission oracle — byte-identical text, one source of truth
+_INC_SIG_CTES = f"""wrd AS (SELECT doc_id, {_W} AS w FROM documents),
 sh AS (
   SELECT doc_id,
          unnest(list_transform(range(1, len(w) - {_INC_SHINGLE_N - 2}),
@@ -431,16 +430,22 @@ sh AS (
   FROM wrd WHERE len(w) >= {_INC_SHINGLE_N}
 ),
 shh AS (SELECT doc_id, {portable_hash64_sql("shingle")} % {_INC_P} AS hh FROM sh),
-mh AS (
+mh AS MATERIALIZED (
   SELECT doc_id, p.j, min((p.a * hh + p.b) % {_INC_P}) AS mh
   FROM shh CROSS JOIN {_INC_MH_PARAMS} AS p(j, a, b)
   GROUP BY doc_id, p.j
 ),
-bands AS (
+bands AS MATERIALIZED (
   SELECT doc_id, j // {_INC_ROWS_PER_BAND} AS band,
          md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS sig
   FROM mh GROUP BY doc_id, j // {_INC_ROWS_PER_BAND}
-),
+)"""
+
+
+@register(
+    "q94_incremental_dedup",
+    oracle=f"""
+WITH {_INC_SIG_CTES},
 newdoc AS (SELECT DISTINCT doc_id FROM sh WHERE {_BATCH_HASH} % 10 = 0),
 cand AS (
   SELECT DISTINCT nb.doc_id AS new_id, ob.doc_id AS other_id
@@ -676,3 +681,143 @@ def q97_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert(base, upd, key=["c_custkey"])
+
+
+# --- streaming text admission, driver-certified (round 11, session 2) ----------
+#
+# q153/q158 put the video and fingerprint admission cores under the
+# driver; this entry certifies the TEXT path — streaming/dedup_stream.
+# admit_batch, whose kernel differs from both (minhash signature
+# agreement with a packed best-match argmax, est_jaccard scoring, and
+# blocking on the single BEST match only): a two-epoch replay
+# (parity-split batches, epoch 2 probing epoch 1's admitted band rows)
+# vs a closed-form oracle built on q94's signature CTE block.
+
+
+def _text_admission_oracle() -> str:
+    pk = _dedup._MATCH_PACK
+    cand = """
+  SELECT nb.doc_id AS new_id, ob.doc_id AS other_id
+  FROM bands nb
+  JOIN bands ob ON nb.band = ob.band AND nb.sig = ob.sig
+              AND ob.doc_id != nb.doc_id
+  JOIN {nb_set} x ON x.doc_id = nb.doc_id
+  {other_filter}
+  GROUP BY 1, 2
+"""
+    agree = """
+  SELECT c.new_id, c.other_id, count(*) FILTER (WHERE a.mh = b.mh) AS n_agree
+  FROM {c} c
+  JOIN mh a ON a.doc_id = c.new_id
+  JOIN mh b ON b.doc_id = c.other_id AND b.j = a.j
+  GROUP BY c.new_id, c.other_id
+"""
+    best = (
+        "SELECT new_id, max(n_agree * {pk} + ({pk1} - other_id)) AS packed "
+        "FROM {a} GROUP BY new_id"
+    )
+    verdict = """
+  SELECT d.doc_id AS new_id,
+         {pk1} - (b.packed % {pk}) AS match_id,
+         b.packed // {pk} AS n_agree,
+         coalesce(b.packed // {pk} >= {min_agree}, FALSE) AS is_dup
+  FROM {batch} d LEFT JOIN {best} b ON b.new_id = d.doc_id
+"""
+    return f"""
+WITH {_INC_SIG_CTES},
+docsh AS (SELECT DISTINCT doc_id FROM sh),
+b1 AS (SELECT doc_id FROM docsh WHERE doc_id % 2 = 0),
+b2 AS (SELECT doc_id FROM docsh WHERE doc_id % 2 = 1),
+c1 AS ({cand.format(nb_set="b1", other_filter="JOIN b1 y ON y.doc_id = ob.doc_id")}),
+a1 AS ({agree.format(c="c1")}),
+best1 AS ({best.format(pk=pk, pk1=pk - 1, a="a1")}),
+v1 AS ({verdict.format(pk=pk, pk1=pk - 1, min_agree=_INC_MIN_AGREE, batch="b1", best="best1")}),
+adm1 AS (
+  SELECT *, (NOT is_dup) OR (new_id < match_id) AS admitted FROM v1
+),
+idx1 AS (SELECT new_id AS doc_id FROM adm1 WHERE admitted),
+c2 AS ({cand.format(nb_set="b2",
+  other_filter="WHERE ob.doc_id IN (SELECT doc_id FROM idx1) OR ob.doc_id IN (SELECT doc_id FROM b2)")}),
+a2 AS ({agree.format(c="c2")}),
+best2 AS ({best.format(pk=pk, pk1=pk - 1, a="a2")}),
+v2 AS ({verdict.format(pk=pk, pk1=pk - 1, min_agree=_INC_MIN_AGREE, batch="b2", best="best2")}),
+adm2 AS (
+  SELECT v.*,
+         (NOT v.is_dup)
+         OR (y.doc_id IS NOT NULL AND v.new_id < v.match_id) AS admitted
+  FROM v2 v LEFT JOIN b2 y ON y.doc_id = v.match_id
+)
+SELECT new_id AS doc_id, CAST(0 AS BIGINT) AS epoch,
+       CAST(match_id AS BIGINT) AS match_id,
+       CAST(n_agree AS BIGINT) AS n_agree,
+       CAST(n_agree AS DOUBLE) / {_INC_NUM_HASHES} AS est_jaccard,
+       is_dup, admitted
+FROM adm1
+UNION ALL
+SELECT new_id, CAST(1 AS BIGINT), CAST(match_id AS BIGINT),
+       CAST(n_agree AS BIGINT), CAST(n_agree AS DOUBLE) / {_INC_NUM_HASHES},
+       is_dup, admitted
+FROM adm2
+"""
+
+
+@register(
+    "q159_streaming_text_admission", oracle=_text_admission_oracle()
+)
+def q159_streaming_text_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch streaming TEXT admission through the real
+    streaming/dedup_stream.admit_batch composition — the minhash
+    signature-index kernel (q94's probe) under its admission/blocking
+    rule, driver-certified like the video (q153) and audio (q158)
+    paths: even-id docs arrive in epoch 1 against an empty index, their
+    admitted band rows become the index, odd-id docs arrive in epoch 2
+    and are blocked when their BEST match (packed argmax over signature
+    agreement — ties to the lowest id) is a dup verdict, unless that
+    match is a higher-id batch peer (min-id canonical). Per-epoch work
+    is (batch band rows) × (index bucket occupancy); raw text never
+    enters the index (~100 B/doc band rows). Output: one verdict row
+    per doc (doc_id, epoch, match_id, n_agree, est_jaccard, is_dup,
+    admitted)."""
+    from openstack_billing_from_db_spark.streaming.dedup_stream import (
+        admit_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    empty = spark.createDataFrame(
+        [], "doc_id long, sig array<bigint>, band long, band_sig string"
+    )
+    v1, add1 = admit_batch(
+        spark,
+        b1,
+        None,
+        num_hashes=_INC_NUM_HASHES,
+        rows_per_band=_INC_ROWS_PER_BAND,
+        shingle_n=_INC_SHINGLE_N,
+        min_agree=_INC_MIN_AGREE,
+        existing_index=empty,
+    )
+    v2, _ = admit_batch(
+        spark,
+        b2,
+        None,
+        num_hashes=_INC_NUM_HASHES,
+        rows_per_band=_INC_ROWS_PER_BAND,
+        shingle_n=_INC_SHINGLE_N,
+        min_agree=_INC_MIN_AGREE,
+        existing_index=add1,
+    )
+
+    def with_epoch(v: DataFrame, e: int) -> DataFrame:
+        return v.select(
+            F.col("new_id").alias("doc_id"),
+            F.lit(e).cast("long").alias("epoch"),
+            F.col("match_id").cast("long").alias("match_id"),
+            F.col("n_agree").cast("long").alias("n_agree"),
+            "est_jaccard",
+            "is_dup",
+            "admitted",
+        )
+
+    return with_epoch(v1, 0).unionByName(with_epoch(v2, 1))

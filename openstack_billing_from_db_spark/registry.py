@@ -117,6 +117,7 @@ DEFERRED: tuple[str, ...] = (
   # -- carried parks (unchanged since their rows) --
   "q04b_state_intervals_bucketed",  # r1/r8-green; parked to admit the r11-new q157 — q04 (same plan, unbucketed source) is in-head and tests/test_sessionize_bucketed.py pins the bucketed path
   "q09_invoice_wide",  # r1/r8-green; parked to admit the r11-new q158 — a pivot formatting of the billing chain whose kernel has nine in-head members (q01-q08/q42)
+  "q16b_bag_set_operations",  # r1/r8-green; parked to admit the r11-new q159 — bag variant of q16's set-ops (§2.7 beyond-reference extras; q16 r2/r9-green, kernel pytest-pinned)
   "q43_small_quantity_parts",  # r1/r8-green; parked to admit the r11-new q156
   "q47_data_quality",  # r1/r8-green; parked to admit the r11-new q154/q155
   "q48_customer_order_analytics",  # r1/r8-green; parked to admit q154/q155

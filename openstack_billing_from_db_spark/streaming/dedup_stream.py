@@ -87,25 +87,37 @@ def _existing_index(spark: SparkSession, index_dir: str, like: DataFrame) -> Dat
 def admit_batch(
     spark: SparkSession,
     batch_docs: DataFrame,
-    index_dir: str,
+    index_dir: str | None,
     *,
     num_hashes: int = 12,
     rows_per_band: int = 2,
     shingle_n: int = 3,
     min_agree: int = 6,
+    existing_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Core step shared by the stream and any backfill job: returns
     ``(verdicts, additions)`` for one batch against the stored index.
     ``verdicts`` adds an ``admitted`` flag to the
     incremental_near_duplicates output; ``additions`` are the band rows
-    to append."""
+    to append. ``existing_index`` supplies the index as a DataFrame
+    directly (``index_dir`` then unused) — the hook that lets a
+    registered query replay a multi-epoch admission under the driver's
+    oracle gate (the admit_video_batch / q153 pattern)."""
+    if existing_index is None and index_dir is None:
+        raise ValueError(
+            "either index_dir or existing_index must be provided"
+        )
     new_idx = minhash_index(
         batch_docs,
         num_hashes=num_hashes,
         rows_per_band=rows_per_band,
         shingle_n=shingle_n,
     )
-    existing = _existing_index(spark, index_dir, new_idx)
+    existing = (
+        existing_index.select(*new_idx.columns)
+        if existing_index is not None
+        else _existing_index(spark, index_dir, new_idx)
+    )
     raw = incremental_near_duplicates(
         existing, new_idx, num_hashes=num_hashes, min_agree=min_agree
     )
