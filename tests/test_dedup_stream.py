@@ -349,3 +349,35 @@ def test_epoch_snapshot_releases_blocks(spark):
     release()
     assert jsc.getPersistentRDDs().size() == baseline  # freed now
     release()  # idempotent
+
+
+def test_admit_image_batch_existing_index_hook(spark):
+    """The in-memory existing_index hook on the image path: a two-epoch
+    replay where epoch 2 is blocked by epoch 1's admitted fingerprints
+    without any filesystem index; None/None raises instead of silently
+    probing an empty index."""
+    import pytest
+
+    from openstack_billing_from_db_spark.operators import multimodal
+    from openstack_billing_from_db_spark.streaming.dedup_stream import (
+        admit_image_batch,
+    )
+
+    def pay(ids):
+        return multimodal.synthesize_textured_image_payloads(
+            spark.createDataFrame([(i,) for i in ids], "doc_id long"),
+            grid=9,
+        )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, w0 long, w1 long"
+    )
+    v1, add1 = admit_image_batch(spark, pay([0, 10]), None, existing_index=empty)
+    assert {r.doc_id: r.admitted for r in v1.collect()} == {0: True, 10: True}
+    # epoch 2: doc 1 is family-0's near-dup -> blocked by the INDEX copy
+    v2, _ = admit_image_batch(spark, pay([1]), None, existing_index=add1)
+    r = v2.collect()[0]
+    assert not r.admitted and r.best_hamming <= 4
+
+    with pytest.raises(ValueError, match="either index_dir or existing_index"):
+        admit_image_batch(spark, pay([0]), None)
