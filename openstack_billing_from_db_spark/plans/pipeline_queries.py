@@ -2151,13 +2151,12 @@ _DH9_WORD_BITS = 36
 _DH9_BAND_BITS = 12
 
 
-def _dh9_oracle() -> str:
-    bits = _DH9_GRID * (_DH9_GRID - 1)
-    bpw = _DH9_WORD_BITS // _DH9_BAND_BITS
-    n_bands = (bits // _DH9_WORD_BITS + (1 if bits % _DH9_WORD_BITS else 0)) * bpw
-    mask = (1 << _DH9_BAND_BITS) - 1
-    return f"""
-WITH g AS (
+def _dh9_fp_ctes() -> str:
+    """The 18×18 texture → pooling → 72-bit two-word packing chain as a
+    CTE block ``g → bits → fp`` (fp: doc_id, w0, w1) — shared
+    byte-identically by q142's pair oracle and q160's streaming
+    admission oracle."""
+    return f"""g AS (
   SELECT d.doc_id, r.r, u.u, {_DH_CELL_SQL} AS v
   FROM documents d, range({_DH9_GRID}) r(r), range({_DH9_GRID}) u(u)
 ),
@@ -2167,14 +2166,23 @@ bits AS (
   FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.r = a.r AND b.u = a.u + 1
   WHERE a.u < {_DH9_GRID - 1}
 ),
-fp AS (
+fp AS MATERIALIZED (
   SELECT doc_id,
          CAST(sum(CASE WHEN k < {_DH9_WORD_BITS}
                        THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS w0,
          CAST(sum(CASE WHEN k >= {_DH9_WORD_BITS}
                        THEN bit * (CAST(1 AS BIGINT) << (k - {_DH9_WORD_BITS})) ELSE 0 END) AS BIGINT) AS w1
   FROM bits GROUP BY doc_id
-),
+)"""
+
+
+def _dh9_oracle() -> str:
+    bits = _DH9_GRID * (_DH9_GRID - 1)
+    bpw = _DH9_WORD_BITS // _DH9_BAND_BITS
+    n_bands = (bits // _DH9_WORD_BITS + (1 if bits % _DH9_WORD_BITS else 0)) * bpw
+    mask = (1 << _DH9_BAND_BITS) - 1
+    return f"""
+WITH {_dh9_fp_ctes()},
 bands AS (
   SELECT doc_id, w0, w1, b.b,
          ((CASE WHEN b.b < {bpw} THEN w0 ELSE w1 END)
@@ -3182,6 +3190,142 @@ def q158_streaming_audio_admission(
         b2,
         None,
         band_bits=8,
+        max_hamming=_DH_MAX_HAMMING,
+        existing_index=add1,
+    )
+
+    def with_epoch(v: DataFrame, e: int) -> DataFrame:
+        return v.select(
+            "doc_id",
+            F.lit(e).cast("long").alias("epoch"),
+            F.col("n_matches").cast("long").alias("n_matches"),
+            F.col("best_hamming").cast("long").alias("best_hamming"),
+            "admitted",
+        )
+
+    return with_epoch(v1, 0).unionByName(with_epoch(v2, 1))
+
+
+# --- streaming image admission, driver-certified (round 12) --------------------
+#
+# Closes the admission matrix (VERDICT r11 Next #3): text (q159),
+# audio (q158), video (q153) all had driver rows; admit_image_batch —
+# the image entry into the shared _admit_fingerprint_batch core — was
+# pytest-only. Same two-epoch parity-split replay as q158, on q142's
+# 18×18 textured-family fixture and its 72-bit two-word fingerprints:
+# the oracle reuses _dh9_fp_ctes() verbatim (texture → pooling →
+# two-word packing) and skips banding (6 bands × 12 bits > hamming 4,
+# so banded recall is exact by pigeonhole and EXACT all-pairs matches
+# are the same set).
+
+
+def _image_admission_oracle() -> str:
+    """Closed-form two-epoch replay: q142's texture→pool→two-word-pack
+    chain (the shared _dh9_fp_ctes block), EXACT all-pairs two-word
+    hamming matches, then epoch 1 verdicts → admitted index → epoch 2
+    verdicts with the shared blocking rule (index match, or lower-id
+    in-batch match)."""
+    return f"""
+WITH {_dh9_fp_ctes()},
+mj AS MATERIALIZED (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id <> b.doc_id
+  WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+        <= {_DH_MAX_HAMMING}
+),
+b1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+b2 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+e1m AS (
+  SELECT m.* FROM mj m
+  JOIN b1 x ON x.doc_id = m.da JOIN b1 y ON y.doc_id = m.db
+),
+e1v AS (
+  SELECT a.doc_id, count(m.db) AS n_matches, min(m.hamming) AS best,
+         count(CASE WHEN m.db < a.doc_id THEN 1 END) = 0 AS admitted
+  FROM b1 a LEFT JOIN e1m m ON m.da = a.doc_id
+  GROUP BY a.doc_id
+),
+idx1 AS (SELECT doc_id FROM e1v WHERE admitted),
+e2m AS (
+  SELECT m.da, m.db, m.hamming,
+         CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_idx
+  FROM mj m
+  JOIN b2 x ON x.doc_id = m.da
+  LEFT JOIN idx1 i ON i.doc_id = m.db
+  LEFT JOIN b2 y ON y.doc_id = m.db
+  WHERE i.doc_id IS NOT NULL OR y.doc_id IS NOT NULL
+),
+e2v AS (
+  SELECT a.doc_id, count(m.db) AS n_matches, min(m.hamming) AS best,
+         count(CASE WHEN m.in_idx = 1 OR m.db < a.doc_id THEN 1 END) = 0
+           AS admitted
+  FROM b2 a LEFT JOIN e2m m ON m.da = a.doc_id
+  GROUP BY a.doc_id
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS epoch,
+       CAST(n_matches AS BIGINT) AS n_matches,
+       CAST(best AS BIGINT) AS best_hamming, admitted
+FROM e1v
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT), CAST(n_matches AS BIGINT),
+       CAST(best AS BIGINT), admitted
+FROM e2v
+"""
+
+
+@register(
+    "q160_streaming_image_admission", oracle=_image_admission_oracle()
+)
+def q160_streaming_image_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-epoch streaming image admission through the real
+    streaming/dedup_stream.admit_image_batch composition — the last
+    cell of the driver-certified admission matrix (text q159 / audio
+    q158 / video q153): even-id images arrive in epoch 1 (decoded →
+    72-bit two-word dHash → probed against an empty index), their
+    admitted fingerprints become the index, odd-id images arrive in
+    epoch 2 and are blocked by index matches OR lower-id in-batch
+    matches (min-id canonical — admit_batch's rule). Per-epoch work is
+    (batch decode + fingerprints) + (banded probe against the
+    ~24 B/image index) — pixels never leave the decode map stage.
+    Output: one verdict row per image (doc_id, epoch, n_matches,
+    best_hamming, admitted). Bands: the stream's native 12-bit wide
+    bands (q142's tuner pick — 12 | 36, 6 bands > max_hamming=4 keeps
+    pigeonhole recall exact, so the exact-pairs oracle is unaffected
+    by the band choice)."""
+    from openstack_billing_from_db_spark.streaming.dedup_stream import (
+        admit_image_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pay = multimodal.synthesize_textured_image_payloads(
+        docs, grid=_DH9_GRID
+    )
+    b1 = pay.filter(F.col("doc_id") % 2 == 0)
+    b2 = pay.filter(F.col("doc_id") % 2 == 1)
+    empty = spark.createDataFrame([], "doc_id long, w0 long, w1 long")
+    v1, add1 = admit_image_batch(
+        spark,
+        b1,
+        None,
+        grid=_DH9_GRID,
+        word_bits=_DH9_WORD_BITS,
+        band_bits=_DH9_BAND_BITS,
+        max_hamming=_DH_MAX_HAMMING,
+        existing_index=empty,
+    )
+    # NOT persisted — same measured decision as q153/q158: the
+    # fingerprints are cached inside the match kernel and re-deriving
+    # the narrow verdicts beats the cache barrier
+    v2, _ = admit_image_batch(
+        spark,
+        b2,
+        None,
+        grid=_DH9_GRID,
+        word_bits=_DH9_WORD_BITS,
+        band_bits=_DH9_BAND_BITS,
         max_hamming=_DH_MAX_HAMMING,
         existing_index=add1,
     )

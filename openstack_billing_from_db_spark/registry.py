@@ -63,126 +63,133 @@ STREAMING: frozenset[str] = frozenset(
 # overlapping-semantics tests) and was driver-green in round 1 — so they
 # are ordered last and absorb the overflow.
 DEFERRED: tuple[str, ...] = (
-# Round-11 rotation (VERDICT r10 Next #1): the head keeps the §2 core
-# (q01-q08/q42) and rotates in (a) the four r10-parked queries queued
-# first (q77/q102/q50/q37), (b) all 19 remaining r7-stale queries,
-# (c) q34/q35/q141 (their dedup kernels dropped the dead b-side bnvec
-# in r10 after their last rows), (d) the r11-new q152/q153, and
-# (e) the r11-new wide-mesh certifications q154/q155, and (f) 11 of
-# the oldest r1/r8-green parks. Everything r10-green parks;
-# per-line notes give each parked query's driver-green rounds and its
-# in-gate or pytest coverage.
-  # -- r10-green fresh parks (rotated out this round) --
-  "q125_concurrent_sessions",  # r10-green
-  "q123_set_similarity_join",  # r10-green
-  "q130_semantic_dedup",  # r10-green; SemDeDup kernel in-gate via q152 (PQ superset config)
-  "q76_lm_quality",  # r10-green
-  "q78_bpe_train",  # r10-green
-  "q80_span_dedup",  # r10-green
-  "q81_quality_filter",  # r10-green
-  "q120_edit_distance_dups",  # r10-green
-  "q127_token_budget_epoch",  # r10-green
-  "q128_corpus_recipe",  # r10-green
-  "q140_semantic_dedup_scaled",  # r10-green; k∝n clustering in-gate via q152
-  "q142_image_phash72_dedup",  # r10-green; multiword kernel in-gate via q141's family + r11 pins
-  "q143_corpus_recipe_images",  # r10-green
-  "q144_audio_phash_dedup",  # r10-green; hamming family in-gate via q141; r11 wide-path pytest pins
-  "q145_video_phash_dedup",  # r10-green; framewise kernel in-gate via q153 (streaming composition)
-  "q146_corpus_recipe_multimodal",  # r10-green; composed stages in-gate via q141/q153 members
+# Round-12 rotation (VERDICT r11 Next #1, the committed PLANS.md queue):
+# the head keeps the §2 core (q01-q08/q42), promotes ALL 30 r8-green
+# oldest parks (q04b/q09/q12/q16b/q23-q28/q29b/q32/q39/q40/q43/q47/q48/
+# q49/q55/q56/q58/q60/q61/q62/q67/q79/q83/q84/q85/q139) so the
+# oldest-last-green floor moves r8 -> r9, admits the four r12-new
+# queries (q160 image admission, q161 3-word mesh, q162 batched BPE,
+# q163 scene-rep dedup), and fills the remaining 7 slots from the
+# r10-green block the verdict named (q123/q125/q130/q140/q146/q148/
+# q151). Everything r11-green parks (fresh rows), the rest of the
+# r10/r9-green parks carry; per-line notes give each parked query's
+# driver-green rounds and its in-gate or pytest coverage.
+  # -- r11-green fresh parks (rotated out this round) --
+  "q10_pricing_summary",  # r11-green
+  "q11_regional_revenue",  # r11-green
+  "q13_late_shipment_priority",  # r11-green
+  "q17_top_orders_per_customer",  # r11-green; O1 top-k in-gate via q12
+  "q18_order_rollup",  # r11-green
+  "q19_priority_pivot",  # r11-green
+  "q21_event_props_stats",  # r11-green; F1 JSON in-gate via q05/q42
+  "q34_dedup_exact",  # r11-green; exact-dedup kernel replayed by q87/q135 oracles
+  "q35_minhash_near_dups",  # r11-green; banding kernel pytest-pinned + q160 admission twin
+  "q37_simhash_near_dups",  # r11-green; hamming-band kernel in-gate via q161's mesh family
+  "q50_streaming_windowed_counts",  # r11-green; streaming set r9-r11 green (q51/q75 r10, q52/q82 r9)
+  "q77_video_frame_sample",  # r11-green; RVID index walk in-gate via q163's scene chain
+  "q100_bpe_encode",  # r11-green; BPE apply kernel in-gate via q162 (batched trainer twin)
+  "q102_kmv_set_overlap",  # r11-green
+  "q108_quantile_trim",  # r11-green
+  "q111_pq_adc_topk",  # r11-green; ADC fold pytest-pinned, PQ family q110-q115/q129 r10/r11
+  "q113_ivf_pq_residual_topk",  # r11-green
+  "q115_sq8_profile",  # r11-green
+  "q117_hll_distinct",  # r11-green
+  "q118_source_kl",  # r11-green
+  "q119_token_entropy",  # r11-green
+  "q121_js_divergence",  # r11-green
+  "q122_countmin_error",  # r11-green
+  "q124_ams_f2",  # r11-green
+  "q126_source_cosine",  # r11-green (bench anomaly bisected round 12 — see PLANS.md)
+  "q129_ivf_pq_rerank",  # r11-green
+  "q131_dsir_topk",  # r11-green
+  "q133_leakage_free_split",  # r11-green
+  "q134_doremi_weights",  # r11-green
+  "q135_quality_dedup_survivors",  # r11-green
+  "q136_mixture_epoch",  # r11-green
+  "q137_neyman_allocation",  # r11-green
+  "q141_image_phash_dedup",  # r11-green; 56-bit hamming kernel in-gate via q160/q161 family
+  "q152_semantic_dedup_pq_scaled",  # r11-green; production-k SemDeDup (q130/q140 twins in-head)
+  "q153_streaming_video_admission",  # r11-green; admission matrix in-gate via q160
+  "q154_audio_phash72_dedup",  # r11-green; multiword kernel in-gate via q161 (3-word superset)
+  "q155_video_phash72_dedup",  # r11-green; framewise multiword kernel pytest-pinned
+  "q156_chunked_image_dedup",  # r11-green; chunked sharding pytest-pinned vs wide oracle
+  "q157_video_scene_cuts",  # r11-green; scene kernel in-gate via q163 (composed superset)
+  "q158_streaming_audio_admission",  # r11-green; _admit_fingerprint_batch in-gate via q160
+  "q159_streaming_text_admission",  # r11-green; admit_batch kernel pytest + q94 CTE twin
+  # -- r10-green carried parks --
   "q69_text_scrub",  # r10-green
   "q72_sequence_pack",  # r10-green
-  "q148_greedy_sequence_pack",  # r10-green; packing kernel pytest-pinned; q151 twin
-  "q149_length_bucketed_batches",  # r10-green
-  "q150_packing_efficiency",  # r10-green
-  "q151_incremental_greedy_pack",  # r10-green; continuation ≡ batch hypothesis-pinned
+  "q76_lm_quality",  # r10-green
+  "q78_bpe_train",  # r10-green; sequential trainer bit-pinned ≡ q162's batched B=1 path
+  "q80_span_dedup",  # r10-green
+  "q81_quality_filter",  # r10-green
   "q95_pagerank",  # r10-green
   "q96_scd2_history",  # r10-green
   "q97_merge_upsert",  # r10-green
-  "q51_streaming_state_intervals",  # r10-green; streaming set in-gate via q50
-  "q75_stream_stream_join",  # r10-green; streaming set in-gate via q50
-  "q98_kmv_distinct",  # r10-green; KMV kernel in-gate via q102
+  "q98_kmv_distinct",  # r10-green; KMV kernel r11-green via q102
   "q99_priority_sample",  # r10-green
-  "q101_countmin_heavy_hitters",  # r10-green; count-min kernel in-gate via q122
-  "q103_histogram_quantiles",  # r10-green; quantile kernel in-gate via q108
+  "q101_countmin_heavy_hitters",  # r10-green; count-min kernel r11-green via q122
+  "q103_histogram_quantiles",  # r10-green; quantile kernel r11-green via q108
   "q104_random_projection",  # r10-green
   "q105_group_priority_sample",  # r10-green
   "q106_triangle_count",  # r10-green
   "q107_salted_join_revenue",  # r10-green
-  "q109_contamination_fraction",  # r10-green; decontam kernel in-gate via q118-family oracles; q68/q91 twins
-  "q110_pq_encode",  # r10-green; PQ kernel in-gate via q111/q113/q129/q152
-  "q112_ivf_pq_topk",  # r10-green; IVF-PQ kernel in-gate via q113/q129
-  "q114_pq_recall",  # r10-green; ADC fold in-gate via q111/q152
-  "q116_lsh_recall",  # r10-green; banding kernel in-gate via q35/q37
-  "q147_semantic_dedup_pq",  # r10-green; PQ pair stage in-gate via q152 (production config)
-  # -- carried parks (unchanged since their rows) --
-  "q04b_state_intervals_bucketed",  # r1/r8-green; parked to admit the r11-new q157 — q04 (same plan, unbucketed source) is in-head and tests/test_sessionize_bucketed.py pins the bucketed path
-  "q09_invoice_wide",  # r1/r8-green; parked to admit the r11-new q158 — a pivot formatting of the billing chain whose kernel has nine in-head members (q01-q08/q42)
-  "q16b_bag_set_operations",  # r1/r8-green; parked to admit the r11-new q159 — bag variant of q16's set-ops (§2.7 beyond-reference extras; q16 r2/r9-green, kernel pytest-pinned)
-  "q43_small_quantity_parts",  # r1/r8-green; parked to admit the r11-new q156
-  "q47_data_quality",  # r1/r8-green; parked to admit the r11-new q154/q155
-  "q48_customer_order_analytics",  # r1/r8-green; parked to admit q154/q155
-  "q12_top_unshipped_orders",  # r5/r8-green; O1 top-k
+  "q109_contamination_fraction",  # r10-green; q68/q91 twins
+  "q110_pq_encode",  # r10-green; PQ kernel r11-green via q111/q113/q129/q152
+  "q112_ivf_pq_topk",  # r10-green; IVF-PQ kernel r11-green via q113/q129
+  "q114_pq_recall",  # r10-green; ADC fold r11-green via q111/q152
+  "q116_lsh_recall",  # r10-green; banding kernel in-gate via q35/q37 family
+  "q120_edit_distance_dups",  # r10-green
+  "q127_token_budget_epoch",  # r10-green
+  "q128_corpus_recipe",  # r10-green
+  "q142_image_phash72_dedup",  # r10-green; two-word mesh in-gate via q161 (3-word superset)
+  "q143_corpus_recipe_images",  # r10-green
+  "q144_audio_phash_dedup",  # r10-green; hamming family in-gate via q161
+  "q145_video_phash_dedup",  # r10-green; framewise kernel r11-green via q153
+  "q147_semantic_dedup_pq",  # r10-green; PQ pair stage r11-green via q152
+  "q149_length_bucketed_batches",  # r10-green
+  "q150_packing_efficiency",  # r10-green
+  "q51_streaming_state_intervals",  # r10-green; streaming set q50 r11-green
+  "q75_stream_stream_join",  # r10-green; streaming set q50 r11-green
+  # -- r9-green carried parks --
   "q14_customers_without_orders",  # r2/r9-green
   "q15_distinct_brand_sizes",  # r2/r9-green; A1 distinct in-gate via q05
   "q16_set_operations",  # r2/r9-green
   "q20_priority_unpivot",  # r2/r9-green; U1 unpivot
   "q22_scalar_functions",  # r2/r9-green; F8/F9 ISO in-gate via sinks pytest
-  "q24_distribution_stats",  # r5/r8-green
-  "q25_asof_join",  # r5/r8-green
-  "q26_range_join",  # r5/r8-green
-  "q27_status_priority_cube",  # r5/r8-green
-  "q28_gap_sessions",  # r5/r8-green
-  "q29_running_totals",  # r2/r9-green; O1 sort in-gate via q12/q17 twins
-  "q29b_order_digest",  # r1/r8-green; q29 running-totals twin
-  "q49_array_functions",  # r1/r8-green
-  "q54_signup_purchase_funnel",  # r3/r9-green
-  "q55_weekly_cohort_retention",  # r1/r8-green
-  "q56_hopping_window_counts",  # r1/r8-green
-  "q58_nation_revenue_share",  # r1/r8-green
-  "q61_null_semantics",  # r1/r8-green
-  "q62_map_functions",  # r1/r8-green
-  "q23_date_functions",  # r5/r8-green
-  "q83_variant_json",  # r5/r8-green
-  "q84_trailing_window",  # r5/r8-green
-  "q85_full_outer_join",  # r5/r8-green
+  "q29_running_totals",  # r2/r9-green; O1 sort in-gate via q12 (in-head)
   "q30_token_stats",  # r2/r9-green
   "q31_quality_score",  # r2/r9-green
-  "q32_langid",  # r5/r8-green
-  "q33_fingerprint",  # r2/r9-green; native twin of q60
-  "q60_fingerprint_pandas_udf",  # r1/r8-green; pinned ≡ native q33
-  "q67_dedup_clusters",  # r5/r8-green; CC kernel replayed in q133/q135 oracles
-  "q36_simhash",  # r2/r9-green; banding kernel shared with q37 (in-gate this round)
+  "q33_fingerprint",  # r2/r9-green; native twin of q60 (in-head)
+  "q36_simhash",  # r2/r9-green; banding kernel shared with q37
   "q38_ann_topk_bruteforce",  # r2/r9-green
-  "q39_ann_topk_lsh",  # r5/r8-green; sign-LSH kernel in-gate via q116
-  "q65_ivf_ann",  # r3/r9-green; IVF kernel in-gate via q112
-  "q40_embedding_near_dups",  # r5/r8-green
+  "q41_multimodal_meta",  # r2/r9-green
   "q45_term_stats",  # r2/r9-green
   "q46_top_bigrams",  # r2/r9-green
+  "q52_streaming_dedup",  # r3/r9-green; streaming set q50 r11-green
   "q53_crossmodal_near_dups",  # r3/r9-green
-  "q41_multimodal_meta",  # r2/r9-green
-  "q63_image_decode",  # r3/r9-green; BMP codec exercised in-gate by q143
-  "q88_png_decode",  # r4/r9-green
-  "q64_audio_features",  # r3/r9-green; WAV codec exercised in-gate by q144
+  "q54_signup_purchase_funnel",  # r3/r9-green
+  "q63_image_decode",  # r3/r9-green; BMP codec exercised by q143/q160 fixtures
+  "q64_audio_features",  # r3/r9-green; WAV codec exercised by q144 fixture
+  "q65_ivf_ann",  # r3/r9-green; IVF kernel in-gate via q112 family
   "q66_hash_split",  # r3/r9-green
-  "q73_kmeans_clusters",  # r3/r9-green; clustering in-gate via q130/q140
-  "q74_repetition_stats",  # r3/r9-green
-  "q79_temperature_mix",  # r5/r8-green
-  "q86_ngram_udtf",  # r4/r9-green
-  "q87_dedup_survivors",  # r4/r9-green; exact-dedup kernel in-gate via q34 twin semantics
-  "q139_kcenter_coreset",  # r7/r8-green (r8 row certifies the running-min plan)
-  "q68_decontamination",  # r3/r9-green; n-gram decontam in-gate via q109
-  "q70_stratified_sample",  # r3/r9-green; sampling in-gate via q99/q105
+  "q68_decontamination",  # r3/r9-green; n-gram decontam in-gate via q109 family
+  "q70_stratified_sample",  # r3/r9-green; sampling in-gate via q99/q105 family
   "q71_bm25_topk",  # r5/r9-green
-  "q132_hybrid_rrf",  # r9-green (r8 kernel edit driver-certified r9)
+  "q73_kmeans_clusters",  # r3/r9-green; clustering in-gate via q130/q140 (in-head)
+  "q74_repetition_stats",  # r3/r9-green
+  "q82_streaming_dedup_watermarked",  # r4/r9-green; streaming set q50 r11-green
+  "q86_ngram_udtf",  # r4/r9-green
+  "q87_dedup_survivors",  # r4/r9-green; exact-dedup kernel via q34 twin semantics
+  "q88_png_decode",  # r4/r9-green
   "q89_doc_chunks",  # r4/r9-green
   "q90_tfidf_topk",  # r4/r9-green
-  "q91_bloom_decontaminate",  # r4/r9-green; decontam in-gate via q109
+  "q91_bloom_decontaminate",  # r4/r9-green; decontam via q109
   "q92_segment_dedup",  # r4/r9-green
   "q93_quality_classifier",  # r4/r9-green
-  "q94_incremental_dedup",  # r4/r9-green; banded index in-gate via q37
-  "q52_streaming_dedup",  # r3/r9-green; streaming set in-gate via q50 (q51/q75 r10-green parked)
-  "q82_streaming_dedup_watermarked",  # r4/r9-green; streaming set in-gate via q50 (q51/q75 r10-green parked)
-  "q138_bootstrap_quality_ci",  # r9-green (r8 kernel edit driver-certified r9)
+  "q94_incremental_dedup",  # r4/r9-green; banded index kernel pytest + q159 CTE twin
+  "q132_hybrid_rrf",  # r9-green
+  "q138_bootstrap_quality_ci",  # r9-green
 )
 
 
