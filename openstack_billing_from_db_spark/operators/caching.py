@@ -87,6 +87,30 @@ def cached_broadcast(key: Hashable, factory: Callable[[], Any]):
         return bc
 
 
+def release_cached_broadcast(key: Hashable) -> bool:
+    """Drop ONE cached broadcast by its content key (unpersist, not
+    destroy — any still-unexecuted plan holding the handle lazily
+    re-broadcasts). For iterative trainers whose payload changes every
+    iteration (pq_train's per-iteration codebooks — ADVICE r11): after
+    the iteration's aggregate has collected, its broadcast is dead
+    weight and waiting for the LRU horizon (or the end-of-query
+    release barrier) pins n_iter codebook copies in the JVM. Returns
+    whether a broadcast was found and released."""
+    from pyspark.sql import SparkSession
+
+    session = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    full_key = (session.sparkContext.applicationId, key)
+    with _BC_LOCK:
+        bc = _TRACKED_BC.pop(full_key, None)
+    if bc is None:
+        return False
+    try:
+        bc.unpersist(blocking=False)
+    except Exception:  # session already stopped — nothing to free
+        pass
+    return True
+
+
 def release_persisted_caches() -> int:
     """Unpersist every tracked DataFrame intermediate (but keep cached
     broadcasts — destroying a broadcast breaks any still-unexecuted

@@ -37,6 +37,51 @@ from openstack_billing_from_db_spark.operators.text import words, word_shingles
 MINHASH_P = (1 << 31) - 1
 
 
+def _multiword_band_layout(
+    *,
+    n_words: int,
+    word_bits: int,
+    band_bits: int,
+    bits: int | None,
+    max_hamming: int,
+) -> tuple[int, int, int, int]:
+    """Validated band geometry shared by the multi-word hamming kernels:
+    returns ``(bpw, n_bands, bits, mask)``. ``band_bits`` must divide
+    ``word_bits`` so a band never straddles two words — EXCEPT when
+    ``n_words == 1``, where straddling is impossible and any width with
+    ``bpw = word_bits // band_bits >= 1`` reproduces the single-word
+    kernel's banding exactly (band b reads bits [b·band_bits, …) of the
+    one word; the tail bits past ``bpw·band_bits`` are uncovered, which
+    only ever RAISES per-band selectivity and never breaks pigeonhole
+    recall — the check below binds on the surviving band count). This
+    is what lets the audio admission default share the batch path's
+    tuner-derived 11-bit bands over a 56-bit word (ADVICE r11)."""
+    if n_words > 1 and word_bits % band_bits:
+        raise ValueError(
+            f"band_bits ({band_bits}) must divide word_bits ({word_bits})"
+        )
+    bpw = word_bits // band_bits
+    if bpw < 1:
+        raise ValueError(
+            f"band_bits ({band_bits}) wider than word_bits ({word_bits})"
+        )
+    full_bands = n_words * bpw
+    if bits is None:
+        bits = n_words * word_bits
+    if not 0 < bits <= n_words * word_bits:
+        raise ValueError(
+            f"bits ({bits}) must be in (0, {n_words * word_bits}]"
+        )
+    n_bands = min(full_bands, -(-bits // band_bits))
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"only {n_bands} non-padding bands at band_bits={band_bits} "
+            f"over a {bits}-bit fingerprint — pigeonhole recall needs "
+            f"more than max_hamming={max_hamming}; narrow the bands"
+        )
+    return bpw, n_bands, bits, (1 << band_bits) - 1
+
+
 def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the affine hash family — derived
     from md5 so the oracle SQL embeds the same literals."""
@@ -517,29 +562,16 @@ def multiword_hamming_pairs(
     whose input is already a cheap projection of a persisted frame
     (:func:`chunked_hamming_pairs` subsets: caching every chunk-pair
     filter would hold ~(C+1)× the corpus in storage concurrently)."""
-    if word_bits % band_bits:
-        raise ValueError(
-            f"band_bits ({band_bits}) must divide word_bits ({word_bits})"
-        )
-    bpw = word_bits // band_bits
-    full_bands = n_words * bpw
-    if bits is None:
-        bits = n_words * word_bits
-    if not 0 < bits <= n_words * word_bits:
-        raise ValueError(
-            f"bits ({bits}) must be in (0, {n_words * word_bits}]"
-        )
     # a band whose start bit is past the fingerprint width is pure
-    # padding (constant bucket 0 for every doc) — drop it from both the
-    # melt and the canonical-band dedup test (ADVICE r8)
-    n_bands = min(full_bands, -(-bits // band_bits))
-    if n_bands <= max_hamming:
-        raise ValueError(
-            f"only {n_bands} non-padding bands at band_bits={band_bits} "
-            f"over a {bits}-bit fingerprint — pigeonhole recall needs "
-            f"more than max_hamming={max_hamming}; narrow the bands"
-        )
-    mask = (1 << band_bits) - 1
+    # padding (constant bucket 0 for every doc) — _multiword_band_layout
+    # drops it from both the melt and the canonical-band test (ADVICE r8)
+    bpw, n_bands, bits, mask = _multiword_band_layout(
+        n_words=n_words,
+        word_bits=word_bits,
+        band_bits=band_bits,
+        bits=bits,
+        max_hamming=max_hamming,
+    )
     wcols = [f"w{i}" for i in range(n_words)]
     gcols = [group_col] if group_col is not None else []
     if persist_input:
@@ -1012,26 +1044,13 @@ def multiword_hamming_matches(
     SURVIVING band count.
 
     Output: (new_id, match_id, hamming, match_in_new)."""
-    if word_bits % band_bits:
-        raise ValueError(
-            f"band_bits ({band_bits}) must divide word_bits ({word_bits})"
-        )
-    bpw = word_bits // band_bits
-    full_bands = n_words * bpw
-    if bits is None:
-        bits = n_words * word_bits
-    if not 0 < bits <= n_words * word_bits:
-        raise ValueError(
-            f"bits ({bits}) must be in (0, {n_words * word_bits}]"
-        )
-    n_bands = min(full_bands, -(-bits // band_bits))
-    if n_bands <= max_hamming:
-        raise ValueError(
-            f"only {n_bands} non-padding bands at band_bits={band_bits} "
-            f"over a {bits}-bit fingerprint — pigeonhole recall needs "
-            f"more than max_hamming={max_hamming}; narrow the bands"
-        )
-    mask = (1 << band_bits) - 1
+    bpw, n_bands, bits, mask = _multiword_band_layout(
+        n_words=n_words,
+        word_bits=word_bits,
+        band_bits=band_bits,
+        bits=bits,
+        max_hamming=max_hamming,
+    )
     wcols = [f"w{i}" for i in range(n_words)]
     new = tracked_persist(new)
     union = existing.select(

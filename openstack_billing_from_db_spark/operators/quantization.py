@@ -37,7 +37,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from openstack_billing_from_db_spark.operators.caching import tracked_persist
+from openstack_billing_from_db_spark.operators.caching import (
+    release_cached_broadcast,
+    tracked_persist,
+)
 from openstack_billing_from_db_spark.operators.parallelism import (
     ensure_map_parallelism,
 )
@@ -131,6 +134,12 @@ def pq_train(
             )
             .collect()
         )
+        # the aggregate above materialized every plan holding this
+        # iteration's codebook broadcast; next iteration keys a NEW
+        # content-derived broadcast, so release this one now instead of
+        # pinning n_iter codebook copies in the JVM until the
+        # end-of-query release barrier (ADVICE r11)
+        release_cached_broadcast(_multi_codebook_key(cbs))
         by_key = {(int(r.m), int(r.cluster)): r for r in stats}
         cbs = [
             lloyd_update(
@@ -142,6 +151,16 @@ def pq_train(
             for m in range(n_subspaces)
         ]
     return cbs
+
+
+def _multi_codebook_key(codebooks: list[list[list[float]]]) -> tuple:
+    """Content key of the multi-subspace codebook broadcast — shared by
+    :func:`_multi_nearest_code_arrow` (create) and :func:`pq_train`
+    (release after each iteration's aggregate collects)."""
+    return (
+        "pq_multi_nearest",
+        tuple(tuple(tuple(map(float, c)) for c in cb) for cb in codebooks),
+    )
 
 
 def _multi_nearest_code_arrow(
@@ -160,10 +179,7 @@ def _multi_nearest_code_arrow(
         cached_broadcast,
     )
 
-    key = (
-        "pq_multi_nearest",
-        tuple(tuple(tuple(map(float, c)) for c in cb) for cb in codebooks),
-    )
+    key = _multi_codebook_key(codebooks)
     bc = cached_broadcast(
         key, lambda: [[list(map(float, c)) for c in cb] for cb in codebooks]
     )

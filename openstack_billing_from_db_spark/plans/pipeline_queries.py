@@ -3169,16 +3169,16 @@ def q158_streaming_audio_admission(
     b1 = pay.filter(F.col("doc_id") % 2 == 0)
     b2 = pay.filter(F.col("doc_id") % 2 == 1)
     empty = spark.createDataFrame([], "doc_id long, w0 long")
-    # band_bits=8 (the stream's native width): the multiword probe
-    # requires band_bits | word_bits (56), which the tuner's
-    # _AW_BAND_BITS=11 batch width does not satisfy; 7 bands >
-    # max_hamming=4 keeps pigeonhole recall exact, so the exact-pairs
-    # oracle is unaffected by the band choice.
+    # default band_bits: derived inside admit_audio_batch from the same
+    # tuner anchor as the batch path's _AW_BAND_BITS (11-bit bands; the
+    # single-word probe permits non-divisor widths since a band can
+    # never straddle words — ADVICE r11 closed). 5 bands > max_hamming=4
+    # keeps pigeonhole recall exact, so the exact-pairs oracle is
+    # unaffected by the band choice.
     v1, add1 = admit_audio_batch(
         spark,
         b1,
         None,
-        band_bits=8,
         max_hamming=_DH_MAX_HAMMING,
         existing_index=empty,
     )
@@ -3189,7 +3189,6 @@ def q158_streaming_audio_admission(
         spark,
         b2,
         None,
-        band_bits=8,
         max_hamming=_DH_MAX_HAMMING,
         existing_index=add1,
     )

@@ -324,21 +324,33 @@ def admit_audio_batch(
     batch_pay: DataFrame,
     index_dir: str | None,
     *,
-    band_bits: int = 8,
+    band_bits: int | None = None,
     max_hamming: int = 4,
+    index_docs: int = 100_000,
     existing_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One audio micro-batch against the persisted fingerprint index:
     RIFF/WAV decode → 56-bit delta-energy hash (q144's fingerprint,
     single sign-safe BIGINT = a 1-word fingerprint for the shared
-    multi-word probe; 7 bands × 8 bits keep pigeonhole recall), then
-    the same min-id-canonical admission as the image/text paths.
-    Index state: (doc_id, w0) ≈ 16 B/clip; PCM never leaves the decode
-    map stage."""
+    multi-word probe), then the same min-id-canonical admission as the
+    image/text paths. ``band_bits=None`` derives the width from
+    dedup.tune_hamming_band_bits at the ``index_docs`` anchor — the
+    SAME derivation the batch path's q144/_AW_BAND_BITS uses (11-bit
+    bands at the default anchor; a single-word fingerprint permits
+    non-divisor widths, see dedup._multiword_band_layout), so the
+    certified and default configs coincide (ADVICE r11). Index state:
+    (doc_id, w0) ≈ 16 B/clip; PCM never leaves the decode map stage."""
     from pyspark.sql import functions as F  # noqa: F811 (module-level too)
 
     from openstack_billing_from_db_spark.operators import multimodal
+    from openstack_billing_from_db_spark.operators.dedup import (
+        tune_hamming_band_bits,
+    )
 
+    if band_bits is None:
+        band_bits = tune_hamming_band_bits(
+            index_docs, bits=56, max_hamming=max_hamming
+        )
     new_fp = multimodal.audio_dhash(batch_pay).select(
         "doc_id", F.col("ahash").alias("w0")
     )
