@@ -349,39 +349,69 @@ def dhash_multiword_images(
     return df.mapInPandas(batches, schema)
 
 
+# the W-word wide-mesh ladder (VERDICT r11 Next #4): each escalation
+# level is (bits, word_bits) — 72-bit two-word 2×36 first (cheapest
+# decode/hash), then the 132-bit THREE-word 3×44 mesh, whose widest
+# admissible band (22 bits — 44 % 22 == 0, 6 bands > max_hamming 4)
+# gives 2²² buckets per band and defers single-join saturation to
+# ~537M docs at the default occupancy anchor — past the two-word
+# chunked path's documented ≈8.4M ceiling by orders of magnitude.
+# Chunk sharding now applies at the WIDEST level only, pushing the
+# refusal boundary to ~10⁹⁺ docs.
+XWIDE_WORD_BITS = 44
+XWIDE_IMAGE_GRID = 12  # 12×11 = 132 dHash bits = 3 × 44-bit words
+XWIDE_AUDIO_FRAMES = 133  # 132 delta bits = 3 × 44-bit words
+
+
 def _wide_or_chunked_pairs(
     df: DataFrame,
     payload_col: str,
     n_docs: int,
     *,
-    wide_bits: int,
-    wide_fp_fn,
-    pairs_builder,
+    levels: "list[tuple[int, int, object, object]]",
     max_hamming: int,
     max_mean_bucket: int,
-    word_bits: int = 36,
 ) -> DataFrame:
-    """Shared wide→chunked tail of the three perceptual escalation
-    chains (image/audio/video): size the chunk layout for the wide
-    two-word mesh via dedup.tune_hamming_chunks (1 chunk = a plain
-    single wide join), hash the corpus ONCE at the wide width
-    (``wide_fp_fn(df, payload_col)``), and run
-    ``pairs_builder(band_bits)``'s banded kernel per chunk pair under
-    dedup.chunked_hamming_pairs — which owns the one fingerprint
-    persist, so the builder's kernel must pass
-    ``persist_input=False``."""
+    """Shared wide→wider→chunked tail of the three perceptual
+    escalation chains (image/audio/video). ``levels`` is the mesh
+    ladder, narrowest first: each entry is ``(bits, word_bits,
+    fp_fn, pairs_builder)`` where ``fp_fn(df, payload_col)`` hashes
+    the corpus at that width and ``pairs_builder(band_bits)`` returns
+    the banded kernel closure for one (sub)corpus. The first level
+    whose single-join banding passes dedup.tune_hamming_band_bits at
+    the corpus size wins (widening the fingerprint multiplies bucket
+    space exponentially and costs only a finer map-side mesh — always
+    cheaper than the C(C+1)/2 joins of chunk sharding); only when even
+    the WIDEST level saturates is the corpus hash-sharded at that
+    level via dedup.tune_hamming_chunks / chunked_hamming_pairs —
+    which owns the one fingerprint persist, so builders' kernels must
+    pass ``persist_input=False``."""
     from . import dedup
 
+    for bits, word_bits, fp_fn, pairs_builder in levels[:-1]:
+        try:
+            band_bits = dedup.tune_hamming_band_bits(
+                n_docs,
+                bits=bits,
+                word_bits=word_bits,
+                max_hamming=max_hamming,
+                max_mean_bucket=max_mean_bucket,
+            )
+        except ValueError:
+            continue
+        return dedup.chunked_hamming_pairs(
+            fp_fn(df, payload_col), pairs_builder(band_bits), n_chunks=1
+        )
+    bits, word_bits, fp_fn, pairs_builder = levels[-1]
     n_chunks, band_bits = dedup.tune_hamming_chunks(
         n_docs,
-        bits=wide_bits,
+        bits=bits,
         word_bits=word_bits,
         max_hamming=max_hamming,
         max_mean_bucket=max_mean_bucket,
     )
-    fp = wide_fp_fn(df, payload_col)
     return dedup.chunked_hamming_pairs(
-        fp, pairs_builder(band_bits), n_chunks=n_chunks
+        fp_fn(df, payload_col), pairs_builder(band_bits), n_chunks=n_chunks
     )
 
 
@@ -404,18 +434,21 @@ def phash_near_duplicates(
     expected uniform bucket occupancy stays ≤ ``max_mean_bucket``;
     past that (``max_mean_bucket · 2^11`` docs — 262k at the
     empirically-anchored default, see tune_hamming_band_bits) the
-    9×9 / 72-bit two-word wide-band path (q142's shape,
-    dedup.multiword_hamming_pairs) takes over with its own tuned width.
-    If even 12-bit wide bands saturate (≳524k docs at the default) the
-    corpus is hash-sharded (dedup.chunked_hamming_pairs at
-    dedup.tune_hamming_chunks' pick): C(C+1)/2 memory-bounded wide
-    joins with exact recall — never an O(n²/buckets) single join.
+    W-word wide-mesh ladder takes over: the 9×9 / 72-bit two-word path
+    (q142's shape, dedup.multiword_hamming_pairs) with its own tuned
+    width, then — past the two-word 12-bit bands' ceiling (≳524k docs)
+    — the 12×12 / 132-bit THREE-word mesh (q161's shape, 22-bit bands,
+    2²² buckets per band: single-join headroom to ~537M docs). Only if
+    even that saturates is the corpus hash-sharded
+    (dedup.chunked_hamming_pairs at dedup.tune_hamming_chunks' pick):
+    C(C+1)/2 memory-bounded wide joins with exact recall — never an
+    O(n²/buckets) single join.
 
-    The two paths hash different meshes, so pair sets differ at the
-    margin (both honor ``max_hamming``; the wide path sees 72 bits of
-    texture instead of 56) — the trade is recall granularity vs bucket
-    space, same contract as minhash's tune_banding. ``n_docs`` skips
-    the count scan when the caller already knows the cardinality.
+    The paths hash different meshes, so pair sets differ at the margin
+    (all honor ``max_hamming``; a wider path sees more bits of
+    texture) — the trade is recall granularity vs bucket space, same
+    contract as minhash's tune_banding. ``n_docs`` skips the count
+    scan when the caller already knows the cardinality.
     Output: (doc_a, doc_b, hamming)."""
     from . import dedup
 
@@ -429,24 +462,35 @@ def phash_near_duplicates(
             max_mean_bucket=max_mean_bucket,
         )
     except ValueError:
+        def _image_level(grid: int, word_bits: int):
+            bits = grid * (grid - 1)
+            n_words = -(-bits // word_bits)
+            return (
+                bits,
+                word_bits,
+                lambda d, pc: dhash_multiword_images(
+                    d, pc, grid=grid, word_bits=word_bits
+                ),
+                lambda band_bits: lambda subset: (
+                    dedup.multiword_hamming_pairs(
+                        subset,
+                        n_words=n_words,
+                        word_bits=word_bits,
+                        band_bits=band_bits,
+                        max_hamming=max_hamming,
+                        persist_input=False,
+                    )
+                ),
+            )
+
         return _wide_or_chunked_pairs(
             df,
             payload_col,
             n_docs,
-            wide_bits=9 * 8,
-            wide_fp_fn=lambda d, pc: dhash_multiword_images(
-                d, pc, grid=9, word_bits=36
-            ),
-            pairs_builder=lambda band_bits: lambda subset: (
-                dedup.multiword_hamming_pairs(
-                    subset,
-                    n_words=2,
-                    word_bits=36,
-                    band_bits=band_bits,
-                    max_hamming=max_hamming,
-                    persist_input=False,
-                )
-            ),
+            levels=[
+                _image_level(9, 36),
+                _image_level(XWIDE_IMAGE_GRID, XWIDE_WORD_BITS),
+            ],
             max_hamming=max_hamming,
             max_mean_bucket=max_mean_bucket,
         )
@@ -495,26 +539,36 @@ def audio_near_duplicates(
             max_mean_bucket=max_mean_bucket,
         )
     except ValueError:
-        wide_bits = media.WIDE_AUDIO_FRAMES - 1
+        def _audio_level(n_frames: int, word_bits: int):
+            bits = n_frames - 1
+            n_words = -(-bits // word_bits)
+            return (
+                bits,
+                word_bits,
+                lambda d, pc: audio_dhash_multiword(
+                    d, pc, n_frames=n_frames, word_bits=word_bits
+                ),
+                lambda band_bits: lambda subset: (
+                    dedup.multiword_hamming_pairs(
+                        subset,
+                        n_words=n_words,
+                        word_bits=word_bits,
+                        band_bits=band_bits,
+                        max_hamming=max_hamming,
+                        bits=bits,
+                        persist_input=False,
+                    )
+                ),
+            )
+
         return _wide_or_chunked_pairs(
             df,
             payload_col,
             n_docs,
-            wide_bits=wide_bits,
-            wide_fp_fn=lambda d, pc: audio_dhash_multiword(
-                d, pc, n_frames=media.WIDE_AUDIO_FRAMES, word_bits=36
-            ),
-            pairs_builder=lambda band_bits: lambda subset: (
-                dedup.multiword_hamming_pairs(
-                    subset,
-                    n_words=2,
-                    word_bits=36,
-                    band_bits=band_bits,
-                    max_hamming=max_hamming,
-                    bits=wide_bits,
-                    persist_input=False,
-                )
-            ),
+            levels=[
+                _audio_level(media.WIDE_AUDIO_FRAMES, 36),
+                _audio_level(XWIDE_AUDIO_FRAMES, XWIDE_WORD_BITS),
+            ],
             max_hamming=max_hamming,
             max_mean_bucket=max_mean_bucket,
         )
@@ -569,26 +623,37 @@ def video_near_duplicates(
             max_mean_bucket=max_mean_bucket,
         )
     except ValueError:
+        def _video_level(grid: int, word_bits: int):
+            bits = grid * (grid - 1)
+            n_words = -(-bits // word_bits)
+            return (
+                bits,
+                word_bits,
+                lambda d, pc: video_frame_dhash_multiword(
+                    d, pc, n_samples=n_samples, grid=grid, word_bits=word_bits
+                ),
+                lambda band_bits: lambda subset: (
+                    dedup.framewise_multiword_hamming_pairs(
+                        subset,
+                        n_words=n_words,
+                        word_bits=word_bits,
+                        band_bits=band_bits,
+                        max_hamming=max_hamming,
+                        min_frames=min_frames,
+                        max_bucket_size=max_bucket_size,
+                        persist_input=False,
+                    )
+                ),
+            )
+
         return _wide_or_chunked_pairs(
             df,
             payload_col,
             n_docs,
-            wide_bits=9 * 8,
-            wide_fp_fn=lambda d, pc: video_frame_dhash_multiword(
-                d, pc, n_samples=n_samples, grid=9, word_bits=36
-            ),
-            pairs_builder=lambda band_bits: lambda subset: (
-                dedup.framewise_multiword_hamming_pairs(
-                    subset,
-                    n_words=2,
-                    word_bits=36,
-                    band_bits=band_bits,
-                    max_hamming=max_hamming,
-                    min_frames=min_frames,
-                    max_bucket_size=max_bucket_size,
-                    persist_input=False,
-                )
-            ),
+            levels=[
+                _video_level(9, 36),
+                _video_level(XWIDE_IMAGE_GRID, XWIDE_WORD_BITS),
+            ],
             max_hamming=max_hamming,
             max_mean_bucket=max_mean_bucket,
         )

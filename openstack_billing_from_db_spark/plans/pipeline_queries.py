@@ -3339,3 +3339,122 @@ def q160_streaming_image_admission(
         )
 
     return with_epoch(v1, 0).unionByName(with_epoch(v2, 1))
+
+
+# --- 132-bit three-word perceptual dedup (round 12) ----------------------------
+#
+# The W-word mesh generalized past two words (VERDICT r11 Next #4): the
+# chunked two-word path's documented ceiling was ~8.4M docs at
+# max_chunks=32; the 12×12 grid gives 132 dHash bits in THREE sign-safe
+# 44-bit words, and the widest admissible band (22 bits — 44 % 22 == 0,
+# 6 bands > max_hamming=4) gives 2^22 buckets per band: single-join
+# headroom to ~537M docs at the default occupancy anchor, with chunk
+# sharding on top only past that (multimodal._wide_or_chunked_pairs'
+# ladder). The fixture is the same md5 cell texture at a superset grid
+# (cells at equal (u, r) are identical across grids), so family members
+# still sit within hamming <= 4 while cross-family pairs are
+# ~Binomial(132, 1/2).
+
+_DH12_GRID = multimodal.XWIDE_IMAGE_GRID  # 12 -> 132 dHash bits
+_DH12_WORD_BITS = multimodal.XWIDE_WORD_BITS  # 3 x 44-bit words
+# same import-time tuner derivation as _AW_BAND_BITS: plan and oracle
+# consume one constant, so a tuner re-anchor re-derives both together
+_DH12_BAND_BITS = dedup.tune_hamming_band_bits(
+    _PERCEPTUAL_FIXTURE_MAX_DOCS,
+    bits=_DH12_GRID * (_DH12_GRID - 1),
+    word_bits=_DH12_WORD_BITS,
+    max_hamming=_DH_MAX_HAMMING,
+)
+
+
+def _dh12_oracle() -> str:
+    """Closed-form replay of the three-word chain: texture synthesis →
+    pooling (identity on 2×2-constant cells) → 132-bit packing into
+    (w0, w1, w2) → per-word 22-bit band extraction → banded candidate
+    join → summed-xor hamming verify. Banding is replayed (not exact
+    all-pairs) so the oracle stays near-linear at sf0.1: 6 bands ×
+    2^22 buckets keep candidate sets family-sized."""
+    bits = _DH12_GRID * (_DH12_GRID - 1)
+    bpw = _DH12_WORD_BITS // _DH12_BAND_BITS
+    n_bands = min(
+        3 * bpw, bits // _DH12_BAND_BITS + (1 if bits % _DH12_BAND_BITS else 0)
+    )
+    mask = (1 << _DH12_BAND_BITS) - 1
+    word_case = (
+        f"(CASE WHEN b.b < {bpw} THEN w0 "
+        f"WHEN b.b < {2 * bpw} THEN w1 ELSE w2 END)"
+    )
+    return f"""
+WITH g AS (
+  SELECT d.doc_id, r.r, u.u, {_DH_CELL_SQL} AS v
+  FROM documents d, range({_DH12_GRID}) r(r), range({_DH12_GRID}) u(u)
+),
+bits AS (
+  SELECT a.doc_id, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit,
+         a.r * {_DH12_GRID - 1} + a.u AS k
+  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.r = a.r AND b.u = a.u + 1
+  WHERE a.u < {_DH12_GRID - 1}
+),
+fp AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN k < {_DH12_WORD_BITS}
+                       THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END)
+              AS BIGINT) AS w0,
+         CAST(sum(CASE WHEN k >= {_DH12_WORD_BITS} AND k < {2 * _DH12_WORD_BITS}
+                       THEN bit * (CAST(1 AS BIGINT) << (k - {_DH12_WORD_BITS}))
+                       ELSE 0 END) AS BIGINT) AS w1,
+         CAST(sum(CASE WHEN k >= {2 * _DH12_WORD_BITS}
+                       THEN bit * (CAST(1 AS BIGINT) << (k - {2 * _DH12_WORD_BITS}))
+                       ELSE 0 END) AS BIGINT) AS w2
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, w0, w1, w2, b.b,
+         ({word_case} >> ({_DH12_BAND_BITS} * (b.b % {bpw}))) & {mask} AS bucket
+  FROM fp, range({n_bands}) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         a.w0 AS w0a, a.w1 AS w1a, a.w2 AS w2a,
+         b.w0 AS w0b, b.w1 AS w1b, b.w2 AS w2b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(bit_count(xor(w0a, w0b)) + bit_count(xor(w1a, w1b))
+            + bit_count(xor(w2a, w2b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(w0a, w0b)) + bit_count(xor(w1a, w1b))
+      + bit_count(xor(w2a, w2b)) <= {_DH_MAX_HAMMING}
+"""
+
+
+@register("q161_image_phash132_dedup", oracle=_dh12_oracle())
+def q161_image_phash132_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-word wide-mesh perceptual dedup — the generalized W-word
+    scale lever (VERDICT r11 Next #4): 24×24 textured BMPs (the same
+    md5 cell texture, grid=12 superset), byte-level decode in Arrow
+    mapInPandas, 132-bit dHash split into three 44-bit BIGINT words
+    (media.dhash_words), pairs via dedup.multiword_hamming_pairs at
+    the tuner-derived 22-bit bands — pigeonhole recall intact (6 bands
+    > hamming budget 4) with 2^22 buckets per band (1024× q142's
+    4096), deferring single-join bucket saturation from ~524k to
+    ~537M docs. The oracle replays synthesis → pooling → three-word
+    packing → per-word band extraction → the summed-xor hamming verify
+    in closed form. Scale shape: pixels never shuffle (narrow
+    (doc_id, w0..w2) rows after the map stage); this is the level
+    multimodal.phash_near_duplicates' escalation ladder selects before
+    any chunk sharding."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = multimodal.dhash_multiword_images(
+        multimodal.synthesize_textured_image_payloads(docs, grid=_DH12_GRID),
+        grid=_DH12_GRID,
+        word_bits=_DH12_WORD_BITS,
+    )
+    return dedup.multiword_hamming_pairs(
+        fp,
+        n_words=3,
+        word_bits=_DH12_WORD_BITS,
+        band_bits=_DH12_BAND_BITS,
+        max_hamming=_DH_MAX_HAMMING,
+    )

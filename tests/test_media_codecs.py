@@ -467,6 +467,73 @@ def test_tune_hamming_band_bits_boundaries():
         dedup.tune_hamming_band_bits(128 * 4096 + 1, bits=72, word_bits=36)
     # tighter hamming budget narrows the widest admissible band
     assert dedup.tune_hamming_band_bits(50, bits=56, max_hamming=6) == 8
+    # three-word 132-bit (r12): widest divisor of 44 under 132//5=26 is
+    # 22 — 2^22 buckets per band, single-join headroom to ~537M docs
+    assert dedup.tune_hamming_band_bits(50, bits=132, word_bits=44) == 22
+    assert (
+        dedup.tune_hamming_band_bits(128 * (1 << 22), bits=132, word_bits=44)
+        == 22
+    )
+    with pytest.raises(ValueError, match="widen the fingerprint"):
+        dedup.tune_hamming_band_bits(
+            128 * (1 << 22) + 1, bits=132, word_bits=44
+        )
+
+
+def test_single_word_non_divisor_bands(spark):
+    """ADVICE r11: with n_words == 1 a band can never straddle words,
+    so non-divisor widths are legal and reproduce the single-word
+    kernel's banding — the 56-bit audio fingerprint probes at the
+    batch path's tuner-derived 11-bit bands (5 bands > max_hamming=4).
+    The multiword kernels at (n_words=1, band_bits=11) must emit the
+    same pairs as simhash_near_duplicates at band_bits=11."""
+    from openstack_billing_from_db_spark.operators import dedup
+
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    fp = multimodal.audio_dhash(
+        multimodal.synthesize_family_audio_payloads(docs)
+    )
+    want = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_near_duplicates(
+            fp.select("doc_id", F.col("ahash").alias("simhash")),
+            bits=56,
+            band_bits=11,
+            max_hamming=4,
+        ).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.multiword_hamming_pairs(
+            fp.select("doc_id", F.col("ahash").alias("w0")),
+            n_words=1,
+            word_bits=56,
+            band_bits=11,
+            max_hamming=4,
+            bits=56,
+        ).collect()
+    }
+    assert got == want and got
+    # multi-word fingerprints still require the divisor (straddle guard)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.multiword_hamming_pairs(
+            fp.select(
+                "doc_id",
+                F.col("ahash").alias("w0"),
+                F.lit(0).alias("w1"),
+            ),
+            n_words=2,
+            word_bits=36,
+            band_bits=11,
+        )
+    # band wider than the word refuses
+    with pytest.raises(ValueError, match="wider than word_bits"):
+        dedup.multiword_hamming_pairs(
+            fp.select("doc_id", F.col("ahash").alias("w0")),
+            n_words=1,
+            word_bits=56,
+            band_bits=60,
+        )
 
 
 def test_multiword_hamming_pairs_padding_bands(spark):
@@ -519,9 +586,10 @@ def test_multiword_hamming_pairs_padding_bands(spark):
 def test_phash_near_duplicates_selects_by_corpus_size(spark):
     """The composed perceptual-dedup entry point picks its fingerprint
     and band width from the corpus size: single-BIGINT 56-bit dHash
-    while occupancy allows, the two-word 72-bit wide-band path past the
-    ~131k saturation boundary, hard refusal past the wide path's own
-    bound (VERDICT r8 Next #2 'make the scale lever the default')."""
+    while occupancy allows, then the W-word ladder — two-word 72-bit
+    past ~131k, THREE-word 132-bit past ~524k (r12: widening beats
+    chunking), chunk sharding only past the widest level's own bound,
+    refusal past max_chunks (VERDICT r8 Next #2 / r11 Next #4)."""
     from openstack_billing_from_db_spark.operators import dedup
 
     docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
@@ -559,17 +627,35 @@ def test_phash_near_duplicates_selects_by_corpus_size(spark):
     )
     assert got_big == want_big and got_big
 
-    # past the wide path's own occupancy bound -> hash-sharded chunk
-    # joins (3 chunks at 600k), output ≡ the single-pass wide join
-    # (exact recall: this 40-doc corpus straddles all 3 chunks)
-    got_chunked = pairs(
-        multimodal.phash_near_duplicates(pay, n_docs=600_000)
+    # past the two-word occupancy bound -> the THREE-word 132-bit mesh
+    # at the tuner's 22-bit bands (a single join — widening multiplies
+    # bucket space 1024x and beats chunk sharding). On this 16x16
+    # fixture the 12-mesh is a nearest-neighbor resample, so a few
+    # family pairs drift past hamming 4 — the ladder output must equal
+    # the explicit three-word kernel, margin drift included.
+    want_3w = pairs(
+        dedup.multiword_hamming_pairs(
+            multimodal.dhash_multiword_images(pay, grid=12, word_bits=44),
+            n_words=3,
+            word_bits=44,
+            band_bits=22,
+            max_hamming=4,
+        )
     )
-    assert got_chunked == want_big
+    got_3w = pairs(multimodal.phash_near_duplicates(pay, n_docs=600_000))
+    assert got_3w == want_3w and got_3w
+
+    # past even the three-word single-join ceiling (~537M) -> chunk
+    # sharding AT the widest level, output ≡ the single-pass wide join
+    # (exact recall: this 40-doc corpus straddles the chunks)
+    got_chunked = pairs(
+        multimodal.phash_near_duplicates(pay, n_docs=600_000_000)
+    )
+    assert got_chunked == want_3w
 
     # genuinely infeasible corpora (past max_chunks wide joins) refuse
     with pytest.raises(ValueError, match="widen the fingerprint"):
-        multimodal.phash_near_duplicates(pay, n_docs=100_000_000)
+        multimodal.phash_near_duplicates(pay, n_docs=20_000_000_000)
 
 
 def test_audio_family_hamming_and_spark_matches_local(spark):
@@ -885,12 +971,32 @@ def test_audio_near_duplicates_selects_by_corpus_size(spark):
     }
     got_wide = pairs(multimodal.audio_near_duplicates(pay, n_docs=300_000))
     assert got_wide == want_wide
-    got_chunked = pairs(
-        multimodal.audio_near_duplicates(pay, n_docs=600_000)
+    # past the two-word bound -> the 133-frame / 132-bit three-word
+    # temporal mesh (single join; the 73-frame fixture's 16-sample bump
+    # frames align to the 8-sample fine frames, so family hamming stays
+    # <= 4 and the family pair SET is preserved — values re-derived at
+    # the finer mesh)
+    want_3w = pairs(
+        dedup.multiword_hamming_pairs(
+            multimodal.audio_dhash_multiword(
+                pay, n_frames=multimodal.XWIDE_AUDIO_FRAMES, word_bits=44
+            ),
+            n_words=3,
+            word_bits=44,
+            band_bits=22,
+            max_hamming=4,
+            bits=multimodal.XWIDE_AUDIO_FRAMES - 1,
+        )
     )
-    assert got_chunked == want_wide
+    assert set(want_3w) == set(want_wide)
+    got_3w = pairs(multimodal.audio_near_duplicates(pay, n_docs=600_000))
+    assert got_3w == want_3w
+    got_chunked = pairs(
+        multimodal.audio_near_duplicates(pay, n_docs=600_000_000)
+    )
+    assert got_chunked == want_3w
     with pytest.raises(ValueError, match="widen the fingerprint"):
-        multimodal.audio_near_duplicates(pay, n_docs=100_000_000)
+        multimodal.audio_near_duplicates(pay, n_docs=20_000_000_000)
 
 
 def test_video_near_duplicates_selects_by_corpus_size(spark):
@@ -932,12 +1038,30 @@ def test_video_near_duplicates_selects_by_corpus_size(spark):
 
     got_wide = pairs(multimodal.video_near_duplicates(pay, n_docs=300_000))
     assert got_wide == want_wide
-    got_chunked = pairs(
-        multimodal.video_near_duplicates(pay, n_docs=600_000)
+    # past the two-word bound -> grid=12 / 132-bit three-word per-frame
+    # mesh (single join; the 18x18 frames resample onto the 12-mesh, so
+    # the majority counts may drift at the margin — the ladder output
+    # must equal the explicit three-word framewise kernel)
+    want_3w = pairs(
+        dedup.framewise_multiword_hamming_pairs(
+            multimodal.video_frame_dhash_multiword(
+                pay, grid=12, word_bits=44
+            ),
+            n_words=3,
+            word_bits=44,
+            band_bits=22,
+            max_hamming=4,
+            min_frames=2,
+        )
     )
-    assert got_chunked == want_wide
+    got_3w = pairs(multimodal.video_near_duplicates(pay, n_docs=600_000))
+    assert got_3w == want_3w
+    got_chunked = pairs(
+        multimodal.video_near_duplicates(pay, n_docs=600_000_000)
+    )
+    assert got_chunked == want_3w
     with pytest.raises(ValueError, match="widen the fingerprint"):
-        multimodal.video_near_duplicates(pay, n_docs=100_000_000)
+        multimodal.video_near_duplicates(pay, n_docs=20_000_000_000)
 
 
 def test_tune_hamming_chunks_contract():
