@@ -138,3 +138,122 @@ def bpe_encode(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("n_tok").alias("n_tokens_bpe"),
     )
+
+
+def _pair_conflicts(p: tuple[str, str, str], q: tuple[str, str, str]) -> bool:
+    """Whether two candidate merges may INTERACT: they share a symbol,
+    one's merged symbol collides with a symbol of the other ((a,b)→'ab'
+    can equal an existing symbol string and fold counts), or both merge
+    to the same string (('a','bc') and ('ab','c') both make 'abc').
+    Non-conflicting merges touch disjoint adjacencies, so applying one
+    cannot create or destroy occurrences of the other — batch-applying
+    them equals applying them sequentially."""
+    (p1, p2, pm), (q1, q2, qm) = p, q
+    return (
+        p1 in (q1, q2)
+        or p2 in (q1, q2)
+        or pm in (q1, q2)
+        or qm in (p1, p2)
+        or pm == qm
+    )
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n_rounds: int = 8,
+    batch: int = 8,
+    window: int | None = None,
+) -> DataFrame:
+    """Batched BPE training (VERDICT r11 Next #5): ``bpe_train`` runs
+    ONE Spark job per merge — fine at toy vocab sizes, but a production
+    30k-merge vocabulary means 30k sequential driver barriers. This
+    trainer accepts up to ``batch`` NON-INTERACTING merges per job, so
+    training is ~batch× fewer corpus-free vocabulary passes (n_rounds
+    jobs for up to n_rounds·batch merges; driver traffic per round is
+    the ``window`` candidate rows, still vocabulary-independent).
+
+    Per round: pair counts over the current symbol table (one partial-
+    agg groupBy — the SAME aggregate the sequential trainer runs), the
+    top ``window`` (default 4·batch) pairs by (count desc, pair asc)
+    fetch to the driver, and a candidate is accepted iff NO
+    higher-ranked WINDOW pair conflicts with it (:func:`_pair_conflicts`
+    — the rule is deliberately order-free over the window, not
+    accepted-set-greedy, so a SQL oracle replays it with one
+    NOT-EXISTS self-join instead of a sequential scan). The first
+    ``batch`` accepted merges apply in rank order map-side (the same
+    boundary-safe ``_apply_merge`` replace chain, one projection).
+
+    Where merges don't interact this is EXACTLY sequential greedy BPE
+    (pinned by test); where they do, later batch members may deviate
+    from the sequential trainer's picks — the standard batched-BPE
+    trade — while staying deterministic and oracle-replayable: counts
+    are as-of round start, acceptance is a pure function of the window.
+    Returns (merge_rank, round, pair, merged, pair_count)."""
+    spark = docs.sparkSession
+    if window is None:
+        window = 4 * batch
+    if window < batch:
+        raise ValueError(f"window ({window}) must be >= batch ({batch})")
+    vocab = tracked_persist(
+        docs.select(F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.array_join(F.split(F.col("w"), ""), " ").alias("syms"),
+        )
+    )
+
+    rules = []
+    cur = vocab
+    for rnd in range(n_rounds):
+        top = (
+            cur.select(
+                "freq",
+                F.explode(
+                    word_shingles(F.split(F.col("syms"), " "), 2)
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair"))
+            .limit(window)
+            .collect()
+        )
+        if not top:
+            break
+        cands = []
+        for r in top:
+            a, b = r.pair.split(" ")
+            cands.append((a, b, a + b, r.pair, int(r.c)))
+        accepted = []
+        for k, (a, b, m, pair, c) in enumerate(cands):
+            if len(accepted) >= batch:
+                break
+            if any(
+                _pair_conflicts((a, b, m), (qa, qb, qm))
+                for qa, qb, qm, _, _ in cands[:k]
+            ):
+                continue
+            accepted.append((a, b, m, pair, c))
+        # rank-1 never conflicts, so progress is guaranteed
+        syms = F.col("syms")
+        for _, _, m, pair, c in accepted:
+            rules.append((len(rules), rnd, pair, m, c))
+            syms = _apply_merge(syms, pair, m)
+        # lazy localCheckpoint: truncate the lineage so round r's
+        # pair-count job replays only THIS round's replace chain over
+        # the checkpointed vocabulary instead of all r·batch nested
+        # replaces since round 0 (O(R) total work, not O(R²); the
+        # vocabulary is tiny — kilobytes to megabytes — so the
+        # checkpoint cost is noise)
+        cur = cur.select("freq", syms.alias("syms")).localCheckpoint(
+            eager=False
+        )
+    return spark.createDataFrame(
+        rules,
+        "merge_rank long, round long, pair string, merged string, "
+        "pair_count long",
+    )

@@ -3458,3 +3458,130 @@ def q161_image_phash132_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_bits=_DH12_BAND_BITS,
         max_hamming=_DH_MAX_HAMMING,
     )
+
+
+# --- batched BPE training (round 12) -------------------------------------------
+#
+# VERDICT r11 Next #5: bpe_train's one-driver-barrier-per-merge shape is
+# impractical at a production 30k-merge vocabulary. bpe_train_batched
+# accepts up to B non-interacting merges per Spark job (window-ranked,
+# order-free acceptance — operators/bpe._pair_conflicts), cutting the
+# driver-loop count ~B×. The oracle unrolls the rounds and replays the
+# WHOLE algorithm: per-round pair counts, the (count desc, pair asc)
+# window, the NOT-EXISTS no-higher-ranked-conflict acceptance, and the
+# rank-ordered boundary-safe replace chain applied on the
+# doubled-separator encoding (one encode/decode per round — replacement
+# preserves the encoding invariant, so chaining on the encoded form is
+# identical to bpe._apply_merge's per-merge encode/decode).
+
+_BBPE_ROUNDS = 16
+_BBPE_BATCH = 8
+_BBPE_WINDOW = 32
+
+
+def _bbpe_conflict_sql() -> str:
+    return (
+        "q.p1 IN (w.p1, w.p2) OR q.p2 IN (w.p1, w.p2) "
+        "OR q.pm IN (w.p1, w.p2) OR w.pm IN (q.p1, q.p2) "
+        "OR q.pm = w.pm"
+    )
+
+
+def _bbpe_oracle(
+    n_rounds: int = _BBPE_ROUNDS,
+    batch: int = _BBPE_BATCH,
+    window: int = _BBPE_WINDOW,
+) -> str:
+    blocks = _bpe_cte_blocks(0)  # v + s0 only
+    for r in range(n_rounds):
+        blocks.append(
+            f"""p{r} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM (
+    SELECT freq, unnest({_PAIRS}) AS pair
+    FROM (SELECT freq, string_split(syms, ' ') AS sy FROM s{r})
+  ) GROUP BY pair
+)"""
+        )
+        # MATERIALIZED throughout: w{r} is referenced twice (the
+        # NOT-EXISTS self-join), a{r} 2·batch+2 times (the scalar-
+        # subquery apply chain + the final union + rank offsets), s{r}
+        # twice (p{r} and s{r+1}) — DuckDB would otherwise inline the
+        # whole per-round chain combinatorially (the q146 lesson; here
+        # it exhausts file handles re-opening the parquet per leaf)
+        blocks.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT pair, c,
+         string_split(pair, ' ')[1] AS p1,
+         string_split(pair, ' ')[2] AS p2,
+         replace(pair, ' ', '') AS pm,
+         row_number() OVER (ORDER BY c DESC, pair) AS rk
+  FROM p{r} ORDER BY c DESC, pair LIMIT {window}
+)"""
+        )
+        blocks.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT *, row_number() OVER (ORDER BY rk) AS arow FROM (
+    SELECT w.* FROM w{r} w
+    WHERE NOT EXISTS (
+      SELECT 1 FROM w{r} q
+      WHERE q.rk < w.rk AND ({_bbpe_conflict_sql()})
+    )
+  ) QUALIFY arow <= {batch}
+)"""
+        )
+        chain = "' ' || replace(syms, ' ', '  ') || ' '"
+        for k in range(1, batch + 1):
+            tgt = (
+                f"coalesce((SELECT ' ' || replace(pair, ' ', '  ') || ' ' "
+                f"FROM a{r} WHERE arow = {k}), chr(1))"
+            )
+            rep = (
+                f"coalesce((SELECT ' ' || pm || ' ' FROM a{r} "
+                f"WHERE arow = {k}), chr(1))"
+            )
+            chain = f"replace({chain},\n    {tgt},\n    {rep})"
+        blocks.append(
+            f"""s{r + 1} AS MATERIALIZED (
+  SELECT w, freq, replace(trim({chain}), '  ', ' ') AS syms
+  FROM s{r}
+)"""
+        )
+    outs = []
+    for r in range(n_rounds):
+        offset = " + ".join(
+            [f"(SELECT count(*) FROM a{j})" for j in range(r)] or ["0"]
+        )
+        outs.append(
+            f"SELECT CAST({offset} + arow - 1 AS BIGINT) AS merge_rank, "
+            f"CAST({r} AS BIGINT) AS round, pair, pm AS merged, "
+            f"c AS pair_count FROM a{r}"
+        )
+    ctes = ",\n".join(blocks)
+    union = "\nUNION ALL\n".join(outs)
+    return f"WITH {ctes}\n{union}"
+
+
+@register("q162_bpe_train_batched", oracle=_bbpe_oracle())
+def q162_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE tokenizer training (operators/bpe.bpe_train_batched):
+    up to {_BBPE_ROUNDS}×{_BBPE_BATCH} merge rules in {_BBPE_ROUNDS}
+    vocabulary passes — one Spark job + one window-sized driver fetch
+    per ROUND instead of per merge. The oracle replays every round in
+    SQL: the frequency-weighted pair counts, the (count desc, pair asc)
+    top-{_BBPE_WINDOW} window, the no-higher-ranked-conflict acceptance
+    (symbol/merged-string disjointness), and the rank-ordered
+    boundary-safe merge chain — a wrong tie-break, a mis-ordered apply,
+    a conflict-rule bug, or a re-merging replace all hash-fail.
+    bpe_train_batched at batch=1, window=1 is bit-identical to the
+    sequential q78 trainer (pytest pin), making this the q78 twin at a
+    realistic merge count."""
+    from openstack_billing_from_db_spark.operators.bpe import (
+        bpe_train_batched,
+    )
+
+    return bpe_train_batched(
+        load_table(spark, sf_dir, "documents"),
+        n_rounds=_BBPE_ROUNDS,
+        batch=_BBPE_BATCH,
+        window=_BBPE_WINDOW,
+    )

@@ -720,3 +720,80 @@ def test_hierarchical_threshold_is_cost_derived():
     assert t <= 1000
     # custom probe settings shift the derivation consistently
     assert C.hierarchical_assign_threshold(n_probe=8, margin=2.0) == 325
+
+
+def test_bpe_batched_b1_bitident_to_sequential(spark):
+    """bpe_train_batched at batch=1, window=1 IS sequential greedy BPE:
+    the window holds only the top pair, acceptance is trivial, and one
+    merge applies per round — every rule (rank, pair, merged, count)
+    must match bpe_train bit-for-bit (the q78 ≡ q162 twin pin)."""
+    from openstack_billing_from_db_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_batched,
+    )
+
+    corpus = " ".join(["ab"] * 6 + ["bc"] * 4 + ["abc", "aaaa", "cd cd"])
+    seq = [
+        (r.merge_rank, r.pair, r.merged, r.pair_count)
+        for r in bpe_train(_docs(spark, [corpus]), n_merges=6).collect()
+    ]
+    bat = [
+        (r.merge_rank, r.pair, r.merged, r.pair_count)
+        for r in bpe_train_batched(
+            _docs(spark, [corpus]), n_rounds=6, batch=1, window=1
+        ).collect()
+    ]
+    assert bat == seq and len(seq) == 6
+
+
+def test_bpe_batched_equals_sequential_when_disjoint(spark):
+    """Where the top pairs don't interact (disjoint symbols, no
+    merged-string collisions), one batched round equals the first B
+    sequential merges exactly — the 'bit-pinned where merges don't
+    interact' contract (VERDICT r11 Next #5)."""
+    from openstack_billing_from_db_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_batched,
+    )
+
+    # four disjoint two-letter words with distinct frequencies: the
+    # top-4 pairs (a,b) (c,d) (e,f) (g,h) share no symbols
+    corpus = " ".join(["ab"] * 9 + ["cd"] * 7 + ["ef"] * 5 + ["gh"] * 3)
+    seq = [
+        (r.pair, r.merged, r.pair_count)
+        for r in bpe_train(_docs(spark, [corpus]), n_merges=4).collect()
+    ]
+    out = bpe_train_batched(
+        _docs(spark, [corpus]), n_rounds=1, batch=4, window=16
+    ).collect()
+    bat = [(r.pair, r.merged, r.pair_count) for r in out]
+    assert bat == seq
+    # all four landed in the single round → one driver barrier for
+    # four merges
+    assert {r.round for r in out} == {0}
+
+
+def test_bpe_batched_conflict_rule(spark):
+    """Interacting candidates defer to later rounds: with 'ab' and 'bc'
+    both frequent, (a,b) and (b,c) share 'b' — only (a,b) merges in
+    round 0; (b,c) merges in round 1 with its re-counted frequency
+    (the 'abc' occurrence no longer contributes a (b,c) pair)."""
+    from openstack_billing_from_db_spark.operators.bpe import (
+        bpe_train_batched,
+    )
+
+    corpus = " ".join(["ab"] * 6 + ["bc"] * 4 + ["abc"])
+    out = {
+        r.merge_rank: r
+        for r in bpe_train_batched(
+            _docs(spark, [corpus]), n_rounds=2, batch=4, window=8
+        ).collect()
+    }
+    assert out[0].pair == "a b" and out[0].round == 0
+    # (b, c) was rank-2 in round 0 but conflicts with (a, b); the
+    # round-0 batch takes non-conflicting lower ranks instead, and
+    # (b, c) merges next round at count 4 (post-merge recount)
+    round0 = [r for r in out.values() if r.round == 0]
+    assert all(r.pair != "b c" for r in round0)
+    bc = [r for r in out.values() if r.pair == "b c"]
+    assert bc and bc[0].round == 1 and bc[0].pair_count == 4
