@@ -587,6 +587,44 @@ def synth_scene_video_frames(
     return frames
 
 
+def synth_family_scene_video_frames(
+    doc_id: int, *, grid: int = 8, n_frames: int = SCENE_CLIP_FRAMES
+) -> "list[np.ndarray]":
+    """Scene-structured clip WITH cross-video family structure — the
+    scene-level dedup fixture (q163): scenes of ``scene_len(doc_id)``
+    frames as in :func:`synth_scene_video_frames`, but the per-cell
+    texture keys on the FAMILY (doc_id // 5) — so the five members of
+    a family share every scene's texture — plus the one-cell +128
+    member bump at (var, var) on every frame (the
+    synth_textured_pixels rule: members of a family are near-duplicate
+    at hamming ≤ 4 per scene) and the moving in-scene +1 jitter at
+    (f % grid, f % grid) (clamped at 255, applied AFTER the bump) that
+    keeps the cut threshold discriminative. Members have DIFFERENT
+    scene lengths (doc_id % 4), so their scene-s representative frames
+    sit at different positions — the jitter then differs by one cell,
+    an occasional extra flipped bit at the hamming margin. Every cell
+    is a closed form of (doc_id, f) a SQL oracle replays exactly."""
+    from openstack_billing_from_db_spark.functions.hashing import py_hash64
+
+    fam, var = doc_id // 5, doc_id % 5
+    L = scene_len(doc_id)
+    frames = []
+    for f in range(n_frames):
+        scene = f // L
+        cell = np.empty((grid, grid), dtype=np.int64)
+        for rr in range(grid):
+            for uu in range(grid):
+                cell[rr, uu] = (
+                    py_hash64(f"fscene|{fam}:{scene}:{uu}:{rr}") % 256
+                )
+        cell[var, var] = (cell[var, var] + 128) % 256
+        j = f % grid
+        cell[j, j] = min(int(cell[j, j]) + 1, 255)
+        px = np.repeat(np.repeat(cell.astype(np.uint8), 2, axis=0), 2, axis=1)
+        frames.append(np.stack([px, px, px], axis=2))
+    return frames
+
+
 def synth_video_frames(doc_id: int) -> "list[np.ndarray]":
     """Closed-form synthetic clip: 2+id%4 constant-color frames of
     (2+id%2)×(4+id%3) px; frame f is RGB ((id+11f)%256, (3id+5f)%256,

@@ -976,6 +976,33 @@ def synthesize_scene_video_payloads(
     )
 
 
+def synthesize_family_scene_video_payloads(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per doc: a real RVID container of the FAMILY-structured scene
+    clip (media.synth_family_scene_video_frames — families share scene
+    textures, one member bump cell per frame). The scene-level dedup
+    fixture (q163)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        media.encode_video(
+                            media.synth_family_scene_video_frames(int(i))
+                        )
+                        for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return ensure_map_parallelism(docs.select(id_col)).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
 def video_frame_cells(
     df: DataFrame,
     payload_col: str = "payload",
@@ -1059,11 +1086,25 @@ def video_scene_cuts(
     see only (doc_id, frame_idx, grid² longs) rows, partitioned by
     video — per-partition state is bounded by frames-per-video, and
     videos are independent (no cross-video anything)."""
-    from pyspark.sql import Window
-
     cells = video_frame_cells(
         df, payload_col, grid=grid, frame_stride=frame_stride
     )
+    return scene_spans_from_cells(
+        cells, grid=grid, cut_threshold=cut_threshold
+    )
+
+
+def scene_spans_from_cells(
+    cells: DataFrame, *, grid: int = 8, cut_threshold: int = 8
+) -> DataFrame:
+    """The windowed half of :func:`video_scene_cuts` over an already-
+    materialized (doc_id, frame_idx, cells, pool_scale) frame-mesh
+    table — split out so composed operators
+    (:func:`scene_representative_dedup`) can decode ONCE and share the
+    cells between segmentation and per-frame hashing. Output: one row
+    per (doc_id, scene_idx) with frame span and rep (first) frame."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc_id").orderBy("frame_idx")
     prev = F.lag("cells").over(w)
     delta = F.aggregate(
@@ -1096,6 +1137,127 @@ def video_scene_cuts(
             F.count(F.lit(1)).alias("n_frames"),
         )
         .withColumn("rep_frame", F.col("start_frame"))
+    )
+
+
+def mesh_dhash_column(cells: Column, *, grid: int = 8) -> Column:
+    """JVM-side dHash packing over a pooled ``grid × grid`` intensity
+    mesh (array<long> of ``grid²`` cells, row-major): one bit per
+    horizontal-neighbor comparison, packed exactly like
+    media.dhash_pixels — so a mesh computed once (video_frame_cells)
+    yields the SAME fingerprint the image decode path would produce,
+    with no second decode and no Python in the hot path. Stays inside
+    whole-stage codegen (a sum of 56 conditional literals at the
+    default grid); grids past 63 bits need the multi-word packing."""
+    bits = grid * (grid - 1)
+    if bits > 63:
+        raise ValueError(
+            f"grid={grid} packs {bits} bits — past a single sign-safe "
+            "BIGINT; use the multi-word packing"
+        )
+    out = F.lit(0).cast("long")
+    for r in range(grid):
+        for u in range(grid - 1):
+            k = r * (grid - 1) + u
+            out = out + F.when(
+                cells[r * grid + u + 1] > cells[r * grid + u],
+                F.lit(1 << k).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+# scene ids stay well under this bound (frame count ≥ scene count), so
+# (doc_id, scene_idx) packs losslessly into one BIGINT entity id for
+# the shared banded-hamming kernel
+SCENE_ENTITY_FACTOR = 1 << 20
+
+
+def scene_representative_dedup(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    grid: int = 8,
+    cut_threshold: int = 8,
+    frame_stride: int = 1,
+    max_hamming: int = 4,
+    band_bits: int | None = None,
+    n_entities: int | None = None,
+    max_mean_bucket: int = 128,
+) -> DataFrame:
+    """Scene-level near-duplicate detection — the composition
+    scene segmentation exists for (VERDICT r11 Next #6): segment each
+    clip into scenes (:func:`video_scene_cuts`' cut rule), take ONE
+    representative frame per scene, and run the perceptual-hash banded
+    join over scene entities — so a clip that re-uses another clip's
+    scene is caught at scene granularity without hashing every frame
+    of every video against everything.
+
+    One decode serves both stages: the pooled frame meshes
+    (video_frame_cells) are persisted once; segmentation is the shared
+    window chain (scene_spans_from_cells) and the rep-frame dHash is
+    packed JVM-side from the SAME mesh rows (:func:`mesh_dhash_column`)
+    — no second decode, no Python past the map stage. The banded join
+    is dedup.simhash_near_duplicates over ``doc_id·2^20 + scene_idx``
+    entities at the tuner-derived width (``band_bits=None`` sizes it
+    from the scene-entity count via dedup.tune_hamming_band_bits; pass
+    ``n_entities`` to skip the count job).
+
+    Output: (doc_a, scene_a, doc_b, scene_b, hamming) — every
+    cross-scene pair at hamming ≤ ``max_hamming``, each emitted once.
+    Because rep frames ARE frames, the pair set is a SUBSET of what
+    per-frame dedup over all frames finds (pytest-pinned) at ~1/L the
+    hash-join input."""
+    from openstack_billing_from_db_spark.operators import dedup
+    from openstack_billing_from_db_spark.operators.caching import (
+        tracked_persist,
+    )
+
+    cells = tracked_persist(
+        video_frame_cells(df, payload_col, grid=grid, frame_stride=frame_stride)
+    )
+    scenes = scene_spans_from_cells(
+        cells, grid=grid, cut_threshold=cut_threshold
+    )
+    reps = (
+        scenes.select(
+            "doc_id", "scene_idx", F.col("rep_frame").alias("frame_idx")
+        )
+        .join(cells.select("doc_id", "frame_idx", "cells"), ["doc_id", "frame_idx"])
+        .select(
+            "doc_id",
+            "scene_idx",
+            mesh_dhash_column(F.col("cells"), grid=grid).alias("dhash"),
+        )
+    )
+    if band_bits is None:
+        if n_entities is None:
+            reps = tracked_persist(reps)
+            n_entities = reps.count()
+        band_bits = dedup.tune_hamming_band_bits(
+            n_entities,
+            bits=grid * (grid - 1),
+            max_hamming=max_hamming,
+            max_mean_bucket=max_mean_bucket,
+        )
+    entities = reps.select(
+        (F.col("doc_id") * SCENE_ENTITY_FACTOR + F.col("scene_idx")).alias(
+            "doc_id"
+        ),
+        F.col("dhash").alias("simhash"),
+    )
+    pairs = dedup.simhash_near_duplicates(
+        entities,
+        bits=grid * (grid - 1),
+        band_bits=band_bits,
+        max_hamming=max_hamming,
+    )
+    fac = SCENE_ENTITY_FACTOR
+    return pairs.select(
+        F.expr(f"CAST(doc_a DIV {fac} AS BIGINT)").alias("doc_a"),
+        F.expr(f"CAST(doc_a % {fac} AS BIGINT)").alias("scene_a"),
+        F.expr(f"CAST(doc_b DIV {fac} AS BIGINT)").alias("doc_b"),
+        F.expr(f"CAST(doc_b % {fac} AS BIGINT)").alias("scene_b"),
+        "hamming",
     )
 
 

@@ -887,3 +887,142 @@ def q157_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         "rep_frame",
     )
+
+
+# --- scene-level near-duplicate dedup (round 12) --------------------------------
+#
+# The composition scene segmentation exists for (VERDICT r11 Next #6):
+# scenes → one representative frame per scene → perceptual-hash banded
+# join over (video, scene) entities. One decode serves segmentation AND
+# hashing (the rep-frame dHash packs JVM-side from the same pooled mesh
+# — multimodal.mesh_dhash_column), and the banded join input is ~1/L of
+# the all-frames alternative. The fixture
+# (media.synth_family_scene_video_frames) adds the image-family rule to
+# the q157 scene clips: families share scene textures with a one-cell
+# member bump, so a family's scene-s rep frames sit at hamming <= 4
+# (members' differing scene LENGTHS put their rep frames at different
+# positions, so the moving jitter cell adds an occasional margin bit —
+# replayed exactly by the oracle either way).
+
+from openstack_billing_from_db_spark.operators.dedup import (  # noqa: E402
+    tune_hamming_band_bits as _tune_hamming_band_bits,
+)
+
+# same import-time tuner derivation as the other perceptual plans
+# (documents fixtures stay far below the 100k anchor through sf0.1)
+_SRD_BAND_BITS = _tune_hamming_band_bits(100_000, bits=56, max_hamming=4)
+_SRD_FACTOR = 1 << 20  # multimodal.SCENE_ENTITY_FACTOR
+
+
+def _scene_rep_dedup_oracle() -> str:
+    from openstack_billing_from_db_spark.functions.hashing import (
+        portable_hash64_sql,
+    )
+
+    base = portable_hash64_sql(
+        "concat('fscene|', CAST(l.doc_id // 5 AS VARCHAR), ':', "
+        "CAST(f.f // l.slen AS VARCHAR), ':', CAST(u.u AS VARCHAR), ':', "
+        "CAST(r.r AS VARCHAR))"
+    )
+    n_bands = 56 // _SRD_BAND_BITS
+    mask = (1 << _SRD_BAND_BITS) - 1
+    thr = _SCENE_CUT_THRESHOLD * 64 * _SCENE_FIXTURE_SCALE
+    return f"""
+WITH L AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 5
+              ELSE 12 END AS slen,
+         doc_id % 5 AS var
+  FROM documents
+),
+cells AS MATERIALIZED (
+  SELECT l.doc_id, f.f, r.r, u.u,
+         12 * LEAST(
+           CASE WHEN r.r = l.var AND u.u = l.var
+                THEN ({base} % 256 + 128) % 256
+                ELSE {base} % 256 END
+           + CASE WHEN r.r = f.f % 8 AND u.u = f.f % 8 THEN 1 ELSE 0 END,
+           255) AS v
+  FROM L l, range(12) f(f), range(8) r(r), range(8) u(u)
+),
+d1 AS (
+  SELECT a.doc_id, a.f, sum(abs(a.v - b.v)) AS delta
+  FROM cells a JOIN cells b
+    ON b.doc_id = a.doc_id AND b.f = a.f - 1
+   AND b.r = a.r AND b.u = a.u
+  GROUP BY a.doc_id, a.f
+),
+flags AS (
+  SELECT c.doc_id, c.f,
+         coalesce(CASE WHEN d1.delta > {thr} THEN 1 ELSE 0 END, 0) AS cut
+  FROM (SELECT DISTINCT doc_id, f FROM cells) c
+  LEFT JOIN d1 ON d1.doc_id = c.doc_id AND d1.f = c.f
+),
+sc AS (
+  SELECT doc_id, f,
+         sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+                        ROWS UNBOUNDED PRECEDING) AS scene_idx
+  FROM flags
+),
+reps AS MATERIALIZED (
+  SELECT doc_id, scene_idx, min(f) AS repf
+  FROM sc GROUP BY doc_id, scene_idx
+),
+rbits AS (
+  SELECT p.doc_id, p.scene_idx, a.r * 7 + a.u AS k,
+         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM reps p
+  JOIN cells a ON a.doc_id = p.doc_id AND a.f = p.repf
+  JOIN cells b ON b.doc_id = p.doc_id AND b.f = p.repf
+             AND b.r = a.r AND b.u = a.u + 1
+  WHERE a.u < 7
+),
+fp AS MATERIALIZED (
+  SELECT doc_id, scene_idx,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS h
+  FROM rbits GROUP BY doc_id, scene_idx
+),
+bands AS (
+  SELECT doc_id, scene_idx, h, b.b,
+         (h >> (b.b * {_SRD_BAND_BITS})) & {mask} AS bucket
+  FROM fp, range({n_bands}) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, a.scene_idx AS sa,
+         b.doc_id AS db, b.scene_idx AS sb, a.h AS ha, b.h AS hb
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bucket = b.bucket
+   AND a.doc_id * {_SRD_FACTOR} + a.scene_idx
+       < b.doc_id * {_SRD_FACTOR} + b.scene_idx
+)
+SELECT da AS doc_a, CAST(sa AS BIGINT) AS scene_a,
+       db AS doc_b, CAST(sb AS BIGINT) AS scene_b,
+       CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+"""
+
+
+@register("q163_scene_rep_dedup", oracle=_scene_rep_dedup_oracle())
+def q163_scene_rep_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-level video dedup (multimodal.scene_representative_dedup):
+    one RVID decode per clip → pooled per-frame meshes → the q157 cut
+    rule segments scenes → the FIRST frame of each scene gets a 56-bit
+    dHash packed JVM-side from the SAME mesh rows (no second decode,
+    no Python past the map stage) → the shared banded-hamming kernel
+    joins (video, scene) entities at the tuner-derived
+    {_SRD_BAND_BITS}-bit bands. The oracle replays texture synthesis,
+    pooling, the delta/threshold/running-count segmentation, rep-frame
+    selection, dHash packing, banding, and the hamming verify in
+    closed form — a segmentation, rep-selection, packing, or banding
+    bug hash-fails. Scale shape: video bytes never shuffle; the banded
+    join sees one row per SCENE (~1/L of per-frame dedup input), and
+    the pair set is pytest-pinned ⊆ the all-frames pair set."""
+    from openstack_billing_from_db_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    pay = multimodal.synthesize_family_scene_video_payloads(docs)
+    return multimodal.scene_representative_dedup(
+        pay,
+        cut_threshold=_SCENE_CUT_THRESHOLD,
+        band_bits=_SRD_BAND_BITS,
+    )

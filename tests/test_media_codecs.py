@@ -1353,3 +1353,68 @@ def test_video_scene_cuts_frame_stride(spark):
     assert out == {0: (0, 2, 2), 1: (4, 6, 2)}
     with pytest.raises(ValueError):
         multimodal.video_frame_cells(df, frame_stride=0).collect()
+
+
+def test_scene_rep_dedup_subset_of_all_frames(spark):
+    """VERDICT r11 Next #6 pin: scene-representative dedup drops are a
+    SUBSET of all-frames perceptual dedup — a rep frame IS a frame, so
+    any (scene_a, scene_b) pair the composed operator emits must appear
+    as its (rep_frame_a, rep_frame_b) pair when EVERY frame is an
+    entity in the same banded join. Also pins the JVM-side mesh dHash
+    against media.dhash_pixels on the synthesized frames (one decode
+    serving segmentation and hashing must not change the fingerprint)."""
+    from openstack_billing_from_db_spark.operators import dedup
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    pay = multimodal.synthesize_family_scene_video_payloads(docs)
+
+    got = [
+        (r.doc_a, r.scene_a, r.doc_b, r.scene_b, r.hamming)
+        for r in multimodal.scene_representative_dedup(
+            pay, band_bits=11
+        ).collect()
+    ]
+    assert got  # family scene structure produces pairs
+    # every pair crosses videos of one family (scene textures are
+    # family-keyed; cross-family fingerprints are ~Binomial(56, 1/2))
+    assert all(a != b and a // 5 == b // 5 for a, _, b, _, _ in got)
+
+    cells = multimodal.video_frame_cells(pay)
+    scenes = multimodal.scene_spans_from_cells(cells)
+    rep_of = {
+        (r.doc_id, r.scene_idx): r.rep_frame for r in scenes.collect()
+    }
+
+    # JVM mesh dHash ≡ the local pixel dHash on the same frames
+    mesh_fp = {
+        (r.doc_id, r.frame_idx): r.h
+        for r in cells.select(
+            "doc_id",
+            "frame_idx",
+            multimodal.mesh_dhash_column(F.col("cells")).alias("h"),
+        ).collect()
+    }
+    for doc in range(3):
+        frames = media.synth_family_scene_video_frames(doc)
+        for f, px in enumerate(frames):
+            assert mesh_fp[(doc, f)] == media.dhash_pixels(px, grid=8)
+
+    # all-frames banded dedup at the same width: entity = (doc, frame)
+    fac = 1 << 20
+    all_pairs = {
+        (r.doc_a // fac, r.doc_a % fac, r.doc_b // fac, r.doc_b % fac): (
+            r.hamming
+        )
+        for r in dedup.simhash_near_duplicates(
+            cells.select(
+                (F.col("doc_id") * fac + F.col("frame_idx")).alias("doc_id"),
+                multimodal.mesh_dhash_column(F.col("cells")).alias("simhash"),
+            ),
+            bits=56,
+            band_bits=11,
+            max_hamming=4,
+        ).collect()
+    }
+    for da, sa, db, sb, ham in got:
+        key = (da, rep_of[(da, sa)], db, rep_of[(db, sb)])
+        assert all_pairs.get(key) == ham
