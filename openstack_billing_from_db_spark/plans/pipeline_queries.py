@@ -3048,19 +3048,43 @@ def q155_video_phash72_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q156_chunked_image_dedup", oracle=_dh9_oracle())
 def q156_chunked_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-11 sharding escalation under the driver gate:
-    multimodal.phash_near_duplicates with a declared 600k-doc
-    cardinality, which drives dedup.tune_hamming_chunks (3 chunks,
-    12-bit bands) and dedup.chunked_hamming_pairs — 6 chunk-pair
-    multiword joins whose union is pinned ≡ the single-pass wide join
-    by the oracle (q142's closed-form replay; exact recall makes the
-    two plans output-identical on any input). Measured 31.1 s at 1M
-    synthetic docs (4 chunks / 10 joins, PLANS.md round-11)."""
+    """The round-11 sharding escalation under the driver gate: the
+    two-word fingerprints are hash-sharded at dedup.tune_hamming_chunks'
+    600k-doc pick (3 chunks, 12-bit bands) and joined per chunk pair by
+    dedup.chunked_hamming_pairs — 6 multiword joins whose union is
+    pinned ≡ the single-pass wide join by the oracle (q142's
+    closed-form replay; exact recall makes the two plans
+    output-identical on any input). Measured 31.1 s at 1M synthetic
+    docs (4 chunks / 10 joins, PLANS.md round-11). Driven as the
+    explicit composition since round 12: the auto entry point
+    (multimodal.phash_near_duplicates) now WIDENS to the three-word
+    132-bit mesh (q161) before it ever shards, so a 600k declared
+    cardinality no longer reaches this path organically — chunking
+    engages organically only past the widest mesh's ~537M single-join
+    ceiling."""
     docs = load_table(spark, sf_dir, "documents")
     pay = multimodal.synthesize_textured_image_payloads(
         docs, grid=_DH9_GRID
     )
-    return multimodal.phash_near_duplicates(pay, n_docs=600_000)
+    n_chunks, band_bits = dedup.tune_hamming_chunks(
+        600_000, bits=9 * 8, word_bits=_DH9_WORD_BITS,
+        max_hamming=_DH_MAX_HAMMING,
+    )
+    fp = multimodal.dhash_multiword_images(
+        pay, grid=_DH9_GRID, word_bits=_DH9_WORD_BITS
+    )
+    return dedup.chunked_hamming_pairs(
+        fp,
+        lambda subset: dedup.multiword_hamming_pairs(
+            subset,
+            n_words=2,
+            word_bits=_DH9_WORD_BITS,
+            band_bits=band_bits,
+            max_hamming=_DH_MAX_HAMMING,
+            persist_input=False,
+        ),
+        n_chunks=n_chunks,
+    )
 
 
 # --- streaming audio admission, driver-certified (round 11, session 2) ----------

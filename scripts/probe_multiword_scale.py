@@ -51,12 +51,12 @@ n_chunks, band_bits = dedup.tune_hamming_chunks(
 print(f"n_docs={N}: tuner -> n_chunks={n_chunks}, band_bits={band_bits}")
 
 fam = (F.col("id") / 5).cast("long")
-var = F.pmod(F.col("id"), F.lit(5))
+flip = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(id, 5) AS INT))")
 fp = spark.range(N).select(
     F.col("id").alias("doc_id"),
     (
         seeded_hash64(fam.cast("string"), "w0").bitwiseAND(F.lit(MASK))
-    ).bitwiseXOR(F.shiftleft(F.lit(1), var.cast("int"))).alias("w0"),
+    ).bitwiseXOR(flip).alias("w0"),
     seeded_hash64(fam.cast("string"), "w1").bitwiseAND(F.lit(MASK)).alias("w1"),
     seeded_hash64(fam.cast("string"), "w2").bitwiseAND(F.lit(MASK)).alias("w2"),
 )

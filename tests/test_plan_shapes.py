@@ -87,6 +87,9 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         "q156_chunked_image_dedup",  # media codec + two-word dHash under the chunked join (Arrow-batched mapInPandas)
         "q157_video_scene_cuts",  # container walk + per-frame pooled mesh (Arrow-batched mapInPandas; deltas/windows JVM-side)
         "q158_streaming_audio_admission",  # WAV decode + delta-energy hash (Arrow-batched; q144's decode in the streaming composition)
+        "q160_streaming_image_admission",  # media codec + two-word dHash (Arrow-batched; q142's decode in the streaming composition)
+        "q161_image_phash132_dedup",  # media codec + three-word dHash (Arrow-batched mapInPandas)
+        "q163_scene_rep_dedup",  # container walk + pooled mesh (Arrow-batched; dHash/windows/join JVM-side)
     }
     for name, fn in QUERIES.items():
         if name in python_ok:

@@ -443,3 +443,54 @@ def test_cached_broadcast_concurrent_and_lru_bounded(spark):
     live_keys = {k[1] for k in caching._TRACKED_BC}
     assert ("lru", 1) not in live_keys  # the true LRU was evicted
     release_operator_caches()
+
+
+def test_release_cached_broadcast_by_key(spark):
+    """ADVICE r11: iterative trainers release ONE iteration's broadcast
+    by content key once its aggregate has collected (pq_train's
+    per-iteration codebooks), instead of pinning n_iter dead copies
+    until the end-of-query barrier. Release is unpersist+evict: the
+    next request rebuilds."""
+    from openstack_billing_from_db_spark.operators.caching import (
+        _TRACKED_BC,
+        cached_broadcast,
+        release_cached_broadcast,
+        release_operator_caches,
+    )
+
+    release_operator_caches()
+    a = cached_broadcast(("iter", 0), lambda: [0.0])
+    b = cached_broadcast(("iter", 1), lambda: [1.0])
+    n_before = len(_TRACKED_BC)
+    assert release_cached_broadcast(("iter", 0)) is True
+    assert len(_TRACKED_BC) == n_before - 1
+    # other keys untouched; missing key is a no-op
+    assert cached_broadcast(("iter", 1), lambda: [9.9]) is b
+    assert release_cached_broadcast(("iter", 0)) is False
+    # released key rebuilds fresh
+    assert cached_broadcast(("iter", 0), lambda: [0.5]) is not a
+    release_operator_caches()
+
+
+def test_pq_train_releases_iteration_broadcasts(spark):
+    """pq_train over the Arrow path must end with at most ONE live
+    codebook broadcast (the final iteration's assignments collected and
+    released; earlier iterations released in-loop)."""
+    from openstack_billing_from_db_spark.operators import quantization
+    from openstack_billing_from_db_spark.operators.caching import (
+        _TRACKED_BC,
+        release_operator_caches,
+    )
+
+    release_operator_caches()
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), float(i % 2), float(i % 3)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    quantization.pq_train(
+        emb, dims=4, n_subspaces=2, k=2, n_iter=3
+    )
+    # every iteration's broadcast was released right after its collect
+    assert len(_TRACKED_BC) == 0
+    release_operator_caches()
