@@ -3609,3 +3609,107 @@ def q162_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch=_BBPE_BATCH,
         window=_BBPE_WINDOW,
     )
+
+
+# --- 132-bit three-word audio dedup (round 12) ---------------------------------
+#
+# The audio member of the q161 three-word level: the 133-frame temporal
+# mesh packs 132 delta-energy bits into three 44-bit words — the ladder
+# level audio_near_duplicates selects past the two-word bound. The
+# 133-frame fixture aligns exactly to the 16-sample frame grid (2128
+# samples / 133 frames), so the +4096 member bump flips at most its two
+# boundary bits and families sit within hamming <= 4. Registered into
+# the DEFERRED tail this round (the r12 head is full at 50); the r13
+# rotation promotes it within the ledger's two-round deadline —
+# meanwhile tests/test_oracle_parity.py certifies it locally at sf0.01.
+
+_AW12_FRAMES = 133
+_AW12_WORD_BITS = 44
+_AW12_BAND_BITS = dedup.tune_hamming_band_bits(
+    _PERCEPTUAL_FIXTURE_MAX_DOCS,
+    bits=_AW12_FRAMES - 1,
+    word_bits=_AW12_WORD_BITS,
+    max_hamming=_DH_MAX_HAMMING,
+)
+
+
+def _aw12_oracle() -> str:
+    bits = _AW12_FRAMES - 1
+    bpw = _AW12_WORD_BITS // _AW12_BAND_BITS
+    n_bands = min(3 * bpw, -(-bits // _AW12_BAND_BITS))
+    mask = (1 << _AW12_BAND_BITS) - 1
+    word_case = (
+        f"(CASE WHEN b.b < {bpw} THEN w0 "
+        f"WHEN b.b < {2 * bpw} THEN w1 ELSE w2 END)"
+    )
+    return f"""
+WITH amps AS MATERIALIZED (
+  SELECT d.doc_id, k.k, {_AW_AMP_SQL} AS amp
+  FROM documents d, range({_AW12_FRAMES}) k(k)
+),
+abits AS (
+  SELECT a.doc_id, CASE WHEN b.amp > a.amp THEN 1 ELSE 0 END AS bit, a.k
+  FROM amps a JOIN amps b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+  WHERE a.k < {bits}
+),
+fp AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN k < {_AW12_WORD_BITS}
+                       THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END)
+              AS BIGINT) AS w0,
+         CAST(sum(CASE WHEN k >= {_AW12_WORD_BITS} AND k < {2 * _AW12_WORD_BITS}
+                       THEN bit * (CAST(1 AS BIGINT) << (k - {_AW12_WORD_BITS}))
+                       ELSE 0 END) AS BIGINT) AS w1,
+         CAST(sum(CASE WHEN k >= {2 * _AW12_WORD_BITS}
+                       THEN bit * (CAST(1 AS BIGINT) << (k - {2 * _AW12_WORD_BITS}))
+                       ELSE 0 END) AS BIGINT) AS w2
+  FROM abits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, w0, w1, w2, b.b,
+         ({word_case} >> ({_AW12_BAND_BITS} * (b.b % {bpw}))) & {mask} AS bucket
+  FROM fp, range({n_bands}) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         a.w0 AS w0a, a.w1 AS w1a, a.w2 AS w2a,
+         b.w0 AS w0b, b.w1 AS w1b, b.w2 AS w2b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(bit_count(xor(w0a, w0b)) + bit_count(xor(w1a, w1b))
+            + bit_count(xor(w2a, w2b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(w0a, w0b)) + bit_count(xor(w1a, w1b))
+      + bit_count(xor(w2a, w2b)) <= {_DH_MAX_HAMMING}
+"""
+
+
+@register("q164_audio_phash132_dedup", oracle=_aw12_oracle())
+def q164_audio_phash132_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-word wide-mesh AUDIO dedup — q161's level for the audio
+    chain: real RIFF/WAV clips on the 133-frame family fixture
+    (aligned to the 16-sample frame grid), decode + delta-energy hash
+    in Arrow mapInPandas, 132 bits split into three 44-bit words
+    (media.dhash_words), pairs via dedup.multiword_hamming_pairs at
+    the tuner-derived {_AW12_BAND_BITS}-bit bands (6 bands > hamming
+    budget 4 keeps pigeonhole recall; 2^22 buckets per band). The
+    oracle replays amplitudes → delta bits → three-word packing →
+    per-word band extraction → the summed-xor verify in closed form.
+    PCM never leaves the decode stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    pay = multimodal.synthesize_family_audio_payloads(
+        docs, n_frames=_AW12_FRAMES
+    )
+    fp = multimodal.audio_dhash_multiword(
+        pay, n_frames=_AW12_FRAMES, word_bits=_AW12_WORD_BITS
+    )
+    return dedup.multiword_hamming_pairs(
+        fp,
+        n_words=3,
+        word_bits=_AW12_WORD_BITS,
+        band_bits=_AW12_BAND_BITS,
+        max_hamming=_DH_MAX_HAMMING,
+        bits=_AW12_FRAMES - 1,
+    )

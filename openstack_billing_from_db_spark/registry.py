@@ -67,13 +67,17 @@ DEFERRED: tuple[str, ...] = (
 # the head keeps the §2 core (q01-q08/q42), promotes ALL 30 r8-green
 # oldest parks (q04b/q09/q12/q16b/q23-q28/q29b/q32/q39/q40/q43/q47/q48/
 # q49/q55/q56/q58/q60/q61/q62/q67/q79/q83/q84/q85/q139) so the
-# oldest-last-green floor moves r8 -> r9, admits the four r12-new
-# queries (q160 image admission, q161 3-word mesh, q162 batched BPE,
-# q163 scene-rep dedup), and fills the remaining 7 slots from the
-# r10-green block the verdict named (q123/q125/q130/q140/q146/q148/
-# q151). Everything r11-green parks (fresh rows), the rest of the
-# r10/r9-green parks carry; per-line notes give each parked query's
-# driver-green rounds and its in-gate or pytest coverage.
+# oldest-last-green floor moves r8 -> r9, admits the FIVE r12-new
+# queries (q160 image admission, q161 3-word image mesh, q162 batched
+# BPE, q163 scene-rep dedup, q164 3-word audio mesh), and fills the
+# remaining slots from the r10-green block the verdict named
+# (q123/q125/q130/q146/q148/q151; q140 parked late-session to admit
+# q164 — its production-k path is r11-green via q152 and the fixed-k
+# kernel stays in-head via q130). Everything r11-green parks (fresh
+# rows), the rest of the r10/r9-green parks carry; per-line notes give
+# each parked query's driver-green rounds and its in-gate or pytest
+# coverage. R13 queue: promote the r11-green parks (their rows will be
+# two rounds old) + q140; park the r12-green set.
   # -- r11-green fresh parks (rotated out this round) --
   "q10_pricing_summary",  # r11-green
   "q11_regional_revenue",  # r11-green
@@ -116,6 +120,7 @@ DEFERRED: tuple[str, ...] = (
   "q157_video_scene_cuts",  # r11-green; scene kernel in-gate via q163 (composed superset)
   "q158_streaming_audio_admission",  # r11-green; _admit_fingerprint_batch in-gate via q160
   "q159_streaming_text_admission",  # r11-green; admit_batch kernel pytest + q94 CTE twin
+  "q140_semantic_dedup_scaled",  # r10-green; parked r12 to admit q164 — scaled/production-k path r11-green via q152, fixed-k kernel in-head via q130
   # -- r10-green carried parks --
   "q69_text_scrub",  # r10-green
   "q72_sequence_pack",  # r10-green
