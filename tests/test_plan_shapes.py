@@ -90,6 +90,7 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         "q160_streaming_image_admission",  # media codec + two-word dHash (Arrow-batched; q142's decode in the streaming composition)
         "q161_image_phash132_dedup",  # media codec + three-word dHash (Arrow-batched mapInPandas)
         "q163_scene_rep_dedup",  # container walk + pooled mesh (Arrow-batched; dHash/windows/join JVM-side)
+        "q164_audio_phash132_dedup",  # WAV decode + three-word delta-energy hash (Arrow-batched mapInPandas)
     }
     for name, fn in QUERIES.items():
         if name in python_ok:
