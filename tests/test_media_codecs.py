@@ -1418,3 +1418,45 @@ def test_scene_rep_dedup_subset_of_all_frames(spark):
     for da, sa, db, sb, ham in got:
         key = (da, rep_of[(da, sa)], db, rep_of[(db, sb)])
         assert all_pairs.get(key) == ham
+
+
+def test_three_word_plan_shapes(spark):
+    """Round-12 plan pins: (a) the three-word banded join emits each
+    pair from its first matching band only — no Deduplicate/aggregate
+    over the pair output in the optimized plan (the canonical-band
+    contract, same as the single-word kernels); (b) the scene-rep dedup
+    composition decodes ONCE — its physical plan reads the persisted
+    frame-mesh cache (InMemoryTableScan) on BOTH consumer branches
+    (segmentation window + rep-frame hash) instead of a second
+    mapInPandas decode."""
+    from openstack_billing_from_db_spark.operators import dedup
+
+    docs = spark.createDataFrame([(i,) for i in range(15)], "doc_id long")
+    fp = multimodal.dhash_multiword_images(
+        multimodal.synthesize_textured_image_payloads(docs, grid=12),
+        grid=12,
+        word_bits=44,
+    )
+    plan = (
+        dedup.multiword_hamming_pairs(
+            fp, n_words=3, word_bits=44, band_bits=22, max_hamming=4
+        )
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Deduplicate" not in plan and "Aggregate [doc_a" not in plan
+
+    pay = multimodal.synthesize_family_scene_video_payloads(docs)
+    df = multimodal.scene_representative_dedup(pay, band_bits=11)
+    phys = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert phys.count("InMemoryTableScan") >= 2
+    from openstack_billing_from_db_spark.operators.caching import (
+        release_operator_caches,
+    )
+
+    release_operator_caches()
