@@ -107,11 +107,21 @@ def admit_batch(
         raise ValueError(
             "either index_dir or existing_index must be provided"
         )
-    new_idx = minhash_index(
-        batch_docs,
-        num_hashes=num_hashes,
-        rows_per_band=rows_per_band,
-        shingle_n=shingle_n,
+    # persist the batch's band rows: the shingle+minhash map stage is the
+    # expensive upstream here, and new_idx appears FOUR times in the
+    # returned DAG (candidate probe, self-union, verdict domain, additions
+    # semi-join) — and a later epoch probing ``additions`` as its index
+    # embeds this epoch's whole chain again. The multiword/framewise
+    # kernels already persist their new side (multiword_hamming_matches /
+    # admit_video_batch); this is the same discipline for the text path.
+    # Released by the registry wrapper / release_persisted_caches().
+    new_idx = tracked_persist(
+        minhash_index(
+            batch_docs,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
+            shingle_n=shingle_n,
+        )
     )
     existing = (
         existing_index.select(*new_idx.columns)
