@@ -286,7 +286,14 @@ def pagerank_micro(
     ``iterations`` cannot accumulate a deep plan."""
     from openstack_billing_from_db_spark.operators.caching import tracked_persist
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # persist the EDGE LIST first: nodes and the degree-weighted edge
+    # table below both scan it, and without this cache each of their
+    # persist fills re-runs the (possibly expensive — e.g. a join +
+    # distinct) upstream edge build once per reference. One upstream
+    # scan fills this cache; everything static derives from it.
+    e = tracked_persist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
     # both sides are STATIC across iterations — persist once instead of
     # recomputing the edge scan + degree join every round
     nodes = tracked_persist(

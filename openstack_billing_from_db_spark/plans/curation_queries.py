@@ -553,18 +553,43 @@ def q95_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     single mis-floored share or damping step hash-fails."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # iterate on packed BIGINT node ids (customer 2k, supplier 2k+1):
+    # the rank fixpoint depends only on graph structure, so any
+    # bijective relabeling yields identical ranks — and every
+    # per-iteration join/aggregation then shuffles 8-byte longs instead
+    # of 'c<id>'/'s<id>' strings. The oracle's string ids are rendered
+    # once at the end.
     eb = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
         .distinct()
     )
-    edges = eb.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        eb.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    # symmetrize reading the join+distinct upstream ONCE (union of two
+    # selects would evaluate it twice inside one cache-fill job — the
+    # same trick connected_components uses)
+    edges = eb.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    pr = pagerank_micro(edges, iterations=_PR_ITER)
+    return pr.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), F.expr("node div 2").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), F.expr("(node - 1) div 2").cast("string"))
+        )
+        .alias("node"),
+        "pr",
     )
-    return pagerank_micro(edges, iterations=_PR_ITER)
 
 
 # --- MERGE / SCD2 lakehouse maintenance as registry entries -------------------
