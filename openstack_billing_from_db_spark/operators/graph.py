@@ -394,6 +394,15 @@ def oriented_edges(
     )
 
 
+# Edge-set size up to which the wedge-closure probe ships the edge list
+# as a broadcast instead of shuffling the (far larger) wedge stream to a
+# shuffled equi-join. 4M two-long rows build to a ~200 MB hash relation —
+# comfortably inside the guide's "few hundred MB is usually fine" band
+# and far under the 8 GB broadcast cap; beyond it the closure falls back
+# to the shuffled join (same result, pinned by the oracle).
+TRIANGLE_BROADCAST_EDGE_MAX = 4_000_000
+
+
 def triangle_stats(
     edges: DataFrame, *, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -418,11 +427,18 @@ def triangle_stats(
     d = tracked_persist(
         oriented_edges(edges, src=src, dst=dst).select("src", "dst", "dst_ord")
     )
+    # one explicit cache-fill job; its count both sizes the closure-join
+    # strategy below and warms d before the fan-out of aggregate branches
+    # (otherwise the first two branches race to fill the same cache)
+    n_edges_driver = d.count()
     # wedge COUNT is pure arithmetic on out-degrees — sum C(outdeg, 2) —
-    # so the full wedge stream is never enumerated just to count it
+    # so the full wedge stream is never enumerated just to count it;
+    # n_edges rides the same aggregate (Σ outdeg = |E|), saving the
+    # separate count branch
     outdeg = d.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
     n_wedge = outdeg.agg(
-        F.sum(F.expr("(c * (c - 1)) div 2")).cast("long").alias("n_wedges")
+        F.sum("c").cast("long").alias("n_edges"),
+        F.sum(F.expr("(c * (c - 1)) div 2")).cast("long").alias("n_wedges"),
     )
     # (a semi-join prefilter of e1.dst against the src set — "only
     # closable wedges" — was measured at sf0.1: it prunes 0.01% of the
@@ -435,17 +451,24 @@ def triangle_stats(
         .filter(F.col("e1.dst_ord") < F.col("e2.dst_ord"))
         .select(F.col("e1.dst").alias("v"), F.col("e2.dst").alias("w"))
     )
-    closed = wedges.join(
-        d.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"]
-    )
+    # wedge CLOSURE: the wedge stream is Θ(Σ outdeg²) rows — orders of
+    # magnitude more than |E| — so shuffling it to meet the edge set
+    # (sort-merge on (v, w)) moves the biggest table in the job just to
+    # probe membership. When the edge set fits a broadcast, probe it
+    # map-side instead: wedges are filtered WHERE THEY ARE GENERATED
+    # and never cross an exchange (guide §2.4/§3.1 — replace the shuffle
+    # of the large side with a broadcast of the small side). Past the
+    # broadcast bound, fall back to the shuffled equi-join.
+    edge_keys = d.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    if n_edges_driver <= TRIANGLE_BROADCAST_EDGE_MAX:
+        closed = wedges.join(F.broadcast(edge_keys), ["v", "w"])
+    else:
+        closed = wedges.join(edge_keys, ["v", "w"])
     n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    base = d.agg(
-        F.count(F.lit(1)).cast("long").alias("n_edges"),
-    )
     n_vert = (
         d.select(F.explode(F.array("src", "dst")).alias("v"))
         .agg(F.count_distinct("v").cast("long").alias("n_vertices"))
     )
-    return (
-        n_vert.crossJoin(base).crossJoin(n_wedge).crossJoin(n_tri)
+    return n_vert.crossJoin(n_wedge).crossJoin(n_tri).select(
+        "n_vertices", "n_edges", "n_wedges", "n_triangles"
     )
