@@ -311,18 +311,19 @@ def _assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
         return base.withColumn(
             "cluster", _nearest_code_arrow(F.col("e"), centroids)
         )
-    scored = F.array(
-        *[
-            F.struct(
-                (F.lit(sum(v * v for v in c)) - 2.0 * _dot_lit(F.col("e"), c)).alias(
-                    "score"
-                ),
-                F.lit(j).cast("long").alias("cid"),
-            )
-            for j, c in enumerate(centroids)
-        ]
+    # one SQL parse instead of thousands of py4j Column round trips —
+    # the identical (score, cid) struct-min tree (see quantization._dlit)
+    from openstack_billing_from_db_spark.operators.quantization import (
+        _score_sql,
     )
-    return base.withColumn("cluster", F.array_min(scored)["cid"])
+
+    structs = ", ".join(
+        f"named_struct('score', {_score_sql('e', c)}, 'cid', {j}L)"
+        for j, c in enumerate(centroids)
+    )
+    return base.withColumn(
+        "cluster", F.expr(f"array_min(array({structs})).cid")
+    )
 
 
 def lloyd_update(

@@ -52,6 +52,45 @@ def _sub(col: Column, m: int, sub_dims: int) -> Column:
     return F.slice(col, m * sub_dims + 1, sub_dims)
 
 
+# --- SQL-text builders for the literal-codebook expressions ------------------
+#
+# The literal paths embed k·d centroid doubles in the plan. Building them
+# as Column objects costs ONE py4j round trip per operator/literal —
+# thousands per plan, measured at 2-4 s of pure driver time per query
+# build on this VM (and bench pays it for every execution). Emitting the
+# identical expression as ONE SQL string parsed by F.expr collapses that
+# to a single round trip; the parsed Catalyst tree is the same operators
+# over the same literals, so results are bit-identical (pinned by the
+# paths-agree tests and the oracle parity of every PQ/k-means query).
+
+
+def _dlit(v: float) -> str:
+    """Exact DOUBLE literal: repr() is the shortest round-tripping
+    decimal form and Spark's parser (Java Double.parseDouble) is
+    correctly rounded, so the parsed bits equal the Python float. The
+    'D' suffix forces DOUBLE — a bare decimal parses as DECIMAL."""
+    return repr(float(v)) + "D"
+
+
+def _arr_sql(c: list[float]) -> str:
+    return "array(" + ", ".join(_dlit(v) for v in c) + ")"
+
+
+def _dot_sql(e_sql: str, c: list[float]) -> str:
+    """⟨e, c⟩ as SQL — the same zip_with/aggregate left-to-right fold
+    as clustering._dot_lit."""
+    return (
+        f"aggregate(zip_with({e_sql}, {_arr_sql(c)}, (x, y) -> x * y), "
+        f"0.0D, (a, x) -> a + x)"
+    )
+
+
+def _score_sql(e_sql: str, c: list[float]) -> str:
+    """|c|² − 2⟨e, c⟩ with |c|² summed left-to-right in Python floats —
+    identical arithmetic to the Column path's F.lit(sum(...)) − 2·dot."""
+    return f"({_dlit(sum(v * v for v in c))} - (2.0D * {_dot_sql(e_sql, c)}))"
+
+
 def _base(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return ensure_map_parallelism(
         emb.select(
@@ -273,24 +312,17 @@ def _nearest_code_arrow(sub: Column, codebook: list[list[float]]) -> Column:
     return nearest(sub)
 
 
-def _nearest_code(sub: Column, codebook: list[list[float]]) -> Column:
+def _nearest_code(sub_sql: str, codebook: list[list[float]]) -> Column:
     """Nearest centroid of one subspace by squared L2 (ties → lowest
     code), via array_min over (score, code) structs — the same
-    expression shape as clustering._assign, map-side only."""
-    from openstack_billing_from_db_spark.operators.clustering import _dot_lit
-
-    scored = F.array(
-        *[
-            F.struct(
-                (F.lit(sum(v * v for v in c)) - 2.0 * _dot_lit(sub, c)).alias(
-                    "score"
-                ),
-                F.lit(j).cast("long").alias("code"),
-            )
-            for j, c in enumerate(codebook)
-        ]
+    expression shape as clustering._assign, map-side only. Built as one
+    SQL string (see the _dlit block above) so the k·d literal tree costs
+    one parser call instead of thousands of py4j round trips."""
+    structs = ", ".join(
+        f"named_struct('score', {_score_sql(sub_sql, c)}, 'code', {j}L)"
+        for j, c in enumerate(codebook)
     )
-    return F.array_min(scored)["code"]
+    return F.expr(f"array_min(array({structs})).code")
 
 
 def pq_encode(
@@ -305,37 +337,45 @@ def pq_encode(
     LITERAL_CODEBOOK_MAX_CODES total centroids, as a broadcast probed
     via Arrow beyond (both ties → lowest code)."""
     sub_dims = len(codebooks[0][0])
-    nearest = (
-        _nearest_code
-        if _codebook_codes(codebooks) <= LITERAL_CODEBOOK_MAX_CODES
-        else _nearest_code_arrow
-    )
+    literal = _codebook_codes(codebooks) <= LITERAL_CODEBOOK_MAX_CODES
     base = _base(emb, id_col, vec_col)
-    return base.select(
-        F.col("vid").alias(id_col),
-        *[
-            nearest(_sub(F.col("e"), m, sub_dims), cb).alias(f"c{m}")
+    if literal:
+        cols = [
+            _nearest_code(_sub_sql("e", m, sub_dims), cb).alias(f"c{m}")
             for m, cb in enumerate(codebooks)
-        ],
+        ]
+    else:
+        cols = [
+            _nearest_code_arrow(_sub(F.col("e"), m, sub_dims), cb).alias(
+                f"c{m}"
+            )
+            for m, cb in enumerate(codebooks)
+        ]
+    return base.select(F.col("vid").alias(id_col), *cols)
+
+
+def _sub_sql(e_sql: str, m: int, sub_dims: int) -> str:
+    """SQL form of :func:`_sub` (1-based contiguous subspace slice)."""
+    return f"slice({e_sql}, {m * sub_dims + 1}, {sub_dims})"
+
+
+def _sqdiff_fold_sql(a_sql: str, b_sql: str) -> str:
+    """Σ (a_i − b_i)² as the zip_with/aggregate left-to-right fold."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (a, x) -> a + x)"
     )
 
 
-def _sub_dist_lit(m: int, cb: list[list[float]]) -> Column:
+def _sub_dist_lit(m: int, cb: list[list[float]]) -> str:
     """ADC per-subspace distance |q_sub − c|² for the row's code
     column ``c{m}`` against query slice ``q{m}``, as a chained literal
-    lookup over the K codebook entries (small K only)."""
-    expr: Column = F.lit(0.0)
+    lookup over the K codebook entries (small K only) — SQL text, same
+    nested-conditional tree the Column builder produced."""
+    expr = "0.0D"
     for j, c in enumerate(cb):
-        d = F.aggregate(
-            F.zip_with(
-                F.col(f"q{m}"),
-                F.array(*[F.lit(v) for v in c]),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        expr = F.when(F.col(f"c{m}") == j, d).otherwise(expr)
+        d = _sqdiff_fold_sql(f"q{m}", _arr_sql(c))
+        expr = f"(CASE WHEN (c{m} = {j}) THEN {d} ELSE {expr} END)"
     return expr
 
 
@@ -373,31 +413,27 @@ def _adist(codebooks: list[list[list[float]]]) -> Column:
     """Total asymmetric distance Σ_m sub_dist(m) over columns
     (c0..c{M-1}, q0..q{M-1}), auto-selecting the lookup implementation
     by total codebook size (same policy as pq_encode)."""
-    sub_dist = (
-        _sub_dist_lit
-        if _codebook_codes(codebooks) <= LITERAL_CODEBOOK_MAX_CODES
-        else _sub_dist_arrow
+    if _codebook_codes(codebooks) <= LITERAL_CODEBOOK_MAX_CODES:
+        acc = "0.0D"
+        for m, cb in enumerate(codebooks):
+            acc = f"({acc} + {_sub_dist_lit(m, cb)})"
+        return F.expr(acc)
+    return sum(
+        (_sub_dist_arrow(m, cb) for m, cb in enumerate(codebooks)),
+        F.lit(0.0),
     )
-    return sum((sub_dist(m, cb) for m, cb in enumerate(codebooks)), F.lit(0.0))
 
 
-def _cell_scores(vec: Column, coarse_centroids: list[list[float]]) -> Column:
+def _cell_scores(e_sql: str, coarse_centroids: list[list[float]]) -> Column:
     """(score, cell) structs per coarse centroid — array_min/array_sort
     over this gives nearest cell / probe order. Coarse centroid counts
-    are small by construction (n_cells ≪ corpus), so always literal."""
-    from openstack_billing_from_db_spark.operators.clustering import _dot_lit
-
-    return F.array(
-        *[
-            F.struct(
-                (F.lit(sum(v * v for v in c)) - 2.0 * _dot_lit(vec, c)).alias(
-                    "score"
-                ),
-                F.lit(j).cast("long").alias("cell"),
-            )
-            for j, c in enumerate(coarse_centroids)
-        ]
+    are small by construction (n_cells ≪ corpus), so always literal
+    (one SQL parse; see the _dlit block)."""
+    structs = ", ".join(
+        f"named_struct('score', {_score_sql(e_sql, c)}, 'cell', {j}L)"
+        for j, c in enumerate(coarse_centroids)
     )
+    return F.expr(f"array({structs})")
 
 
 def pq_adc_topk(
@@ -480,12 +516,11 @@ def ivf_pq_topk(
     sub_dims = len(codebooks[0][0])
     base = tracked_persist(_base(emb, id_col, vec_col))
 
-    def cell_scores(vec: Column) -> Column:
-        return _cell_scores(vec, coarse_centroids)
+    cell_scores = _cell_scores("e", coarse_centroids)
 
     # assign cells on the same persisted base, then attach to the codes
     cells = base.select(
-        "vid", F.array_min(cell_scores(F.col("e")))["cell"].alias("cell")
+        "vid", F.array_min(cell_scores)["cell"].alias("cell")
     )
     codes = pq_encode(base, codebooks, id_col="vid", vec_col="e").join(
         cells, "vid"
@@ -498,7 +533,7 @@ def ivf_pq_topk(
             for m in range(len(codebooks))
         ],
         F.slice(
-            F.array_sort(cell_scores(F.col("e"))), 1, n_probe
+            F.array_sort(cell_scores), 1, n_probe
         ).alias("probes"),
     )
     probed = queries.select(
@@ -606,18 +641,31 @@ def residualize(
     displacement field far more accurately than raw coordinates.
     Map-side: per-row centroid selection is a chained literal lookup,
     the subtraction a zip_with."""
-    scores = _cell_scores(F.col("e"), coarse_centroids)
+    scores = _cell_scores("e", coarse_centroids)
     withcell = base.withColumn("cell", F.array_min(scores)["cell"])
+    return withcell.select(
+        "vid", "cell", _residual_sql("e", "cell", coarse_centroids).alias("e")
+    )
+
+
+def _residual_sql(
+    e_sql: str, cell_sql: str, coarse_centroids: list[list[float]]
+) -> Column:
+    """``e − centroid[cell]`` as a chained literal CASE over the cells —
+    the same nested-conditional zip_with tree the Column builder
+    produced, parsed in one round trip."""
     res = None
     for j in reversed(range(len(coarse_centroids))):
-        c = coarse_centroids[j]
-        sub = F.zip_with(
-            F.col("e"),
-            F.array(*[F.lit(v) for v in c]),
-            lambda x, y: x - y,
+        sub = (
+            f"zip_with({e_sql}, {_arr_sql(coarse_centroids[j])}, "
+            f"(x, y) -> x - y)"
         )
-        res = sub if res is None else F.when(F.col("cell") == j, sub).otherwise(res)
-    return withcell.select("vid", "cell", res.alias("e"))
+        res = (
+            sub
+            if res is None
+            else f"(CASE WHEN ({cell_sql} = {j}) THEN {sub} ELSE {res} END)"
+        )
+    return F.expr(res)
 
 
 def ivf_pq_residual_topk(
@@ -652,35 +700,32 @@ def ivf_pq_residual_topk(
         rbase.select("vid", "e"), codebooks, id_col="vid", vec_col="e"
     ).join(rbase.select("vid", "cell"), "vid")
 
-    def cell_scores(vec: Column) -> Column:
-        return _cell_scores(vec, coarse_centroids)
-
     probed = (
         base.orderBy("vid")
         .limit(n_queries)
         .select(
             F.col("vid").alias("query_id"),
             "e",
-            F.slice(F.array_sort(cell_scores(F.col("e"))), 1, n_probe).alias(
-                "probes"
-            ),
+            F.slice(
+                F.array_sort(_cell_scores("e", coarse_centroids)), 1, n_probe
+            ).alias("probes"),
         )
         .select("query_id", "e", F.explode("probes").alias("pr"))
         .select("query_id", "e", F.col("pr.cell").alias("cell"))
     )
-    # query residual w.r.t. the PROBED cell (not the query's own cell)
-    qres = None
-    for j in reversed(range(len(coarse_centroids))):
-        c = coarse_centroids[j]
-        sub = F.zip_with(
-            F.col("e"), F.array(*[F.lit(v) for v in c]), lambda x, y: x - y
-        )
-        qres = sub if qres is None else F.when(F.col("cell") == j, sub).otherwise(qres)
+    # query residual w.r.t. the PROBED cell (not the query's own cell);
+    # materialize it ONCE per row, then slice per subspace — the prior
+    # shape inlined the whole residual CASE tree into each of the M
+    # slices (M copies in the plan, M evaluations per row)
     probed = probed.select(
         "query_id",
         "cell",
+        _residual_sql("e", "cell", coarse_centroids).alias("__qr"),
+    ).select(
+        "query_id",
+        "cell",
         *[
-            _sub(qres, m, sub_dims).alias(f"q{m}")
+            _sub(F.col("__qr"), m, sub_dims).alias(f"q{m}")
             for m in range(len(codebooks))
         ],
     )
