@@ -132,6 +132,70 @@ def shingle_hashes(shingle_arr: Column) -> Column:
     return F.transform(shingle_arr, lambda s: portable_hash64(s) % MINHASH_P)
 
 
+# --- SQL-text twins of the signature builders --------------------------------
+#
+# Building the shingle/minhash/band expressions as Column objects costs
+# one py4j round trip per operator — ~0.7 s of pure driver time per
+# minhash_near_duplicates call (and the composed recipes build the
+# chain once per execution). Each builder below emits the IDENTICAL
+# expression tree as one SQL string parsed in a single round trip; the
+# golden tests and oracle parity pin output equality.
+
+
+def _words_sql(text_expr: str) -> str:
+    """SQL twin of text.words."""
+    return f"filter(split(trim({text_expr}), ' '), w -> w != '')"
+
+
+def _word_shingles_sql(arr_expr: str, n: int) -> str:
+    """SQL twin of text.word_shingles (same fold of zip_with concats)."""
+    m = f"(size({arr_expr}) - {n - 1})"
+    acc = f"slice({arr_expr}, 1, {m})"
+    for j in range(1, n):
+        acc = (
+            f"zip_with({acc}, slice({arr_expr}, {1 + j}, {m}), "
+            f"(a, b) -> concat_ws(' ', a, b))"
+        )
+    return (
+        f"CASE WHEN (size({arr_expr}) >= {n}) THEN {acc} "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def _portable_hash64_sql(expr: str) -> str:
+    """Spark-SQL twin of functions.hashing.portable_hash64 (the Column
+    form — conv(substring(md5)), not the DuckDB concat-0x form)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _shingle_hashes_sql(arr_expr: str) -> str:
+    return (
+        f"transform({arr_expr}, s -> "
+        f"({_portable_hash64_sql('s')} % {MINHASH_P}))"
+    )
+
+
+def _minhash_signature_sql(arr_expr: str, num_hashes: int) -> list[str]:
+    return [
+        f"array_min(transform({arr_expr}, h -> ((({a} * h) + {b}) % {MINHASH_P})))"
+        for a, b in minhash_coefficients(num_hashes)
+    ]
+
+
+def _minhash_band_sql(num_hashes: int, rows_per_band: int) -> list[str]:
+    assert num_hashes % rows_per_band == 0
+    n_bands = num_hashes // rows_per_band
+    return [
+        "md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(mh{b * rows_per_band + r} AS STRING)"
+            for r in range(rows_per_band)
+        )
+        + "))"
+        for b in range(n_bands)
+    ]
+
+
 def minhash_signature(hash_arr: Column, num_hashes: int) -> list[Column]:
     """num_hashes min-hashes via the affine family (a_j·h + b_j) mod p,
     computed as array_min over a transform — per-row expressions, no
@@ -218,7 +282,9 @@ def minhash_near_duplicates(
     shingled = tracked_persist(
         src.select(
             "doc_id",
-            word_shingles(words(F.col("__text")), shingle_n).alias("shingles"),
+            F.expr(_word_shingles_sql(_words_sql("__text"), shingle_n)).alias(
+                "shingles"
+            ),
         )
     )
     base = shingled.filter(F.size("shingles") >= 1)
@@ -232,30 +298,35 @@ def minhash_near_duplicates(
         )
     )
 
-    hashed = base.withColumn("sh_h", shingle_hashes(F.col("shingles")))
+    hashed = base.withColumn("sh_h", F.expr(_shingle_hashes_sql("shingles")))
     sigs = hashed.select(
-        "doc_id", *minhash_signature(F.col("sh_h"), num_hashes)
-    ).select("doc_id", *minhash_bands(num_hashes, rows_per_band))
+        "doc_id",
+        *[
+            F.expr(s).alias(f"mh{j}")
+            for j, s in enumerate(_minhash_signature_sql("sh_h", num_hashes))
+        ],
+    ).select(
+        "doc_id",
+        *[
+            F.expr(s).alias(f"band{b}")
+            for b, s in enumerate(
+                _minhash_band_sql(num_hashes, rows_per_band)
+            )
+        ],
+    )
     # slim band table — (doc_id, band, sig, sigvec) where sigvec is the
     # n_bands-long signature vector (a few bigints), so the LSH self-join
     # shuffles ~n_docs×n_bands narrow rows, never the shingle arrays
+    band_cols = ", ".join(f"band{b}" for b in range(n_bands))
+    struct_arr = ", ".join(
+        f"named_struct('band', {b}, 'sig', band{b})" for b in range(n_bands)
+    )
     melted = tracked_persist(
-        sigs.withColumn(
-            "sigvec", F.array(*[F.col(f"band{b}") for b in range(n_bands)])
-        )
+        sigs.withColumn("sigvec", F.expr(f"array({band_cols})"))
         .select(
             "doc_id",
             "sigvec",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"), F.col(f"band{b}").alias("sig")
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bs"),
+            F.expr(f"explode(array({struct_arr}))").alias("bs"),
         )
         .select(
             "doc_id",
@@ -305,16 +376,13 @@ def minhash_near_duplicates(
     # this is a map-side test) — each candidate pair appears exactly once
     # and the pair-distinct exchange disappears. With a bucket cap, an
     # earlier band only counts if its (shared) bucket was under the cap.
-    first_band_only = F.lit(True)
+    fbo = "true"
     for j in range(n_bands):
-        earlier_emits = (F.col("band") > F.lit(j)) & (
-            F.col("sv_a")[j] == F.col("sv_b")[j]
-        )
+        earlier = f"((band > {j}) AND (sv_a[{j}] = sv_b[{j}]))"
         if max_bucket_size is not None:
-            earlier_emits = earlier_emits & (
-                F.col("bv_a")[j] <= F.lit(max_bucket_size)
-            )
-        first_band_only = first_band_only & ~earlier_emits
+            earlier = f"({earlier} AND (bv_a[{j}] <= {max_bucket_size}))"
+        fbo = f"({fbo} AND (NOT {earlier}))"
+    first_band_only = F.expr(fbo)
     cand = (
         a.join(b, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -1221,23 +1289,39 @@ def minhash_index(
     sig = (
         base.select(
             id_col,
-            shingle_hashes(word_shingles(words(F.col(text_col)), shingle_n)).alias(
-                "h"
-            ),
+            F.expr(
+                _shingle_hashes_sql(
+                    _word_shingles_sql(_words_sql(text_col), shingle_n)
+                )
+            ).alias("h"),
         )
         .filter(F.size("h") > 0)
-        .select(id_col, *minhash_signature(F.col("h"), num_hashes))
         .select(
             id_col,
-            F.array(*[F.col(f"mh{j}") for j in range(num_hashes)]).alias("sig"),
-            *minhash_bands(num_hashes, rows_per_band),
+            *[
+                F.expr(s).alias(f"mh{j}")
+                for j, s in enumerate(_minhash_signature_sql("h", num_hashes))
+            ],
+        )
+        .select(
+            id_col,
+            F.expr(
+                "array(" + ", ".join(f"mh{j}" for j in range(num_hashes)) + ")"
+            ).alias("sig"),
+            *[
+                F.expr(s).alias(f"band{b}")
+                for b, s in enumerate(
+                    _minhash_band_sql(num_hashes, rows_per_band)
+                )
+            ],
         )
     )
-    pairs: list[Column] = []
-    for b in range(n_bands):
-        pairs.append(F.struct(F.lit(b).cast("long").alias("band"), F.col(f"band{b}").alias("band_sig")))
+    struct_arr = ", ".join(
+        f"named_struct('band', CAST({b} AS BIGINT), 'band_sig', band{b})"
+        for b in range(n_bands)
+    )
     return sig.select(
-        id_col, "sig", F.explode(F.array(*pairs)).alias("bb")
+        id_col, "sig", F.expr(f"explode(array({struct_arr}))").alias("bb")
     ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
 
 

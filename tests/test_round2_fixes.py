@@ -293,8 +293,20 @@ def test_ensure_map_parallelism_noop_on_wide_input(spark):
         ensure_map_parallelism,
     )
 
-    wide = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism)
+    # big enough (Range stats: 8 B/row) to clear the cheap-rebalance
+    # size gate, so the guard takes the partition-count probe path and
+    # must return the already-wide input untouched — the 100 TB
+    # contract: no exchange added on a well-parallel scan. (Lazy: the
+    # probe reads the partition count, nothing executes.)
+    wide = spark.range(
+        0, 64 << 20, 1, spark.sparkContext.defaultParallelism
+    )
     assert ensure_map_parallelism(wide) is wide  # untouched: no exchange added
+
+    # a SMALL input is rebalanced without probing (the probe costs more
+    # than the exchange — and under AQE can execute shuffle stages)
+    small = spark.range(0, 1000, 1, 1)
+    assert ensure_map_parallelism(small) is not small
 
 
 # --- IVF ANN (q65) -----------------------------------------------------------
