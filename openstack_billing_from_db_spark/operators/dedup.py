@@ -493,22 +493,16 @@ def simhash_near_duplicates(
     # persisted: both sides of the self-join read the same fingerprints
     # instead of recomputing the simhash lineage twice
     fingerprints = tracked_persist(fingerprints)
+    # one SQL parse for the band melt (see the _words_sql block note)
+    struct_arr = ", ".join(
+        f"named_struct('band', {k}, 'bucket', "
+        f"(shiftright(simhash, {k * band_bits}) & {mask}))"
+        for k in range(n_bands)
+    )
     melted = fingerprints.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.expr(f"shiftright(simhash, {k * band_bits})")
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
-                    )
-                    for k in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({struct_arr}))").alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     side_cols = ["band", "bucket", "doc_id", "simhash"]
@@ -550,23 +544,21 @@ def simhash_near_duplicates(
     # bit test, each pair survives exactly once, and the distinct exchange
     # disappears from the plan (pinned by test_round2_fixes). With a
     # bucket cap, an earlier band only counts if its bucket was kept.
-    first_band_only = F.lit(True)
+    fbo = "true"
     for j in range(n_bands):
         eq_j = (
-            F.expr(f"shiftright(fp_a, {j * band_bits})").bitwiseAND(F.lit(mask))
-            == F.expr(f"shiftright(fp_b, {j * band_bits})").bitwiseAND(F.lit(mask))
+            f"((shiftright(fp_a, {j * band_bits}) & {mask}) = "
+            f"(shiftright(fp_b, {j * band_bits}) & {mask}))"
         )
-        earlier_emits = (F.col("band") > F.lit(j)) & eq_j
+        earlier = f"((band > {j}) AND {eq_j})"
         if max_bucket_size is not None:
-            earlier_emits = earlier_emits & (
-                F.col("bv_a")[j] <= F.lit(max_bucket_size)
-            )
-        first_band_only = first_band_only & ~earlier_emits
+            earlier = f"({earlier} AND (bv_a[{j}] <= {max_bucket_size}))"
+        fbo = f"({fbo} AND (NOT {earlier}))"
 
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(first_band_only)
+        .filter(F.expr(fbo))
         .select(
             "doc_a",
             "doc_b",
@@ -1916,8 +1908,13 @@ def set_similarity_join(
     )
     dfreq = ps.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
     # per-doc token list sorted by the global (df, shingle) order; prefix
-    # length p = n − ceil(t·n) + 1 with exact integer ceil
-    pref = (
+    # length p = n − ceil(t·n) + 1 with exact integer ceil. Persisted:
+    # BOTH sides of the candidate self-join read it, and Spark does not
+    # reuse the collect_list aggregation subtree across the join's
+    # aliases (no ReusedExchange in the plan — the whole df-join +
+    # sort-aggregate chain ran twice, two of the four repeated ~1.3 s
+    # jobs in the q123 profile).
+    pref = tracked_persist(
         ps.join(dfreq, "shingle")
         .groupBy("did")
         .agg(F.sort_array(F.collect_list(F.struct("dfreq", "shingle"))).alias("ord"))
