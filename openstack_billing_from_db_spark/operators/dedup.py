@@ -454,20 +454,24 @@ def simhash(
         "doc_id",
         F.explode(words(F.col("__text"))).alias("w"),
     ).select("doc_id", seeded_hash64(F.col("w"), "sim").alias("h"))
+    # one SQL parse per bit vote and one for the fingerprint rebuild
+    # (chained py4j Column calls cost a driver round trip per operator)
     votes = tok.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END)"
             ).alias(f"s{j}")
             for j in range(bits)
         ]
     )
-    fp: Column = F.lit(0).cast("long")
-    for j in range(bits):
-        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return votes.select("doc_id", fp.alias("simhash"))
+    fp_sql = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return votes.select(
+        "doc_id", F.expr(f"CAST(0 AS BIGINT) + {fp_sql}").alias("simhash")
+    )
 
 
 def simhash_near_duplicates(
@@ -637,28 +641,20 @@ def multiword_hamming_pairs(
     if persist_input:
         fingerprints = tracked_persist(fingerprints)
 
-    def bucket_expr(col_prefix: str, b: int):
-        word = f"{col_prefix}{b // bpw}"
-        return (
-            F.expr(f"shiftright({word}, {band_bits * (b % bpw)})")
-            .bitwiseAND(F.lit(mask))
-        )
-
+    # one SQL parse for the band melt / canonical-band test / hamming sum
+    # (chained py4j Column calls cost one driver round trip per operator;
+    # at n_bands~11 × n_words~3 that is seconds of pure build time — same
+    # treatment as simhash_near_duplicates)
+    struct_arr = ", ".join(
+        f"named_struct('band', {b}, 'bucket', "
+        f"(shiftright(w{b // bpw}, {band_bits * (b % bpw)}) & {mask}))"
+        for b in range(n_bands)
+    )
     melted = fingerprints.select(
         "doc_id",
         *gcols,
         *wcols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        bucket_expr("w", b).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({struct_arr}))").alias("bb"),
     ).select(
         "doc_id",
         *gcols,
@@ -697,32 +693,25 @@ def multiword_hamming_pairs(
         return melted.select(*cols)
 
     a, b_ = _side("a"), _side("b")
-    first_band_only = F.lit(True)
+    fbo = "true"
     for j in range(n_bands):
         word_a, word_b = f"w{j // bpw}a", f"w{j // bpw}b"
         sh = band_bits * (j % bpw)
         eq_j = (
-            F.expr(f"shiftright({word_a}, {sh})").bitwiseAND(F.lit(mask))
-            == F.expr(f"shiftright({word_b}, {sh})").bitwiseAND(F.lit(mask))
+            f"((shiftright({word_a}, {sh}) & {mask}) = "
+            f"(shiftright({word_b}, {sh}) & {mask}))"
         )
-        earlier_emits = (F.col("band") > F.lit(j)) & eq_j
+        earlier = f"((band > {j}) AND {eq_j})"
         if max_bucket_size is not None:
-            earlier_emits = earlier_emits & (
-                F.col("bv_a")[j] <= F.lit(max_bucket_size)
-            )
-        first_band_only = first_band_only & ~earlier_emits
+            earlier = f"({earlier} AND (bv_a[{j}] <= {max_bucket_size}))"
+        fbo = f"({fbo} AND (NOT {earlier}))"
 
-    hamming = sum(
-        (
-            F.bit_count(F.col(f"{w}a").bitwiseXOR(F.col(f"{w}b")))
-            for w in wcols
-        ),
-        F.lit(0),
-    ).cast("integer")
+    ham_sql = " + ".join(f"bit_count({w}a ^ {w}b)" for w in wcols)
+    hamming = F.expr(f"CAST((0 + {ham_sql}) AS INT)")
     return (
         a.join(b_, [*gcols, "band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(first_band_only)
+        .filter(F.expr(fbo))
         .select("doc_a", "doc_b", *gcols, hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -777,23 +766,18 @@ def framewise_hamming_pairs(
             F.col(fp_col).alias("__fp"),
         )
     )
+    # single-parse SQL band melt (same py4j-build-cost treatment as
+    # simhash_near_duplicates / multiword_hamming_pairs)
+    struct_arr = ", ".join(
+        f"named_struct('band', {k}, 'bucket', "
+        f"(shiftright(__fp, {k * band_bits}) & {mask}))"
+        for k in range(n_bands)
+    )
     melted = fingerprints.select(
         "doc_id",
         "__f",
         "__fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.expr(f"shiftright(__fp, {k * band_bits})")
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
-                    )
-                    for k in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({struct_arr}))").alias("bb"),
     ).select(
         "doc_id",
         "__f",
@@ -838,24 +822,20 @@ def framewise_hamming_pairs(
         )
 
     a, b = _side("a"), _side("b")
-    first_band_only = F.lit(True)
+    fbo = "true"
     for j in range(n_bands):
         eq_j = (
-            F.expr(f"shiftright(fp_a, {j * band_bits})").bitwiseAND(F.lit(mask))
-            == F.expr(f"shiftright(fp_b, {j * band_bits})").bitwiseAND(
-                F.lit(mask)
-            )
+            f"((shiftright(fp_a, {j * band_bits}) & {mask}) = "
+            f"(shiftright(fp_b, {j * band_bits}) & {mask}))"
         )
-        earlier_emits = (F.col("band") > F.lit(j)) & eq_j
+        earlier = f"((band > {j}) AND {eq_j})"
         if max_bucket_size is not None:
-            earlier_emits = earlier_emits & (
-                F.col("bv_a")[j] <= F.lit(max_bucket_size)
-            )
-        first_band_only = first_band_only & ~earlier_emits
+            earlier = f"({earlier} AND (bv_a[{j}] <= {max_bucket_size}))"
+        fbo = f"({fbo} AND (NOT {earlier}))"
     frame_matches = (
         a.join(b, ["__f", "band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(first_band_only)
+        .filter(F.expr(fbo))
         .filter(
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
             <= F.lit(max_hamming)
@@ -978,22 +958,18 @@ def framewise_hamming_matches(
         F.lit(False).alias("__new"),
     ).unionByName(new.withColumn("__new", F.lit(True)))
 
+    # single-parse SQL band melt (same py4j-build-cost treatment as
+    # simhash_near_duplicates / framewise_hamming_pairs)
+    struct_arr = ", ".join(
+        f"named_struct('band', {k}, 'bucket', "
+        f"(shiftright(__fp, {k * band_bits}) & {mask}))"
+        for k in range(n_bands)
+    )
+
     def melt(df: DataFrame, keep: list) -> DataFrame:
         return df.select(
             *keep,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(k).alias("band"),
-                            F.expr(f"shiftright(__fp, {k * band_bits})")
-                            .bitwiseAND(F.lit(mask))
-                            .alias("bucket"),
-                        )
-                        for k in range(n_bands)
-                    ]
-                )
-            ).alias("bb"),
+            F.expr(f"explode(array({struct_arr}))").alias("bb"),
         ).select(
             *keep,
             F.col("bb.band").alias("band"),
@@ -1038,24 +1014,20 @@ def framewise_hamming_matches(
         )
         b_cols.append(F.col("bv_b"))
     b = b_m.select(*b_cols)
-    first_band_only = F.lit(True)
+    fbo = "true"
     for j in range(n_bands):
         eq_j = (
-            F.expr(f"shiftright(fp_a, {j * band_bits})").bitwiseAND(F.lit(mask))
-            == F.expr(f"shiftright(fp_b, {j * band_bits})").bitwiseAND(
-                F.lit(mask)
-            )
+            f"((shiftright(fp_a, {j * band_bits}) & {mask}) = "
+            f"(shiftright(fp_b, {j * band_bits}) & {mask}))"
         )
-        earlier_emits = (F.col("band") > F.lit(j)) & eq_j
+        earlier = f"((band > {j}) AND {eq_j})"
         if max_bucket_size is not None:
-            earlier_emits = earlier_emits & (
-                F.col("bv_b")[j] <= F.lit(max_bucket_size)
-            )
-        first_band_only = first_band_only & ~earlier_emits
+            earlier = f"({earlier} AND (bv_b[{j}] <= {max_bucket_size}))"
+        fbo = f"({fbo} AND (NOT {earlier}))"
     frame_matches = (
         a.join(b, ["__f", "band", "bucket"])
         .filter(F.col("new_id") != F.col("match_id"))
-        .filter(first_band_only)
+        .filter(F.expr(fbo))
         .filter(
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
             <= F.lit(max_hamming)
@@ -1117,25 +1089,18 @@ def multiword_hamming_matches(
         "doc_id", *wcols, F.lit(False).alias("__new")
     ).unionByName(new.select("doc_id", *wcols, F.lit(True).alias("__new")))
 
+    # single-parse SQL band melt (same py4j-build-cost treatment as
+    # simhash_near_duplicates / multiword_hamming_pairs)
+    struct_arr = ", ".join(
+        f"named_struct('band', {b}, 'bucket', "
+        f"(shiftright(w{b // bpw}, {band_bits * (b % bpw)}) & {mask}))"
+        for b in range(n_bands)
+    )
+
     def melt(df: DataFrame, keep: list) -> DataFrame:
         return df.select(
             *keep,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.expr(
-                                f"shiftright(w{b // bpw}, "
-                                f"{band_bits * (b % bpw)})"
-                            )
-                            .bitwiseAND(F.lit(mask))
-                            .alias("bucket"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bb"),
+            F.expr(f"explode(array({struct_arr}))").alias("bb"),
         ).select(
             *keep,
             F.col("bb.band").alias("band"),
@@ -1155,27 +1120,20 @@ def multiword_hamming_matches(
         "band",
         "bucket",
     )
-    first_band_only = F.lit(True)
+    fbo = "true"
     for j in range(n_bands):
         sh = band_bits * (j % bpw)
         eq_j = (
-            F.expr(f"shiftright(w{j // bpw}a, {sh})").bitwiseAND(F.lit(mask))
-            == F.expr(f"shiftright(w{j // bpw}b, {sh})").bitwiseAND(
-                F.lit(mask)
-            )
+            f"((shiftright(w{j // bpw}a, {sh}) & {mask}) = "
+            f"(shiftright(w{j // bpw}b, {sh}) & {mask}))"
         )
-        first_band_only = first_band_only & ~((F.col("band") > F.lit(j)) & eq_j)
-    hamming = sum(
-        (
-            F.bit_count(F.col(f"{w}a").bitwiseXOR(F.col(f"{w}b")))
-            for w in wcols
-        ),
-        F.lit(0),
-    ).cast("integer")
+        fbo = f"({fbo} AND (NOT ((band > {j}) AND {eq_j})))"
+    ham_sql = " + ".join(f"bit_count({w}a ^ {w}b)" for w in wcols)
+    hamming = F.expr(f"CAST((0 + {ham_sql}) AS INT)")
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("new_id") != F.col("match_id"))
-        .filter(first_band_only)
+        .filter(F.expr(fbo))
         .select(
             "new_id",
             "match_id",
