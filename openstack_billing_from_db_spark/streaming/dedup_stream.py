@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from openstack_billing_from_db_spark.operators.caching import tracked_persist
+from openstack_billing_from_db_spark.streaming.sessions import (
+    run_foreachbatch_stream,
+)
 from openstack_billing_from_db_spark.operators.dedup import (
     incremental_near_duplicates,
     minhash_index,
@@ -197,15 +200,12 @@ def run_streaming_dedup_index(
             release_v()
             release_a()
 
-    q = (
-        stream.writeStream.foreachBatch(step)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    run_foreachbatch_stream(
+        stream.writeStream.foreachBatch(step).option(
+            "checkpointLocation", checkpoint_dir
+        ),
+        stream.sparkSession,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
 
 
 def read_index(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -506,15 +506,12 @@ def _run_streaming_payload_dedup(
             release_v()
             release_a()
 
-    q = (
-        stream.writeStream.foreachBatch(step)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    run_foreachbatch_stream(
+        stream.writeStream.foreachBatch(step).option(
+            "checkpointLocation", checkpoint_dir
+        ),
+        stream.sparkSession,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
 
 
 def run_streaming_image_dedup(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from openstack_billing_from_db_spark.streaming.sessions import (
+    fast_local_checkpoints,
     pinned_state_partitions,
     stream_events,
     streaming_state_intervals,
@@ -45,7 +46,7 @@ def run_incremental_runtime(
             .parquet(f"{target_dir}/epoch={epoch_id}")
         )
 
-    with pinned_state_partitions(spark):
+    with pinned_state_partitions(spark), fast_local_checkpoints(spark):
         q = (
             intervals.writeStream.foreachBatch(merge)
             .option("checkpointLocation", checkpoint_dir)

@@ -20,6 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from openstack_billing_from_db_spark.streaming.sessions import (
+    run_foreachbatch_stream,
+)
 from openstack_billing_from_db_spark.operators.curation import (
     greedy_pack_continue,
     merge_pack_state,
@@ -146,15 +149,12 @@ def run_streaming_greedy_pack(
             release_a()
             release_s()
 
-    q = (
-        stream.writeStream.foreachBatch(step)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    run_foreachbatch_stream(
+        stream.writeStream.foreachBatch(step).option(
+            "checkpointLocation", checkpoint_dir
+        ),
+        stream.sparkSession,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
 
 
 def read_assignments(spark: SparkSession, assignments_dir: str) -> DataFrame:

@@ -27,6 +27,7 @@ defines.
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 from typing import Iterator, Tuple
 
@@ -34,6 +35,57 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Checkpoint I/O tuning for EPHEMERAL local checkpoints (what every
+# streaming surface in this engine uses: per-run temp dirs driven to
+# completion with processAllAvailable). Two independent costs, both
+# measured dominating the stateful queries' wall time on local[32]
+# (q75: every 32-task join stage spent ~3.5s parked with ~0.05s CPU):
+#
+# - The default FileContextBasedCheckpointFileManager shells out
+#   (hadoop.util.Shell.execCommand — a process fork) for renames on
+#   local filesystems; a stream-stream join commits 4 state stores per
+#   partition per micro-batch, so one batch forks hundreds of
+#   processes. FileSystemBasedCheckpointFileManager (the manager Spark
+#   itself selects for object stores) renames via the Java File API.
+#   Its weaker rename-atomicity guarantee only matters with concurrent
+#   drivers sharing a checkpoint — impossible for a per-run local dir.
+# - Spark 4.1's checkpoint file checksums double the checkpoint file
+#   count and add an awaited async write per close; integrity
+#   verification of a throwaway local checkpoint buys nothing.
+#
+# Production deployments with durable shared checkpoints (HDFS/S3) keep
+# the defaults: set SPARK_GRAFT_DURABLE_CHECKPOINTS=1.
+_EPHEMERAL_CHECKPOINT_CONF = {
+    "spark.sql.streaming.checkpointFileManagerClass": (
+        "org.apache.spark.sql.execution.streaming.checkpointing."
+        "FileSystemBasedCheckpointFileManager"
+    ),
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
+}
+
+
+@contextmanager
+def fast_local_checkpoints(spark: SparkSession):
+    """Apply :data:`_EPHEMERAL_CHECKPOINT_CONF` for the duration of one
+    streaming run, then RESTORE prior values (the session is shared — a
+    lingering override would silently change later runs). No-op when
+    ``SPARK_GRAFT_DURABLE_CHECKPOINTS`` is set."""
+    if os.environ.get("SPARK_GRAFT_DURABLE_CHECKPOINTS"):
+        yield
+        return
+    priors: dict[str, str | None] = {}
+    for k, v in _EPHEMERAL_CHECKPOINT_CONF.items():
+        priors[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, p in priors.items():
+            if p is not None:
+                spark.conf.set(k, p)
+            else:
+                spark.conf.unset(k)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,6 +219,19 @@ def pinned_state_partitions(spark: SparkSession):
             spark.conf.unset("spark.sql.shuffle.partitions")
 
 
+def run_foreachbatch_stream(writer, spark: SparkSession) -> None:
+    """start → processAllAvailable → stop for a configured foreachBatch
+    writer, with the ephemeral-checkpoint I/O conf applied for the run
+    (see :func:`fast_local_checkpoints`) — the shared tail of every
+    foreachBatch surface (dedup/pack/sketch/incremental streams)."""
+    with fast_local_checkpoints(spark):
+        q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, *, output_mode: str = "append"
 ) -> None:
@@ -175,7 +240,7 @@ def run_stream_to_memory(
     pinned to parallelism for the run and restored after (see
     ``pinned_state_partitions``); run stats land in LAST_STREAM_STATS."""
     spark = df.sparkSession
-    with pinned_state_partitions(spark):
+    with pinned_state_partitions(spark), fast_local_checkpoints(spark):
         n_state_partitions = spark.conf.get("spark.sql.shuffle.partitions")
         q = (
             df.writeStream.outputMode(output_mode)

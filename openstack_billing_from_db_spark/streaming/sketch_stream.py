@@ -34,6 +34,9 @@ from openstack_billing_from_db_spark.operators.sketch import (
     kmv_merge,
     kmv_partial,
 )
+from openstack_billing_from_db_spark.streaming.sessions import (
+    run_foreachbatch_stream,
+)
 
 
 def update_batch(
@@ -73,15 +76,12 @@ def run_streaming_kmv(
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(step)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    run_foreachbatch_stream(
+        stream.writeStream.foreachBatch(step).option(
+            "checkpointLocation", checkpoint_dir
+        ),
+        stream.sparkSession,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
 
 
 def read_kmv_estimate(
@@ -152,15 +152,12 @@ def run_streaming_countmin(
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(step)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    run_foreachbatch_stream(
+        stream.writeStream.foreachBatch(step).option(
+            "checkpointLocation", checkpoint_dir
+        ),
+        stream.sparkSession,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
 
 
 def read_countmin_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -223,15 +220,12 @@ def run_streaming_histogram(
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(step)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    run_foreachbatch_stream(
+        stream.writeStream.foreachBatch(step).option(
+            "checkpointLocation", checkpoint_dir
+        ),
+        stream.sparkSession,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
 
 
 def read_histogram_quantiles(
@@ -306,15 +300,12 @@ def run_streaming_hll(
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(step)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    run_foreachbatch_stream(
+        stream.writeStream.foreachBatch(step).option(
+            "checkpointLocation", checkpoint_dir
+        ),
+        stream.sparkSession,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
 
 
 def read_hll_estimate(
@@ -401,15 +392,12 @@ def run_streaming_bootstrap(
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(step)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    run_foreachbatch_stream(
+        stream.writeStream.foreachBatch(step).option(
+            "checkpointLocation", checkpoint_dir
+        ),
+        stream.sparkSession,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
 
 
 def read_bootstrap_ci(
@@ -486,15 +474,12 @@ def run_streaming_priority_sample(
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(step)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    run_foreachbatch_stream(
+        stream.writeStream.foreachBatch(step).option(
+            "checkpointLocation", checkpoint_dir
+        ),
+        stream.sparkSession,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
 
 
 def read_priority_sample(

@@ -128,3 +128,34 @@ def test_stream_run_restores_shuffle_partitions_and_reports_stats(spark, sf_dir)
     assert stats["micro_batches"] >= 1
     assert stats["state_commit_partitions"] == spark.sparkContext.defaultParallelism
     assert stats["state_rows_total"] >= 1  # windowed agg keeps state rows
+
+
+def test_fast_local_checkpoints_sets_and_restores(spark, monkeypatch):
+    """The ephemeral-checkpoint I/O conf (FileSystem-based manager, no
+    checksum sidecars) applies only INSIDE a run and restores priors —
+    the shared session must not keep the overrides — and the
+    SPARK_GRAFT_DURABLE_CHECKPOINTS escape hatch bypasses it."""
+    from openstack_billing_from_db_spark.streaming.sessions import (
+        _EPHEMERAL_CHECKPOINT_CONF,
+        fast_local_checkpoints,
+    )
+
+    keys = list(_EPHEMERAL_CHECKPOINT_CONF)
+    priors = {k: spark.conf.get(k, None) for k in keys}
+    with fast_local_checkpoints(spark):
+        for k, v in _EPHEMERAL_CHECKPOINT_CONF.items():
+            assert spark.conf.get(k) == v
+    for k in keys:
+        assert spark.conf.get(k, None) == priors[k]
+
+    monkeypatch.setenv("SPARK_GRAFT_DURABLE_CHECKPOINTS", "1")
+    sentinel = "org.example.KeepMe"
+    spark.conf.set("spark.sql.streaming.checkpointFileManagerClass", sentinel)
+    try:
+        with fast_local_checkpoints(spark):
+            assert (
+                spark.conf.get("spark.sql.streaming.checkpointFileManagerClass")
+                == sentinel
+            )
+    finally:
+        spark.conf.unset("spark.sql.streaming.checkpointFileManagerClass")
