@@ -11,6 +11,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from openstack_billing_from_db_spark.operators.parallelism import (
+    ensure_map_parallelism,
+)
+
 # tiny deterministic stopword lexica for the n-gram/stopword language-ID
 # heuristic; ordering of LANGS is the argmax tiebreak order
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -181,8 +185,12 @@ def repetition_stats(
             lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram")),
         ),
     )
+    # the tokenize+explode is the CPU-heavy map stage: guard its
+    # parallelism (a 1-file table scans as ONE partition — the whole
+    # gram stream then runs on one core; no-op at scale)
+    src = ensure_map_parallelism(docs.select(F.col(id_col), F.col(text_col)))
     counts = (
-        docs.select(F.col(id_col), F.explode(tagged).alias("t"))
+        src.select(F.col(id_col), F.explode(tagged).alias("t"))
         .select(id_col, "t.n", "t.gram")
         .groupBy(id_col, "n", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -246,13 +254,17 @@ def lm_quality_score(
     from pyspark.sql import functions as F
 
     w = words(F.col(text_col))
-    grams = docs.select(
+    # tokenize/shingle parallelism guard (1-file scan = 1 partition);
+    # the SAME rebalanced projection feeds the gram stream and the
+    # vocabulary count, so the exchange is paid once
+    src = ensure_map_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    grams = src.select(
         F.col(id_col), F.explode(word_shingles(w, 2)).alias("g")
     ).withColumn("ctx", F.split(F.col("g"), " ")[0])
 
     bg_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c_bg"))
     ctx_counts = grams.groupBy("ctx").agg(F.count(F.lit(1)).alias("c_ctx"))
-    vocab = docs.select(F.explode(words(F.col(text_col))).alias("u")).agg(
+    vocab = src.select(F.explode(words(F.col(text_col))).alias("u")).agg(
         F.countDistinct("u").alias("v")
     )
 
@@ -316,7 +328,9 @@ def unigram_kl_divergence(
     second vocabulary-sized aggregation — the raw token stream is read
     ONCE); the scoring join is vocabulary-keyed and AQE-sized. Nothing
     collects; log/sum run in codegen."""
-    toks = docs.select(
+    toks = ensure_map_parallelism(
+        docs.select(F.col(group_col), F.col(text_col))
+    ).select(
         F.col(group_col).alias("g"),
         F.explode(words(F.col(text_col))).alias("w"),
     )
@@ -375,9 +389,9 @@ def token_entropy(
     (order-independent addition); ln(n) and the final division happen
     once per doc. Plan shape: explode → (doc, word) partial-agg count →
     per-doc aggregate; nothing wide, nothing Python."""
-    toks = docs.select(
-        F.col(id_col), F.explode(words(F.col(text_col))).alias("w")
-    )
+    toks = ensure_map_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
     counts = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
     per_doc = counts.groupBy(id_col).agg(
         F.sum("c").cast("long").alias("n_tokens"),

@@ -172,6 +172,18 @@ def test_lm_quality_partial_aggregation(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4, plan
 
 
+def test_text_explodes_guard_map_parallelism(spark, sf_dir):
+    """The tokenize/explode map stages of the text-quality operators
+    must not run at raw scan parallelism (a 1-file documents table
+    scans as ONE partition — the whole gram stream would run on one
+    core): each operator rebalances its projected (id, text) source
+    (guide §2.1; no-op at scale where splits ≫ cores)."""
+    for q in ("q74_repetition_stats", "q76_lm_quality",
+              "q118_source_kl", "q119_token_entropy"):
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert "RoundRobinPartitioning" in plan, f"{q}: {plan[:2000]}"
+
+
 def test_random_projection_map_side(spark, sf_dir):
     """q104: pure map-side — no hash exchange, no join, no window; the
     scan is pruned to (vec_id, embedding)."""
