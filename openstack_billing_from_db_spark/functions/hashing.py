@@ -34,6 +34,18 @@ def seeded_hash64_sql(expr: str, seed: str) -> str:
     return portable_hash64_sql(f"concat('{seed}|', {expr})")
 
 
+def spark_portable_hash64_sql(expr: str) -> str:
+    """Spark-SQL source form of :func:`portable_hash64` (Spark's conv,
+    not the DuckDB concat-0x form) — for operators that assemble their
+    expression trees as single-parse SQL strings."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def spark_seeded_hash64_sql(expr: str, seed: str) -> str:
+    """Spark-SQL source form of :func:`seeded_hash64`."""
+    return spark_portable_hash64_sql(f"concat('{seed}|', {expr})")
+
+
 def py_hash64(s: str) -> int:
     """Driver-side twin of :func:`portable_hash64` for deterministic,
     data-independent constants (e.g. LSH hyperplane signs)."""

@@ -28,13 +28,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from openstack_billing_from_db_spark.operators.caching import tracked_persist
-from openstack_billing_from_db_spark.operators.text import words, word_shingles
+from openstack_billing_from_db_spark.operators.dedup import _word_shingles_sql
+from openstack_billing_from_db_spark.operators.text import words
 
 
-def _apply_merge(syms, pair: str, merged: str):
+def _sql_str(s: str) -> str:
+    """Spark-SQL single-quoted string literal (backslash escaping)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _apply_merge_sql(syms: str, pair: str, merged: str) -> str:
     """Merge every left-to-right non-overlapping occurrence of the
     adjacent symbol ``pair`` in a space-joined symbol string — EXACT
-    greedy BPE application.
+    greedy BPE application, emitted as a SQL source string (the merge
+    chains are built in driver loops; chained py4j Column calls cost a
+    round trip per operator — single-parse SQL keeps the loop cheap).
 
     A naive ``replace(syms, 'b c', 'bc')`` can merge across symbol
     boundaries: 'b c' matches inside 'ab c' (symbols ['ab','c']),
@@ -46,10 +54,10 @@ def _apply_merge(syms, pair: str, merged: str):
     can never contain a space). Left-to-right non-overlapping replace
     on that encoding IS the greedy merge scan; decode by trimming the
     wrap and halving the separators."""
-    enc = F.concat(F.lit(" "), F.replace(syms, F.lit(" "), F.lit("  ")), F.lit(" "))
+    enc = f"concat(' ', replace({syms}, ' ', '  '), ' ')"
     target = " " + pair.replace(" ", "  ") + " "
-    applied = F.replace(enc, F.lit(target), F.lit(f" {merged} "))
-    return F.replace(F.btrim(applied), F.lit("  "), F.lit(" "))
+    applied = f"replace({enc}, {_sql_str(target)}, {_sql_str(' ' + merged + ' ')})"
+    return f"replace(btrim({applied}), '  ', ' ')"
 
 
 def bpe_train(
@@ -72,14 +80,12 @@ def bpe_train(
         )
     )
 
+    shingle_sql = _word_shingles_sql("split(syms, ' ')", 2)
     rules = []
     cur = vocab
     for rank in range(n_merges):
         top = (
-            cur.select(
-                "freq",
-                F.explode(word_shingles(F.split(F.col("syms"), " "), 2)).alias("pair"),
-            )
+            cur.selectExpr("freq", f"explode({shingle_sql}) AS pair")
             .groupBy("pair")
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.col("c").desc(), F.col("pair"))
@@ -91,7 +97,9 @@ def bpe_train(
         pair, count = top[0].pair, int(top[0].c)
         merged = pair.replace(" ", "")
         rules.append((rank, pair, merged, count))
-        cur = cur.select("freq", _apply_merge(F.col("syms"), pair, merged).alias("syms"))
+        cur = cur.selectExpr(
+            "freq", f"{_apply_merge_sql('syms', pair, merged)} AS syms"
+        )
     return spark.createDataFrame(
         rules, "merge_rank long, pair string, merged string, pair_count long"
     )
@@ -126,10 +134,10 @@ def bpe_encode(
         .distinct()
         .select("w", F.array_join(F.split(F.col("w"), ""), " ").alias("syms"))
     )
+    syms_sql = "syms"
     for r in rules:
-        vocab = vocab.select(
-            "w", _apply_merge(F.col("syms"), r.pair, r.merged).alias("syms")
-        )
+        syms_sql = _apply_merge_sql(syms_sql, r.pair, r.merged)
+    vocab = vocab.selectExpr("w", f"{syms_sql} AS syms")
     wtok = vocab.select(
         "w", F.size(F.split(F.col("syms"), " ")).cast("long").alias("n_tok")
     )
@@ -206,16 +214,12 @@ def bpe_train_batched(
         )
     )
 
+    shingle_sql = _word_shingles_sql("split(syms, ' ')", 2)
     rules = []
     cur = vocab
     for rnd in range(n_rounds):
         top = (
-            cur.select(
-                "freq",
-                F.explode(
-                    word_shingles(F.split(F.col("syms"), " "), 2)
-                ).alias("pair"),
-            )
+            cur.selectExpr("freq", f"explode({shingle_sql}) AS pair")
             .groupBy("pair")
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.col("c").desc(), F.col("pair"))
@@ -239,17 +243,17 @@ def bpe_train_batched(
                 continue
             accepted.append((a, b, m, pair, c))
         # rank-1 never conflicts, so progress is guaranteed
-        syms = F.col("syms")
+        syms_sql = "syms"
         for _, _, m, pair, c in accepted:
             rules.append((len(rules), rnd, pair, m, c))
-            syms = _apply_merge(syms, pair, m)
+            syms_sql = _apply_merge_sql(syms_sql, pair, m)
         # lazy localCheckpoint: truncate the lineage so round r's
         # pair-count job replays only THIS round's replace chain over
         # the checkpointed vocabulary instead of all r·batch nested
         # replaces since round 0 (O(R) total work, not O(R²); the
         # vocabulary is tiny — kilobytes to megabytes — so the
         # checkpoint cost is noise)
-        cur = cur.select("freq", syms.alias("syms")).localCheckpoint(
+        cur = cur.selectExpr("freq", f"{syms_sql} AS syms").localCheckpoint(
             eager=False
         )
     return spark.createDataFrame(

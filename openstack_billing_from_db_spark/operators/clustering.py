@@ -374,17 +374,22 @@ def kmeans_fit(
     centroids = [list(r.e) for r in seed_rows]
     dims = len(centroids[0])
 
+    # one SQL parse for the per-cluster (n, s0..s{d-1}) aggregate — the
+    # d-column listcomp cost ~6 py4j round trips per dimension per
+    # iteration as chained Column calls
+    agg_sql = (
+        "named_struct('n', count(1), "
+        + ", ".join(f"'s{i}', sum(e[{i}])" for i in range(dims))
+        + ")"
+    )
     for _ in range(n_iter):
         assigned = _assign(base, centroids)
         stats = (
             assigned.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("e")[i]).alias(f"s{i}") for i in range(dims)],
-            )
+            .agg(F.expr(agg_sql).alias("st"))
             .collect()
         )
-        by_cid = {int(r.cluster): r for r in stats}
+        by_cid = {int(r.cluster): r.st for r in stats}
         centroids = lloyd_update(
             centroids, by_cid, dims=dims, round_dp=round_dp
         )
@@ -462,7 +467,10 @@ def kcenter_coreset(
     """
     from pyspark.sql import types as T
 
-    from openstack_billing_from_db_spark.operators.similarity import dot
+    from openstack_billing_from_db_spark.operators.quantization import (
+        _arr_sql,
+        _dlit,
+    )
 
     if k < 1:
         raise ValueError(f"k must be >= 1; got {k}")
@@ -480,13 +488,27 @@ def kcenter_coreset(
         raise ValueError("kcenter_coreset: input has no vectors")
     picked = [(1, seed_rows[0].vid, 0.0)]
 
-    def _dist_to(c: list[float]):
-        return (dot(F.col("e"), F.col("e")) - 2.0 * _dot_lit(F.col("e"), c)) + F.lit(
-            sum(v * v for v in c)
+    # single-parse SQL per round: the literal-centroid distance fold
+    # (d F.lit calls + the zip_with/aggregate chain) cost ~130 py4j
+    # round trips per selection round as chained Column calls; the
+    # tree is identical to the previous Column build (same _dot_lit
+    # fold, same (⟨e,e⟩ − 2⟨e,c⟩) + ⟨c,c⟩ grouping)
+    dot_ee = "aggregate(zip_with(e, e, (x, y) -> x * y), 0.0D, (a, x) -> a + x)"
+
+    def _dist_to_sql(c: list[float]) -> str:
+        dot_ec = (
+            f"aggregate(zip_with(e, {_arr_sql(c)}, (x, y) -> x * y), "
+            f"0.0D, (a, x) -> a + x)"
+        )
+        return (
+            f"(({dot_ee} - (2.0D * {dot_ec})) + "
+            f"{_dlit(sum(v * v for v in c))})"
         )
 
     state = base.filter(F.col("vid") != F.lit(seed_rows[0].vid)).select(
-        "vid", "e", _dist_to(list(seed_rows[0].e)).alias("mind")
+        "vid",
+        "e",
+        F.expr(_dist_to_sql(list(seed_rows[0].e))).alias("mind"),
     ).persist()
     prev: DataFrame | None = None
     try:
@@ -509,7 +531,9 @@ def kcenter_coreset(
             ).select(
                 "vid",
                 "e",
-                F.least(F.col("mind"), _dist_to(list(nxt[0].e))).alias("mind"),
+                F.expr(
+                    f"least(mind, {_dist_to_sql(list(nxt[0].e))})"
+                ).alias("mind"),
             ).persist()
     finally:
         state.unpersist()

@@ -237,15 +237,17 @@ def bloom_probe(df: DataFrame, bitset: list[int], pos_cols: list[str]) -> DataFr
     possible (callers verify with an exact join); false negatives are
     not.
     """
-    probed = df.withColumn("__bf", F.lit(bitset))
-    cond = None
-    for c in pos_cols:
-        bit = F.expr(
-            f"(element_at(__bf, CAST({c} DIV 64 AS INT) + 1)"
-            f" & shiftleft(1L, CAST({c} % 64 AS INT))) != 0L"
-        )
-        cond = bit if cond is None else (cond & bit)
-    return probed.filter(cond).drop("__bf")
+    # one SQL parse for the bitset literal and the probe condition — an
+    # element-wise F.lit(list) costs a py4j round trip per WORD of the
+    # filter (thousands at adaptive sizes), pure driver time
+    arr = "array(" + ", ".join(f"{w}L" for w in bitset) + ")"
+    probed = df.withColumn("__bf", F.expr(arr))
+    cond = " AND ".join(
+        f"((element_at(__bf, CAST({c} DIV 64 AS INT) + 1)"
+        f" & shiftleft(1L, CAST({c} % 64 AS INT))) != 0L)"
+        for c in pos_cols
+    )
+    return probed.filter(F.expr(cond)).drop("__bf")
 
 
 # --- linear quality scoring --------------------------------------------------

@@ -147,30 +147,33 @@ def pq_train(
         for m in range(n_subspaces)
     ]
 
+    # single-parse SQL for the subspace melt and the per-(m, cluster)
+    # sums (per-operator py4j Column calls cost a driver round trip
+    # each, per Lloyd iteration)
+    melt_sql = (
+        "explode(array("
+        + ", ".join(
+            f"named_struct('m', CAST({m} AS INT), 'cluster', cs[{m}], "
+            f"'se', {_sub_sql('e', m, sub_dims)})"
+            for m in range(n_subspaces)
+        )
+        + "))"
+    )
+    agg_sql = (
+        "named_struct('n', count(1), "
+        + ", ".join(f"'s{i}', sum(se[{i}])" for i in range(sub_dims))
+        + ")"
+    )
     for _ in range(n_iter):
         assigned = base.withColumn(
             "cs", _multi_nearest_code_arrow(F.col("e"), cbs, sub_dims)
         )
-        rows = assigned.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).cast("int").alias("m"),
-                            F.col("cs")[m].alias("cluster"),
-                            _sub(F.col("e"), m, sub_dims).alias("se"),
-                        )
-                        for m in range(n_subspaces)
-                    ]
-                )
-            ).alias("s")
-        ).select("s.m", "s.cluster", "s.se")
+        rows = assigned.select(F.expr(melt_sql).alias("s")).select(
+            "s.m", "s.cluster", "s.se"
+        )
         stats = (
             rows.groupBy("m", "cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("se")[i]).alias(f"s{i}") for i in range(sub_dims)],
-            )
+            .agg(F.expr(agg_sql).alias("st"))
             .collect()
         )
         # the aggregate above materialized every plan holding this
@@ -179,7 +182,7 @@ def pq_train(
         # pinning n_iter codebook copies in the JVM until the
         # end-of-query release barrier (ADVICE r11)
         release_cached_broadcast(_multi_codebook_key(cbs))
-        by_key = {(int(r.m), int(r.cluster)): r for r in stats}
+        by_key = {(int(r.m), int(r.cluster)): r.st for r in stats}
         cbs = [
             lloyd_update(
                 cbs[m],

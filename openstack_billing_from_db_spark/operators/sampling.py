@@ -711,41 +711,45 @@ def bootstrap_partial(
     (:func:`bootstrap_merge` — the same partial/merge/finalize contract
     as the KMV/count-min/HLL sketches), which is what lets the CI
     accumulate over a stream with ~(B+1)-row state per micro-batch."""
+    # single-parse SQL for the 2·B+2 aggregates and the long-form melt:
+    # the per-replica expression build (B=40 × ~8 thresholds of chained
+    # py4j Column calls) cost ~4 s of pure driver time per execution
     ts = poisson_bootstrap_thresholds()
+    from openstack_billing_from_db_spark.functions.hashing import (
+        spark_seeded_hash64_sql,
+    )
+
+    id_sql = f"CAST({id_col} AS STRING)"
+    val_sql = f"CAST({value_col} AS BIGINT)"
     aggs = [
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(F.col(value_col).cast("long")).cast("long").alias("s_all"),
+        "CAST(count(1) AS BIGINT) AS n_rows",
+        f"CAST(sum({val_sql}) AS BIGINT) AS s_all",
     ]
     for b in range(n_replicas):
-        h = seeded_hash64(F.col(id_col).cast("string"), f"{seed}{b}")
-        w = sum((h >= F.lit(t)).cast("long") for t in ts)
-        aggs.append(
-            F.sum(w * F.col(value_col).cast("long")).cast("long").alias(f"s{b}")
+        h = spark_seeded_hash64_sql(id_sql, f"{seed}{b}")
+        w = (
+            "(0 + "
+            + " + ".join(f"CAST(({h} >= {t}) AS BIGINT)" for t in ts)
+            + ")"
         )
-        aggs.append(F.sum(w).cast("long").alias(f"n{b}"))
-    one = df.agg(*aggs)
+        aggs.append(f"CAST(sum({w} * {val_sql}) AS BIGINT) AS s{b}")
+        aggs.append(f"CAST(sum({w}) AS BIGINT) AS n{b}")
+    one = df.selectExpr(*aggs)
+    structs = ", ".join(
+        [
+            "named_struct('b', CAST(-1 AS BIGINT), "
+            "'s', CAST(coalesce(s_all, 0) AS BIGINT), "
+            "'n', CAST(n_rows AS BIGINT))"
+        ]
+        + [
+            f"named_struct('b', CAST({b} AS BIGINT), "
+            f"'s', CAST(coalesce(s{b}, 0) AS BIGINT), "
+            f"'n', CAST(coalesce(n{b}, 0) AS BIGINT))"
+            for b in range(n_replicas)
+        ]
+    )
     return one.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(-1).cast("long").alias("b"),
-                    F.coalesce(F.col("s_all"), F.lit(0)).cast("long").alias("s"),
-                    F.col("n_rows").cast("long").alias("n"),
-                ),
-                *[
-                    F.struct(
-                        F.lit(b).cast("long").alias("b"),
-                        F.coalesce(F.col(f"s{b}"), F.lit(0))
-                        .cast("long")
-                        .alias("s"),
-                        F.coalesce(F.col(f"n{b}"), F.lit(0))
-                        .cast("long")
-                        .alias("n"),
-                    )
-                    for b in range(n_replicas)
-                ],
-            )
-        ).alias("r")
+        F.expr(f"explode(array({structs}))").alias("r")
     ).select("r.b", "r.s", "r.n")
 
 
