@@ -394,12 +394,13 @@ def oriented_edges(
     )
 
 
-# Edge-set size up to which the wedge-closure probe ships the edge list
-# as a broadcast instead of shuffling the (far larger) wedge stream to a
-# shuffled equi-join. 4M two-long rows build to a ~200 MB hash relation —
-# comfortably inside the guide's "few hundred MB is usually fine" band
-# and far under the 8 GB broadcast cap; beyond it the closure falls back
-# to the shuffled join (same result, pinned by the oracle).
+# Edge-set size up to which the wedge-closure probe ships the
+# out-adjacency table (|E| longs total across its arrays) as a
+# broadcast. 4M longs plus array overhead build to a ~200 MB hash
+# relation — comfortably inside the guide's "few hundred MB is usually
+# fine" band and far under the 8 GB broadcast cap; beyond it the
+# closure falls back to shuffled |E|-row joins (same result, pinned by
+# the oracle).
 TRIANGLE_BROADCAST_EDGE_MAX = 4_000_000
 
 
@@ -414,11 +415,12 @@ def triangle_stats(
     EXACTLY once (at its minimum-order vertex).
 
     Scale shape: orientation (one |E| dedup exchange + a degree join),
-    then a self-join of the directed edges on src — out-degrees are
-    bounded by O(sqrt(m)) after orientation, so wedge counts are
-    sum-of-squares over BOUNDED out-degrees, not over raw (skewed)
-    degrees — then one |wedges| ⨝ |E| hash join on (v, w). No vertex
-    neighborhood is ever collected.
+    then per-edge intersection of out-neighborhoods (edge-iterator
+    form) — out-degrees are bounded by O(sqrt(m)) after orientation, so
+    both the adjacency arrays and the per-edge intersection work are
+    bounded regardless of raw degree skew, and nothing larger than the
+    |E|-row edge list is materialized. No vertex neighborhood is ever
+    collected to the driver.
 
     Output: one row (n_vertices, n_edges, n_wedges, n_triangles).
     """
@@ -440,31 +442,38 @@ def triangle_stats(
         F.sum("c").cast("long").alias("n_edges"),
         F.sum(F.expr("(c * (c - 1)) div 2")).cast("long").alias("n_wedges"),
     )
-    # (a semi-join prefilter of e1.dst against the src set — "only
-    # closable wedges" — was measured at sf0.1: it prunes 0.01% of the
-    # 41M wedges on this graph, because orientation leaves almost no
-    # pure-sink vertices in a dense co-occurrence graph; the extra join
-    # isn't worth it, so wedges are enumerated once, plain)
-    wedges = (
-        d.alias("e1")
-        .join(d.alias("e2"), F.col("e1.src") == F.col("e2.src"))
-        .filter(F.col("e1.dst_ord") < F.col("e2.dst_ord"))
-        .select(F.col("e1.dst").alias("v"), F.col("e2.dst").alias("w"))
-    )
-    # wedge CLOSURE: the wedge stream is Θ(Σ outdeg²) rows — orders of
-    # magnitude more than |E| — so shuffling it to meet the edge set
-    # (sort-merge on (v, w)) moves the biggest table in the job just to
-    # probe membership. When the edge set fits a broadcast, probe it
-    # map-side instead: wedges are filtered WHERE THEY ARE GENERATED
-    # and never cross an exchange (guide §2.4/§3.1 — replace the shuffle
-    # of the large side with a broadcast of the small side). Past the
-    # broadcast bound, fall back to the shuffled equi-join.
-    edge_keys = d.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    # wedge CLOSURE, edge-iterator form: a triangle {a<b<c} (by ord) is
+    # closed exactly once at its LOWEST edge (a,b) as a member of
+    # N⁺(a) ∩ N⁺(b), so  n_triangles = Σ over directed edges (u,v) of
+    # |N⁺(u) ∩ N⁺(v)|. The earlier wedge-enumeration form materialized
+    # the Θ(Σ outdeg²) wedge stream (41M rows / ~350 MB at sf0.1) as
+    # join-probe rows just to test edge membership; intersecting the two
+    # out-neighborhoods per EDGE does the same element-touches inside
+    # one codegen'd expression over only |E| rows — nothing larger than
+    # the edge list is ever built, shuffled, or probed (guide §2.2 —
+    # shuffle fewer bytes; §3.1). Out-neighborhoods are O(sqrt(m)) after
+    # orientation, so per-row arrays are bounded. Below the broadcast
+    # bound the adjacency table (|E| longs total) ships map-side — the
+    # closure then crosses no exchange at all; past it, two |E|-row hash
+    # joins still beat shuffling the wedge stream.
+    adj = d.groupBy("src").agg(F.collect_list("dst").alias("__nbrs"))
+    adj_u = adj.select(F.col("src"), F.col("__nbrs").alias("__nbrs_u"))
+    adj_v = adj.select(F.col("src").alias("dst"), F.col("__nbrs").alias("__nbrs_v"))
     if n_edges_driver <= TRIANGLE_BROADCAST_EDGE_MAX:
-        closed = wedges.join(F.broadcast(edge_keys), ["v", "w"])
-    else:
-        closed = wedges.join(edge_keys, ["v", "w"])
-    n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        adj_u, adj_v = F.broadcast(adj_u), F.broadcast(adj_v)
+    # inner joins: an endpoint with no out-edges contributes an empty
+    # intersection — dropping its row changes nothing in the sum
+    per_edge = (
+        d.select("src", "dst")
+        .join(adj_u, "src")
+        .join(adj_v, "dst")
+        .select(
+            F.size(F.array_intersect("__nbrs_u", "__nbrs_v")).alias("__t")
+        )
+    )
+    n_tri = per_edge.agg(
+        F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias("n_triangles")
+    )
     n_vert = (
         d.select(F.explode(F.array("src", "dst")).alias("v"))
         .agg(F.count_distinct("v").cast("long").alias("n_vertices"))
