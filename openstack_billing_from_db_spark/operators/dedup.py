@@ -1847,6 +1847,17 @@ def set_similarity_join(
             ).alias("sig"),
         )
     )
+    # eager fill: the shingle+md5 chain above is the most expensive
+    # map work in the operator, and FIVE downstream tables (groups,
+    # mem, rep_docs, sz, ps) hang off it — most of them small enough
+    # that Spark plans them as broadcast exchanges, whose subtrees
+    # execute CONCURRENTLY in the exchange thread pool. Concurrent
+    # first readers of a lazy persist don't wait for each other: the
+    # q123 profile showed four ~12-17 s-run jobs each re-scanning the
+    # documents parquet and re-computing this chain before any fill
+    # completed. One blocking count() fills the cache exactly once;
+    # every broadcast subtree then reads memory.
+    base.count()
     groups = tracked_persist(
         base.groupBy("sig").agg(F.min("did").alias("rep"))
     )
