@@ -19,32 +19,95 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-# Below this Catalyst size estimate the guard repartitions WITHOUT
-# probing the physical partition count: a round-robin exchange of
-# <= 256 MB of narrow rows costs milliseconds, while the probe
-# (``df.rdd``) pays full physical planning — and, under AQE, actually
-# EXECUTES any shuffle stages in the plan just to learn the final
-# partition count (measured 2.6 s on a windowed upstream at sf0.1,
-# with a 4.7 s-runtime javaToPython job). Non-CBO estimates never
-# shrink a filter below its child, so a genuinely large input cannot
-# sneak under this threshold and lose the probe path.
+# Below this Catalyst size estimate a SHUFFLE-BEARING input is
+# repartitioned WITHOUT probing the physical partition count: a
+# round-robin exchange of <= 256 MB of narrow rows costs milliseconds,
+# while the probe (``df.rdd``) pays full physical planning — and,
+# under AQE, actually EXECUTES the plan's shuffle stages just to learn
+# the final partition count (measured 2.6 s on a windowed upstream at
+# sf0.1, with a 4.7 s-runtime javaToPython job). Non-CBO estimates
+# never shrink a filter below its child, so a genuinely large input
+# cannot sneak under this threshold and lose the probe path.
 _CHEAP_REBALANCE_MAX_BYTES = 256 << 20
+
+# Optimized-logical-plan node names that put a shuffle (or another
+# job-running exchange, e.g. a broadcast build) in the plan — exactly
+# the inputs where the partition-count probe is expensive. Distinct
+# and dropDuplicates optimize to Aggregate/Deduplicate; a global sort
+# is Sort; set-ops keep their own nodes.
+_SHUFFLE_NODE_NAMES = frozenset(
+    {
+        "Aggregate",
+        "Join",
+        "Window",
+        "Sort",
+        "Repartition",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "Deduplicate",
+        "Except",
+        "Intersect",
+        "GlobalLimit",
+        "FlatMapGroupsInPandas",
+        "FlatMapCoGroupsInPandas",
+    }
+)
+# walk budget: scan-rooted optimized plans are shallow (projects
+# collapse); a plan deep enough to blow this budget is treated as
+# shuffle-bearing rather than paying an unbounded py4j walk
+_SHUFFLE_WALK_MAX_NODES = 200
+
+
+def _plan_has_shuffle(df: DataFrame) -> bool:
+    """True iff the optimized logical plan contains a shuffle-inducing
+    node (or is too deep / too private-API-hostile to walk cheaply —
+    the conservative answer, since it only selects the probe-free
+    path)."""
+    try:
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        seen = 0
+        while stack:
+            node = stack.pop()
+            if node.nodeName() in _SHUFFLE_NODE_NAMES:
+                return True
+            seen += 1
+            if seen > _SHUFFLE_WALK_MAX_NODES:
+                return True
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        return False
+    except Exception:
+        return True
 
 
 def ensure_map_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition iff the input is (likely) badly under-
-    parallel relative to the cluster.
+    """Round-robin repartition iff the input is badly under-parallel
+    relative to the cluster.
 
-    Small inputs (by Catalyst's pre-execution size estimate) are
-    rebalanced unconditionally — the exchange is cheaper than finding
-    out whether it is needed. Large/unknown inputs keep the exact
-    partition-count probe: at scale the probe never runs a job for
-    scan-rooted plans, and a mis-written input (one giant gzip) still
-    gets caught and rebalanced."""
+    Small SHUFFLE-BEARING inputs (by Catalyst's pre-execution size
+    estimate) are rebalanced without probing — there the probe
+    executes the shuffle stages, costing far more than the exchange,
+    and AQE would have coalesced a <=256 MB shuffle output below the
+    rebalance threshold anyway (same decision, minus the probe).
+    Scan-rooted and large/unknown inputs keep the exact probe: it
+    compiles without running a job, a well-parallel scan passes
+    through untouched (the 100 TB contract — no exchange added), and a
+    mis-written input (one giant gzip) still gets caught. Keeping the
+    probe on scan-rooted inputs also keeps their partition layout —
+    and therefore float-aggregation grouping downstream — identical to
+    the pre-guard behavior the oracle-parity pins were validated
+    under (the r12 pq_train bit-parity regression: an unconditional
+    small-input rebalance changed the trainer's sum grouping by 1 ulp
+    and flipped a 6-dp rounding)."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     size = plan_size_estimate(df)
-    if size is not None and size <= _CHEAP_REBALANCE_MAX_BYTES:
+    if (
+        size is not None
+        and size <= _CHEAP_REBALANCE_MAX_BYTES
+        and _plan_has_shuffle(df)
+    ):
         return df.repartition(target)
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)

@@ -303,10 +303,17 @@ def test_ensure_map_parallelism_noop_on_wide_input(spark):
     )
     assert ensure_map_parallelism(wide) is wide  # untouched: no exchange added
 
-    # a SMALL input is rebalanced without probing (the probe costs more
-    # than the exchange — and under AQE can execute shuffle stages)
+    # a SMALL under-parallel input is still rebalanced (scan-rooted:
+    # via the job-free probe; shuffle-bearing: probe-free — see
+    # ensure_map_parallelism)
     small = spark.range(0, 1000, 1, 1)
     assert ensure_map_parallelism(small) is not small
+    # a small SHUFFLE-BEARING input takes the probe-free path: the
+    # probe would execute the aggregation's shuffle stages just to
+    # learn the AQE-coalesced count, which for <=256 MB lands below
+    # the rebalance threshold anyway — same decision, minus the probe
+    small_shuffled = spark.range(0, 1000).groupBy((F.col("id") % 10).alias("g")).count()
+    assert ensure_map_parallelism(small_shuffled) is not small_shuffled
 
 
 # --- IVF ANN (q65) -----------------------------------------------------------
