@@ -403,24 +403,34 @@ def oriented_edges(
 # the oracle).
 TRIANGLE_BROADCAST_EDGE_MAX = 4_000_000
 
+# Wedge-to-edge ratio at or above which the closure switches from
+# wedge enumeration to the adjacency-intersection (edge-iterator)
+# form. Both are exact; the cost trade is real and measured from both
+# sides: at ratio ~34 (the sf0.1 co-purchase graph, 41M wedges / 1.2M
+# edges) adjacency intersection wins 8.4 → 5.3 s because the wedge
+# stream dwarfs the edge list; at ratio ~2 (synthetic 8M-edge graph,
+# 16M wedges) wedge enumeration wins 7.3 vs 12.9 s because the
+# adjacency path's collect_list build + array-carrying joins cost more
+# than generating a barely-larger wedge stream. The ratio is pure
+# arithmetic on out-degrees, so dispatch costs nothing extra.
+TRIANGLE_ADJACENCY_WEDGE_RATIO = 8
+
 
 def triangle_stats(
     edges: DataFrame, *, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
     """Exact global triangle count of an undirected graph via
-    degree-oriented wedge joining — the canonical distributed triangle
-    kernel. Wedges are enumerated at their lowest-ordered vertex
-    (directed pairs u→v, u→w with ord(v) < ord(w)); each wedge closes
-    iff the directed edge v→w exists, and every triangle is counted
-    EXACTLY once (at its minimum-order vertex).
+    degree-oriented closure — the canonical distributed triangle
+    kernel. Every triangle is counted EXACTLY once at its
+    minimum-order vertex (wedge form) / its lowest-ord edge
+    (edge-iterator form); the two closures are equivalent and the
+    cheaper one is picked from the arithmetically-known wedge count.
 
     Scale shape: orientation (one |E| dedup exchange + a degree join),
-    then per-edge intersection of out-neighborhoods (edge-iterator
-    form) — out-degrees are bounded by O(sqrt(m)) after orientation, so
-    both the adjacency arrays and the per-edge intersection work are
-    bounded regardless of raw degree skew, and nothing larger than the
-    |E|-row edge list is materialized. No vertex neighborhood is ever
-    collected to the driver.
+    then the dispatched closure — out-degrees are bounded by O(sqrt(m))
+    after orientation, so wedge counts, adjacency arrays and per-edge
+    intersection work are all bounded regardless of raw degree skew.
+    No vertex neighborhood is ever collected to the driver.
 
     Output: one row (n_vertices, n_edges, n_wedges, n_triangles).
     """
@@ -429,51 +439,84 @@ def triangle_stats(
     d = tracked_persist(
         oriented_edges(edges, src=src, dst=dst).select("src", "dst", "dst_ord")
     )
-    # one explicit cache-fill job; its count both sizes the closure-join
-    # strategy below and warms d before the fan-out of aggregate branches
-    # (otherwise the first two branches race to fill the same cache)
-    n_edges_driver = d.count()
-    # wedge COUNT is pure arithmetic on out-degrees — sum C(outdeg, 2) —
-    # so the full wedge stream is never enumerated just to count it;
-    # n_edges rides the same aggregate (Σ outdeg = |E|), saving the
-    # separate count branch
+    # one explicit cache-fill job; it warms d before the fan-out of
+    # aggregate branches (otherwise the first two branches race to fill
+    # the same cache) and its (n_edges, n_wedges) sizes BOTH closure
+    # decisions below. The wedge COUNT is pure arithmetic on
+    # out-degrees — sum C(outdeg, 2) — so the full wedge stream is
+    # never enumerated just to count it; n_edges rides the same
+    # aggregate (Σ outdeg = |E|).
     outdeg = d.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+    stats_row = outdeg.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("ne"),
+        F.coalesce(F.sum(F.expr("(c * (c - 1)) div 2")), F.lit(0))
+        .cast("long")
+        .alias("nw"),
+    ).collect()[0]
+    n_edges_driver, n_wedges_driver = int(stats_row.ne), int(stats_row.nw)
     n_wedge = outdeg.agg(
         F.sum("c").cast("long").alias("n_edges"),
         F.sum(F.expr("(c * (c - 1)) div 2")).cast("long").alias("n_wedges"),
     )
-    # wedge CLOSURE, edge-iterator form: a triangle {a<b<c} (by ord) is
-    # closed exactly once at its LOWEST edge (a,b) as a member of
-    # N⁺(a) ∩ N⁺(b), so  n_triangles = Σ over directed edges (u,v) of
-    # |N⁺(u) ∩ N⁺(v)|. The earlier wedge-enumeration form materialized
-    # the Θ(Σ outdeg²) wedge stream (41M rows / ~350 MB at sf0.1) as
-    # join-probe rows just to test edge membership; intersecting the two
-    # out-neighborhoods per EDGE does the same element-touches inside
-    # one codegen'd expression over only |E| rows — nothing larger than
-    # the edge list is ever built, shuffled, or probed (guide §2.2 —
-    # shuffle fewer bytes; §3.1). Out-neighborhoods are O(sqrt(m)) after
-    # orientation, so per-row arrays are bounded. Below the broadcast
-    # bound the adjacency table (|E| longs total) ships map-side — the
-    # closure then crosses no exchange at all; past it, two |E|-row hash
-    # joins still beat shuffling the wedge stream.
-    adj = d.groupBy("src").agg(F.collect_list("dst").alias("__nbrs"))
-    adj_u = adj.select(F.col("src"), F.col("__nbrs").alias("__nbrs_u"))
-    adj_v = adj.select(F.col("src").alias("dst"), F.col("__nbrs").alias("__nbrs_v"))
-    if n_edges_driver <= TRIANGLE_BROADCAST_EDGE_MAX:
-        adj_u, adj_v = F.broadcast(adj_u), F.broadcast(adj_v)
-    # inner joins: an endpoint with no out-edges contributes an empty
-    # intersection — dropping its row changes nothing in the sum
-    per_edge = (
-        d.select("src", "dst")
-        .join(adj_u, "src")
-        .join(adj_v, "dst")
-        .select(
-            F.size(F.array_intersect("__nbrs_u", "__nbrs_v")).alias("__t")
+    use_adjacency = n_wedges_driver >= TRIANGLE_ADJACENCY_WEDGE_RATIO * max(
+        n_edges_driver, 1
+    )
+    if use_adjacency:
+        # CLOSURE, edge-iterator form: a triangle {a<b<c} (by ord) is
+        # closed exactly once at its LOWEST edge (a,b) as a member of
+        # N⁺(a) ∩ N⁺(b), so n_triangles = Σ over directed edges (u,v)
+        # of |N⁺(u) ∩ N⁺(v)|. The wedge-enumeration form materializes
+        # the Θ(Σ outdeg²) wedge stream (41M rows / ~350 MB at sf0.1)
+        # as join-probe rows just to test edge membership; when that
+        # stream dwarfs the edge list, intersecting the two
+        # out-neighborhoods per EDGE does the same element-touches
+        # inside one codegen'd expression over only |E| rows — nothing
+        # larger than the edge list is built, shuffled, or probed
+        # (guide §2.2/§3.1). Below the broadcast bound the adjacency
+        # table (|E| longs total) ships map-side; past it, two |E|-row
+        # joins still beat shuffling the wedge stream.
+        adj = d.groupBy("src").agg(F.collect_list("dst").alias("__nbrs"))
+        adj_u = adj.select(F.col("src"), F.col("__nbrs").alias("__nbrs_u"))
+        adj_v = adj.select(
+            F.col("src").alias("dst"), F.col("__nbrs").alias("__nbrs_v")
         )
-    )
-    n_tri = per_edge.agg(
-        F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias("n_triangles")
-    )
+        if n_edges_driver <= TRIANGLE_BROADCAST_EDGE_MAX:
+            adj_u, adj_v = F.broadcast(adj_u), F.broadcast(adj_v)
+        # inner joins: an endpoint with no out-edges contributes an
+        # empty intersection — dropping its row changes nothing
+        per_edge = (
+            d.select("src", "dst")
+            .join(adj_u, "src")
+            .join(adj_v, "dst")
+            .select(
+                F.size(F.array_intersect("__nbrs_u", "__nbrs_v")).alias("__t")
+            )
+        )
+        n_tri = per_edge.agg(
+            F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias("n_triangles")
+        )
+    else:
+        # CLOSURE, wedge form: when Σ outdeg² is within a small factor
+        # of |E| the wedge stream is cheap to generate, and enumerating
+        # it avoids the adjacency path's collect_list build and
+        # array-carrying joins. Each wedge closes iff the directed edge
+        # v→w exists; below the broadcast bound the edge set is probed
+        # map-side, past it the closure falls back to the shuffled
+        # equi-join.
+        wedges = (
+            d.alias("e1")
+            .join(d.alias("e2"), F.col("e1.src") == F.col("e2.src"))
+            .filter(F.col("e1.dst_ord") < F.col("e2.dst_ord"))
+            .select(F.col("e1.dst").alias("v"), F.col("e2.dst").alias("w"))
+        )
+        edge_keys = d.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        if n_edges_driver <= TRIANGLE_BROADCAST_EDGE_MAX:
+            closed = wedges.join(F.broadcast(edge_keys), ["v", "w"])
+        else:
+            closed = wedges.join(edge_keys, ["v", "w"])
+        n_tri = closed.agg(
+            F.count(F.lit(1)).cast("long").alias("n_triangles")
+        )
     n_vert = (
         d.select(F.explode(F.array("src", "dst")).alias("v"))
         .agg(F.count_distinct("v").cast("long").alias("n_vertices"))

@@ -180,6 +180,34 @@ def test_triangle_dedup_and_self_loops(spark):
     assert (row.n_edges, row.n_triangles) == (3, 1)
 
 
+def test_triangle_closure_paths_all_agree(spark, monkeypatch):
+    # the closure dispatches twice: wedge enumeration vs adjacency
+    # intersection (by the arithmetic wedge ratio) and broadcast vs
+    # shuffled (by edge count). Force all four combinations and pin
+    # identical counts on a graph with triangles, an open wedge and a
+    # hub
+    from openstack_billing_from_db_spark.operators import graph as G
+
+    # K5 (C(5,3)=10 triangles) + a hub adjacent to everything incl. the
+    # K5 (C(5,2)=10 hub triangles) + an open wedge (0 triangles)
+    pairs = (
+        [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b]
+        + [(0, i) for i in range(1, 40)]
+        + [(50, 51), (51, 52)]
+    )
+    results = []
+    for ratio in (0, 10**9):  # 0 → adjacency form, huge → wedge form
+        for bmax in (0, G.TRIANGLE_BROADCAST_EDGE_MAX):  # 0 → shuffled
+            monkeypatch.setattr(G, "TRIANGLE_ADJACENCY_WEDGE_RATIO", ratio)
+            monkeypatch.setattr(G, "TRIANGLE_BROADCAST_EDGE_MAX", bmax)
+            r = _tri(spark, pairs)
+            results.append(
+                (r.n_vertices, r.n_edges, r.n_wedges, r.n_triangles)
+            )
+    assert len(set(results)) == 1
+    assert results[0][3] == 20  # C(5,3) + C(5,2) via the hub
+
+
 def test_orientation_bounds_hub_outdegree(spark):
     # skewed graph: hub 0 adjacent to 50 leaves + one triangle off to the
     # side; the hub's edges must all point INTO it (leaves have lower
