@@ -238,6 +238,19 @@ def prepare_corpus(
         )
     )
 
+    # Eagerly fill the canon cache BEFORE its fan-out (guide §1/§5, the
+    # q123 pattern): the first action over the pipeline contains several
+    # INDEPENDENT AQE query stages rooted at canon (the minhash signature
+    # chain, both banded self-join sides, the verify rejoin, the final
+    # anti-join), and concurrent first readers of a lazy persist do not
+    # wait for each other's fill — the measured q146 profile showed four
+    # concurrent jobs each re-scanning documents and re-running the
+    # quality+window chain (74+52+49+42 s of task time for one 74 s
+    # chain), saturating all 32 cores for ~7 s and making the query's
+    # wall time swing with scheduler timing. One blocking count fills
+    # the cache exactly once; every racing subtree then starts from the
+    # cached rows.
+    canon.count()
     # near-dedup: drop the higher-id member of each confirmed near-dup pair
     pairs = dedup.minhash_near_duplicates(canon).filter(
         F.col("jaccard") >= near_dup_jaccard
