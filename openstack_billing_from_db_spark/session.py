@@ -22,6 +22,23 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
 
+    # Python workers pay ~100-185 ms of zipimport cache re-parsing on
+    # EVERY task (see fast_worker_daemon's docstring) — the dominant
+    # fixed cost of every Python-boundary stage. The custom daemon
+    # module stat-gates that invalidation. The daemon process resolves
+    # this package via PYTHONPATH, so the package root is appended to
+    # the environment BEFORE the JVM launches (the JVM snapshot of the
+    # env is what worker daemons inherit). Escape hatch:
+    # SPARK_GRAFT_STOCK_PYTHON_DAEMON=1 restores the stock daemon.
+    use_fast_daemon = os.environ.get("SPARK_GRAFT_STOCK_PYTHON_DAEMON") != "1"
+    if use_fast_daemon:
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if pkg_root not in parts:
+            os.environ["PYTHONPATH"] = os.pathsep.join(
+                [p for p in parts if p] + [pkg_root]
+            )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -45,6 +62,11 @@ def get_spark(
         # keep managed-table data out of the repo working directory
         .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
     )
+    if use_fast_daemon:
+        builder = builder.config(
+            "spark.python.daemon.module",
+            "openstack_billing_from_db_spark.fast_worker_daemon",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -221,3 +221,79 @@ def test_delete_rows_noop_without_matches(spark, tmp_path):
     res = delete_rows(spark, p, "id > 100")
     assert res["rows_deleted"] == 0 and res["rows_after"] == 2
     assert sorted(os.listdir(p)) == files  # untouched, no rewrite
+
+
+def test_fast_worker_daemon_zipimport_gate(tmp_path, monkeypatch):
+    """The stat gate re-parses a zip's central directory only when the
+    archive changed; a genuine change still invalidates (the addPyFile
+    contract)."""
+    import zipfile
+    import zipimport
+
+    from openstack_billing_from_db_spark import fast_worker_daemon as fwd
+
+    fwd.apply_zipimport_stat_gate()  # idempotent
+
+    zp = tmp_path / "mod.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("m1.py", "X = 1\n")
+    zi = zipimport.zipimporter(str(zp))
+
+    calls = {"n": 0}
+    orig_read = zipimport._read_directory
+
+    def counting_read(archive):
+        calls["n"] += 1
+        return orig_read(archive)
+
+    monkeypatch.setattr(zipimport, "_read_directory", counting_read)
+    zi.invalidate_caches()
+    first = calls["n"]
+    assert first >= 1  # unknown stat -> must re-read
+    zi.invalidate_caches()
+    zi.invalidate_caches()
+    assert calls["n"] == first  # unchanged archive -> gated, no re-read
+
+    # a real change re-reads and the new content is visible
+    import time as _time
+
+    _time.sleep(0.01)  # ensure mtime_ns moves even on coarse clocks
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("m1.py", "X = 2\n")
+        z.writestr("m2.py", "Y = 3\n")
+    zi.invalidate_caches()
+    assert calls["n"] > first
+    assert zi.find_spec("m2") is not None
+
+
+def test_fast_worker_daemon_session_conf(spark):
+    """The shared session carries the fast-daemon conf and the python
+    boundary works end to end under it."""
+    import os
+
+    import pandas as pd
+
+    assert (
+        spark.conf.get("spark.python.daemon.module")
+        == "openstack_billing_from_db_spark.fast_worker_daemon"
+    )
+    # the daemon resolves the package via PYTHONPATH (set by get_spark)
+    assert any(
+        os.path.isdir(os.path.join(p, "openstack_billing_from_db_spark"))
+        for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if p
+    )
+
+    def double(it):
+        for pdf in it:
+            pdf["id"] = pdf["id"] * 2
+            yield pdf
+
+    got = (
+        spark.range(0, 10, 1, 3)
+        .mapInPandas(double, "id long")
+        .toPandas()["id"]
+        .sort_values()
+        .tolist()
+    )
+    assert got == [i * 2 for i in range(10)]
