@@ -29,7 +29,7 @@ rounds with the same per-round join shape — available here as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 # round count of the most recent connected_components call, for tests
@@ -111,12 +111,15 @@ def connected_components(
         # message pass: each vertex u hears every neighbour v's label.
         # The vertex's OWN previous label rides the same union tagged
         # is_own=1, so one aggregation yields both the new label
-        # (min over all) and the old one (min over own rows) — the
-        # convergence check costs a filter on the checkpointed result
-        # instead of a |V|⋈|V| join per iteration.
+        # (min over all) and the old one (min over own rows) — and the
+        # convergence count rides the SAME eager-checkpoint job as an
+        # Observation (eager localCheckpoint executes through a normal
+        # SQL action, so CollectMetrics fires), making each round ONE
+        # job instead of checkpoint + count.
         msgs = sym.join(
             labels.withColumnRenamed("vertex", "v"), on="v"
         ).select(F.col("u").alias("vertex"), "component", F.lit(0).alias("is_own"))
+        obs = Observation()
         grouped = (
             msgs.union(labels.withColumn("is_own", F.lit(1)))
             .groupBy("vertex")
@@ -124,8 +127,14 @@ def connected_components(
                 F.min("component").alias("component"),
                 F.min(F.when(F.col("is_own") == 1, F.col("component"))).alias("__old"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") < F.col("__old")).cast("long")
+                ).alias("changed"),
+            )
         ).localCheckpoint()
-        changed = grouped.filter(F.col("component") < F.col("__old")).count()
+        changed = int(obs.get["changed"] or 0)
         labels = grouped.select("vertex", "component")
         rounds += 1
         if changed == 0:
@@ -204,6 +213,7 @@ def _connected_components_star(
         # --- small-star (input already directed high→low) ---
         smins = large.groupBy("__hi").agg(F.min("__lo").alias("m"))
         with_min = large.join(smins, "__hi")
+        obs = Observation()
         small = (
             with_min.select(hi.alias("__hi"), F.col("m").alias("__lo"))
             .union(
@@ -213,9 +223,12 @@ def _connected_components_star(
             )
             .filter(hi != lo)
             .distinct()
+            # the round's row count rides the eager-checkpoint job (one
+            # job per round instead of checkpoint + count)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         ).localCheckpoint()
         rounds += 1
-        n_new = small.count()
+        n_new = int(obs.get["n"] or 0)
         converged = n_new == n_cur and small.subtract(cur).isEmpty()
         cur, n_cur = small, n_new
         if converged:
