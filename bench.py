@@ -130,10 +130,32 @@ def main() -> None:
     if failed:
         out["failed"] = failed
     print(json.dumps(out))
-    # The full line above is several KB at 87 queries; a bounded tail
-    # capture can truncate its head and lose the headline (BENCH_r03
-    # "parsed": null). Repeat the summary WITHOUT the per-query map as
-    # its own short final line so the tail always parses.
+    # Driver per-query visibility (VERDICT r12 Next #2): the full line
+    # above is ~6 KB at 164 queries and the driver keeps a bounded tail,
+    # so the per-query map arrived truncated/unparseable (PERF_r12
+    # per_query: {}). Re-emit the SAME map as small self-describing JSON
+    # lines (≤ ~900 B each — two whole chunks fit a 2000-char tail)
+    # between the full line and the final summary line. Additions only:
+    # the first and last lines are byte-compatible with every prior round.
+    chunks: list[dict[str, float]] = [{}]
+    for name, secs in timings.items():
+        if len(json.dumps(chunks[-1])) > 800:
+            chunks.append({})
+        chunks[-1][name] = secs
+    for i, chunk in enumerate(chunks):
+        print(
+            json.dumps(
+                {
+                    "metric": "per_query_chunk",
+                    "chunk": i,
+                    "n_chunks": len(chunks),
+                    "queries": chunk,
+                },
+                separators=(",", ":"),
+            )
+        )
+    # Repeat the summary WITHOUT the per-query map as its own short
+    # final line so the tail always parses (BENCH_r03 "parsed": null).
     summary = {
         "metric": "sum_query_wall_time",
         "value": total,

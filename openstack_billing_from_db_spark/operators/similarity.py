@@ -460,6 +460,40 @@ def random_projection(
     return emb.select(F.col(id_col), *cols)
 
 
+# Pin the pair stage's width only when the within-cluster pair
+# quadratic is big enough that serializing it costs more than one extra
+# exchange: ~1M pairs × a d-wide dot each is roughly a second of
+# single-core fold work — below that the pin is pure fixed-cost loss
+# (measured: the unconditional pin cost q130 +22% / q147 +14% at sf0.1,
+# where the whole pair stage is ~2500 pairs).
+_PAIR_PIN_MIN_PAIRS = 1_000_000
+
+
+def _pin_pair_width(a: DataFrame, n_pairs_est: float | None) -> DataFrame:
+    """Pin the cluster-keyed pair self-join's shuffle width (VERDICT r12
+    Next #3, guide §2). The pair stage's COMPUTE is Σ_c n_c² (every
+    within-cluster pair is scored) while its shuffle BYTES are only ∝ n,
+    so AQE's size-based coalescing — seeing a few hundred KB — can merge
+    the post-shuffle reads down to one partition and serialize the
+    quadratic work. An explicit-width repartition of one side is a
+    REPARTITION_BY_NUM-origin exchange, which AQE never coalesces (and
+    the other side's ENSURE_REQUIREMENTS exchange must match its
+    width), so the pair stage keeps cluster-parallelism at any data
+    size. ``defaultParallelism`` scales with the cluster.
+
+    ``n_pairs_est`` is the expected pair count (≈ n·target/2 on the
+    ``target_cluster_size`` path — the scale configuration, where n is
+    already counted for deriving k; None on the fixed-k path, which
+    would need an extra count just to estimate). Below
+    ``_PAIR_PIN_MIN_PAIRS`` — or unknown — the exchange costs more than
+    the serialized compute it would spread, so the input passes through
+    untouched."""
+    if n_pairs_est is None or n_pairs_est < _PAIR_PIN_MIN_PAIRS:
+        return a
+    sc = a.sparkSession.sparkContext
+    return a.repartition(sc.defaultParallelism, "cluster")
+
+
 def semantic_dedup(
     emb: DataFrame,
     *,
@@ -512,6 +546,7 @@ def semantic_dedup(
             )
         )
     )
+    n_pairs_est: float | None = None
     if target_cluster_size is not None:
         if target_cluster_size < 1:
             raise ValueError(
@@ -519,6 +554,7 @@ def semantic_dedup(
             )
         n = base.count()  # base is persisted; one bounded action
         k = max(1, -(-n // target_cluster_size))
+        n_pairs_est = n * target_cluster_size / 2
     cents = kmeans_fit(base, k=k, n_iter=n_iter, round_dp=round_dp)
     x = tracked_persist(
         _assign(base, cents).withColumn("n2", dot(F.col("e"), F.col("e")))
@@ -536,8 +572,11 @@ def semantic_dedup(
         F.col("e").alias("eb"),
         F.col("n2").alias("n2b"),
     )
-    pr = a.join(b, "cluster").filter(F.col("va") < F.col("vb")).withColumn(
-        "dot", dot(F.col("ea"), F.col("eb"))
+    pr = (
+        _pin_pair_width(a, n_pairs_est)
+        .join(b, "cluster")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("dot", dot(F.col("ea"), F.col("eb")))
     )
     drops = (
         pr.filter(
@@ -631,6 +670,7 @@ def semantic_dedup_pq(
             )
         )
     )
+    n_pairs_est: float | None = None
     if target_cluster_size is not None:
         if target_cluster_size < 1:
             raise ValueError(
@@ -638,6 +678,7 @@ def semantic_dedup_pq(
             )
         n = base.count()
         k = max(1, -(-n // target_cluster_size))
+        n_pairs_est = n * target_cluster_size / 2
     cents = kmeans_fit(base, k=k, n_iter=n_iter, round_dp=round_dp)
     codebooks = pq_train(
         base,
@@ -676,7 +717,8 @@ def semantic_dedup_pq(
     ts2 = (threshold - candidate_slack) * (threshold - candidate_slack)
     scores = _pq_pair_scores_arrow(codebooks)
     cand = (
-        a.join(b, "cluster")
+        _pin_pair_width(a, n_pairs_est)
+        .join(b, "cluster")
         .filter(F.col("va") < F.col("vb"))
         .withColumn("ps", scores)
         .filter(

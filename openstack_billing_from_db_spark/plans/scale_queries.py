@@ -1240,7 +1240,7 @@ def q116_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    true_pairs = (
+    true_pairs = tracked_persist(
         inter.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
         .filter(
@@ -1250,6 +1250,15 @@ def q116_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
+    # The pair-quadratic ground-truth chain above feeds BOTH the n_true
+    # and the caught branch; those are separate subtrees of the final
+    # 1-row crossJoin plan and execute CONCURRENTLY, and concurrent
+    # first readers of a lazy persist do not wait for each other's fill
+    # (the q123/q146 pattern, guide §1/§5) — so the self-join ran twice.
+    # One blocking count fills the cache exactly once; the count result
+    # itself is discarded (n_true still computes in-plan so the result
+    # shape/semantics are untouched).
+    true_pairs.count()
     caught = true_pairs.join(cand.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
     n_true = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))

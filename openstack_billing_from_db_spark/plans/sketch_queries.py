@@ -36,8 +36,19 @@ from openstack_billing_from_db_spark.sources.tables import load_table
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # every consumer of this projection is a tokenize/hash stream whose
+    # map cost is proportional to text bytes — the rebalance is gated on
+    # the same size floor as the text operators' inner guards (a sub-
+    # 32 MB source tokenizes faster on the scan's own cores than an
+    # exchange + full task wave costs; at corpus scale the guard engages
+    # exactly as before)
+    from openstack_billing_from_db_spark.operators.text import (
+        _TOKENIZE_REBALANCE_MIN_BYTES,
+    )
+
     return ensure_map_parallelism(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source"),
+        skip_below_bytes=_TOKENIZE_REBALANCE_MIN_BYTES,
     )
 
 

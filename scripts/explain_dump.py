@@ -1,4 +1,5 @@
-"""Dump .explain("formatted") for named queries to plans/r12/.
+"""Dump .explain("formatted") for named queries to plans/$SPARK_GRAFT_PLANS_ROUND/
+(default r13).
 
 Usage: python scripts/explain_dump.py <suffix> q95_pagerank [more...]
        [--sf /root/testdata/sf0.1]
@@ -29,15 +30,16 @@ def main() -> int:
     from openstack_billing_from_db_spark.registry import all_queries
     from openstack_billing_from_db_spark.session import get_spark
 
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
     queries = all_queries()
     spark = get_spark(app_name=f"explain_{suffix}")
-    os.makedirs("plans/r12", exist_ok=True)
+    os.makedirs(f"plans/{rnd}", exist_ok=True)
     for name in names:
         df = queries[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        out = f"plans/r12/{name}_{suffix}.txt"
+        out = f"plans/{rnd}/{name}_{suffix}.txt"
         with open(out, "w") as f:
             f.write(plan)
         print(f"wrote {out} ({len(plan)} bytes)")

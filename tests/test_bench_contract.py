@@ -34,10 +34,21 @@ def test_bench_emits_parseable_two_line_contract():
         for line in out.stdout.splitlines()
         if line.startswith("{")
     ]
-    assert len(json_lines) == 2
-    full, summary = json_lines
+    assert len(json_lines) >= 3
+    full, summary = json_lines[0], json_lines[-1]
     # full line carries the per-query map
     assert set(full["queries"]) == {"q22_scalar_functions", "q34_dedup_exact"}
+    # middle lines: tail-safe per-query chunks (VERDICT r12 Next #2) —
+    # each ≤1.5 KB, and together they reassemble the full map exactly
+    chunks = json_lines[1:-1]
+    assert chunks, "per_query_chunk lines missing"
+    merged: dict[str, float] = {}
+    for i, c in enumerate(chunks):
+        assert c["metric"] == "per_query_chunk"
+        assert c["chunk"] == i and c["n_chunks"] == len(chunks)
+        assert len(json.dumps(c)) <= 1536
+        merged.update(c["queries"])
+    assert merged == full["queries"]
     # final line is the short always-parseable summary
     assert summary["metric"] == "sum_query_wall_time"
     assert summary["n_queries"] == 2 and summary["n_failed"] == 0

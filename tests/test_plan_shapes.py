@@ -172,16 +172,50 @@ def test_lm_quality_partial_aggregation(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4, plan
 
 
-def test_text_explodes_guard_map_parallelism(spark, sf_dir):
+def test_text_explodes_guard_map_parallelism(spark, sf_dir, monkeypatch):
     """The tokenize/explode map stages of the text-quality operators
     must not run at raw scan parallelism (a 1-file documents table
     scans as ONE partition — the whole gram stream would run on one
     core): each operator rebalances its projected (id, text) source
-    (guide §2.1; no-op at scale where splits ≫ cores)."""
-    for q in ("q74_repetition_stats", "q76_lm_quality",
-              "q118_source_kl", "q119_token_entropy"):
+    (guide §2.1). The rebalance is SIZE-GATED (VERDICT r12 #8): a
+    source below _TOKENIZE_REBALANCE_MIN_BYTES tokenizes faster on one
+    core than an exchange + 32-task wave costs, so at this sf the plan
+    must carry NO guard exchange; with the threshold forced to 0 (the
+    at-scale behavior for a 1-split over-threshold input) the
+    RoundRobinPartitioning pin must reappear."""
+    from openstack_billing_from_db_spark.operators import text as text_ops
+
+    queries = ("q74_repetition_stats", "q76_lm_quality",
+               "q118_source_kl", "q119_token_entropy")
+    for q in queries:
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert "RoundRobinPartitioning" not in plan, f"{q}: {plan[:2000]}"
+    monkeypatch.setattr(text_ops, "_TOKENIZE_REBALANCE_MIN_BYTES", 0)
+    for q in queries:
         plan = _plan(QUERIES[q](spark, sf_dir))
         assert "RoundRobinPartitioning" in plan, f"{q}: {plan[:2000]}"
+
+
+def test_semantic_pair_width_pin_gated(spark, sf_dir, monkeypatch):
+    """The SemDeDup pair stage's width pin (VERDICT r12 Next #3) is
+    gated on the expected pair count: tiny pair spaces must NOT pay the
+    extra REPARTITION_BY_NUM exchange (the unconditional pin cost q130
+    +22% at sf0.1), while past _PAIR_PIN_MIN_PAIRS the cluster-keyed
+    exchange must be REPARTITION_BY_NUM-origin so AQE cannot coalesce
+    the Σ n_c² compute onto one partition. The fixed-k path (no
+    target_cluster_size → pair count unknown without an extra job)
+    never pins."""
+    from openstack_billing_from_db_spark.operators import similarity
+
+    pin_re = re.compile(r"hashpartitioning\(cluster[^\n]*REPARTITION_BY_NUM")
+    plan = _plan(QUERIES["q140_semantic_dedup_scaled"](spark, sf_dir))
+    assert not pin_re.search(plan), plan[:3000]
+    monkeypatch.setattr(similarity, "_PAIR_PIN_MIN_PAIRS", 0)
+    plan = _plan(QUERIES["q140_semantic_dedup_scaled"](spark, sf_dir))
+    assert pin_re.search(plan), plan[:3000]
+    # fixed-k path: no estimate, never pins (even with the floor at 0)
+    plan = _plan(QUERIES["q130_semantic_dedup"](spark, sf_dir))
+    assert not pin_re.search(plan), plan[:3000]
 
 
 def test_random_projection_map_side(spark, sf_dir):
