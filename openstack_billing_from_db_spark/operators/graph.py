@@ -41,6 +41,27 @@ LAST_RUN_STATS: dict = {}
 # still moving after this many rounds has an unusual diameter.
 _AUTO_LABEL_ROUNDS = 5
 
+# Iteration width: rows per partition for the per-round frames of the
+# iterative algorithms (narrow BIGINT rows, ~25 B each → ~6 MB
+# partitions). The frames these loops checkpoint/persist inherit
+# spark.sql.shuffle.partitions at materialization and every later map
+# stage over them is frozen at that width — AQE coalescing only applies
+# to live shuffle reads, never to cached/checkpointed scans. On a small
+# graph that means full-cluster-width task waves over KB-sized blocks
+# every round (profiled at sf0.1/local[32]: per-iteration map stages ran
+# 32 tasks with 7-20× the task CPU of the same stage 8-wide — guide §2.2
+# fixed-cost-per-task in miniature). Deriving the width from the
+# OBSERVED row count keeps small graphs narrow while any real graph
+# (≥ cores × _ITER_ROWS_PER_PARTITION rows) still gets every core:
+# width = ceil(rows / _ITER_ROWS_PER_PARTITION), clamped to
+# defaultParallelism.
+_ITER_ROWS_PER_PARTITION = 250_000
+
+
+def _iter_width(df: DataFrame, n_rows: int) -> int:
+    sc = df.sparkSession.sparkContext
+    return max(1, min(sc.defaultParallelism, -(-n_rows // _ITER_ROWS_PER_PARTITION)))
+
 
 def connected_components(
     edges: DataFrame,
@@ -87,6 +108,7 @@ def connected_components(
     # explode(array(fwd, rev)) reads the (possibly expensive — e.g. a full
     # MinHash pipeline) edge input ONCE; union(sel, sel) would evaluate the
     # upstream DAG twice inside this one materialization job.
+    obs_sym = Observation()
     sym = (
         edges.select(
             F.explode(
@@ -98,12 +120,22 @@ def connected_components(
         )
         .select("e.u", "e.v")
         .distinct()
+        # the symmetrized edge count rides the checkpoint job (the same
+        # eager-localCheckpoint-fires-CollectMetrics mechanism the round
+        # loop already relies on) and sizes the iteration width below
+        .observe(obs_sym, F.count(F.lit(1)).alias("n"))
     ).localCheckpoint()
+    width = _iter_width(sym, int(obs_sym.get["n"] or 0))
+    if width < sym.rdd.getNumPartitions():
+        # narrow, exchange-free cap: downstream stages read the frozen
+        # checkpoint blocks in `width` tasks instead of one task per block
+        sym = sym.coalesce(width)
 
     labels = (
         sym.select(F.col("u").alias("vertex"))
         .distinct()
         .withColumn("component", F.col("vertex"))
+        .coalesce(width)
     ).localCheckpoint()
 
     rounds, converged = 0, False
@@ -133,6 +165,7 @@ def connected_components(
                     (F.col("component") < F.col("__old")).cast("long")
                 ).alias("changed"),
             )
+            .coalesce(width)
         ).localCheckpoint()
         changed = int(obs.get["changed"] or 0)
         labels = grouped.select("vertex", "component")
@@ -185,14 +218,18 @@ def _connected_components_star(
         .filter(hi != lo)  # self-loops carry no connectivity
         .distinct()
     ).localCheckpoint()
+    n_cur = cur.count()
+    width = _iter_width(cur, n_cur)
+    if width < cur.rdd.getNumPartitions():
+        cur = cur.coalesce(width)  # narrow cap over the frozen blocks
     # every vertex incident to an edge — the output domain (roots keep
     # no outgoing edge at the fixpoint, so they are re-added at the end)
     vertices = (
         cur.select(hi.alias("vertex"))
         .union(cur.select(lo.alias("vertex")))
         .distinct()
+        .coalesce(width)
     ).localCheckpoint()
-    n_cur = cur.count()
 
     rounds, converged = 0, False
     for _ in range(max_iter):
@@ -226,6 +263,7 @@ def _connected_components_star(
             # the round's row count rides the eager-checkpoint job (one
             # job per round instead of checkpoint + count)
             .observe(obs, F.count(F.lit(1)).alias("n"))
+            .coalesce(width)
         ).localCheckpoint()
         rounds += 1
         n_new = int(obs.get["n"] or 0)
@@ -307,15 +345,26 @@ def pagerank_micro(
     e = tracked_persist(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     )
+    # one blocking count: fills the edge cache exactly once (nodes and
+    # ew below would otherwise race-recompute the upstream edge build
+    # inside the first action) and doubles as the iteration-width probe
+    # — the fill pass was owed anyway, so the count is free at any scale
+    n_edges = e.count()
+    width = _iter_width(e, n_edges)
+    if width < e.rdd.getNumPartitions():
+        e = e.coalesce(width)  # narrow cap over the cached blocks
     # both sides are STATIC across iterations — persist once instead of
     # recomputing the edge scan + degree join every round
     nodes = tracked_persist(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .coalesce(width)
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = tracked_persist(e.join(outdeg, "src"))  # static: (src, dst, outdeg)
+    # static: (src, dst, outdeg) — width-capped like nodes, so every
+    # per-iteration map stage over these caches launches `width` tasks
+    ew = tracked_persist(e.join(outdeg, "src").coalesce(width))
     pr = nodes.withColumn("pr", F.lit(PR_INIT).cast("long"))
     for i in range(iterations):
         incoming = (
@@ -336,7 +385,7 @@ def pagerank_micro(
         # a materialization barrier that dominates short runs — cut only
         # every 5th round (plan depth stays bounded either way)
         if (i + 1) % 5 == 0 and (i + 1) < iterations:
-            pr = pr.localCheckpoint(eager=False)
+            pr = pr.coalesce(width).localCheckpoint(eager=False)
     return pr
 
 
