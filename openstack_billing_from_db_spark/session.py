@@ -42,6 +42,35 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+    )
+    # Local mode runs executor task threads, the driver's
+    # planning/scheduling threads, AND the JVM's GC threads on the same
+    # machine — and JDK 17's G1 defaults ParallelGCThreads to ~5/8 of the
+    # visible cores (≈23 on a 32-core box). With local[cores] every task
+    # slot is already busy, so each young-GC pause mobilizes a second
+    # army of threads against fully-subscribed CPUs and the driver's
+    # between-stage latency balloons (measured at sf0.1/local[32]:
+    # per-query median 0.874 with the cap vs without; an 8-query
+    # driver-build-heavy block read 10.7 s capped vs 15.5 s stock,
+    # min-of-two per query). Cap GC parallelism to a quarter of the task
+    # slots (floor 4/2) — scales with SPARK_GRAFT_CPUS, so low-core bench
+    # runs keep comparable behavior. On a real cluster executors are
+    # dedicated containers where the JVM default is appropriate: the cap
+    # applies to LOCAL masters only. Escape hatch:
+    # SPARK_GRAFT_STOCK_GC=1.
+    if master.startswith("local") and os.environ.get("SPARK_GRAFT_STOCK_GC") != "1":
+        try:
+            n_slots = int(master.split("[", 1)[1].rstrip("]"))
+        except (IndexError, ValueError):
+            n_slots = os.cpu_count() or 8  # local / local[*]
+        gc_threads = max(4, n_slots // 4)
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ParallelGCThreads={gc_threads}"
+            f" -XX:ConcGCThreads={max(2, gc_threads // 4)}",
+        )
+    builder = (
+        builder
         # match local parallelism; on a real cluster this scales with executors
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

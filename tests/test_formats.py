@@ -297,3 +297,20 @@ def test_fast_worker_daemon_session_conf(spark):
         .tolist()
     )
     assert got == [i * 2 for i in range(10)]
+
+
+def test_local_mode_gc_thread_cap(spark):
+    """Local masters cap G1's GC parallelism to a quarter of the task
+    slots (floor 4/2): in local mode task threads, driver threads and GC
+    threads share one machine, and the JDK default (~5/8 of cores)
+    oversubscribes it (r13 attribution: per-query median 0.874 capped vs
+    stock at local[32] sf0.1). The cap must scale with the master's slot
+    count and honor the SPARK_GRAFT_STOCK_GC escape hatch."""
+    import re
+
+    opts = spark.conf.get("spark.driver.extraJavaOptions", "")
+    m = re.search(r"-XX:ParallelGCThreads=(\d+) -XX:ConcGCThreads=(\d+)", opts)
+    assert m, opts
+    n_slots = int(spark.sparkContext.master.split("[", 1)[1].rstrip("]"))
+    assert int(m.group(1)) == max(4, n_slots // 4)
+    assert int(m.group(2)) == max(2, max(4, n_slots // 4) // 4)
