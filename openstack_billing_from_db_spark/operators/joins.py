@@ -33,7 +33,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from openstack_billing_from_db_spark.functions.hashing import seeded_hash64
 
 
 def salted_join(
@@ -50,8 +49,11 @@ def salted_join(
     across ``n_salts`` replicas of the dim side.
 
     ``salt_from`` is a row-unique fact-side expression (e.g. the
-    primary-key column); the salt is a portable seeded hash of it, so
-    the scatter is deterministic and layout-independent. With
+    primary-key column); the salt is a deterministic, layout-independent
+    hash of it. xxhash64 rather than the md5-based portable family: the
+    salt never appears in any oracle (the result is pinned against the
+    UNSALTED join), so cross-engine portability buys nothing while md5
+    costs ~10× more per row on the full fact side (guide §1.2). With
     ``force_shuffle`` (default) the dim side carries a ``shuffle_hash``
     hint — the point of salting is the non-broadcastable case, and
     letting Catalyst silently broadcast would make the demo (and any
@@ -71,7 +73,9 @@ def salted_join(
         dim_rep = dim_rep.hint("shuffle_hash")
     fact_s = fact.withColumn(
         "__salt",
-        (seeded_hash64(salt_from.cast("string"), "salt") % n_salts).cast("int"),
+        F.pmod(
+            F.xxhash64(F.lit("salt"), salt_from.cast("string")), F.lit(n_salts)
+        ).cast("int"),
     )
     return fact_s.join(dim_rep, [key, "__salt"], how).drop("__salt")
 

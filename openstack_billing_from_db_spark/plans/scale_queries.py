@@ -259,6 +259,10 @@ def q107_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     row), which is exactly what the unsalted oracle pins."""
     from openstack_billing_from_db_spark.operators.joins import salted_join
 
+    # byte-proportional map work (one hash + projection per row): a
+    # sub-32 MB scan needs no pre-balancing — the join's own (key, salt)
+    # shuffle spreads the rows anyway, so the round-robin exchange was a
+    # pure extra pass over the fact side
     li = ensure_map_parallelism(
         load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey",
@@ -266,7 +270,8 @@ def q107_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey",
             "l_extendedprice",
             "l_discount",
-        )
+        ),
+        skip_below_bytes=32 << 20,
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     joined = salted_join(
