@@ -700,8 +700,13 @@ def semantic_dedup_pq(
         ),
     )
     # narrow pair rows: (cluster, vid, M codes) — the raw e never
-    # enters the self-join
-    slim = x.select("cluster", "vid").join(codes, "vid")
+    # enters the self-join. Persisted: BOTH aliases of the candidate
+    # self-join read this frame and Spark does not reuse the encode
+    # subtree across join aliases (the q123 pref lesson) — without the
+    # persist the whole Arrow pq_encode chain ran twice (q152 warm
+    # profile: two stages of 17.2 s and 8.0 s task-run emitting the
+    # same 10 000 code rows).
+    slim = tracked_persist(x.select("cluster", "vid").join(codes, "vid"))
     a = slim.select(
         "cluster", F.col("vid").alias("va"), F.col("codes").alias("ca")
     )
