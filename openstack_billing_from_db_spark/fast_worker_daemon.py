@@ -47,7 +47,12 @@ def apply_zipimport_stat_gate() -> None:
     def invalidate_caches(self):  # type: ignore[no-untyped-def]
         try:
             st = os.stat(self.archive)
-            key = (st.st_mtime_ns, st.st_size)
+            # inode + ctime close the mtime-preserving-replace hole
+            # (cp -p / rsync -t of a same-size archive keeps mtime_ns
+            # but a rename-replace always changes the inode, and any
+            # in-place metadata change bumps ctime) — ADVICE r12 #1,
+            # zero extra cost: all four fields come from the one stat.
+            key = (st.st_mtime_ns, st.st_size, st.st_ino, st.st_ctime_ns)
         except OSError:
             key = None
         if key is not None and getattr(self, "_graft_zip_stat", None) == key:

@@ -167,6 +167,13 @@ def connected_components(
             )
             .coalesce(width)
         ).localCheckpoint()
+        # PINNED-SPARK DEPENDENCY (ADVICE r12 #3): eager localCheckpoint
+        # executing through withAction — and therefore firing
+        # CollectMetrics so obs.get returns — is Spark 3.4-4.1 internal
+        # behavior, and Observation.get blocks WITHOUT timeout. If a
+        # Spark upgrade stops the checkpoint action from firing the
+        # observation, this line hangs rather than erroring; the graph
+        # test suite (tiny graphs, seconds-long) is the tripwire.
         changed = int(obs.get["changed"] or 0)
         labels = grouped.select("vertex", "component")
         rounds += 1

@@ -197,7 +197,15 @@ def prepare_corpus(
     (``df.observe`` accumulates during the pass — no second scan per
     stage). Read ``observations[stage].get["n"]`` AFTER an action has
     run the plan; ``corpus_cli prepare --dry-run`` is the packaged
-    consumer."""
+    consumer.
+
+    EAGER-EXECUTION SIDE EFFECT (ADVICE r12 #4): the canon cache is
+    filled with a blocking ``count()`` at plan-construction time (the
+    concurrent-first-reader fix), so calling this function executes the
+    scan+quality+window chain even for plan-only consumers — and that
+    count is the first action, fixing the input/quality_kept/exact_canon
+    observation values. Results are unaffected (the counts are
+    identical); explain-only callers pay one real job."""
 
     def _observe(df: DataFrame, stage: str) -> DataFrame:
         if observations is None:

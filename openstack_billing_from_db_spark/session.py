@@ -98,6 +98,25 @@ def get_spark(
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # JVM-launch-time settings (daemon module, extraJavaOptions) only
+    # take effect when getOrCreate CREATES the context; against a
+    # pre-existing session spark.conf.get still REPORTS the requested
+    # values while the stock daemon/GC keep running (ADVICE r12 #2) —
+    # surface that instead of silently mis-reporting.
+    from pyspark import SparkContext
+
+    preexisting = SparkContext._active_spark_context is not None
     spark = builder.getOrCreate()
+    if preexisting:
+        import warnings
+
+        warnings.warn(
+            "get_spark reused a pre-existing SparkContext: JVM-launch-time "
+            "settings (spark.python.daemon.module, driver extraJavaOptions) "
+            "from this call are NOT in effect even though spark.conf reports "
+            "them",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -7,8 +7,8 @@ task count, executor-run/CPU time, shuffle read/write bytes and
 records. This is the guide-§1 "where does the time go" view the UI
 would give — the UI is disabled in this sandbox, the event log isn't.
 
-Usage: python scripts/profile_query.py q112_ivf_pq_topk [more...]
-       [--sf /root/testdata/sf0.1]
+Usage: python scripts/profile_warm.py q112_ivf_pq_topk [more...]
+       [--sf /root/testdata/sf0.1] [--parse-only]
 Must run with cwd=/root/repo.
 """
 
@@ -95,11 +95,14 @@ def _run(names: list[str], sf_dir: str) -> None:
 
 def _parse_and_report() -> None:
     # -- parse the event log ------------------------------------------------
-    top = [
+    entries = [
         os.path.join(EVDIR, f)
-        for f in os.listdir(EVDIR)
+        for f in (os.listdir(EVDIR) if os.path.isdir(EVDIR) else ())
         if not f.startswith(".")
-    ][0]
+    ]
+    if not entries:
+        raise SystemExit(f"no event log found under {EVDIR} — run without --parse-only first")
+    top = entries[0]
     if os.path.isdir(top):  # eventlog v2 rolling layout: a dir of parts
         evfiles = sorted(
             os.path.join(top, f)
@@ -139,46 +142,45 @@ def _parse_and_report() -> None:
                 with open(p) as fh:
                     yield from fh
 
-    if True:
-        for line in _lines():
-            ev = json.loads(line)
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                jid = ev["Job ID"]
-                jobs[jid] = {
-                    "desc": ev.get("Properties", {}).get(
-                        "spark.job.description", ""
-                    ),
-                    "t0": ev["Submission Time"],
-                    "stages": [s["Stage ID"] for s in ev["Stage Infos"]],
-                }
-            elif e == "SparkListenerJobEnd":
-                jid = ev["Job ID"]
-                if jid in jobs:
-                    jobs[jid]["t1"] = ev["Completion Time"]
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sid = si["Stage ID"]
-                sub, comp = si.get("Submission Time"), si.get("Completion Time")
-                s = stages.setdefault(sid, _empty_stage())
-                s["name"] = si["Stage Name"].split("\n")[0][:90]
-                s["ntask"] = si["Number of Tasks"]
-                s["wall"] = ((comp - sub) / 1000.0) if sub and comp else 0.0
-            elif e == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                tm = ev.get("Task Metrics") or {}
-                s = stages.setdefault(sid, _empty_stage())
-                s["run"] += tm.get("Executor Run Time", 0) / 1000.0
-                s["cpu"] += tm.get("Executor CPU Time", 0) / 1e9
-                srm = tm.get("Shuffle Read Metrics", {})
-                s["sr"] += srm.get("Local Bytes Read", 0) + srm.get(
-                    "Remote Bytes Read", 0
-                )
-                s["srr"] += srm.get("Total Records Read", 0)
-                swm = tm.get("Shuffle Write Metrics", {})
-                s["sw"] += swm.get("Shuffle Bytes Written", 0)
-                s["swr"] += swm.get("Shuffle Records Written", 0)
-                s["in"] += tm.get("Input Metrics", {}).get("Bytes Read", 0)
+    for line in _lines():
+        ev = json.loads(line)
+        e = ev.get("Event")
+        if e == "SparkListenerJobStart":
+            jid = ev["Job ID"]
+            jobs[jid] = {
+                "desc": ev.get("Properties", {}).get(
+                    "spark.job.description", ""
+                ),
+                "t0": ev["Submission Time"],
+                "stages": [s["Stage ID"] for s in ev["Stage Infos"]],
+            }
+        elif e == "SparkListenerJobEnd":
+            jid = ev["Job ID"]
+            if jid in jobs:
+                jobs[jid]["t1"] = ev["Completion Time"]
+        elif e == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            sid = si["Stage ID"]
+            sub, comp = si.get("Submission Time"), si.get("Completion Time")
+            s = stages.setdefault(sid, _empty_stage())
+            s["name"] = si["Stage Name"].split("\n")[0][:90]
+            s["ntask"] = si["Number of Tasks"]
+            s["wall"] = ((comp - sub) / 1000.0) if sub and comp else 0.0
+        elif e == "SparkListenerTaskEnd":
+            sid = ev["Stage ID"]
+            tm = ev.get("Task Metrics") or {}
+            s = stages.setdefault(sid, _empty_stage())
+            s["run"] += tm.get("Executor Run Time", 0) / 1000.0
+            s["cpu"] += tm.get("Executor CPU Time", 0) / 1e9
+            srm = tm.get("Shuffle Read Metrics", {})
+            s["sr"] += srm.get("Local Bytes Read", 0) + srm.get(
+                "Remote Bytes Read", 0
+            )
+            s["srr"] += srm.get("Total Records Read", 0)
+            swm = tm.get("Shuffle Write Metrics", {})
+            s["sw"] += swm.get("Shuffle Bytes Written", 0)
+            s["swr"] += swm.get("Shuffle Records Written", 0)
+            s["in"] += tm.get("Input Metrics", {}).get("Bytes Read", 0)
 
     cur = None
     for jid in sorted(jobs):
